@@ -1,0 +1,40 @@
+"""Exact (oracle-reproducible) aggregate helpers.
+
+Summing doubles is order-dependent, and Spark's shuffle order differs from
+DuckDB's scan order — so two correct engines produce different low bits.
+These helpers route sums through decimal: the cast double→decimal rounds the
+*same* double to the *same* decimal in both engines (a representable tie at
+scale 2-6 cannot occur for ordinary data), decimal addition is exact and
+order-independent, and the final decimal→double cast is correctly rounded in
+both. Result: bit-identical aggregates with no tolerance windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Prices in the fixture data carry 2 decimals, rates (discount/tax) 2 decimals.
+MONEY = "decimal(18,2)"
+RATE = "decimal(5,2)"
+HI = "decimal(38,15)"  # for doubles with full fractional precision
+
+
+def money(c: Column | str) -> Column:
+    return F.col(c).cast(MONEY) if isinstance(c, str) else c.cast(MONEY)
+
+
+def rate(c: Column | str) -> Column:
+    return F.col(c).cast(RATE) if isinstance(c, str) else c.cast(RATE)
+
+
+def dsum(c: Column) -> Column:
+    """Exact sum of a decimal column, emitted as double."""
+    return F.sum(c).cast("double")
+
+
+def dsum_of_double(c: Column | str, cast_to: str = HI) -> Column:
+    """Exact-ish sum of a double column: fix each value at high decimal scale
+    (identical rounding both engines), sum exactly, emit double."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast(cast_to)).cast("double")

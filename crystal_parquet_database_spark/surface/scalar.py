@@ -1,0 +1,190 @@
+"""Scalar-function query surface: string, date/time, math, array, JSON,
+conditional expressions — all JVM-side built-ins (whole-stage codegen), no
+Python UDFs.
+
+Portability notes baked into the oracles: DuckDB `ceil/floor` return DOUBLE
+while Spark returns BIGINT (cast); DuckDB `len(list)`/`datediff` return BIGINT
+while Spark returns INT (cast); DuckDB regexp_replace needs the 'g' flag to
+match Spark's replace-all. Math surface sticks to IEEE-exact ops (sqrt, abs,
+mod, ceil/floor) — transcendental functions (ln, pow) are libm-dependent and
+not bit-portable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.surface.registry import query
+from crystal_parquet_database_spark.tables import load_table
+
+_STRING_ORACLE = r"""
+SELECT p_partkey,
+       LOWER(p_name) AS name_lower,
+       UPPER(p_type) AS type_upper,
+       CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+       p_brand || ':' || p_type AS brand_type,
+       STRING_SPLIT(p_name, ' ')[1] AS first_word,
+       REGEXP_EXTRACT(p_brand, 'Brand#([0-9]+)', 1) AS brand_num,
+       REGEXP_REPLACE(p_name, ' ', '_', 'g') AS name_snake,
+       SUBSTRING(p_type, 1, 3) AS type_prefix,
+       TRIM(p_name) AS name_trim
+FROM part
+WHERE p_name LIKE '%e%'
+"""
+
+
+@query("scalar_string_functions", _STRING_ORACLE)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%e%"))
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_type").alias("type_upper"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.trim("p_name").alias("name_trim"),
+    )
+
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+       CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+       CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       CAST(DATEDIFF('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002,
+       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+"""
+
+
+@query("scalar_date_functions", _DATE_ORACLE)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_2002"),
+        # dates emitted as timestamps on both sides: pandas/duckdb render DATE
+        # inconsistently (datetime.date vs datetime64), which breaks value-hashing
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+    )
+
+
+_MATH_ORACLE = """
+SELECT p_partkey,
+       SQRT(p_retailprice) AS price_sqrt,
+       ABS(p_retailprice - 1000.0) AS price_dev,
+       CAST(CEIL(p_retailprice) AS DOUBLE) AS price_ceil,
+       CAST(FLOOR(p_retailprice) AS DOUBLE) AS price_floor,
+       p_size % 7 AS size_mod7,
+       p_retailprice * p_retailprice AS price_sq,
+       GREATEST(p_size, 25) AS size_hi,
+       LEAST(p_size, 25) AS size_lo
+FROM part
+"""
+
+
+@query("scalar_math_functions", _MATH_ORACLE)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.sqrt("p_retailprice").alias("price_sqrt"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
+        F.ceil("p_retailprice").cast("double").alias("price_ceil"),
+        F.floor("p_retailprice").cast("double").alias("price_floor"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+        (F.col("p_retailprice") * F.col("p_retailprice")).alias("price_sq"),
+        F.greatest("p_size", F.lit(25)).alias("size_hi"),
+        F.least("p_size", F.lit(25)).alias("size_lo"),
+    )
+
+
+_ARRAY_ORACLE = """
+SELECT vec_id,
+       CAST(LEN(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_component,
+       CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) AS first_two_sum,
+       CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+FROM embeddings
+"""
+
+
+@query("scalar_array_functions", _ARRAY_ORACLE)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array built-ins + a higher-order filter (JVM-side lambda, no UDF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        (
+            F.element_at("embedding", 1).cast("double")
+            + F.element_at("embedding", 2).cast("double")
+        ).alias("first_two_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_id, event_type,
+       JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_int
+FROM events
+WHERE JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL
+  AND CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) > 50
+"""
+
+
+@query("scalar_json_extraction", _JSON_ORACLE)
+def scalar_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props string column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        ev.withColumn("k_str", k)
+        .withColumn("k_int", k.cast("int"))
+        .filter(F.col("k_str").isNotNull() & (F.col("k_int") > 50))
+        .select("event_id", "event_type", "k_str", "k_int")
+    )
+
+
+_CASE_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 1000 THEN 'low'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS balance_band,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked
+FROM customer
+"""
+
+
+@query("scalar_conditional_expressions", _CASE_ORACLE)
+def scalar_conditional_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+    )

@@ -1,0 +1,56 @@
+"""Access to the driver's TPC-H-ish test tables.
+
+One parquet file per table under ``{sf_dir}/{name}.parquet`` (TESTDATA.md).
+``load_table`` returns a plain ``spark.read.parquet`` DataFrame so every
+downstream select/filter benefits from native pushdown and pruning;
+``register_views`` exposes them as temp views for the SQL-flavored operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # The caller may hand us a session built without engine defaults (the
+    # driver harness does); timestamp semantics must not depend on the host
+    # timezone, so pin UTC at query-build time.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # The events fixture stores ts as parquet TIMESTAMP(NANOS), which the
+        # Spark vectorized reader rejects outright. Read nanos as int64 and
+        # floor-divide to micros — integer division, NOT double division
+        # (ns-since-epoch ~1.7e18 exceeds 2^53, a double round-trip corrupts
+        # the low digits). Floor matches DuckDB's ns→µs truncation.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view named after the table."""
+    for name in names or TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

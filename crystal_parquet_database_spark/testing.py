@@ -1,0 +1,100 @@
+"""Self-verification harness: run a surface query on Spark AND its oracle SQL
+on DuckDB over the same parquet tables, canonicalize both results, and demand
+exact equality — the same bar as the driver's order-insensitive value-hash.
+
+Canonical form: columns sorted by name, every cell rendered to a canonical
+string (floats via repr of the double — so only bit-identical floats match),
+rows sorted. No tolerance windows anywhere: the surface queries are built so
+both engines produce identical bits (see surface/__init__ docstring).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from crystal_parquet_database_spark.surface import ORACLES, QUERIES
+from crystal_parquet_database_spark.tables import TABLE_NAMES
+
+NULL = "∅"
+
+
+def canon_cell(x) -> str:
+    if x is None:
+        return NULL
+    if isinstance(x, (np.ndarray, list, tuple)):
+        return "[" + ",".join(canon_cell(v) for v in x) + "]"
+    if isinstance(x, (bool, np.bool_)):
+        return "T" if x else "F"
+    if isinstance(x, (float, np.floating)):
+        d = float(x)
+        if math.isnan(d):
+            return NULL
+        return repr(d)
+    if isinstance(x, (int, np.integer)):
+        return str(int(x))
+    if isinstance(x, pd.Timestamp):
+        if pd.isna(x):
+            return NULL
+        return x.isoformat()
+    if isinstance(x, (_dt.datetime, _dt.date)):
+        return x.isoformat()
+    if isinstance(x, bytes):
+        return x.hex()
+    if x is pd.NaT:
+        return NULL
+    return str(x)
+
+
+def canon_frame(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [tuple(canon_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+def duckdb_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def compare_query(
+    spark: SparkSession, name: str, sf_dir: str, con=None
+) -> tuple[bool, str]:
+    """Returns (ok, message). Message contains the first few diffs on failure."""
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    own_con = con is None
+    if own_con:
+        con = duckdb_connection(sf_dir)
+    try:
+        duck_pdf = con.sql(ORACLES[name]).df()
+    finally:
+        if own_con:
+            con.close()
+
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return False, (
+            f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
+            f"duckdb={sorted(duck_pdf.columns)}"
+        )
+    a, b = canon_frame(spark_pdf), canon_frame(duck_pdf)
+    if len(a) != len(b):
+        return False, f"{name}: row count spark={len(a)} duckdb={len(b)}"
+    diffs = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    if diffs:
+        i, x, y = diffs[0]
+        return False, (
+            f"{name}: {len(diffs)}/{len(a)} rows differ; first at sorted-row {i}:\n"
+            f"  cols : {sorted(spark_pdf.columns)}\n  spark: {x}\n  duck : {y}"
+        )
+    return True, f"{name}: OK ({len(a)} rows)"

@@ -1,0 +1,90 @@
+"""Driver simulation: exercise the contract exactly as the harness would —
+plain SparkSession (no engine defaults), import __spark_entry__, run entry(),
+then every queries() entry at sf0.01 side-by-side with oracle_sql() in DuckDB,
+order-insensitive value compare."""
+
+import os
+import sys
+import hashlib
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+# deliberately bare session — like the driver would build, no engine configs
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("driver-sim")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as ep
+
+# 1) smoke: entry() on sf0.001
+df = ep.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema: {[f.name for f in df.schema.fields]}")
+assert len(rows) > 0
+
+# 2) full contract at sf0.01 vs duckdb
+import duckdb
+import pandas as pd
+import numpy as np
+import math, datetime as dt
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def canon_cell(x):
+    if x is None: return "N"
+    if isinstance(x, (np.ndarray, list, tuple)):
+        return "[" + ",".join(canon_cell(v) for v in x) + "]"
+    if isinstance(x, (bool, np.bool_)): return "T" if x else "F"
+    if isinstance(x, (float, np.floating)):
+        d = float(x)
+        return "N" if math.isnan(d) else repr(d)
+    if isinstance(x, (int, np.integer)): return str(int(x))
+    if isinstance(x, pd.Timestamp): return "N" if pd.isna(x) else x.isoformat()
+    if isinstance(x, (dt.datetime, dt.date)): return x.isoformat()
+    return str(x)
+
+def canon(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+    return sorted(tuple(canon_cell(v) for v in r) for r in pdf.itertuples(index=False, name=None))
+
+qs, os_ = ep.queries(), ep.oracle_sql()
+fails = []
+for name in sorted(qs):
+    sdf = qs[name](spark, SF).toPandas()
+    if name in os_:
+        ddf = con.sql(os_[name]).df()
+        a, b = canon(sdf), canon(ddf)
+        ha = hashlib.sha256(str(a).encode()).hexdigest()[:12]
+        hb = hashlib.sha256(str(b).encode()).hexdigest()[:12]
+        status = "MATCH" if a == b else "MISMATCH"
+        if a != b: fails.append(name)
+        print(f"{name:45s} {status} rows={len(a)}/{len(b)} hash={ha}/{hb}")
+    else:
+        print(f"{name:45s} rows-only rows={len(sdf)}")
+
+# 3) probes
+# re-run a query twice on the same session (idempotence)
+r1 = qs["q1_pricing_summary"](spark, SF).toPandas()
+r2 = qs["q1_pricing_summary"](spark, SF).toPandas()
+print("repeat-run identical:", canon(r1) == canon(r2))
+# run against a different sf dir
+r3 = qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").toPandas()
+print("sf0.001 run rows:", len(r3))
+# bogus sf dir -> should raise cleanly
+try:
+    qs["q1_pricing_summary"](spark, "/root/testdata/nope").toPandas()
+    print("bogus dir: NO ERROR (unexpected)")
+except Exception as e:
+    print("bogus dir raises:", type(e).__name__, str(e).splitlines()[0][:100])
+
+print("FAILS:", fails if fails else "none")
+sys.exit(1 if fails else 0)
