@@ -1,0 +1,58 @@
+"""Portable (Spark ⇄ DuckDB bit-identical) hashing primitives.
+
+Engine-native hashes (Spark xxhash64 / murmur3, DuckDB hash()) use different
+algorithms, so dedup operators that must verify against the oracle build on
+md5, which both engines implement identically: take the first 15 hex chars
+(60 bits — fits a signed int64), convert to bigint, reduce mod a 31-bit prime
+so affine MinHash transforms (a*h + b) never overflow int64.
+
+All integer arithmetic here is exact in both engines; constants are inlined
+into the generated oracle SQL so both sides compute the same function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^31 - 1 (Mersenne prime). Hash values land in [0, P); affine coefficients
+# are < P, so a*h + b < 2^62 — safe in int64 in both engines.
+P = 2147483647
+
+# Affine MinHash coefficients — fixed, deterministic, coprime-ish with P.
+# (P is prime, so any a != 0 is invertible — these are just odd spread values.)
+N_MINHASH = 32
+
+
+def minhash_coeffs(n: int = N_MINHASH) -> list[tuple[int, int]]:
+    return [
+        ((2 * j + 1) * 1103515245 % P, (j * 12345 + 67890) % P)
+        for j in range(n)
+    ]
+
+
+def spark_hash64(c: Column) -> Column:
+    """md5 → first 15 hex chars → bigint, mod P. Matches ``sql_hash64``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % P
+
+
+def sql_hash64(expr: str) -> str:
+    """DuckDB expression equal to ``spark_hash64`` for the same input."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {P})"
+
+
+def spark_shingles(c: Column, k: int = 5) -> Column:
+    """Distinct character k-gram shingles (order-insensitive downstream)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+
+
+def sql_shingles(expr: str, k: int = 5) -> str:
+    return (
+        f"list_distinct([substring({expr}, i, {k}) "
+        f"for i in generate_series(1, greatest(len({expr}) - {k - 1}, 1))])"
+    )

@@ -1,0 +1,216 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four families, each designed for the 100 TB regime:
+
+- **exact**: hash-groupBy on a content digest. One shuffle on the digest;
+  the digest (not the document body) is the shuffle key, so shuffle volume
+  is O(rows × 16 bytes), not O(corpus).
+- **MinHash + LSH**: shingle → minhash signature (all JVM-side higher-order
+  functions, no UDF) → band → bucket self-join → exact-Jaccard verify of
+  candidates only. Avoids the O(n²) all-pairs comparison; the only shuffle
+  keys are (band, band_key) buckets.
+- **SimHash**: per-doc 32-bit fingerprint via bitwise majority over shingle
+  hashes; near-dup = small Hamming distance. Fingerprinting is a single
+  aggregation; pair search can be banded the same way as MinHash.
+- **exact n-gram Jaccard**: the brute-force baseline (quadratic) — used to
+  verify the LSH path and for small candidate sets.
+
+All hashing uses functions.portable_hash so results are reproducible in the
+DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.functions.portable_hash import (
+    minhash_coeffs,
+    P,
+    spark_hash64,
+    spark_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Mark exact duplicates by content digest.
+
+    Returns (id, canonical_id, is_dup): canonical is the min id per digest.
+    Scale note: the window shuffles on the 32-hex digest — uniformly
+    distributed, no skew; at 100 TB this is the standard dedup shuffle.
+    """
+    digest = F.md5(F.col(text_col))
+    w = W.partitionBy(digest)
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+        (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
+    )
+
+
+def shingle_hashes(df: DataFrame, text_col: str, k: int = 5) -> DataFrame:
+    """Append ``hs``: distinct k-gram shingle hashes (array<bigint> in [0,P))."""
+    sh = spark_shingles(F.col(text_col), k)
+    return df.withColumn("hs", F.transform(sh, lambda s: spark_hash64(s)))
+
+
+def minhash_signature(df: DataFrame, n_hashes: int = 32) -> DataFrame:
+    """Append ``sig``: MinHash signature (array<bigint>, length n_hashes).
+
+    Pure JVM expression tree — one pass over the shingle array per hash
+    function, no Python, no shuffle.
+    """
+    coeffs = minhash_coeffs(n_hashes)
+
+    # NB: closures, not lambda default-args — PySpark's higher-order-function
+    # bridge reflects on the lambda arity, so extra (defaulted) parameters
+    # would be misread as additional lambda variables.
+    def affine_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P))
+        )
+
+    sig = F.array(*[affine_min(a, b) for a, b in coeffs])
+    return df.withColumn("sig", sig)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, n_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band key become a candidate pair.
+
+    Explodes to (band, band_key, id) and self-joins on the bucket — the join
+    key is a short string, so the shuffle is narrow. Output: (id_a, id_b)
+    with id_a < id_b, distinct.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "-",
+                ).alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    exploded = (
+        sig_df.select(F.col(id_col), F.explode(bands).alias("b"))
+        .select(id_col, "b.band", "b.key")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays, as double.
+
+    Expressed as size(filter(a, x in b)) so the oracle can reproduce the
+    exact same integer arithmetic before one double division.
+    """
+    inter = F.size(F.filter(a, lambda x: F.array_contains(b, x)))
+    union = F.size(a) + F.size(b) - inter
+    return inter.cast("double") / union.cast("double")
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = 5,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH buckets → exact-Jaccard
+    verification of candidates only. Returns (id_a, id_b, jaccard) pairs with
+    jaccard >= threshold."""
+    rows_per_band = n_hashes // n_bands
+    hs = shingle_hashes(df, text_col, k)
+    sig = minhash_signature(hs, n_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, n_bands, rows_per_band)
+    sets_ = hs.select(F.col(id_col), F.col("hs").alias("shset"))
+    a = sets_.alias("a")
+    b = sets_.alias("b")
+    return (
+        cand.join(a, cand.id_a == F.col(f"a.{id_col}"))
+        .join(b, cand.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("a.shset"), F.col("b.shset")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, k: int = 5
+) -> DataFrame:
+    """Brute-force exact n-gram Jaccard over all pairs (quadratic — the
+    correctness baseline for the LSH path; restrict the input for scale)."""
+    hs = shingle_hashes(df, text_col, k).select(F.col(id_col), F.col("hs").alias("shset"))
+    a = hs.alias("a")
+    b = hs.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jaccard(F.col("a.shset"), F.col("b.shset")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32, k: int = 5) -> DataFrame:
+    """Per-document SimHash fingerprint: bitwise majority vote over shingle
+    hashes. Explode + one aggregation (shuffle on id only)."""
+    hs = shingle_hashes(df, text_col, k)
+    exploded = hs.select(F.col(id_col), F.explode("hs").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") >= 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 4
+) -> DataFrame:
+    """Pairs of fingerprints within a Hamming radius (brute force; band the
+    fingerprint into prefixes for the at-scale variant)."""
+    a = sim_df.alias("a")
+    b = sim_df.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

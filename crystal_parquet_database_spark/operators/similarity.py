@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **Brute-force cosine top-k** — the exact baseline: query-set × corpus join,
+  JVM-side zip_with/aggregate dot product (no Python in the loop), window
+  top-k per query. The corpus side never collects to the driver; with a small
+  query set Catalyst broadcasts it, so the big side streams through untouched.
+- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures bucket
+  the corpus; candidates are searched only within the query's bucket. The
+  hyperplanes are a fixed deterministic integer formula so the DuckDB oracle
+  reproduces the same buckets exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# Deterministic "random" hyperplane component: w(j, k) for hyperplane j,
+# dimension k — an LCG step mapped to [-1000, 1000]. Integer-exact in both
+# engines; cast to double only at the multiply.
+def _w(j: int, k: int) -> int:
+    return (1103515245 * (j * 64 + k) + 12345) % 2001 - 1000
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double — same evaluation order as
+    the oracle's list comprehension sum, hence bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Returns (query_id, match_id, cos, rank). Ties broken by match id so the
+    cut is deterministic. The query side is broadcast; corpus is scanned once.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """LSH bucket id: sign bits of the vector against n fixed hyperplanes."""
+    bucket = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        w_arr = F.array(*[F.lit(float(_w(j, kk))) for kk in range(dim)])
+        d = F.aggregate(
+            F.zip_with(vec, w_arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's hyperplane bucket.
+
+    At 100 TB the bucket column is computed once at ingest and used as a
+    partition/cluster key; the per-query search then touches ~1/2^n_planes of
+    the corpus. Recall is tunable via multi-probe (not needed here).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force over the given
+    frame — pre-filter or bucket for scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

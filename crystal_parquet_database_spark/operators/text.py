@@ -1,0 +1,113 @@
+"""Text analysis operators for training-data pipelines.
+
+Everything is built-in column expressions (regexp_count, split, higher-order
+filters) — JVM-side, whole-stage-codegen'd, no Python in the hot path. The
+language-ID heuristic and quality score are deterministic formulas so the
+DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.functions.portable_hash import (
+    spark_hash64,
+    spark_shingles,
+)
+
+# BPE-ish tokenizer: letter runs, digit runs, single non-space symbols.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Marker-word sets for the n-gram/stopword language heuristic. (The fixture
+# corpus is synthetic; what matters is that the score is a pure function of
+# the text, reproducible in SQL.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "fast", "slow"],
+    "de": ["data", "hash", "merge", "window"],
+    "es": ["row", "query", "scan", "table"],
+    "fr": ["key", "value", "sort", "filter"],
+    "zh": ["spark", "batch", "stream", "agg"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # tie-break preference
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char count."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars": F.length(t).cast("int"),
+            "n_ws_tokens": F.size(ws_tokens(t)),
+            "n_bpe_tokens": F.regexp_count(t, F.lit(BPE_PATTERN)).cast("int"),
+        }
+    )
+
+
+def quality_features(df: DataFrame, text_col: str, stopwords: list[str]) -> DataFrame:
+    """Length/punctuation/stopword features + a composite quality score.
+
+    score = 0.4*stopword_ratio + 0.3*(1 - punct_ratio) + 0.3*min(n_words,100)/100,
+    computed in double with an expression shape the oracle mirrors exactly.
+    """
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_words = F.size(toks)
+    # membership via array_contains on a literal array — Column.isin is not
+    # supported on lambda variables inside higher-order functions
+    sw_arr = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw_arr, x)))
+    n_punct = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("int")
+    punct_ratio = n_punct.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    cap_words = F.least(n_words, F.lit(100))
+    score = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * (cap_words.cast("double") / F.lit(100.0))
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "stopword_ratio": stop_ratio,
+            "punct_ratio": punct_ratio,
+            "quality_score": score,
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str) -> DataFrame:
+    """Marker-word language scoring with deterministic arg-max.
+
+    Emits one count per language plus the predicted language (ties broken by
+    LANG_ORDER preference).
+    """
+    toks = ws_tokens(F.col(text_col))
+
+    # closure factory, not lambda default-args (see operators/dedup.py note)
+    def marker_count(ws: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    counts = {lang: marker_count(ws) for lang, ws in LANG_MARKERS.items()}
+    out = df.withColumns({f"score_{lang}": c for lang, c in counts.items()})
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+    pred = None
+    for lang in reversed(LANG_ORDER):
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else F.when(cond, lang).otherwise(pred)
+    # reversed+overwrite ⇒ the FIRST lang in LANG_ORDER achieving the max wins
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """Document fingerprint: min of rolling k-gram hashes (MinHash with one
+    hash function) — a compact content id robust to small reorderings."""
+    sh = spark_shingles(F.col(text_col), k)
+    fp = F.array_min(F.transform(sh, lambda s: spark_hash64(s)))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,7 +1,351 @@
 """LLM-data-pipeline query surface: dedup, similarity search, text analysis.
 
-Populated incrementally; see operators/dedup.py, operators/similarity.py,
-operators/text.py for the implementations.
+Implementations live in operators/{dedup,similarity,text}.py; this module
+binds them to the fixture tables and generates the DuckDB oracle SQL **from
+the same constants** (hash prime, MinHash coefficients, LSH hyperplane
+formula, marker-word sets) so both engines compute the identical function.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.functions.portable_hash import (
+    N_MINHASH,
+    P,
+    minhash_coeffs,
+    sql_hash64,
+    sql_shingles,
+)
+from crystal_parquet_database_spark.operators import dedup as D
+from crystal_parquet_database_spark.operators import similarity as S
+from crystal_parquet_database_spark.operators import text as T
+from crystal_parquet_database_spark.surface.registry import query
+from crystal_parquet_database_spark.tables import load_table
+
+# ----------------------------------------------------------------------------
+# dedup: exact
+# ----------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+"""
+
+
+@query("dedup_exact_text", _EXACT_ORACLE)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+# ----------------------------------------------------------------------------
+# dedup: MinHash + LSH  (oracle generated from the same coefficients)
+# ----------------------------------------------------------------------------
+
+_K = 5
+_BANDS = 8
+_ROWS = N_MINHASH // _BANDS
+_THRESH = 0.8
+
+_HS_CTE = (
+    f"hs AS (SELECT doc_id, "
+    f"list_transform({sql_shingles('text', _K)}, s -> {sql_hash64('s')}) AS hs "
+    f"FROM documents)"
+)
+
+_SIG_LIST = ", ".join(
+    f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {P}), 'min')"
+    for a, b in minhash_coeffs()
+)
+
+_JACC = (
+    "CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)"
+    " / CAST(len(a.hs) + len(b.hs)"
+    " - len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)"
+)
+
+_MINHASH_ORACLE = f"""
+WITH {_HS_CTE},
+sig AS (SELECT doc_id, hs, [{_SIG_LIST}] AS sig FROM hs),
+bands AS (
+  SELECT doc_id, g.i AS band,
+         array_to_string(list_transform(list_slice(sig, g.i*{_ROWS}+1, g.i*{_ROWS}+{_ROWS}),
+                                        x -> CAST(x AS VARCHAR)), '-') AS key
+  FROM sig, generate_series(0, {_BANDS - 1}) g(i)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT * FROM (
+  SELECT id_a, id_b, {_JACC} AS jaccard
+  FROM cand JOIN hs a ON cand.id_a = a.doc_id JOIN hs b ON cand.id_b = b.doc_id
+) WHERE jaccard >= {_THRESH}
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        docs, "text", "doc_id", threshold=_THRESH, k=_K, n_hashes=N_MINHASH, n_bands=_BANDS
+    )
+
+
+# ----------------------------------------------------------------------------
+# dedup: brute-force n-gram Jaccard (correctness baseline, sampled subset)
+# ----------------------------------------------------------------------------
+
+_NGRAM_ORACLE = f"""
+WITH {_HS_CTE}
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACC} AS jaccard
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.7
+"""
+
+
+@query("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic exact baseline — the correctness yardstick for the LSH path.
+    (Run at small sf / candidate sets only; the scale path is minhash_lsh.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7, k=_K)
+
+
+# ----------------------------------------------------------------------------
+# dedup: SimHash fingerprints + near pairs
+# ----------------------------------------------------------------------------
+
+_BITS = 32
+_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(_BITS)
+)
+_FP = " + ".join(f"CASE WHEN v{i} >= 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END" for i in range(_BITS))
+
+_SIMHASH_CTES = f"""
+{_HS_CTE},
+e AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+v AS (SELECT doc_id, {_VOTES} FROM e GROUP BY doc_id),
+fp AS (SELECT doc_id, {_FP} AS simhash FROM v)
+"""
+
+_SIMHASH_ORACLE = f"WITH {_SIMHASH_CTES.strip()} SELECT doc_id, simhash FROM fp"
+
+
+@query("dedup_simhash_fingerprint", _SIMHASH_ORACLE)
+def dedup_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "text", "doc_id", bits=_BITS, k=_K)
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_CTES.strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+@query("dedup_simhash_near_pairs", _SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.simhash(docs, "text", "doc_id", bits=_BITS, k=_K)
+    return D.simhash_near_pairs(fp, "doc_id", max_hamming=6)
+
+
+# ----------------------------------------------------------------------------
+# similarity search over embeddings
+# ----------------------------------------------------------------------------
+
+_DIM = 64
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {_DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+_COS = f"{_sql_dot('qvec', 'cvec')} / (SQRT({_sql_dot('qvec', 'qvec')}) * SQRT({_sql_dot('cvec', 'cvec')}))"
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS match_id, embedding AS cvec FROM embeddings),
+s AS (SELECT query_id, match_id, {_COS} AS cos
+      FROM c CROSS JOIN q WHERE match_id <> query_id)
+SELECT * FROM (
+  SELECT query_id, match_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS INTEGER) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+@query("sim_cosine_topk_bruteforce", _TOPK_ORACLE)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=10)
+
+
+def _sql_bucket(vec: str, n_planes: int = 8) -> str:
+    terms = []
+    for j in range(n_planes):
+        w_list = "[" + ", ".join(f"{float(S._w(j, kk))}" for kk in range(_DIM)) + "]"
+        d = (
+            f"list_aggregate(list_transform(generate_series(1, {_DIM}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({w_list})[i]), 'sum')"
+        )
+        terms.append(f"CASE WHEN {d} >= 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ANN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                  {_sql_bucket('embedding')} AS bucket
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS match_id, embedding AS cvec,
+             {_sql_bucket('embedding')} AS bucket
+      FROM embeddings),
+s AS (SELECT query_id, match_id, {_COS} AS cos
+      FROM c JOIN q USING (bucket) WHERE match_id <> query_id)
+SELECT * FROM (
+  SELECT query_id, match_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS INTEGER) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+@query("sim_ann_lsh_topk", _ANN_ORACLE)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=10, n_planes=8, dim=_DIM
+    )
+
+
+_NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_sql_dot('a.embedding', 'b.embedding')}
+           / (SQRT({_sql_dot('a.embedding', 'a.embedding')})
+              * SQRT({_sql_dot('b.embedding', 'b.embedding')})) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cos >= 0.4
+"""
+
+
+@query("sim_embedding_near_dup", _NEARDUP_ORACLE)
+def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return S.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# ----------------------------------------------------------------------------
+# text analysis
+# ----------------------------------------------------------------------------
+
+_TOKEN_ORACLE = rf"""
+SELECT doc_id, lang,
+       CAST(LENGTH(text) AS INTEGER) AS n_chars_calc,
+       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '{T.BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens
+FROM documents
+"""
+
+
+@query("text_token_counts", _TOKEN_ORACLE)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = T.token_counts(docs, "text")
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").alias("n_chars_calc"), "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+_STOPWORDS = ["the", "a", "key", "value", "of", "and"]
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_ORACLE = rf"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_words,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                              x -> x IN ({_SW_SQL}))) AS INTEGER) AS n_stop,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct,
+         CAST(GREATEST(LENGTH(text), 1) AS INTEGER) AS len_floor
+  FROM documents
+)
+SELECT doc_id, n_words,
+       CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS stopword_ratio,
+       CAST(n_punct AS DOUBLE) / CAST(len_floor AS DOUBLE) AS punct_ratio,
+       0.4 * (CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE))
+       + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(len_floor AS DOUBLE))
+       + 0.3 * (CAST(LEAST(n_words, 100) AS DOUBLE) / 100.0) AS quality_score
+FROM f
+"""
+
+
+@query("text_quality_scores", _QUALITY_ORACLE)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = T.quality_features(docs, "text", _STOPWORDS)
+    return out.select("doc_id", "n_words", "stopword_ratio", "punct_ratio", "quality_score")
+
+
+def _lang_score_sql(lang: str) -> str:
+    ws = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+    return (
+        rf"CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),"
+        rf" x -> x IN ({ws}))) AS INTEGER)"
+    )
+
+
+_G = "GREATEST(" + ", ".join(f"score_{lang}" for lang in T.LANG_ORDER) + ")"
+_PRED_CASE = (
+    "CASE "
+    + " ".join(f"WHEN score_{lang} = {_G} THEN '{lang}'" for lang in T.LANG_ORDER[:-1])
+    + f" ELSE '{T.LANG_ORDER[-1]}' END"
+)
+
+_LANG_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {', '.join(f'{_lang_score_sql(lang)} AS score_{lang}' for lang in T.LANG_ORDER)}
+  FROM documents
+)
+SELECT doc_id, lang, {', '.join(f'score_{lang}' for lang in T.LANG_ORDER)},
+       {_PRED_CASE} AS lang_pred
+FROM s
+"""
+
+
+@query("text_language_id", _LANG_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = T.language_id(docs, "text")
+    return out.select(
+        "doc_id", "lang", *[f"score_{lang}" for lang in T.LANG_ORDER], "lang_pred"
+    )
+
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       list_aggregate(list_transform({sql_shingles('text', 8)}, s -> {sql_hash64('s')}),
+                      'min') AS fingerprint
+FROM documents
+"""
+
+
+@query("text_fingerprint", _FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.fingerprint(docs, "text", "doc_id", k=8)
