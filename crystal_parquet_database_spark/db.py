@@ -1,0 +1,274 @@
+"""PqDB — a Parquet dataset directory with CRUD, schema evolution, layout
+normalization, and footer statistics, re-expressed on Spark DataFrames.
+
+Reference surface being re-expressed (SURVEY.md §2B, parquetdb 1.0.1 as used
+by crystpqdb):
+
+- ``create(data)``            — loaders/base.py:180-182 (ingest + schema
+  evolution + auto-increment id)
+- ``read(columns, filters, load_format)`` — loaders/base.py:188-193
+- ``normalize()``             — loaders/base.py:184-186 (physical layout)
+- metadata/statistics         — Creating-CrystPQDB.ipynb cells 19-23
+- update/delete               — parquetdb CRUD (unused by the reference's own
+  code; provided for parity)
+
+Design departures (Spark-first, SURVEY.md §7):
+
+- Nested data is stored natively nested; parquetdb's flatten-on-write and
+  ``rebuild_nested_struct`` on read have no equivalent here.
+- Contiguous ids are assigned per ingest batch, offset by max(id)+1 — the
+  scalable pattern (per-partition counts + broadcast offsets), not a global
+  row_number sort. Gap-free ids under concurrent writers are a non-goal.
+- Type-widening schema evolution rewrites the dataset to the promoted schema
+  (column *additions* evolve cheaply via mergeSchema reads).
+- In-place rewrites go through a temp directory + swap: Spark cannot
+  overwrite a path it is lazily reading. On object stores this becomes
+  write-new-prefix + pointer swap.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crystal_parquet_database_spark.schema import cast_to_schema, unify_schemas
+
+ID_COL = "id"
+
+
+def assign_contiguous_ids(df: DataFrame, start: int = 0, id_col: str = ID_COL) -> DataFrame:
+    """Assign contiguous ids start..start+n-1 without a global sort.
+
+    Per-partition row_number + driver-side cumulative partition offsets (the
+    offsets table is one row per partition — tiny at any scale). This is the
+    distributed equivalent of parquetdb's auto-increment id (SURVEY.md §7).
+    """
+    d = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    counts = [(r["__pid"], r["cnt"]) for r in d.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()]
+    counts.sort()
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    spark = df.sparkSession
+    odf = spark.createDataFrame(offsets, schema="__pid int, __offset long")
+    w = W.partitionBy("__pid").orderBy("__mid")
+    return (
+        d.join(F.broadcast(odf), "__pid")
+        .withColumn(id_col, F.row_number().over(w).cast("long") - 1 + F.col("__offset") + F.lit(start))
+        .drop("__pid", "__mid", "__offset")
+    )
+
+
+class PqDB:
+    """A directory of Parquet files managed as one logical table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # ----------------------------------------------------------------- helpers
+
+    def _data_files(self) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(self.path):
+            out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+        return sorted(out)
+
+    @property
+    def exists(self) -> bool:
+        return bool(self._data_files())
+
+    def _df(self) -> DataFrame:
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def _to_df(self, data: Any, schema: T.StructType | None = None) -> DataFrame:
+        if isinstance(data, DataFrame):
+            return data
+        if isinstance(data, pd.DataFrame):
+            return self.spark.createDataFrame(data, schema=schema)
+        if isinstance(data, dict):  # dict of columns
+            return self.spark.createDataFrame(pd.DataFrame(data), schema=schema)
+        return self.spark.createDataFrame(data, schema=schema)  # list of dicts/Rows
+
+    def _rewrite(self, df: DataFrame, n_files: int | None = None) -> None:
+        """Materialize ``df`` to a temp dir, then atomically swap it in."""
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        writer = (df.repartition(n_files) if n_files else df).write.mode("overwrite")
+        writer.parquet(tmp)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+
+    # --------------------------------------------------------------------- CRUD
+
+    def create(self, data: Any, schema: T.StructType | None = None) -> int:
+        """Append records; infer/evolve schema; assign contiguous ids.
+        Returns the number of rows written.
+
+        Column additions evolve cheaply (old files are null-padded at read
+        via mergeSchema); type *widenings* trigger a one-time dataset rewrite
+        to the promoted schema.
+        """
+        df = self._to_df(data, schema)
+        if ID_COL in df.columns:
+            df = df.drop(ID_COL)  # engine-owned column (reference: mc3d.py:125-126)
+        start = 0
+        if self.exists:
+            existing = self._df()
+            start = (existing.agg(F.max(ID_COL)).collect()[0][0] or -1) + 1
+            old_schema = T.StructType([f for f in existing.schema.fields if f.name != ID_COL])
+            merged = unify_schemas([old_schema, df.schema])
+            if merged != old_schema:
+                widened = any(
+                    f.name in {g.name for g in df.schema.fields}
+                    for f in merged.fields
+                    if f not in old_schema.fields and f.name in {g.name for g in old_schema.fields}
+                )
+                if widened:
+                    base = cast_to_schema(existing, merged, keep_extra=True)
+                    self._rewrite(base)
+            df = cast_to_schema(df, merged, keep_extra=False)
+        df = assign_contiguous_ids(df, start=start)
+        n = df.count()
+        df.write.mode("append").parquet(self.path)
+        return n
+
+    def read(
+        self,
+        columns: list[str] | None = None,
+        filters: str | Column | None = None,
+        load_format: str = "dataset",
+        batch_size: int = 10_000,
+    ):
+        """Projection/filter read with native Parquet pushdown.
+
+        load_format: 'dataset' → lazy DataFrame (the default and the scale
+        path); 'table' → pandas DataFrame (driver-side, small results);
+        'batches' → iterator of pandas DataFrames. (Reference:
+        loaders/base.py:188-193; rebuild_nested_struct is unnecessary —
+        data is stored nested.)
+        """
+        df = self._df()
+        if filters is not None:
+            df = df.filter(filters)
+        if columns:
+            df = df.select(*columns)
+        if load_format == "dataset":
+            return df
+        if load_format == "table":
+            return df.toPandas()
+        if load_format == "batches":
+            return self._batches(df, batch_size)
+        raise ValueError(f"unknown load_format {load_format!r}")
+
+    @staticmethod
+    def _batches(df: DataFrame, batch_size: int) -> Iterator[pd.DataFrame]:
+        buf: list = []
+        cols = df.columns
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(row)
+            if len(buf) >= batch_size:
+                yield pd.DataFrame(buf, columns=cols)
+                buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
+
+    def update(self, updates: Any, on: str = ID_COL) -> None:
+        """MERGE-style update: replace matching columns for matching keys.
+        Unmatched rows are kept as-is; update frames may carry a subset of
+        columns."""
+        up = self._to_df(updates)
+        base = self._df()
+        upd_cols = [c for c in up.columns if c != on]
+        u = up.select(on, *[F.col(c).alias(f"__u_{c}") for c in upd_cols])
+        joined = base.join(F.broadcast(u), on, "left")
+        out = joined.select(
+            *[
+                (
+                    F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c)
+                    if c in upd_cols
+                    else F.col(c)
+                )
+                for c in base.columns
+            ]
+        )
+        self._rewrite(out)
+
+    def delete(self, ids: list | None = None, where: str | Column | None = None) -> None:
+        """Delete by id list or predicate."""
+        base = self._df()
+        if ids is not None:
+            out = base.filter(~F.col(ID_COL).isin(ids))
+        elif where is not None:
+            cond = F.expr(where) if isinstance(where, str) else where
+            out = base.filter(~cond)
+        else:
+            raise ValueError("provide ids or where")
+        self._rewrite(out)
+
+    # ------------------------------------------------------------ layout / stats
+
+    def normalize(self, max_rows_per_file: int = 1_000_000) -> None:
+        """Rewrite the dataset into evenly sized files (reference: parquetdb
+        normalize, loaders/base.py:184-186 — '6GB file … should be ~2GB').
+
+        Locally this is repartition + maxRecordsPerFile; at 100 TB the same
+        rewrite runs as a distributed compaction job (AQE balances the
+        shuffle)."""
+        df = self._df()
+        n = df.count()
+        n_files = max(1, math.ceil(n / max_rows_per_file))
+        self.spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_rows_per_file))
+        self._rewrite(df, n_files=n_files)
+
+    @property
+    def n_rows(self) -> int:
+        return self._df().count()
+
+    @property
+    def n_columns(self) -> int:
+        return len(self._df().columns)
+
+    def get_schema(self) -> T.StructType:
+        return self._df().schema
+
+    def get_file_sizes(self) -> dict[str, int]:
+        return {f: os.path.getsize(f) for f in self._data_files()}
+
+    def get_number_of_row_groups_per_file(self) -> dict[str, int]:
+        import pyarrow.parquet as pq
+
+        return {f: pq.ParquetFile(f).num_row_groups for f in self._data_files()}
+
+    def get_n_rows_per_row_group_per_file(self) -> dict[str, list[int]]:
+        import pyarrow.parquet as pq
+
+        out = {}
+        for f in self._data_files():
+            md = pq.ParquetFile(f).metadata
+            out[f] = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        return out
+
+    def get_row_group_sizes_per_file(self) -> dict[str, list[int]]:
+        import pyarrow.parquet as pq
+
+        out = {}
+        for f in self._data_files():
+            md = pq.ParquetFile(f).metadata
+            out[f] = [md.row_group(i).total_byte_size for i in range(md.num_row_groups)]
+        return out

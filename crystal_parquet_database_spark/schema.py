@@ -1,0 +1,275 @@
+"""Canonical crystal-structure schema + permissive unification/cast.
+
+Mirrors the reference's canonical PyArrow schema 1:1 as a Spark StructType
+(reference: crystpqdb/db.py:5-124 — lattice_struct db.py:23-34, site/sites
+db.py:5-21, symmetry db.py:36-44, has_props db.py:47-69, data db.py:71-101,
+structure db.py:103-109, top level db.py:112-124). Nested data stays natively
+nested — Spark's Parquet reader/writer handles structs/lists directly, so the
+reference engine's flatten-on-write / rebuild_nested_struct-on-read round trip
+(parquetdb behavior, loaders/base.py:190-191) has no equivalent here by design.
+
+The unification helpers re-express the reference's permissive schema merge
+(loaders/base.py:210-216: unify_schemas(promote_options="permissive") +
+table_schema_cast): missing canonical fields are null-padded, extra source
+fields survive, and numeric widening (int → long → double) is applied — all
+recursively through structs and arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- struct types (db.py:5-109) ------------------------------------------------------
+
+lattice_struct = T.StructType(
+    [
+        T.StructField("matrix", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("a", T.DoubleType()),
+        T.StructField("b", T.DoubleType()),
+        T.StructField("c", T.DoubleType()),
+        T.StructField("alpha", T.DoubleType()),
+        T.StructField("beta", T.DoubleType()),
+        T.StructField("gamma", T.DoubleType()),
+        T.StructField("volume", T.DoubleType()),
+        T.StructField("pbc", T.ArrayType(T.BooleanType())),
+    ]
+)
+
+site_properties_struct = T.StructType(
+    [
+        T.StructField("magmom", T.DoubleType()),
+        T.StructField("charge", T.DoubleType()),
+        T.StructField("forces", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+site_species_struct = T.StructType(
+    [
+        T.StructField("element", T.StringType()),
+        T.StructField("occu", T.LongType()),
+    ]
+)
+
+site_struct = T.StructType(
+    [
+        T.StructField("species", T.ArrayType(site_species_struct)),
+        T.StructField("abc", T.ArrayType(T.DoubleType())),
+        T.StructField("xyz", T.ArrayType(T.DoubleType())),
+        T.StructField("properties", site_properties_struct),
+        T.StructField("label", T.StringType()),
+    ]
+)
+
+structure_struct = T.StructType(
+    [
+        T.StructField("@module", T.StringType()),
+        T.StructField("@class", T.StringType()),
+        T.StructField("lattice", lattice_struct),
+        T.StructField("sites", T.ArrayType(site_struct)),
+        T.StructField("charge", T.DoubleType()),
+    ]
+)
+
+symmetry_struct = T.StructType(
+    [
+        T.StructField("crystal_system", T.StringType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("number", T.IntegerType()),
+        T.StructField("point_group", T.StringType()),
+        T.StructField("symprec", T.DoubleType()),
+        T.StructField("angle_tolerance", T.DoubleType()),
+        T.StructField("version", T.StringType()),
+    ]
+)
+
+_DATA_DOUBLE_FIELDS = [
+    "band_gap",
+    "band_gap_ind",
+    "band_gap_dir",
+    "dos_ef",
+    "energy_total",
+    "energy_corrected",
+    "energy_uncorrected",
+    "energy_formation",
+    "energy_above_hull",
+    # reference spelling kept verbatim (db.py:79 'energy_phase_seperation')
+    "energy_phase_seperation",
+    "n",
+    "piezoelectric_modulus",
+    "e_electronic",
+    "e_ionic",
+    "e_total",
+    "g_reuss",
+    "g_voigt",
+    "g_vrh",
+    "k_reuss",
+    "k_voigt",
+    "k_vrh",
+    "poisson_ratio",
+    "surface_energy_anisotropy",
+    "weighted_work_function",
+    "weighted_surface_energy",
+    "total_magnetization",
+]
+
+data_struct = T.StructType(
+    [T.StructField(f, T.DoubleType()) for f in _DATA_DOUBLE_FIELDS]
+    + [
+        T.StructField("magnetic_ordering", T.StringType()),
+        T.StructField("stress", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("is_stable", T.BooleanType()),
+    ]
+)
+
+HAS_PROPS_FLAGS = [
+    "materials",
+    "thermo",
+    "xas",
+    "grain_boundaries",
+    "chemenv",
+    "electronic_structure",
+    "absorption",
+    "bandstructure",
+    "dos",
+    "magnetism",
+    "elasticity",
+    "dielectric",
+    "piezoelectric",
+    "surface_properties",
+    "oxi_states",
+    "provenance",
+    "charge_density",
+    "eos",
+    "phonon",
+    "insertion_electrodes",
+    "substrates",
+]
+
+has_props_struct = T.StructType([T.StructField(f, T.BooleanType()) for f in HAS_PROPS_FLAGS])
+
+# --- canonical top-level schema (db.py:112-124) ---------------------------------------
+
+crystal_schema = T.StructType(
+    [
+        T.StructField("source_database", T.StringType()),
+        T.StructField("source_dataset", T.StringType()),
+        T.StructField("source_id", T.StringType()),
+        T.StructField("species", T.ArrayType(T.StringType())),
+        T.StructField("cart_coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("frac_coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("lattice", lattice_struct),
+        T.StructField("structure", structure_struct),
+        T.StructField("data", data_struct),
+        T.StructField("symmetry", symmetry_struct),
+        T.StructField("has_props", has_props_struct),
+    ]
+)
+
+# --- permissive unification ------------------------------------------------------------
+
+_NUMERIC_RANK = {
+    "byte": 0,
+    "short": 1,
+    "integer": 2,
+    "long": 3,
+    "float": 4,
+    "double": 5,
+}
+
+
+def promote_type(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Permissive promotion of two types (Arrow promote_options='permissive'
+    equivalent): null yields the other side, numerics widen, structs merge
+    field-wise (union of fields), arrays promote element types. Incompatible
+    branches fall back to the left (canonical) side."""
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if an in _NUMERIC_RANK and bn in _NUMERIC_RANK:
+        return a if _NUMERIC_RANK[an] >= _NUMERIC_RANK[bn] else b
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        fields = []
+        b_by_name = {f.name: f for f in b.fields}
+        for f in a.fields:
+            if f.name in b_by_name:
+                fields.append(
+                    T.StructField(f.name, promote_type(f.dataType, b_by_name[f.name].dataType))
+                )
+            else:
+                fields.append(f)
+        a_names = {f.name for f in a.fields}
+        fields.extend(f for f in b.fields if f.name not in a_names)
+        return T.StructType(fields)
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(promote_type(a.elementType, b.elementType))
+    return a
+
+
+def unify_schemas(schemas: list[T.StructType]) -> T.StructType:
+    """Permissive union of schemas: union of columns, promoted types.
+    (Reference: pyarrow_utils.unify_schemas at loaders/base.py:210-214.)"""
+    out: T.StructType = schemas[0]
+    for s in schemas[1:]:
+        merged = promote_type(out, s)
+        assert isinstance(merged, T.StructType)
+        out = merged
+    return out
+
+
+def _null_of(dt: T.DataType) -> Column:
+    return F.lit(None).cast(dt)
+
+
+def _cast_to(col: Column, src: T.DataType, dst: T.DataType) -> Column:
+    """Recursive cast with null-padding of missing struct fields."""
+    if src == dst:
+        return col
+    if isinstance(dst, T.StructType) and isinstance(src, T.StructType):
+        src_by_name = {f.name: f for f in src.fields}
+        parts = []
+        for f in dst.fields:
+            if f.name in src_by_name:
+                parts.append(
+                    _cast_to(col.getField(f.name), src_by_name[f.name].dataType, f.dataType).alias(
+                        f.name
+                    )
+                )
+            else:
+                parts.append(_null_of(f.dataType).alias(f.name))
+        # struct itself must stay null when the source struct is null
+        return F.when(col.isNotNull(), F.struct(*parts)).otherwise(_null_of(dst))
+    if isinstance(dst, T.ArrayType) and isinstance(src, T.ArrayType):
+        return F.transform(col, lambda x: _cast_to(x, src.elementType, dst.elementType))
+    return col.cast(dst)
+
+
+def cast_to_schema(df: DataFrame, target: T.StructType, keep_extra: bool = True) -> DataFrame:
+    """Cast a DataFrame to ``target``: missing columns (at any nesting depth)
+    become nulls, matching columns are recursively cast, extra columns are
+    kept (permissive) or dropped. (Reference: table_schema_cast semantics at
+    loaders/base.py:215-216.)"""
+    src_by_name = {f.name: f for f in df.schema.fields}
+    cols: list[Column] = []
+    for f in target.fields:
+        if f.name in src_by_name:
+            cols.append(_cast_to(F.col(f.name), src_by_name[f.name].dataType, f.dataType).alias(f.name))
+        else:
+            cols.append(_null_of(f.dataType).alias(f.name))
+    if keep_extra:
+        target_names = {f.name for f in target.fields}
+        cols.extend(F.col(f.name) for f in df.schema.fields if f.name not in target_names)
+    return df.select(*cols)
+
+
+def to_canonical(df: DataFrame) -> DataFrame:
+    """Permissively unify with the canonical crystal schema: null-pad missing
+    canonical fields, keep extra source fields (the reference's real contract
+    — 'superset of canonical, null-padded', loaders/base.py:210-216)."""
+    merged = unify_schemas([crystal_schema, df.schema])
+    return cast_to_schema(df, merged, keep_extra=False)

@@ -1,0 +1,115 @@
+"""Staged, idempotent loader pipeline (reference: crystpqdb/loaders/base.py).
+
+Reference stages (base.py:224-243): download → load → ingest → normalize →
+read → transform, each skip-if-exists so the pipeline is safe to re-run
+(base.py:71-87, 140-151). The Spark re-expression keeps the stage structure
+(each stage's output directory is the checkpoint) but:
+
+- ``load``+``ingest`` collapse into one lazy DataFrame read + PqDB.create
+  (Spark reads .json.bz2 natively, so the reference's decompress stage A3
+  disappears entirely);
+- the concurrency boundary is executor tasks, not a driver-side thread pool
+  (alexandria.py:106-127's ThreadPoolExecutor fan-out);
+- ``read`` returns the lazy DataFrame — nothing materializes on the driver
+  (the reference is eager and needs ~64 GB RAM; README.md:120).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crystal_parquet_database_spark.db import PqDB
+from crystal_parquet_database_spark.schema import to_canonical
+
+
+@dataclass
+class LoaderConfig:
+    """Mirrors the reference LoaderConfig (base.py:55-66)."""
+
+    data_dir: str = "data"
+    num_workers: int = 8
+    timeout_seconds: int = 60
+    download_from_scratch: bool = False
+    ingest_from_scratch: bool = False
+    normalize_rows_per_file: int = 1_000_000
+    extra: dict = field(default_factory=dict)
+
+
+class BaseLoader:
+    """Subclass contract: set source_database/source_dataset, implement
+    ``_download(raw_dir)`` and ``_read_raw(spark, raw_dir) -> DataFrame`` and
+    ``_transform(df) -> DataFrame`` (canonical-superset output)."""
+
+    source_database: str = ""
+    source_dataset: str = ""
+
+    def __init__(self, spark: SparkSession, config: LoaderConfig | None = None):
+        self.spark = spark
+        self.config = config or LoaderConfig()
+
+    # ------------------------------------------------------------- directories
+    # layout mirrors loaders/base.py:104-123 / loaders/README.md:64-85
+    @property
+    def base_dir(self) -> str:
+        return os.path.join(self.config.data_dir, self.source_database, self.source_dataset)
+
+    @property
+    def raw_dir(self) -> str:
+        return os.path.join(self.base_dir, "raw")
+
+    @property
+    def interim_db_dir(self) -> str:
+        return os.path.join(self.base_dir, "interim", "pqdb")
+
+    # ------------------------------------------------------------------ stages
+
+    def download(self) -> str:
+        """Stage 1 — fetch source files. Idempotent: skips when raw exists
+        (base.py:146-148)."""
+        if os.path.isdir(self.raw_dir) and os.listdir(self.raw_dir) and not self.config.download_from_scratch:
+            return self.raw_dir
+        os.makedirs(self.raw_dir, exist_ok=True)
+        self._download(self.raw_dir)
+        return self.raw_dir
+
+    def ingest(self) -> PqDB:
+        """Stages 2-3 — read raw files lazily, append into the interim PqDB
+        (schema inference + evolution + id assignment happen in create)."""
+        pqdb = PqDB(self.spark, self.interim_db_dir)
+        if pqdb.exists and not self.config.ingest_from_scratch:
+            return pqdb
+        df = self._read_raw(self.spark, self.raw_dir)
+        pqdb.create(df)
+        return pqdb
+
+    def normalize(self, pqdb: PqDB) -> None:
+        """Stage 4 — physical layout rewrite (base.py:184-186)."""
+        pqdb.normalize(max_rows_per_file=self.config.normalize_rows_per_file)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Stage 6 — per-source canonicalization + permissive schema unify
+        (base.py:195-216)."""
+        return to_canonical(self._transform(df))
+
+    def run(self, normalize: bool = False) -> DataFrame:
+        """Full pipeline; returns the canonical lazy DataFrame."""
+        self.download()
+        pqdb = self.ingest()
+        if normalize:
+            self.normalize(pqdb)
+        df = pqdb.read(load_format="dataset").drop("id")
+        return self.transform(df)
+
+    # ------------------------------------------------------- subclass contract
+
+    def _download(self, raw_dir: str) -> None:
+        raise NotImplementedError
+
+    def _read_raw(self, spark: SparkSession, raw_dir: str) -> DataFrame:
+        raise NotImplementedError
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError

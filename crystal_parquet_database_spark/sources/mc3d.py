@@ -1,0 +1,220 @@
+"""Materials Cloud MC3D loader (reference: crystpqdb/loaders/mc3d.py).
+
+Source shape: an archive of CIF files, one structure each. The reference
+parses them driver-side with a pymatgen ThreadPool (mc3d.py:90-123, A8); here
+the CIF bytes flow through ``spark.read.format("binaryFile")`` into an
+Arrow-batched ``mapInPandas`` parser, so parsing scales with executors and
+the driver never materializes the corpus.
+
+Parser resolution: pymatgen if importable (not in this container), else a
+built-in minimal CIF reader (cell parameters + atom-site loop + standard
+fractional→Cartesian conversion) sufficient for well-formed files. The
+engine-generated ``id`` column is dropped before re-ingest, mirroring
+mc3d.py:125-126 (A16).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crystal_parquet_database_spark.schema import lattice_struct, site_struct
+from crystal_parquet_database_spark.sources.base import BaseLoader
+
+_CELL_KEYS = {
+    "_cell_length_a": "a",
+    "_cell_length_b": "b",
+    "_cell_length_c": "c",
+    "_cell_angle_alpha": "alpha",
+    "_cell_angle_beta": "beta",
+    "_cell_angle_gamma": "gamma",
+}
+
+
+def _lattice_matrix(a, b, c, alpha, beta, gamma):
+    ar, br, gr = math.radians(alpha), math.radians(beta), math.radians(gamma)
+    ca, cb, cg, sg = math.cos(ar), math.cos(br), math.cos(gr), math.sin(gr)
+    v = math.sqrt(max(0.0, 1 - ca * ca - cb * cb - cg * cg + 2 * ca * cb * cg))
+    return [
+        [a, 0.0, 0.0],
+        [b * cg, b * sg, 0.0],
+        [c * cb, c * (ca - cb * cg) / sg, c * v / sg],
+    ], a * b * c * v
+
+
+def parse_cif_minimal(text: str) -> dict | None:
+    """Minimal CIF subset: cell parameters + _atom_site loop with type symbol
+    and fractional coordinates."""
+    cell = {}
+    for key, name in _CELL_KEYS.items():
+        m = re.search(rf"{key}\s+([-\d.]+)", text)
+        if not m:
+            return None
+        cell[name] = float(m.group(1))
+    loop = re.search(
+        r"loop_\s*((?:\s*_atom_site\S*\n)+)((?:[^_\n][^\n]*\n?)+)", text
+    )
+    if not loop:
+        return None
+    headers = [h.strip() for h in loop.group(1).split()]
+    idx = {h: i for i, h in enumerate(headers)}
+    needed = ["_atom_site_type_symbol", "_atom_site_fract_x", "_atom_site_fract_y", "_atom_site_fract_z"]
+    if any(n not in idx for n in needed):
+        return None
+    matrix, volume = _lattice_matrix(
+        cell["a"], cell["b"], cell["c"], cell["alpha"], cell["beta"], cell["gamma"]
+    )
+    species, frac, cart = [], [], []
+    for line in loop.group(2).strip().splitlines():
+        parts = line.split()
+        if len(parts) < len(headers):
+            continue
+        el = re.sub(r"\d+$", "", parts[idx["_atom_site_type_symbol"]])
+        f3 = [float(parts[idx[f"_atom_site_fract_{ax}"]]) for ax in "xyz"]
+        x3 = [sum(f3[k] * matrix[k][j] for k in range(3)) for j in range(3)]
+        species.append(el)
+        frac.append(f3)
+        cart.append(x3)
+    if not species:
+        return None
+    lattice = {
+        "matrix": matrix,
+        "a": cell["a"],
+        "b": cell["b"],
+        "c": cell["c"],
+        "alpha": cell["alpha"],
+        "beta": cell["beta"],
+        "gamma": cell["gamma"],
+        "volume": volume,
+        "pbc": [True, True, True],
+    }
+    sites = [
+        {
+            "species": [{"element": el, "occu": 1}],
+            "abc": f3,
+            "xyz": x3,
+            "properties": None,
+            "label": el,
+        }
+        for el, f3, x3 in zip(species, frac, cart)
+    ]
+    return {
+        "species": species,
+        "frac_coords": frac,
+        "cart_coords": cart,
+        "lattice": lattice,
+        "structure": {
+            "@module": "pymatgen.core.structure",
+            "@class": "Structure",
+            "lattice": lattice,
+            "sites": sites,
+            "charge": 0.0,
+        },
+    }
+
+
+def _parse_cif(text: str) -> dict | None:
+    try:  # pymatgen path (A8) — not present in this container
+        from pymatgen.core import Structure  # type: ignore
+
+        s = Structure.from_str(text, fmt="cif")
+        d = s.as_dict()
+        return {
+            "species": [str(sp) for sp in s.species],
+            "frac_coords": [list(map(float, fc)) for fc in s.frac_coords],
+            "cart_coords": [list(map(float, cc)) for cc in s.cart_coords],
+            "lattice": d["lattice"],
+            "structure": d,
+        }
+    except ImportError:
+        return parse_cif_minimal(text)
+
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source_id", T.StringType()),
+        T.StructField("species", T.ArrayType(T.StringType())),
+        T.StructField("cart_coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("frac_coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("lattice", lattice_struct),
+        T.StructField(
+            "structure",
+            T.StructType(
+                [
+                    T.StructField("@module", T.StringType()),
+                    T.StructField("@class", T.StringType()),
+                    T.StructField("lattice", lattice_struct),
+                    T.StructField("sites", T.ArrayType(site_struct)),
+                    T.StructField("charge", T.DoubleType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            rec = _parse_cif(bytes(content).decode("utf-8", errors="replace"))
+            if rec is None:
+                continue
+            rec["source_id"] = os.path.splitext(os.path.basename(path))[0]
+            rows.append(rec)
+        yield pd.DataFrame(rows, columns=[f.name for f in _OUT_SCHEMA.fields])
+
+
+class MC3DLoader(BaseLoader):
+    source_database = "materialscloud"
+    source_dataset = "mc3d"
+
+    archive_url: str | None = None
+
+    def _download(self, raw_dir: str) -> None:
+        """Archive fetch + unzip (reference A7, mc3d.py:41-88); driver-side.
+        Offline runs pre-place .cif files in raw_dir."""
+        if self.archive_url is None:
+            raise FileNotFoundError(
+                f"no raw files in {raw_dir} and no archive_url configured; "
+                "place .cif files there or set archive_url"
+            )
+        import io
+        import urllib.request
+        import zipfile
+
+        with urllib.request.urlopen(self.archive_url, timeout=self.config.timeout_seconds) as r:
+            buf = io.BytesIO(r.read())
+        with zipfile.ZipFile(buf) as z:
+            z.extractall(raw_dir)
+
+    def _read_raw(self, spark: SparkSession, raw_dir: str) -> DataFrame:
+        binary = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.cif")
+            .option("recursiveFileLookup", "true")
+            .load(raw_dir)
+            .select("path", "content")
+        )
+        return binary.mapInPandas(_parse_partition, schema=_OUT_SCHEMA)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if "id" in df.columns:  # engine column must not re-ingest (mc3d.py:125-126)
+            df = df.drop("id")
+        return df.select(
+            F.lit(self.source_database).alias("source_database"),
+            F.lit(self.source_dataset).alias("source_dataset"),
+            "source_id",
+            "species",
+            "cart_coords",
+            "frac_coords",
+            "lattice",
+            "structure",
+        )

@@ -1,0 +1,117 @@
+"""Windowed event aggregation — one logical plan for batch AND streaming.
+
+Every builder takes any DataFrame (batch or ``readStream``) and returns the
+transformed frame; when the input is streaming, an event-time watermark is
+attached so state for late data is bounded (the 100 TB/day concern: without a
+watermark, streaming window state grows forever). Batch runs of the same
+builder are the replay/backfill path — identical results by construction,
+asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.functions.exact import dsum_of_double
+
+
+def _with_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
+    if df.isStreaming and delay is not None:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    width: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts + exact value sums per key."""
+    df = _with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum_of_double("value", "decimal(18,6)").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in width/slide windows)."""
+    df = _with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Session windows per key: a session ends after ``gap`` of inactivity.
+
+    Spark's session_window end = last event + gap (the batch/SQL mirror is
+    max(ts) + gap over gaps-and-islands groups).
+    """
+    df = _with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def first_event_per_key(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    id_col: str = "event_id",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup: keep the first event per key.
+
+    Streaming path uses dropDuplicates within the watermark (bounded state);
+    batch path takes the true first by (ts, id) — on replay of ordered data
+    the two agree; the test asserts it on the fixture.
+    """
+    if df.isStreaming:
+        dfw = _with_watermark(df, ts_col, watermark)
+        return dfw.dropDuplicates(list(keys))
+    w = W.partitionBy(*keys).orderBy(ts_col, id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

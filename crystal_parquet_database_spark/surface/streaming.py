@@ -1,8 +1,92 @@
 """Streaming-equivalent query surface over the events table.
 
-Each entry is the batch expression of a Structured Streaming recipe in
-crystal_parquet_database_spark/streaming/ (windowed aggs are identical logical
-plans in batch and streaming; the streaming tests assert that equivalence).
+Each entry runs the SAME builder from crystal_parquet_database_spark.streaming
+on the batch events frame — windowed aggregation plans are identical in batch
+and streaming (tests/test_streaming.py asserts the equivalence through a real
+readStream → memory-sink run). Oracles mirror window semantics precisely:
+tumbling/sliding via epoch-aligned time_bucket, session windows via
+gaps-and-islands with the ``diff >= gap ⇒ new session`` rule (Spark merges
+only on strict overlap), session end = last event + gap.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crystal_parquet_database_spark.streaming import windows as SW
+from crystal_parquet_database_spark.surface.registry import query
+from crystal_parquet_database_spark.tables import load_table
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_tumbling_window_counts", _TUMBLING_ORACLE)
+def stream_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SW.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+_SLIDING_ORACLE = """
+WITH x AS (
+  SELECT ts, time_bucket(INTERVAL '5 minutes', ts) - g.i * INTERVAL '5 minutes' AS window_start
+  FROM events, generate_series(0, 1) g(i)
+)
+SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
+       COUNT(*) AS n_events
+FROM x
+GROUP BY 1, 2
+"""
+
+
+@query("stream_sliding_window_counts", _SLIDING_ORACLE)
+def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SW.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+@query("stream_session_windows", _SESSION_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SW.session_windows(load_table(spark, sf_dir, "events"))
+
+
+_FIRST_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("stream_first_event_per_key", _FIRST_ORACLE)
+def stream_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = SW.first_event_per_key(load_table(spark, sf_dir, "events"))
+    return df.select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -1,0 +1,112 @@
+"""PqDB CRUD / schema-evolution / layout tests (reference parity: parquetdb
+create/read/normalize/stats as used in crystpqdb loaders/base.py)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.db import PqDB, assign_contiguous_ids
+
+
+@pytest.fixture()
+def db(spark):
+    with tempfile.TemporaryDirectory(prefix="pqdb_") as d:
+        yield PqDB(spark, d + "/db")
+
+
+def test_create_assigns_contiguous_ids(spark, db):
+    n = db.create([{"x": i, "name": f"r{i}"} for i in range(100)])
+    assert n == 100
+    ids = sorted(r["id"] for r in db.read(columns=["id"]).collect())
+    assert ids == list(range(100))
+
+
+def test_append_continues_ids(spark, db):
+    db.create([{"x": 1}, {"x": 2}])
+    db.create([{"x": 3}])
+    ids = sorted(r["id"] for r in db.read(columns=["id"]).collect())
+    assert ids == [0, 1, 2]
+
+
+def test_engine_owns_id_column(spark, db):
+    """Incoming 'id' columns are dropped (reference: mc3d.py:125-126)."""
+    db.create([{"id": 999, "x": 1}])
+    assert [r["id"] for r in db.read().collect()] == [0]
+
+
+def test_schema_evolution_adds_columns(spark, db):
+    db.create([{"a": 1}])
+    db.create([{"a": 2, "b": "new"}])
+    rows = {r["a"]: r["b"] for r in db.read().collect()}
+    assert rows == {1: None, 2: "new"}
+
+
+def test_schema_evolution_widens_types(spark, db):
+    db.create([{"a": 1}])
+    db.create([{"a": 2.5}])
+    dt = dict(db.read().dtypes)["a"]
+    assert dt == "double"
+    assert sorted(r["a"] for r in db.read().collect()) == [1.0, 2.5]
+
+
+def test_read_projection_and_filter(spark, db):
+    db.create([{"x": i, "y": i * 2} for i in range(10)])
+    df = db.read(columns=["x"], filters="x >= 5")
+    assert df.columns == ["x"]
+    assert sorted(r["x"] for r in df.collect()) == [5, 6, 7, 8, 9]
+
+
+def test_read_formats(spark, db):
+    db.create([{"x": i} for i in range(25)])
+    pdf = db.read(load_format="table")
+    assert len(pdf) == 25
+    batches = list(db.read(load_format="batches", batch_size=10))
+    assert [len(b) for b in batches] == [10, 10, 5]
+
+
+def test_update(spark, db):
+    db.create([{"x": i, "tag": "old"} for i in range(5)])
+    db.update([{"id": 2, "tag": "new"}, {"id": 4, "tag": "new"}])
+    rows = {r["id"]: r["tag"] for r in db.read().collect()}
+    assert rows == {0: "old", 1: "old", 2: "new", 3: "old", 4: "new"}
+
+
+def test_delete_by_ids_and_where(spark, db):
+    db.create([{"x": i} for i in range(6)])
+    db.delete(ids=[0, 1])
+    assert db.n_rows == 4
+    db.delete(where="x >= 4")
+    assert sorted(r["x"] for r in db.read().collect()) == [2, 3]
+
+
+def test_normalize_rebalances_files(spark, db):
+    for _ in range(4):
+        db.create([{"x": i} for i in range(50)])
+    assert len(db.get_file_sizes()) > 2
+    db.normalize(max_rows_per_file=100)
+    assert db.n_rows == 200
+    assert len(db.get_file_sizes()) == 2
+    rg = db.get_n_rows_per_row_group_per_file()
+    assert sum(sum(v) for v in rg.values()) == 200
+
+
+def test_stats(spark, db):
+    db.create([{"x": 1, "y": "a"}])
+    assert db.n_rows == 1
+    assert db.n_columns == 3  # x, y, id
+    assert {f.name for f in db.get_schema().fields} == {"x", "y", "id"}
+    assert all(s > 0 for s in db.get_file_sizes().values())
+    assert all(n >= 1 for n in db.get_number_of_row_groups_per_file().values())
+    assert all(
+        sum(v) > 0 for v in db.get_row_group_sizes_per_file().values()
+    )
+
+
+def test_assign_contiguous_ids_multipartition(spark):
+    df = spark.range(0, 1000).repartition(7).select(F.col("id").alias("v")).drop("id")
+    out = assign_contiguous_ids(df, start=100)
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == list(range(100, 1100))

@@ -1,0 +1,190 @@
+"""Loader pipeline tests on synthetic source fixtures (shapes per FIXTURES.md
+B2/B3 mirroring the reference's source formats)."""
+
+from __future__ import annotations
+
+import bz2
+import json
+import os
+import tempfile
+
+import pytest
+
+from crystal_parquet_database_spark.schema import crystal_schema
+from crystal_parquet_database_spark.sources import LoaderConfig, LoaderFactory, get_loader
+
+
+def _structure(n_sites: int, seed: int) -> dict:
+    els = ["Si", "O", "Fe", "Na"]
+    lattice = {
+        "matrix": [[4.0, 0.0, 0.0], [0.0, 4.0, 0.0], [0.0, 0.0, 4.0]],
+        "a": 4.0, "b": 4.0, "c": 4.0,
+        "alpha": 90.0, "beta": 90.0, "gamma": 90.0,
+        "volume": 64.0, "pbc": [True, True, True],
+    }
+    sites = []
+    for i in range(n_sites):
+        el = els[(seed + i) % len(els)]
+        frac = [((seed + i * 7 + j) % 10) / 10.0 for j in range(3)]
+        sites.append(
+            {
+                "species": [{"element": el, "occu": 1}],
+                "abc": frac,
+                "xyz": [f * 4.0 for f in frac],
+                "properties": {"magmom": 0.5, "charge": 0.0, "forces": [0.0, 0.0, 0.0]},
+                "label": el,
+            }
+        )
+    return {
+        "@module": "pymatgen.core.structure",
+        "@class": "Structure",
+        "lattice": lattice,
+        "sites": sites,
+        "charge": 0.0,
+    }
+
+
+@pytest.fixture()
+def data_dir():
+    with tempfile.TemporaryDirectory(prefix="loaders_") as d:
+        yield d
+
+
+def test_alexandria_end_to_end(spark, data_dir):
+    raw = os.path.join(data_dir, "alex", "3d", "raw")
+    os.makedirs(raw)
+    entries = [
+        {
+            "data": {
+                "mat_id": f"agm-{i}",
+                "band_gap_ind": 1.1 + i,
+                "band_gap_dir": 1.5 + i,
+                "dos_ef": 0.3,
+                "energy_total": -10.0 - i,
+                "energy_corrected": -9.5 - i,
+                "e_form": -1.0 - i,
+                "e_above_hull": 0.1 * i,
+                "e_phase_separation": 0.2,
+                "total_mag": 2.0,
+            },
+            "structure": _structure(n_sites=2 + i, seed=i),
+        }
+        for i in range(4)
+    ]
+    with open(os.path.join(raw, "alexandria_000.json"), "w") as f:
+        json.dump({"entries": entries[:2]}, f)
+    with bz2.open(os.path.join(raw, "alexandria_001.json.bz2"), "wt") as f:
+        json.dump({"entries": entries[2:]}, f)
+
+    loader = get_loader(spark, "alex", "3d", LoaderConfig(data_dir=data_dir))
+    out = loader.run()
+    rows = {r["source_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    # canonical prefix
+    assert [f.name for f in out.schema.fields][:11] == [f.name for f in crystal_schema.fields]
+    r0 = rows["agm-0"]
+    assert r0["source_database"] == "alex" and r0["source_dataset"] == "3d"
+    assert r0["species"] == ["Si", "O"]
+    assert r0["data"]["energy_formation"] == -1.0
+    # deliberate reference alias (alexandria.py:170)
+    assert r0["data"]["energy_uncorrected"] == r0["data"]["energy_total"] == -10.0
+    # null-padded canonical fields
+    assert r0["symmetry"] is None and r0["has_props"] is None
+    # nested passthrough
+    assert r0["structure"]["sites"][0]["species"][0]["element"] == "Si"
+    assert r0["cart_coords"] == [s["xyz"] for s in r0["structure"]["sites"]]
+
+    # idempotent re-run (stages skip; same result)
+    out2 = loader.run()
+    assert out2.count() == 4
+
+
+def test_mp_end_to_end(spark, data_dir):
+    raw = os.path.join(data_dir, "materials_project", "summary", "raw")
+    os.makedirs(raw)
+    docs = [
+        {
+            "material_id": f"mp-{i}",
+            "band_gap": 0.5 * i,
+            "total_energy": -20.0 - i,
+            "uncorrected_energy": -19.0 - i,
+            "formation_energy_per_atom": -0.5,
+            "e_above_hull": 0.0,
+            "total_magnetization": 1.0,
+            "magnetic_ordering": "FM",
+            "is_gap_direct": True,
+            "is_stable": i % 2 == 0,
+            "symmetry": {
+                "crystal_system": "cubic",
+                "symbol": "Pm-3m",
+                "number": 221,
+                "point_group": "m-3m",
+                "symprec": 0.1,
+                "angle_tolerance": 5.0,
+                "version": "2.0.1",
+            },
+            "has_props": {"materials": True, "thermo": True, "magnetism": False},
+            "structure": _structure(n_sites=3, seed=i),
+        }
+        for i in range(3)
+    ]
+    with open(os.path.join(raw, "summary_docs.json"), "w") as f:
+        json.dump(docs, f)
+
+    loader = get_loader(spark, "materials_project", "summary", LoaderConfig(data_dir=data_dir))
+    out = loader.run()
+    rows = {r["source_id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    r = rows["mp-1"]
+    # deliberate reference alias (mp.py:135)
+    assert r["data"]["energy_corrected"] == r["data"]["energy_total"] == -21.0
+    assert r["data"]["energy_uncorrected"] == -20.0
+    assert r["symmetry"]["symbol"] == "Pm-3m" and r["symmetry"]["number"] == 221
+    assert r["has_props"]["materials"] is True
+    # canonical has_props fields absent from the source are null-padded
+    assert r["has_props"]["xas"] is None
+    # unmapped canonical data fields are null
+    assert r["data"]["g_vrh"] is None
+
+
+_CIF = """data_test
+_cell_length_a 4.00
+_cell_length_b 4.00
+_cell_length_c 4.00
+_cell_angle_alpha 90.0
+_cell_angle_beta 90.0
+_cell_angle_gamma 90.0
+loop_
+_atom_site_type_symbol
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Si 0.00 0.00 0.00
+O 0.50 0.50 0.50
+"""
+
+
+def test_mc3d_end_to_end(spark, data_dir):
+    raw = os.path.join(data_dir, "materialscloud", "mc3d", "raw")
+    os.makedirs(raw)
+    for i in range(3):
+        with open(os.path.join(raw, f"mc3d-{i}.cif"), "w") as f:
+            f.write(_CIF)
+
+    loader = get_loader(spark, "materialscloud", "mc3d", LoaderConfig(data_dir=data_dir))
+    out = loader.run()
+    rows = {r["source_id"]: r for r in out.collect()}
+    assert set(rows) == {"mc3d-0", "mc3d-1", "mc3d-2"}
+    r = rows["mc3d-0"]
+    assert r["species"] == ["Si", "O"]
+    assert r["frac_coords"][1] == [0.5, 0.5, 0.5]
+    assert r["cart_coords"][1] == [2.0, 2.0, 2.0]
+    assert r["lattice"]["volume"] == 64.0
+    assert r["structure"]["sites"][1]["label"] == "O"
+    assert r["data"] is None  # CIFs carry no physics properties
+
+
+def test_factory_error_lists_available(spark):
+    with pytest.raises(KeyError, match="alex"):
+        LoaderFactory.get_loader(spark, "nope", "nada")
+    assert ("materialscloud", "mc3d") in LoaderFactory.available()

@@ -1,0 +1,53 @@
+"""Scale-property assertions on physical plans: pushdown, pruning, broadcast.
+These are the checks that keep the engine honest at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.plans.inspect import (
+    join_strategies,
+    num_shuffles,
+    pushed_filters,
+    scan_read_schemas,
+)
+from crystal_parquet_database_spark.surface import QUERIES
+from crystal_parquet_database_spark.tables import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select("l_orderkey")
+    )
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = scan_read_schemas(df)
+    assert schemas and all(
+        "l_orderkey" in s and "l_quantity" in s and "l_extendedprice" not in s
+        for s in schemas
+    )
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["q3_shipping_priority"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+
+
+def test_q5_single_fact_shuffle(spark, sf_dir):
+    """All dimension joins broadcast: no SortMergeJoin anywhere in Q5."""
+    df = QUERIES["q5_local_supplier_volume"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in strategies
+
+
+def test_q1_shuffle_budget(spark, sf_dir):
+    """Scan → partial agg → single exchange → final agg (+ sort exchange)."""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert num_shuffles(df) <= 2

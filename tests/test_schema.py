@@ -1,0 +1,147 @@
+"""Canonical schema + permissive unification tests (reference:
+crystpqdb/db.py:112-124 schema; loaders/base.py:210-216 unify/cast)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from crystal_parquet_database_spark.schema import (
+    HAS_PROPS_FLAGS,
+    cast_to_schema,
+    crystal_schema,
+    promote_type,
+    to_canonical,
+    unify_schemas,
+)
+
+
+def test_canonical_shape():
+    names = [f.name for f in crystal_schema.fields]
+    assert names == [
+        "source_database",
+        "source_dataset",
+        "source_id",
+        "species",
+        "cart_coords",
+        "frac_coords",
+        "lattice",
+        "structure",
+        "data",
+        "symmetry",
+        "has_props",
+    ]
+    data = crystal_schema["data"].dataType
+    assert isinstance(data, T.StructType) and len(data.fields) == 29
+    hp = crystal_schema["has_props"].dataType
+    assert isinstance(hp, T.StructType) and len(hp.fields) == len(HAS_PROPS_FLAGS) == 21
+    sites = crystal_schema["structure"].dataType["sites"].dataType
+    assert isinstance(sites, T.ArrayType)
+    # 4-level nesting: structure → sites[] → species[] → element
+    species = sites.elementType["species"].dataType
+    assert species.elementType["element"].dataType == T.StringType()
+
+
+def test_promote_numeric_and_null():
+    assert promote_type(T.IntegerType(), T.DoubleType()) == T.DoubleType()
+    assert promote_type(T.LongType(), T.IntegerType()) == T.LongType()
+    assert promote_type(T.NullType(), T.StringType()) == T.StringType()
+
+
+def test_promote_struct_union():
+    a = T.StructType([T.StructField("x", T.IntegerType())])
+    b = T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.StringType())])
+    m = promote_type(a, b)
+    assert isinstance(m, T.StructType)
+    assert m["x"].dataType == T.DoubleType()
+    assert m["y"].dataType == T.StringType()
+
+
+def test_unify_keeps_extra_and_pads_missing(spark):
+    df = spark.createDataFrame(
+        [("alex", "my-extra", 3)],
+        schema="source_database string, extra_field string, n_sites int",
+    )
+    out = to_canonical(df)
+    names = [f.name for f in out.schema.fields]
+    # canonical fields first, extra source fields survive (permissive)
+    assert names[:11] == [f.name for f in crystal_schema.fields]
+    assert "extra_field" in names and "n_sites" in names
+    row = out.collect()[0]
+    assert row["source_database"] == "alex"
+    assert row["source_dataset"] is None
+    assert row["lattice"] is None
+    assert row["extra_field"] == "my-extra"
+
+
+def test_cast_to_schema_nested_nullpad(spark):
+    target = T.StructType(
+        [
+            T.StructField(
+                "s",
+                T.StructType(
+                    [
+                        T.StructField("a", T.DoubleType()),
+                        T.StructField("b", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("arr", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame([((1,), [1, 2])], schema="s struct<a:int>, arr array<int>")
+    out = cast_to_schema(df, target, keep_extra=False)
+    assert out.schema == target
+    row = out.collect()[0]
+    assert row["s"]["a"] == 1.0 and row["s"]["b"] is None
+    assert row["arr"] == [1.0, 2.0]
+
+
+def test_cast_preserves_null_structs(spark):
+    target = T.StructType(
+        [T.StructField("s", T.StructType([T.StructField("a", T.DoubleType()), T.StructField("b", T.StringType())]))]
+    )
+    df = spark.createDataFrame([(None,)], schema="s struct<a:int>")
+    out = cast_to_schema(df, target, keep_extra=False)
+    assert out.collect()[0]["s"] is None
+
+
+def test_roundtrip_canonical_record(spark):
+    """A full crystal-shaped record survives canonical cast + parquet."""
+    site = {
+        "species": [{"element": "Si", "occu": 1}],
+        "abc": [0.0, 0.5, 0.5],
+        "xyz": [1.0, 2.0, 3.0],
+        "properties": {"magmom": 0.1, "charge": 0.0, "forces": [0.0, 0.0, 0.0]},
+        "label": "Si",
+    }
+    rec = {
+        "source_database": "alex",
+        "source_dataset": "3d",
+        "source_id": "alex-1",
+        "species": ["Si"],
+        "cart_coords": [[1.0, 2.0, 3.0]],
+        "frac_coords": [[0.0, 0.5, 0.5]],
+        "structure": {
+            "@module": "pymatgen.core.structure",
+            "@class": "Structure",
+            "lattice": {
+                "matrix": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                "a": 1.0,
+                "b": 1.0,
+                "c": 1.0,
+                "alpha": 90.0,
+                "beta": 90.0,
+                "gamma": 90.0,
+                "volume": 1.0,
+                "pbc": [True, True, True],
+            },
+            "sites": [site],
+            "charge": 0.0,
+        },
+    }
+    sub = T.StructType([f for f in crystal_schema.fields if f.name in rec])
+    df = spark.createDataFrame([rec], schema=sub)
+    out = to_canonical(df)
+    row = out.collect()[0]
+    assert row["structure"]["sites"][0]["species"][0]["element"] == "Si"
+    assert row["data"] is None and row["symmetry"] is None and row["has_props"] is None

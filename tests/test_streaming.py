@@ -1,0 +1,81 @@
+"""Batch ⇄ streaming equivalence: the same builder over a real readStream
+(parquet source → memory sink) must produce the batch result."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from crystal_parquet_database_spark.streaming import windows as SW
+from crystal_parquet_database_spark.tables import load_table
+from crystal_parquet_database_spark.testing import canon_frame
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Events (with ts already converted to timestamp) as a streamable dir."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream(spark, events_dir, builder, name):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = builder(stream)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        q.stop()
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_dir):
+    batch = SW.tumbling_counts(load_table(spark, sf_dir, "events")).toPandas()
+    stream = _run_stream(spark, events_dir, SW.tumbling_counts, "t_tumbling")
+    assert canon_frame(stream) == canon_frame(batch)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, events_dir):
+    batch = SW.sliding_counts(load_table(spark, sf_dir, "events")).toPandas()
+    stream = _run_stream(spark, events_dir, SW.sliding_counts, "t_sliding")
+    assert canon_frame(stream) == canon_frame(batch)
+
+
+def test_session_stream_equals_batch(spark, sf_dir, events_dir):
+    batch = SW.session_windows(load_table(spark, sf_dir, "events")).toPandas()
+    stream = _run_stream(spark, events_dir, SW.session_windows, "t_session")
+    assert canon_frame(stream) == canon_frame(batch)
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir, events_dir):
+    """dropDuplicates within watermark on the stream: every (user, type) key
+    appears exactly once, and the key set equals the batch first-event keys."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = SW.first_event_per_key(stream).select("user_id", "event_type")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_dedup").toPandas()
+    finally:
+        q.stop()
+    batch_keys = (
+        SW.first_event_per_key(load_table(spark, sf_dir, "events"))
+        .select("user_id", "event_type")
+        .toPandas()
+    )
+    assert len(got) == len(got.drop_duplicates())
+    assert canon_frame(got) == canon_frame(batch_keys)
