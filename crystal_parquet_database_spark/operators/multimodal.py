@@ -1,0 +1,180 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` columns with
+typed metadata, processed through Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing — schemas, partitioning, UDF signatures, batch shapes
+— is real and tested. The actual media decoding is STUBBED: the image/audio
+libraries (PIL, torchvision, ffmpeg, …) are not in this container, so each
+operator resolves a decoder via try-import and otherwise uses a
+clearly-marked DETERMINISTIC FAKE derived from the bytes' md5 (stable across
+runs/partitionings, so tests can assert values). Swap ``_fake_*`` for the real
+decoder body when the libraries exist; nothing else changes.
+
+Scale notes: mapInPandas streams Arrow batches — content bytes never
+materialize as one driver object; CPU-heavy decode parallelizes per
+partition, so `repartition(n)` before these ops is the knob (same pattern as
+operators/dedup.shingle_hashes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+image_meta_struct = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _md5_ints(data: bytes, n: int) -> list[int]:
+    """Deterministic pseudo-values from content bytes (the FAKE decode)."""
+    out: list[int] = []
+    seed = data
+    while len(out) < n:
+        seed = hashlib.md5(seed).digest()
+        out.extend(seed)
+    return [b for b in out[:n]]
+
+
+def _fake_decode_meta(data: bytes) -> dict:
+    """DETERMINISTIC FAKE for image header decode (PIL not available)."""
+    h = _md5_ints(data, 4)
+    return {
+        "mime": "image/fake",
+        "width": 16 + h[0] % 240,
+        "height": 16 + h[1] % 240,
+        "n_bytes": len(data),
+    }
+
+
+def _decode_meta(data: bytes) -> dict:
+    try:  # real path — not available in this container
+        from PIL import Image  # type: ignore
+        import io
+
+        img = Image.open(io.BytesIO(data))
+        return {
+            "mime": Image.MIME.get(img.format or "", "image/unknown"),
+            "width": img.width,
+            "height": img.height,
+            "n_bytes": len(data),
+        }
+    except ImportError:
+        return _fake_decode_meta(data)
+
+
+def with_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append a typed ``meta`` struct decoded from the binary column."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("meta", image_meta_struct)])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["meta"] = [_decode_meta(bytes(b)) for b in pdf[content_col]]
+            yield pdf
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def image_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "image_id", dim: int = 16
+) -> DataFrame:
+    """Feature-extraction stub: binary → float vector of length ``dim``.
+
+    Real body would run a vision encoder per Arrow batch (optionally on GPU);
+    the FAKE derives dim bytes from md5 and scales to [0, 1). The output
+    schema (id, features array<float>) feeds directly into
+    operators/similarity.cosine_topk / ann_lsh_topk.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                np.array(_md5_ints(bytes(b), dim), dtype=np.float32) / 256.0
+                for b in pdf[content_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame, content_col: str = "content", width: int = 64, height: int = 64
+) -> DataFrame:
+    """Resize stub: binary → binary (same schema, new content).
+
+    FAKE: re-hashes content to width*height deterministic bytes. Real body:
+    PIL resize per batch."""
+    schema = df.schema
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[content_col] = [
+                bytes(_md5_ints(bytes(b), width * height)) for b in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "video_id",
+    n_frames: int = 4,
+    frame_dim: int = 8,
+) -> DataFrame:
+    """Frame-sampling stub: one row per sampled frame with a feature vector —
+    the explode-shaped op a video pipeline needs (ffmpeg decode stubbed).
+
+    Output: (id, frame_index int, frame_features array<float>).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame_features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for vid, b in zip(pdf[id_col], pdf[content_col]):
+                raw = _md5_ints(bytes(b), n_frames * frame_dim)
+                for i in range(n_frames):
+                    ids.append(vid)
+                    idxs.append(i)
+                    feats.append(
+                        np.array(raw[i * frame_dim : (i + 1) * frame_dim], dtype=np.float32)
+                        / 256.0
+                    )
+            yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame_features": feats})
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def documents_as_binary(docs: DataFrame) -> DataFrame:
+    """Adapter for fixtures: treat document text bytes as fake image content
+    so the multimodal plumbing can run against the driver's tables."""
+    return docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )

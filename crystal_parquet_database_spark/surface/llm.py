@@ -341,6 +341,29 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# No oracle: the decode step is an Arrow-batched mapInPandas stub (see
+# operators/multimodal.py) — not SQL-expressible; driver records rows-only.
+@query("multimodal_image_pipeline")
+def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: bytes → typed metadata → feature vectors →
+    similarity-ready output. Decode is stubbed; plumbing is real."""
+    from crystal_parquet_database_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    binary = M.documents_as_binary(docs)
+    meta = M.with_image_meta(binary).select(
+        "image_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    feats = M.image_features(binary, dim=16)
+    return meta.join(feats, "image_id").select(
+        "image_id", "mime", "width", "height", "n_bytes", F.size("features").alias("feat_dim")
+    )
+
+
 _FP_ORACLE = f"""
 SELECT doc_id,
        list_aggregate(list_transform({sql_shingles('text', 8)}, s -> {sql_hash64('s')}),

@@ -1,0 +1,275 @@
+"""Extended relational surface: pivot/unpivot, as-of and range joins,
+subqueries, percentiles, argmax, deterministic sampling, lateral explode.
+
+The as-of and range joins are the two operators Spark lacks natively; both
+are expressed in their scalable composite form (window-based as-of; bucketized
+range join) rather than a naive theta join — the oracle states the same
+semantics declaratively, which also documents the equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.functions.exact import dsum, money
+from crystal_parquet_database_spark.functions.portable_hash import spark_hash64, sql_hash64
+from crystal_parquet_database_spark.surface.registry import query
+from crystal_parquet_database_spark.tables import load_table
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {', '.join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+@query("pivot_event_type_counts", _PIVOT_ORACLE)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per event type. Explicit value list keeps the plan
+    single-pass (no distinct-values pre-query)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count().na.fill(0)
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+"""
+
+
+@query("unpivot_part_metrics", _UNPIVOT_ORACLE)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide → long."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_ASOF_ORACLE = """
+SELECT event_id, user_id, ts, last_view_ts FROM (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+  FROM events
+) WHERE event_type = 'purchase'
+"""
+
+
+@query("join_asof_purchase_attribution", _ASOF_ORACLE)
+def join_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (merge_asof semantics): each purchase attributed to the most
+    recent prior view by the same user. One shuffle on the partition key —
+    the scalable form of an as-of join when both sides share a stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "last_view_ts",
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_view_ts")
+    )
+
+
+_RANGE_ORACLE = """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (epoch_us(a.ts) < epoch_us(b.ts)
+      OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 120000000
+"""
+
+
+@query("join_range_bucketized_event_pairs", _RANGE_ORACLE)
+def join_range_bucketized_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-bucketing — the scale pattern for interval joins.
+
+    Each left row probes its 2-minute bucket and the next one; the equi-join
+    on (user, bucket) replaces the naive O(n²)-per-user theta join, then the
+    exact range predicate filters. The bucketization is lossless, so the
+    oracle can state the plain theta-join semantics.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    width = 120_000_000  # 2 minutes in µs
+    left = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("us").alias("us_a"),
+        F.explode(
+            F.array(
+                (F.col("us") / width).cast("bigint"),
+                (F.col("us") / width).cast("bigint") + 1,
+            )
+        ).alias("bucket"),
+    )
+    right = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("us").alias("us_b"),
+        (F.col("us") / width).cast("bigint").alias("bucket"),
+    )
+    return (
+        left.join(right, ["user_id", "bucket"])
+        .filter(
+            (
+                (F.col("us_a") < F.col("us_b"))
+                | ((F.col("us_a") == F.col("us_b")) & (F.col("id_a") < F.col("id_b")))
+            )
+            & (F.col("us_b") - F.col("us_a") <= width)
+        )
+        .select("user_id", "id_a", "id_b", (F.col("us_b") - F.col("us_a")).alias("gap_us"))
+        .distinct()
+    )
+
+
+_SUBQ_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer)
+"""
+
+
+@query("subquery_above_avg_customers", _SUBQ_ORACLE)
+def subquery_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: compare each row against a global aggregate. The
+    1-row aggregate is broadcast — no shuffle of the big side."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_df = c.agg((dsum(money("c_acctbal")) / F.count("*")).alias("__avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+_HAVING_ORACLE = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM part
+GROUP BY p_brand
+HAVING COUNT(*) > 70
+"""
+
+
+@query("agg_having_brands", _HAVING_ORACLE)
+def agg_having_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"), dsum(money("p_retailprice")).alias("total_price"))
+        .filter(F.col("n_parts") > 70)
+    )
+
+
+_PCT_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles_by_flag", _PCT_ORACLE)
+def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same linear
+    interpolation on sorted values — verified bit-identical). The at-scale
+    variant is approx_percentile; exact percentile shuffles values per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )
+
+
+_ARGMAX_ORACLE = """
+SELECT c_nationkey,
+       arg_max(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000 + c_custkey)
+           AS top_customer,
+       MAX(c_acctbal) AS top_balance
+FROM customer GROUP BY c_nationkey
+"""
+
+
+@query("agg_argmax_customer_per_nation", _ARGMAX_ORACLE)
+def agg_argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max with a tie-proof key: balances carry 2 decimals, so
+    (balance×100)·10⁵ + custkey is an exact bigint with a unique max."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(100000) + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("top_customer"),
+        F.max("c_acctbal").alias("top_balance"),
+    )
+
+
+_EXPLODE_ORACLE = """
+SELECT vec_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS component
+FROM embeddings, generate_series(1, 64) g(i)
+WHERE vec_id < 5
+"""
+
+
+@query("explode_embedding_components", _EXPLODE_ORACLE)
+def explode_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → (position, value) rows."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return e.select(
+        "vec_id", F.posexplode("embedding")
+    ).select(
+        "vec_id", F.col("pos"), F.col("col").cast("double").alias("component")
+    )
+
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {sql_hash64('CAST(doc_id AS VARCHAR)')}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+@query("sample_deterministic_stratified", _SAMPLE_ORACLE)
+def sample_deterministic_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling — 20 docs per language, chosen by
+    portable hash order. Unlike rand()-based sampling this is stable across
+    engines, retries, and partitionings (the property a 100 TB training-data
+    pipeline actually needs)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        spark_hash64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )

@@ -1,0 +1,68 @@
+"""Multimodal plumbing tests: schemas, batch shapes, determinism (decode
+itself is a documented deterministic stub — see operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.operators import multimodal as M
+from crystal_parquet_database_spark.operators.similarity import cosine_topk
+from crystal_parquet_database_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def binary_df(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    return M.documents_as_binary(docs)
+
+
+def test_with_image_meta_schema_and_values(binary_df):
+    out = M.with_image_meta(binary_df)
+    assert out.schema["meta"].dataType == M.image_meta_struct
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["meta"]["mime"] == "image/fake"
+        assert 16 <= r["meta"]["width"] < 256
+        assert r["meta"]["n_bytes"] == len(r["content"])
+
+
+def test_image_features_shape_and_determinism(spark, binary_df):
+    out = M.image_features(binary_df, dim=16)
+    rows1 = {r["image_id"]: list(r["features"]) for r in out.collect()}
+    rows2 = {r["image_id"]: list(r["features"]) for r in M.image_features(binary_df, dim=16).collect()}
+    assert rows1 == rows2  # deterministic across runs
+    assert all(len(v) == 16 for v in rows1.values())
+    assert all(0.0 <= x < 1.0 for v in rows1.values() for x in v)
+    # repartitioning must not change values (stable at any parallelism)
+    rows3 = {
+        r["image_id"]: list(r["features"])
+        for r in M.image_features(binary_df.repartition(7), dim=16).collect()
+    }
+    assert rows1 == rows3
+
+
+def test_features_feed_similarity_search(spark, binary_df):
+    feats = M.image_features(binary_df, dim=16)
+    q = feats.filter(F.col("image_id") < 3)
+    topk = cosine_topk(q, feats, "image_id", "features", k=5)
+    got = topk.groupBy("query_id").count().collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert all(r["count"] == 5 for r in got)
+
+
+def test_resize_keeps_schema_changes_content(binary_df):
+    out = M.resize_images(binary_df, width=8, height=8)
+    assert out.schema == binary_df.schema
+    r = out.collect()[0]
+    assert len(r["content"]) == 64
+
+
+def test_sample_video_frames_explodes(binary_df):
+    vids = binary_df.withColumnRenamed("image_id", "video_id")
+    out = M.sample_video_frames(vids, n_frames=4, frame_dim=8)
+    rows = out.collect()
+    assert len(rows) == 50 * 4
+    assert {r["frame_index"] for r in rows} == {0, 1, 2, 3}
+    assert all(len(r["frame_features"]) == 8 for r in rows)
