@@ -1,0 +1,56 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+These are the operators windowed aggregation can't express: arbitrary
+per-key state evolved across micro-batches. State lives in the state store
+(bounded, checkpointed, per-key) — the 100 TB/day design constraint is that
+state size is O(keys), never O(events)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_STATS_OUTPUT = "user_id long, n_events long, total_value double, max_value double"
+_RUNNING_STATS_STATE = "n long, total double, mx double"
+
+
+def _running_stats_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_value": [mx]}
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) maintained across micro-batches.
+
+    On a stream: incremental per-key state, one output row per key per batch
+    (update mode). On a batch frame: falls back to a plain aggregation with
+    identical output — the replay path.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_stats_fn,
+        outputStructType=RUNNING_STATS_OUTPUT,
+        stateStructType=_RUNNING_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

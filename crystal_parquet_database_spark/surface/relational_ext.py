@@ -248,6 +248,31 @@ def explode_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY DATEDIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+FROM orders
+"""
+
+
+@query("window_range_frame_spend_30d", _RANGE_FRAME_ORACLE)
+def window_range_frame_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): rolling 30-day spend per customer.
+    Range frames include all order-date ties, so no tiebreak is needed."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = W.partitionBy("o_custkey").orderBy(days).rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
 _SAMPLE_ORACLE = f"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
