@@ -54,7 +54,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    spark = get_spark(app_name="bench")
+    # Bench inputs are single small files; shrink split size so scans use all
+    # cores. (Deliberately NOT an engine default — at real scale the 128MB
+    # default is right and these would oversplit.)
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "131072",
+        },
+    )
 
     # JVM/codegen warmup on the smallest table; not timed
     QUERIES["q6_revenue_forecast"](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -18,7 +18,17 @@ Parquet delegating storage/query to parquetdb), rebuilt Spark-first:
                          ``__spark_entry__.py`` and ``bench.py``.
 """
 
+from crystal_parquet_database_spark.db import PqDB
+from crystal_parquet_database_spark.schema import crystal_schema, to_canonical
 from crystal_parquet_database_spark.session import get_spark
 from crystal_parquet_database_spark.tables import TABLE_NAMES, load_table, register_views
 
-__all__ = ["get_spark", "TABLE_NAMES", "load_table", "register_views"]
+__all__ = [
+    "PqDB",
+    "crystal_schema",
+    "to_canonical",
+    "get_spark",
+    "TABLE_NAMES",
+    "load_table",
+    "register_views",
+]

@@ -107,7 +107,11 @@ def language_id(df: DataFrame, text_col: str) -> DataFrame:
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
     """Document fingerprint: min of rolling k-gram hashes (MinHash with one
-    hash function) — a compact content id robust to small reorderings."""
+    hash function) — a compact content id robust to small reorderings.
+
+    Hashing every char k-gram is CPU-bound → spread the input first (a small
+    single-file table otherwise runs on one core)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
     sh = spark_shingles(F.col(text_col), k)
     fp = F.array_min(F.transform(sh, lambda s: spark_hash64(s)))
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    return df.repartition(n).select(F.col(id_col), fp.alias("fingerprint"))

@@ -16,7 +16,29 @@ from pyspark.sql import functions as F
 from crystal_parquet_database_spark.functions.exact import dsum, money
 from crystal_parquet_database_spark.functions.portable_hash import spark_hash64, sql_hash64
 from crystal_parquet_database_spark.surface.registry import query
-from crystal_parquet_database_spark.tables import load_table
+from crystal_parquet_database_spark.tables import load_table, register_views
+
+# One query exercised through the SQL API itself (views + spark.sql): the
+# engine treats DataFrame and SQL text as the same logical-plan front end, so
+# the oracle string IS the Spark query.
+_SQL_API_TEXT = """
+SELECT n_name,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@query("sql_api_revenue_by_nation", _SQL_API_TEXT)
+def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    return spark.sql(_SQL_API_TEXT)
 
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 

@@ -163,6 +163,22 @@ def scalar_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAP_ORACLE = """
+SELECT event_id, k.key AS key,
+       CAST(json_extract_string(props, '$.' || k.key) AS INTEGER) AS value
+FROM events, unnest(json_keys(props)) k(key)
+WHERE event_id < 100
+"""
+
+
+@query("scalar_map_functions", _MAP_ORACLE)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON string → MapType → exploded (key, value) rows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select("event_id", F.explode(m).alias("key", "value"))
+
+
 _CASE_ORACLE = """
 SELECT c_custkey,
        CASE WHEN c_acctbal < 0 THEN 'overdrawn'
