@@ -1,0 +1,74 @@
+"""Skew-mitigation operators: salting for hot keys, bucketed co-located joins.
+
+AQE's skew-join handling (on by default in session.py) splits oversized
+partitions at runtime; these operators are the *explicit* forms for the cases
+AQE can't fix — a single hot key inside one partition of a shuffled
+aggregation, or a join you will run many times and want shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big``'s key distribution is skewed.
+
+    The big side gets a deterministic salt derived from a high-cardinality
+    hash of the whole row; the small side is replicated n_salts times. The
+    shuffle key becomes (key, salt) — a hot key now spreads over n_salts
+    reducers. Replication multiplies the small side's shuffle volume, so keep
+    it dimension-sized (if it's broadcastable, broadcast instead — salting is
+    for when BOTH sides are too big to broadcast but one is skewed).
+
+    Result is identical to ``big.join(small, key, how)`` (asserted in tests).
+    """
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    salts = big.sparkSession.range(n_salts).select(F.col("id").cast("long").alias("__salt"))
+    salted_small = small.crossJoin(salts)
+    out = salted_big.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_agg_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Two-phase aggregation for a skewed groupBy key: partial aggregate on
+    (key, salt), then final aggregate on key. Spark's hash aggregate already
+    does map-side partials — explicit salting matters for aggregates without
+    partial forms (e.g. exact collect/distinct per key) or extreme single-key
+    skew. Shown here for count/sum shapes."""
+    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__c"))
+    return partial.groupBy(key).agg(F.sum("__c").cast("long").alias("n"))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 8,
+    sort_by: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table: joins and
+    aggregations on ``key`` between co-bucketed tables need NO shuffle —
+    the write pre-pays the exchange once. This is the 100 TB answer for
+    fact⋈fact joins repeated across a workload."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed tables (see ``write_bucketed``)."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

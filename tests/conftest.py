@@ -14,8 +14,19 @@ TEST_SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    meta = str(tmp_path_factory.mktemp("metastore"))
+    s = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # keep bucketed-table tests from littering the repo root
+            "spark.sql.warehouse.dir": wh,
+            "spark.hadoop.javax.jdo.option.ConnectionURL": f"jdbc:derby:;databaseName={meta}/db;create=true",
+        },
+    )
     yield s
 
 

@@ -1,0 +1,23 @@
+"""The end-to-end example must run: multi-source ingest → combined PqDB →
+normalize → nested analytics."""
+
+from __future__ import annotations
+
+import tempfile
+
+
+def test_create_crystal_db_example(spark):
+    from examples.create_crystal_db import main
+
+    with tempfile.TemporaryDirectory(prefix="example_") as d:
+        db = main(work_dir=d, n_per_source=10)
+        # alex 3d + mp summary + mc3d (2d/1d have no fixture files)
+        assert db.n_rows == 30
+        srcs = {
+            r["source_database"]
+            for r in db.read(columns=["source_database"]).distinct().collect()
+        }
+        assert srcs == {"alex", "materials_project", "materialscloud"}
+        # ids contiguous across the combined DB
+        ids = sorted(r["id"] for r in db.read(columns=["id"]).collect())
+        assert ids == list(range(30))

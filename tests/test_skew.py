@@ -1,0 +1,70 @@
+"""Skew/bucketing operators: result parity with the naive forms, and the
+shuffle-elimination property of bucketed joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.operators.skew import (
+    bucketed_join,
+    salted_agg_count,
+    salted_join,
+    write_bucketed,
+)
+from crystal_parquet_database_spark.plans.inspect import join_strategies, num_shuffles
+from crystal_parquet_database_spark.tables import load_table
+from crystal_parquet_database_spark.testing import canon_frame
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    plain = li.join(part, "l_partkey").agg(
+        F.count("*").alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q")
+    )
+    salted = salted_join(li, part, "l_partkey", n_salts=8).agg(
+        F.count("*").alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q")
+    )
+    assert canon_frame(salted.toPandas()) == canon_frame(plain.toPandas())
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    salted = salted_agg_count(ev, "event_type", n_salts=8)
+    assert canon_frame(salted.toPandas()) == canon_frame(plain.toPandas())
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    write_bucketed(orders, "orders_b", "custkey", n_buckets=8)
+    write_bucketed(cust, "cust_b", "custkey", n_buckets=8)
+    yield "orders_b", "cust_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
+    lt, rt = bucketed_tables
+    # disable broadcast so the join strategy decision is about bucketing
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, lt, rt, "custkey")
+        assert num_shuffles(joined) == 0  # co-bucketed: sort-merge without exchange
+        assert "SortMergeJoin" in join_strategies(joined)
+        # and it computes the right thing
+        expected = (
+            load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
