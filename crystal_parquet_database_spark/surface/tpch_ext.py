@@ -1,0 +1,272 @@
+"""Classic TPC-H query shapes (Q4/Q7/Q14/Q16/Q18/Q19/Q22) adapted to the
+fixture schema — correlated EXISTS, nation-pair volume, conditional-share
+aggregation, NOT-IN distinct counting, HAVING over join aggregates,
+disjunctive multi-range predicates, and anti-join + scalar-subquery combo.
+
+(The fixture schema lacks partsupp/shipmode/phone; those queries use the
+closest available relation — noted per query.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.functions.exact import dsum, money, rate
+from crystal_parquet_database_spark.surface.registry import query
+from crystal_parquet_database_spark.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+_ONE = "CAST(1 AS DECIMAL(5,2))"
+_DISC_PRICE = f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(5,2)))"
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@query("q4_order_priority", _Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi condition → left-semi
+    join carrying the theta predicate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_nation_volume", _Q7_ORACLE)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two nation dimensions joined to opposite sides of the
+    fact, disjunctive pair filter, year extraction."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(5,2)")
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (money("l_extendedprice") * (one - rate("l_discount"))).alias("dp"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("dp")).alias("revenue"))
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT CAST(100.0 AS DOUBLE)
+       * CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN {_DISC_PRICE}
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+@query("q14_promo_revenue", _Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share (CASE inside exact sum,
+    division in double with identical shape)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(5,2)")
+    dp = money("l_extendedprice") * (one - rate("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", dp).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        (
+            F.lit(100.0) * dsum(promo) / dsum(dp)
+        ).alias("promo_revenue_pct")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q16_parts_supplier_count", _Q16_ORACLE)
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): exclusion predicate
+    + IN-list + distinct count per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 190
+"""
+
+
+@query("q18_large_volume_orders", _Q18_ORACLE)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a join aggregate (exact decimal compare
+    in the filter, double only at output)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(money("l_quantity")).alias("__sum_qty_dec"))
+    )
+    return g.filter(F.col("__sum_qty_dec") > 190).select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.col("__sum_qty_dec").cast("double").alias("sum_qty"),
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@query("q19_disjunctive_revenue", _Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive range predicates spanning
+    both join sides (pushed as a post-join filter; each disjunct prunable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(5,2)")
+    dp = money("l_extendedprice") * (one - rate("l_discount"))
+
+    def disjunct(brand: str, smin: int, smax: int, qmin: int, qmax: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+
+    cond = (
+        disjunct("Brand#12", 1, 15, 1, 21)
+        | disjunct("Brand#23", 10, 30, 10, 30)
+        | disjunct("Brand#34", 20, 50, 20, 40)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(dp).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+_Q22_ORACLE = """
+WITH avg_pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_pos
+WHERE c_acctbal > avg_pos.v
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+@query("q22_global_sales_opportunity", _Q22_ORACLE)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (broadcast 1-row aggregate) + anti
+    join + aggregation. (c_nationkey stands in for the phone country code.)"""
+    c = _t(spark, sf_dir, "customer")
+    avg_pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum(money("c_acctbal")) / F.count("*")).alias("__avg")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    rich = c.crossJoin(F.broadcast(avg_pos)).filter(F.col("c_acctbal") > F.col("__avg"))
+    inactive = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return inactive.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count("*").alias("numcust"), dsum(money("c_acctbal")).alias("totacctbal")
+    )
