@@ -73,11 +73,18 @@ def assign_contiguous_ids(df: DataFrame, start: int = 0, id_col: str = ID_COL) -
 
 
 class PqDB:
-    """A directory of Parquet files managed as one logical table."""
+    """A directory of Parquet files managed as one logical table.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``partition_by`` hive-partitions the dataset (e.g.
+    ``["source_database", "source_dataset"]`` for the reference's wide
+    multi-source table — SURVEY.md §1.5): filters on those columns prune
+    whole directories before any file is opened, a capability the reference
+    engine lacks."""
+
+    def __init__(self, spark: SparkSession, path: str, partition_by: list[str] | None = None):
         self.spark = spark
         self.path = path
+        self.partition_by = list(partition_by or [])
         os.makedirs(path, exist_ok=True)
 
     # ----------------------------------------------------------------- helpers
@@ -108,6 +115,8 @@ class PqDB:
         """Materialize ``df`` to a temp dir, then atomically swap it in."""
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         writer = (df.repartition(n_files) if n_files else df).write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(self.path, old)
@@ -145,7 +154,10 @@ class PqDB:
             df = cast_to_schema(df, merged, keep_extra=False)
         df = assign_contiguous_ids(df, start=start)
         n = df.count()
-        df.write.mode("append").parquet(self.path)
+        writer = df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
         return n
 
     def read(

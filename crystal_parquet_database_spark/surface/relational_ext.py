@@ -270,6 +270,21 @@ def explode_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# No oracle: t-digest/KLL sketch results are engine-specific by design;
+# exact percentile (agg_percentiles_by_flag) is the oracle-checked sibling.
+@query("agg_approx_percentiles")
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the single-pass fixed-memory scale path for
+    quantiles (exact percentile shuffles all values per group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000).alias(
+            "approx_p50_p90"
+        ),
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+    )
+
+
 _RANGE_FRAME_ORACLE = """
 SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -105,6 +105,30 @@ def test_stats(spark, db):
     )
 
 
+def test_partitioned_db_prunes(spark):
+    import tempfile
+
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    with tempfile.TemporaryDirectory(prefix="pqdbp_") as d:
+        db = PqDB(spark, d + "/db", partition_by=["source_database"])
+        db.create(
+            [{"source_database": sdb, "x": i} for i, sdb in enumerate(["alex", "mp", "alex", "mc3d"])]
+        )
+        # partition dirs on disk
+        import os
+
+        assert any("source_database=alex" in p for p in db.get_file_sizes())
+        df = db.read(filters="source_database = 'alex'")
+        plan = formatted_plan(df)
+        assert "PartitionFilters" in plan and "source_database" in plan
+        assert sorted(r["x"] for r in df.collect()) == [0, 2]
+        # rewrite paths (delete/normalize) preserve partitioning
+        db.delete(where="x = 0")
+        assert any("source_database=alex" in p for p in db.get_file_sizes())
+        assert db.n_rows == 3
+
+
 def test_assign_contiguous_ids_multipartition(spark):
     df = spark.range(0, 1000).repartition(7).select(F.col("id").alias("v")).drop("id")
     out = assign_contiguous_ids(df, start=100)
