@@ -100,6 +100,10 @@ class PqDB:
         return bool(self._data_files())
 
     def _df(self) -> DataFrame:
+        if not self.exists:
+            raise FileNotFoundError(
+                f"PqDB at {self.path!r} is empty — call create() before read()/update()/delete()"
+            )
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def _to_df(self, data: Any, schema: T.StructType | None = None) -> DataFrame:

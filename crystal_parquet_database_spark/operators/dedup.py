@@ -240,6 +240,55 @@ def simhash(
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def minhash_lsh_ml(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hash_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Alternative near-dup path on spark.ml's MinHashLSH (approxSimilarityJoin).
+
+    Same shingling as the native pipeline; shingle-hash sets become binary
+    sparse vectors. Jaccard DISTANCE threshold = 1 - similarity threshold.
+    Seeded, so results are reproducible — but the hash family is Spark-ML's
+    own, so this variant is validated against the native exact pipeline in
+    tests rather than against the DuckDB oracle.
+    """
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    hs = shingle_hashes(df, text_col, k).select(F.col(id_col), F.col("hs"))
+
+    # MinHashLSH requires dim < ~2.04e9 (its internal hash prime); fold the
+    # 31-bit shingle hashes into 2^30 — collision odds are negligible for
+    # per-doc set sizes and only perturb the ML variant, not the native path.
+    dim = 1 << 30
+
+    @F.udf(VectorUDT())
+    def to_vec(arr):
+        idx = sorted({int(h) % dim for h in arr})
+        return Vectors.sparse(dim, idx, [1.0] * len(idx))
+
+    vecs = hs.select(F.col(id_col), to_vec("hs").alias("features")).cache()
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = mh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, distCol="dist")
+    out = (
+        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            (F.lit(1.0) - F.col("dist")).alias("jaccard"),
+        )
+    )
+    return out
+
+
 def simhash_near_pairs(
     sim_df: DataFrame, id_col: str, max_hamming: int = 4
 ) -> DataFrame:

@@ -105,6 +105,11 @@ def test_stats(spark, db):
     )
 
 
+def test_empty_db_read_raises_clearly(spark, db):
+    with pytest.raises(FileNotFoundError, match="call create"):
+        db.read()
+
+
 def test_partitioned_db_prunes(spark):
     import tempfile
 

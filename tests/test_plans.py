@@ -51,3 +51,25 @@ def test_q1_shuffle_budget(spark, sf_dir):
     """Scan → partial agg → single exchange → final agg (+ sort exchange)."""
     df = QUERIES["q1_pricing_summary"](spark, sf_dir)
     assert num_shuffles(df) <= 2
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a global sort."""
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["sort_multikey_limit"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The window-based as-of join shuffles once (on the partition key)."""
+    df = QUERIES["join_asof_purchase_attribution"](spark, sf_dir)
+    assert num_shuffles(df) == 1
+
+
+def test_similarity_broadcasts_queries(spark, sf_dir):
+    """Brute-force top-k must broadcast the query side, never shuffle the corpus."""
+    df = QUERIES["sim_cosine_topk_bruteforce"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies or "BroadcastNestedLoopJoin" in strategies
+    assert "SortMergeJoin" not in strategies
