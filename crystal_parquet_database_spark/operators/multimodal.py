@@ -171,6 +171,61 @@ def sample_video_frames(
     return df.mapInPandas(op, schema=out_schema)
 
 
+audio_meta_struct = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def audio_chunk_energy(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "audio_id",
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Audio op stub: binary → per-chunk energy profile + typed metadata.
+
+    Real body: decode (soundfile/ffmpeg) → RMS per fixed-length chunk. FAKE:
+    chunk the raw bytes and use mean byte value as 'energy' — deterministic,
+    same output shape. One row per (audio, chunk)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("meta", audio_meta_struct),
+            T.StructField("chunk_index", T.IntegerType()),
+            T.StructField("energy", T.DoubleType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, metas, idxs, energies = [], [], [], []
+            for aid, b in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(b)
+                meta = {
+                    "mime": "audio/fake",
+                    "sample_rate": 16000,
+                    "n_samples": len(data),
+                    "duration_s": len(data) / 16000.0,
+                }
+                step = max(1, len(data) // n_chunks)
+                for i in range(n_chunks):
+                    chunk = data[i * step : (i + 1) * step] or b"\x00"
+                    ids.append(aid)
+                    metas.append(meta)
+                    idxs.append(i)
+                    energies.append(float(sum(chunk)) / len(chunk))
+            yield pd.DataFrame(
+                {id_col: ids, "meta": metas, "chunk_index": idxs, "energy": energies}
+            )
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
 def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Adapter for fixtures: treat document text bytes as fake image content
     so the multimodal plumbing can run against the driver's tables."""

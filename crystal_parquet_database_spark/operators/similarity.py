@@ -128,6 +128,68 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    corpus into cells; each query scans only its ``n_probe`` nearest cells.
+
+    The trained centroids are a tiny broadcastable table; at 100 TB the cell
+    id is computed at ingest and used as a partition/cluster key, so a query
+    touches ~n_probe/n_cells of the corpus. Seeded k-means ⇒ reproducible
+    (but engine-specific, so this is validated against brute force in tests,
+    not against the SQL oracle).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select("match_id", "cvec", "cell")
+
+    centers = [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(centers, schema="cell int, center array<double>")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    # rank cells per query by distance to centroid, keep n_probe
+    qc = q.crossJoin(F.broadcast(centers_df)).withColumn(
+        "dist2",
+        F.aggregate(
+            F.zip_with(F.col("qvec"), F.col("center"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wcell = W.partitionBy("query_id").orderBy("dist2", "cell")
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(wcell))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:

@@ -235,6 +235,19 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# No oracle: the k-means coarse quantizer is engine-specific (seeded spark.ml
+# KMeans); validated against brute force in tests/test_similarity_ann.py.
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells + n_probe nearest-cell search — the other
+    at-scale ANN path besides hyperplane LSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding",
+        k=10, n_cells=16, n_probe=4,
+    )
+
+
 _NEARDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
 SELECT * FROM (

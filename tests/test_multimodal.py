@@ -59,6 +59,16 @@ def test_resize_keeps_schema_changes_content(binary_df):
     assert len(r["content"]) == 64
 
 
+def test_audio_chunk_energy_shape(binary_df):
+    audio = binary_df.withColumnRenamed("image_id", "audio_id")
+    out = M.audio_chunk_energy(audio, n_chunks=8)
+    rows = out.collect()
+    assert len(rows) == 50 * 8
+    r = rows[0]
+    assert r["meta"]["mime"] == "audio/fake" and r["meta"]["sample_rate"] == 16000
+    assert 0.0 <= r["energy"] <= 255.0
+
+
 def test_sample_video_frames_explodes(binary_df):
     vids = binary_df.withColumnRenamed("image_id", "video_id")
     out = M.sample_video_frames(vids, n_frames=4, frame_dim=8)
