@@ -249,8 +249,12 @@ class PqDB:
         df = self._df()
         n = df.count()
         n_files = max(1, math.ceil(n / max_rows_per_file))
+        prev = self.spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
         self.spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_rows_per_file))
-        self._rewrite(df, n_files=n_files)
+        try:
+            self._rewrite(df, n_files=n_files)
+        finally:
+            self.spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
 
     @property
     def n_rows(self) -> int:

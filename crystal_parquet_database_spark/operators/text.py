@@ -8,6 +8,7 @@ DuckDB oracle reproduces them exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -103,6 +104,36 @@ def language_id(df: DataFrame, text_col: str) -> DataFrame:
         pred = F.when(cond, lang) if pred is None else F.when(cond, lang).otherwise(pred)
     # reversed+overwrite ⇒ the FIRST lang in LANG_ORDER achieving the max wins
     return out.withColumn("lang_pred", pred)
+
+
+def quality_score_pandas_udf(df: DataFrame, text_col: str, stopwords: list[str]) -> DataFrame:
+    """The same composite quality score as ``quality_features`` but through a
+    vectorized @pandas_udf — the reference point for the UDF surface.
+
+    Exists to (a) demonstrate the Arrow-batched scalar-UDF path and (b) pin
+    its equivalence to the pure-expression version in tests. The expression
+    version stays the production path (JVM codegen, no Python); reach for
+    pandas_udf only when an operator genuinely can't be expressed in columns.
+    """
+    import re
+
+    sw = set(stopwords)
+    punct_re = re.compile(r"[^A-Za-z0-9\s]")
+
+    @F.pandas_udf("double")
+    def score(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> float:
+            toks = t.strip().split()
+            n_words = len(toks)
+            n_stop = sum(1 for x in toks if x in sw)
+            n_punct = len(punct_re.findall(t))
+            punct_ratio = n_punct / max(len(t), 1)
+            stop_ratio = n_stop / max(n_words, 1)
+            return 0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio) + 0.3 * (min(n_words, 100) / 100.0)
+
+        return texts.map(one)
+
+    return df.withColumn("quality_score_udf", score(F.col(text_col)))
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:

@@ -63,6 +63,13 @@ def test_max_records_per_file(spark, sf_dir, tmp):
     assert len(files) == 4
 
 
+def test_orc_roundtrip(spark, sf_dir, tmp):
+    supplier = load_table(spark, sf_dir, "supplier")
+    write_table(supplier, f"{tmp}/supplier_orc", fmt="orc")
+    back = read_table(spark, f"{tmp}/supplier_orc", fmt="orc")
+    assert canon_frame(back.toPandas()) == canon_frame(supplier.toPandas())
+
+
 def test_read_rejects_unknown_format(spark, tmp):
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, tmp, fmt="avro")
