@@ -115,10 +115,18 @@ class PqDB:
             return self.spark.createDataFrame(pd.DataFrame(data), schema=schema)
         return self.spark.createDataFrame(data, schema=schema)  # list of dicts/Rows
 
-    def _rewrite(self, df: DataFrame, n_files: int | None = None) -> None:
+    def _rewrite(
+        self,
+        df: DataFrame,
+        n_files: int | None = None,
+        max_records_per_file: int | None = None,
+    ) -> None:
         """Materialize ``df`` to a temp dir, then atomically swap it in."""
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         writer = (df.repartition(n_files) if n_files else df).write.mode("overwrite")
+        if max_records_per_file:
+            # per-write option — never mutate the shared session conf
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
@@ -249,12 +257,7 @@ class PqDB:
         df = self._df()
         n = df.count()
         n_files = max(1, math.ceil(n / max_rows_per_file))
-        prev = self.spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
-        self.spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_rows_per_file))
-        try:
-            self._rewrite(df, n_files=n_files)
-        finally:
-            self.spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+        self._rewrite(df, n_files=n_files, max_records_per_file=max_rows_per_file)
 
     @property
     def n_rows(self) -> int:

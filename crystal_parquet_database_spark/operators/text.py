@@ -20,6 +20,10 @@ from crystal_parquet_database_spark.functions.portable_hash import (
 # BPE-ish tokenizer: letter runs, digit runs, single non-space symbols.
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# Shared by the expression scorer, the pandas_udf scorer, and BPE_PATTERN's
+# symbol branch — must stay byte-identical or the pinned equivalence breaks.
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
 # Marker-word sets for the n-gram/stopword language heuristic. (The fixture
 # corpus is synthetic; what matters is that the score is a pure function of
 # the text, reproducible in SQL.)
@@ -63,7 +67,7 @@ def quality_features(df: DataFrame, text_col: str, stopwords: list[str]) -> Data
     # supported on lambda variables inside higher-order functions
     sw_arr = F.array(*[F.lit(w) for w in stopwords])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw_arr, x)))
-    n_punct = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("int")
+    n_punct = F.regexp_count(t, F.lit(PUNCT_PATTERN)).cast("int")
     punct_ratio = n_punct.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
     stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
     cap_words = F.least(n_words, F.lit(100))
@@ -118,12 +122,19 @@ def quality_score_pandas_udf(df: DataFrame, text_col: str, stopwords: list[str])
     import re
 
     sw = set(stopwords)
-    punct_re = re.compile(r"[^A-Za-z0-9\s]")
+    # re.ASCII: Java's \s in the expression version is ASCII-only; Python's
+    # default Unicode \s would count NBSP etc. differently.
+    punct_re = re.compile(PUNCT_PATTERN, re.ASCII)
+    ws_re = re.compile(r"\s+", re.ASCII)
 
     @F.pandas_udf("double")
     def score(texts: pd.Series) -> pd.Series:
-        def one(t: str) -> float:
-            toks = t.strip().split()
+        def one(t) -> float | None:
+            if t is None:
+                return None  # expression version yields NULL for NULL text
+            # F.trim strips the space char only; re.split('' ) -> [''] exactly
+            # like Spark's split, so n_words for empty text matches (=1)
+            toks = ws_re.split(t.strip(" "))
             n_words = len(toks)
             n_stop = sum(1 for x in toks if x in sw)
             n_punct = len(punct_re.findall(t))

@@ -14,6 +14,21 @@ STOPWORDS = ["the", "a", "key", "value", "of", "and"]
 
 def test_pandas_udf_matches_expression_scorer(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    # adversarial rows: null, empty, whitespace-only, non-ASCII whitespace,
+    # punctuation-heavy — the cases where Python and JVM semantics diverge
+    # unless carefully mirrored
+    edge = spark.createDataFrame(
+        [
+            (100001, None),
+            (100002, ""),
+            (100003, "   "),
+            (100004, "a b the c"),
+            (100005, "!!! ??? ... a"),
+            (100006, "a b the\tc"),  # NBSP (non-ASCII ws) + tab
+        ],
+        schema="doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
     expr = quality_features(docs, "text", STOPWORDS).select("doc_id", "quality_score")
     udf = quality_score_pandas_udf(docs, "text", STOPWORDS).select(
         "doc_id", F.col("quality_score_udf").alias("quality_score")
@@ -22,4 +37,7 @@ def test_pandas_udf_matches_expression_scorer(spark, sf_dir):
     b = {r["doc_id"]: r["quality_score"] for r in udf.collect()}
     assert a.keys() == b.keys()
     for k in a:
-        assert abs(a[k] - b[k]) < 1e-12
+        if a[k] is None or b[k] is None:
+            assert a[k] is None and b[k] is None
+        else:
+            assert abs(a[k] - b[k]) < 1e-12, (k, a[k], b[k])
