@@ -46,8 +46,12 @@ from crystal_parquet_database_spark.schema import cast_to_schema, unify_schemas
 ID_COL = "id"
 
 
-def assign_contiguous_ids(df: DataFrame, start: int = 0, id_col: str = ID_COL) -> DataFrame:
-    """Assign contiguous ids start..start+n-1 without a global sort.
+def assign_contiguous_ids_with_count(
+    df: DataFrame, start: int = 0, id_col: str = ID_COL
+) -> tuple[DataFrame, int]:
+    """Assign contiguous ids start..start+n-1 without a global sort; also
+    return n (already known from the offsets computation — callers should
+    not pay a separate count()).
 
     Per-partition row_number + driver-side cumulative partition offsets (the
     offsets table is one row per partition — tiny at any scale). This is the
@@ -63,13 +67,18 @@ def assign_contiguous_ids(df: DataFrame, start: int = 0, id_col: str = ID_COL) -
         offsets.append((pid, acc))
         acc += cnt
     spark = df.sparkSession
-    odf = spark.createDataFrame(offsets, schema="__pid int, __offset long")
+    odf = spark.createDataFrame(offsets or [(0, 0)], schema="__pid int, __offset long")
     w = W.partitionBy("__pid").orderBy("__mid")
-    return (
+    out = (
         d.join(F.broadcast(odf), "__pid")
         .withColumn(id_col, F.row_number().over(w).cast("long") - 1 + F.col("__offset") + F.lit(start))
         .drop("__pid", "__mid", "__offset")
     )
+    return out, acc
+
+
+def assign_contiguous_ids(df: DataFrame, start: int = 0, id_col: str = ID_COL) -> DataFrame:
+    return assign_contiguous_ids_with_count(df, start, id_col)[0]
 
 
 class PqDB:
@@ -164,8 +173,7 @@ class PqDB:
                     base = cast_to_schema(existing, merged, keep_extra=True)
                     self._rewrite(base)
             df = cast_to_schema(df, merged, keep_extra=False)
-        df = assign_contiguous_ids(df, start=start)
-        n = df.count()
+        df, n = assign_contiguous_ids_with_count(df, start=start)
         writer = df.write.mode("append")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -215,10 +223,24 @@ class PqDB:
     def update(self, updates: Any, on: str = ID_COL) -> None:
         """MERGE-style update: replace matching columns for matching keys.
         Unmatched rows are kept as-is; update frames may carry a subset of
-        columns."""
+        columns (all of which must already exist in the dataset). The update
+        key must be unique — a duplicate key would multiply base rows through
+        the join and permanently corrupt the dataset."""
         up = self._to_df(updates)
         base = self._df()
         upd_cols = [c for c in up.columns if c != on]
+        unknown = [c for c in upd_cols if c not in base.columns]
+        if unknown:
+            raise ValueError(
+                f"update columns {unknown} do not exist in the dataset "
+                f"(schema changes go through create()'s evolution path)"
+            )
+        dup = up.groupBy(on).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"updates contain duplicate key {on}={dup[0][on]!r}; "
+                "update keys must be unique"
+            )
         u = up.select(on, *[F.col(c).alias(f"__u_{c}") for c in upd_cols])
         joined = base.join(F.broadcast(u), on, "left")
         out = joined.select(

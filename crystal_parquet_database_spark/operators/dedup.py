@@ -169,6 +169,11 @@ def minhash_lsh_dedup(
     jaccard >= threshold."""
     rows_per_band = n_hashes // n_bands
     hs = shingle_hashes(df, text_col, k, unit)
+    # Shuffle AFTER the CPU-bound shingle/hash stage: the three consumers
+    # below (signature→bands, and both sides of the verify join) then hang
+    # off one Exchange, which Spark reuses (ReusedExchange) — the hashing
+    # runs once instead of three times, with no cache pinning memory.
+    hs = hs.repartition(F.col(id_col))
     sig = minhash_signature(hs, n_hashes)
     cand = lsh_candidate_pairs(sig, id_col, n_bands, rows_per_band)
     sets_ = hs.select(F.col(id_col), F.col("hs").alias("shset"))
@@ -273,20 +278,26 @@ def minhash_lsh_ml(
         return Vectors.sparse(dim, idx, [1.0] * len(idx))
 
     vecs = hs.select(F.col(id_col), to_vec("hs").alias("features")).cache()
-    mh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
-    )
-    model = mh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, distCol="dist")
-    out = (
-        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
-        .select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            (F.lit(1.0) - F.col("dist")).alias("jaccard"),
+    try:
+        mh = MinHashLSH(
+            inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
         )
-    )
-    return out
+        model = mh.fit(vecs)
+        pairs = model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, distCol="dist")
+        out = (
+            pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+            .select(
+                F.col(f"datasetA.{id_col}").alias("id_a"),
+                F.col(f"datasetB.{id_col}").alias("id_b"),
+                (F.lit(1.0) - F.col("dist")).alias("jaccard"),
+            )
+        )
+        # materialize the (small) pair set so the big vector cache can be
+        # released before returning — otherwise every call leaks a cached
+        # 2^30-dim sparse-vector frame for the session lifetime
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
 
 
 def simhash_near_pairs(

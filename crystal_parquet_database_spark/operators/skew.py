@@ -28,8 +28,26 @@ def salted_join(
     it dimension-sized (if it's broadcastable, broadcast instead — salting is
     for when BOTH sides are too big to broadcast but one is skewed).
 
-    Result is identical to ``big.join(small, key, how)`` (asserted in tests).
+    Result is identical to ``big.join(small, key, how)`` (asserted in tests)
+    for join types that preserve at most the big side: inner, left,
+    left_semi, left_anti. right/full outer are rejected — an unmatched small
+    row would survive once per salt replica.
     """
+    allowed = {
+        "inner",
+        "left",
+        "leftouter",
+        "left_outer",
+        "left_semi",
+        "leftsemi",
+        "left_anti",
+        "leftanti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} join types; {how!r} would "
+            "duplicate unmatched small-side rows across salt replicas"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

@@ -123,7 +123,9 @@ def parse_cif_minimal(text: str) -> dict | None:
 def _parse_cif(text: str) -> dict | None:
     try:  # pymatgen path (A8) — not present in this container
         from pymatgen.core import Structure  # type: ignore
-
+    except ImportError:
+        return parse_cif_minimal(text)
+    try:
         s = Structure.from_str(text, fmt="cif")
         d = s.as_dict()
         return {
@@ -133,8 +135,10 @@ def _parse_cif(text: str) -> dict | None:
             "lattice": d["lattice"],
             "structure": d,
         }
-    except ImportError:
-        return parse_cif_minimal(text)
+    except Exception:
+        # malformed CIF: skip the file (same contract as the minimal parser)
+        # rather than failing the whole ingest job
+        return None
 
 
 _OUT_SCHEMA = T.StructType(

@@ -102,12 +102,17 @@ def first_event_per_key(
 ) -> DataFrame:
     """Streaming dedup: keep the first event per key.
 
-    Streaming path uses dropDuplicates within the watermark (bounded state);
-    batch path takes the true first by (ts, id) — on replay of ordered data
-    the two agree; the test asserts it on the fixture.
+    Streaming path uses ``dropDuplicatesWithinWatermark`` so the state store
+    evicts keys once the watermark passes them — plain ``dropDuplicates`` on
+    keys that exclude the event-time column would grow state forever. The
+    trade-off is at-least-once dedup semantics: duplicates separated by more
+    than the watermark delay can re-emit. Batch path takes the true first by
+    (ts, id) — the replay/backfill form.
     """
     if df.isStreaming:
         dfw = _with_watermark(df, ts_col, watermark)
+        if watermark is not None:
+            return dfw.dropDuplicatesWithinWatermark(list(keys))
         return dfw.dropDuplicates(list(keys))
     w = W.partitionBy(*keys).orderBy(ts_col, id_col)
     return (

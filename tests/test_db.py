@@ -74,6 +74,16 @@ def test_update(spark, db):
     assert rows == {0: "old", 1: "old", 2: "new", 3: "old", 4: "new"}
 
 
+def test_update_rejects_duplicate_keys_and_unknown_columns(spark, db):
+    db.create([{"x": i, "tag": "old"} for i in range(3)])
+    with pytest.raises(ValueError, match="duplicate key"):
+        db.update([{"id": 1, "tag": "a"}, {"id": 1, "tag": "b"}])
+    with pytest.raises(ValueError, match="do not exist"):
+        db.update([{"id": 1, "nope": "x"}])
+    # dataset unharmed by the rejected updates
+    assert db.n_rows == 3
+
+
 def test_delete_by_ids_and_where(spark, db):
     db.create([{"x": i} for i in range(6)])
     db.delete(ids=[0, 1])

@@ -29,6 +29,29 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert canon_frame(salted.toPandas()) == canon_frame(plain.toPandas())
 
 
+def test_salted_join_rejects_small_preserving_joins(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+    with pytest.raises(ValueError, match="salt replicas"):
+        salted_join(li, part, "l_partkey", how="full")
+    with pytest.raises(ValueError, match="salt replicas"):
+        salted_join(li, part, "l_partkey", how="right")
+
+
+def test_salted_join_left_anti_matches_plain(spark, sf_dir):
+    """Anti join through salting: a big row matches iff its one salt bucket
+    has the key — equivalent to the plain anti join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    half = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 2 == 0)
+        .withColumnRenamed("p_partkey", "l_partkey")
+    )
+    plain = li.join(half, "l_partkey", "left_anti").count()
+    salted = salted_join(li, half, "l_partkey", n_salts=8, how="left_anti").count()
+    assert salted == plain > 0
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plain = ev.groupBy("event_type").agg(F.count("*").alias("n"))
