@@ -180,24 +180,55 @@ class PqDB:
         writer.parquet(self.path)
         return n
 
+    @staticmethod
+    def _filters_to_column(filters) -> Column | str:
+        """Accept a SQL string, a Column, or parquetdb/pyarrow-style tuples
+        ``[(col, op, value), ...]`` (AND-combined; ops: ==,=,!=,<,<=,>,>=,in,
+        not in)."""
+        if isinstance(filters, (str, Column)):
+            return filters
+        ops = {
+            "==": lambda c, v: c == v,
+            "=": lambda c, v: c == v,
+            "!=": lambda c, v: c != v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+            "in": lambda c, v: c.isin(list(v)),
+            "not in": lambda c, v: ~c.isin(list(v)),
+        }
+        cond = None
+        for name, op, value in filters:
+            if op not in ops:
+                raise ValueError(f"unsupported filter op {op!r}; one of {sorted(ops)}")
+            clause = ops[op](F.col(name), value)
+            cond = clause if cond is None else (cond & clause)
+        if cond is None:
+            raise ValueError("empty filter list")
+        return cond
+
     def read(
         self,
         columns: list[str] | None = None,
-        filters: str | Column | None = None,
+        filters=None,
         load_format: str = "dataset",
         batch_size: int = 10_000,
     ):
         """Projection/filter read with native Parquet pushdown.
 
+        ``filters``: SQL string, Column, or parquetdb/pyarrow-style tuple
+        list ``[("data.band_gap", ">", 3.0), ...]`` (AND-combined).
         load_format: 'dataset' → lazy DataFrame (the default and the scale
         path); 'table' → pandas DataFrame (driver-side, small results);
         'batches' → iterator of pandas DataFrames. (Reference:
         loaders/base.py:188-193; rebuild_nested_struct is unnecessary —
-        data is stored nested.)
+        data is stored nested; see functions/flatten.py for the
+        compatibility utilities.)
         """
         df = self._df()
         if filters is not None:
-            df = df.filter(filters)
+            df = df.filter(self._filters_to_column(filters))
         if columns:
             df = df.select(*columns)
         if load_format == "dataset":
