@@ -65,8 +65,16 @@ def main() -> None:
         },
     )
 
-    # JVM/codegen warmup on the smallest table; not timed
-    QUERIES["q6_revenue_forecast"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # JIT/codegen warmup: run every headline shape once at the smallest scale
+    # factor (same generated classes, negligible data) so the timed runs
+    # measure steady-state execution, not first-compile cost.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # warmup is best-effort
 
     times: dict[str, float] = {}
     for name in HEADLINE:
