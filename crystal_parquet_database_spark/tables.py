@@ -43,10 +43,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # floor-divide to micros — integer division, NOT double division
         # (ns-since-epoch ~1.7e18 exceeds 2^53, a double round-trip corrupts
         # the low digits). Floor matches DuckDB's ns→µs truncation.
+        # (Re-written copies of the table already carry a proper timestamp —
+        # convert only when ts actually arrives as a long.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 

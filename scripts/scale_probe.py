@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Scale-up probe: replicate the sf0.1 fixtures ~Nx into /tmp (key-shifted so
+cardinalities scale too), run headline operators, and report wall-clock vs the
+sf0.1 baseline. Linear-ish growth = the plan survives scale-up; superlinear
+growth = a hidden quadratic/skew problem.
+
+Usage: python3 scripts/scale_probe.py [factor]   (default 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.session import get_spark
+from crystal_parquet_database_spark.surface import QUERIES
+
+SRC = "/root/testdata/sf0.1"
+
+PROBES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_topk_orders_per_customer",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_simhash_fingerprint",
+    "sim_cosine_topk_bruteforce",
+    "text_quality_scores",
+    "stream_session_windows",
+]
+
+
+def replicate(spark, factor: int, out_dir: str) -> None:
+    """Union `factor` key-shifted copies of each table (ids/keys offset per
+    copy so joins and groupings keep realistic cardinality growth)."""
+    shifts = {
+        "lineitem": {"l_orderkey": 1_000_000, "l_linenumber": 0},
+        "orders": {"o_orderkey": 1_000_000, "o_custkey": 100_000},
+        "customer": {"c_custkey": 100_000},
+        "events": {"event_id": 10_000_000, "user_id": 1_000},
+        "documents": {"doc_id": 1_000_000},
+        "embeddings": {"vec_id": 1_000_000},
+        # dimension tables stay as-is (they'd be broadcast at any size)
+        "supplier": {},
+        "part": {},
+        "nation": {},
+        "region": {},
+    }
+    from crystal_parquet_database_spark.tables import load_table
+
+    for name, shift in shifts.items():
+        base = load_table(spark, SRC, name)  # handles the NANOS events column
+        if not shift:
+            base.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+            continue
+        copies = []
+        for i in range(factor):
+            c = base
+            for col, step in shift.items():
+                if step:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * step))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def run(sf_dir: str, label: str) -> dict[str, float]:
+    spark = get_spark(app_name=f"scale_probe_{label}")
+    times = {}
+    for name in PROBES:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = time.perf_counter() - t0
+    return times
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = tempfile.mkdtemp(prefix=f"scale{factor}x_")
+    spark = get_spark(app_name="scale_probe_gen")
+    print(f"replicating sf0.1 x{factor} into {out_dir} ...", flush=True)
+    replicate(spark, factor, out_dir)
+
+    base = run(SRC, "base")
+    big = run(out_dir, f"{factor}x")
+    print(f"\n{'query':36s} {'sf0.1':>8s} {f'{factor}x':>8s} {'ratio':>7s}")
+    for name in PROBES:
+        r = big[name] / max(base[name], 1e-9)
+        flag = "  <-- superlinear!" if r > factor * 2 else ""
+        print(f"{name:36s} {base[name]:8.2f} {big[name]:8.2f} {r:6.1f}x{flag}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
