@@ -18,6 +18,25 @@ from crystal_parquet_database_spark.functions.portable_hash import spark_hash64,
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table, register_views
 
+_GROUPING_SETS_TEXT = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("agg_grouping_sets_explicit", _GROUPING_SETS_TEXT)
+def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() indicators (beyond rollup/cube).
+    Same SQL text runs on both engines."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_GROUPING_SETS_TEXT)
+
+
 # One query exercised through the SQL API itself (views + spark.sql): the
 # engine treats DataFrame and SQL text as the same logical-plan front end, so
 # the oracle string IS the Spark query.
