@@ -61,7 +61,10 @@ def quality_features(df: DataFrame, text_col: str, stopwords: list[str]) -> Data
     computed in double with an expression shape the oracle mirrors exactly.
     """
     t = F.col(text_col)
-    toks = ws_tokens(t)
+    # materialize tokens once — inlining the split into every consumer
+    # re-splits the text per expression (see functions/portable_hash PERF note)
+    df = df.withColumn("__toks", ws_tokens(t))
+    toks = F.col("__toks")
     n_words = F.size(toks)
     # membership via array_contains on a literal array — Column.isin is not
     # supported on lambda variables inside higher-order functions
@@ -83,7 +86,7 @@ def quality_features(df: DataFrame, text_col: str, stopwords: list[str]) -> Data
             "punct_ratio": punct_ratio,
             "quality_score": score,
         }
-    )
+    ).drop("__toks")
 
 
 def language_id(df: DataFrame, text_col: str) -> DataFrame:
@@ -92,7 +95,9 @@ def language_id(df: DataFrame, text_col: str) -> DataFrame:
     Emits one count per language plus the predicted language (ties broken by
     LANG_ORDER preference).
     """
-    toks = ws_tokens(F.col(text_col))
+    # materialize tokens once (5 marker filters would otherwise each re-split)
+    df = df.withColumn("__toks", ws_tokens(F.col(text_col)))
+    toks = F.col("__toks")
 
     # closure factory, not lambda default-args (see operators/dedup.py note)
     def marker_count(ws: list[str]) -> Column:
@@ -100,7 +105,7 @@ def language_id(df: DataFrame, text_col: str) -> DataFrame:
         return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
     counts = {lang: marker_count(ws) for lang, ws in LANG_MARKERS.items()}
-    out = df.withColumns({f"score_{lang}": c for lang, c in counts.items()})
+    out = df.withColumns({f"score_{lang}": c for lang, c in counts.items()}).drop("__toks")
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
     pred = None
     for lang in reversed(LANG_ORDER):
