@@ -41,7 +41,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from crystal_parquet_database_spark.schema import cast_to_schema, unify_schemas
+from crystal_parquet_database_spark.schema import cast_to_schema, leaf_types, unify_schemas
 
 ID_COL = "id"
 
@@ -56,7 +56,14 @@ def assign_contiguous_ids_with_count(
     Per-partition row_number + driver-side cumulative partition offsets (the
     offsets table is one row per partition — tiny at any scale). This is the
     distributed equivalent of parquetdb's auto-increment id (SURVEY.md §7).
+
+    The input is evaluated twice (offsets pass + downstream action), so it is
+    persisted for the duration — otherwise nondeterministic lineage (sample,
+    rand filters) could change partition contents between passes and corrupt
+    the ids. Caller must trigger its action before the frame is unpersisted;
+    PqDB.create does (it writes immediately).
     """
+    df = df.persist()
     d = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
@@ -164,20 +171,28 @@ class PqDB:
             old_schema = T.StructType([f for f in existing.schema.fields if f.name != ID_COL])
             merged = unify_schemas([old_schema, df.schema])
             if merged != old_schema:
+                # Only genuine TYPE changes at paths the old data already has
+                # force a rewrite; column/field ADDITIONS (even nested ones)
+                # evolve cheaply — mergeSchema null-pads old files on read.
+                old_leaves = leaf_types(old_schema)
+                merged_leaves = leaf_types(merged)
                 widened = any(
-                    f.name in {g.name for g in df.schema.fields}
-                    for f in merged.fields
-                    if f not in old_schema.fields and f.name in {g.name for g in old_schema.fields}
+                    path in old_leaves and old_leaves[path] != t
+                    for path, t in merged_leaves.items()
                 )
                 if widened:
                     base = cast_to_schema(existing, merged, keep_extra=True)
                     self._rewrite(base)
             df = cast_to_schema(df, merged, keep_extra=False)
+        source = df
         df, n = assign_contiguous_ids_with_count(df, start=start)
-        writer = df.write.mode("append")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(self.path)
+        try:
+            writer = df.write.mode("append")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(self.path)
+        finally:
+            source.unpersist()
         return n
 
     @staticmethod
@@ -256,7 +271,12 @@ class PqDB:
         Unmatched rows are kept as-is; update frames may carry a subset of
         columns (all of which must already exist in the dataset). The update
         key must be unique — a duplicate key would multiply base rows through
-        the join and permanently corrupt the dataset."""
+        the join and permanently corrupt the dataset.
+
+        NULL cells in an update frame mean "keep the old value" (the coalesce
+        merge below) — a deliberate partial-update semantic, since row-dict
+        inputs cannot distinguish absent from explicitly-null. To null a
+        field, rewrite via read→transform→create."""
         up = self._to_df(updates)
         base = self._df()
         upd_cols = [c for c in up.columns if c != on]
@@ -287,15 +307,18 @@ class PqDB:
         self._rewrite(out)
 
     def delete(self, ids: list | None = None, where: str | Column | None = None) -> None:
-        """Delete by id list or predicate."""
+        """Delete rows where the predicate is TRUE (SQL DELETE semantics:
+        rows where it evaluates to NULL are kept, not deleted)."""
         base = self._df()
         if ids is not None:
-            out = base.filter(~F.col(ID_COL).isin(ids))
+            cond = F.col(ID_COL).isin(ids)
         elif where is not None:
             cond = F.expr(where) if isinstance(where, str) else where
-            out = base.filter(~cond)
         else:
             raise ValueError("provide ids or where")
+        # keep rows where cond is FALSE or NULL — a bare ~cond would drop
+        # NULL-predicate rows (NULL → ~NULL = NULL → filtered out)
+        out = base.filter(~F.coalesce(cond, F.lit(False)))
         self._rewrite(out)
 
     # ------------------------------------------------------------ layout / stats

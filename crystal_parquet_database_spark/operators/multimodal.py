@@ -60,8 +60,11 @@ def _fake_decode_meta(data: bytes) -> dict:
 def _decode_meta(data: bytes) -> dict:
     try:  # real path — not available in this container
         from PIL import Image  # type: ignore
-        import io
+    except ImportError:
+        return _fake_decode_meta(data)
+    import io
 
+    try:
         img = Image.open(io.BytesIO(data))
         return {
             "mime": Image.MIME.get(img.format or "", "image/unknown"),
@@ -69,8 +72,9 @@ def _decode_meta(data: bytes) -> dict:
             "height": img.height,
             "n_bytes": len(data),
         }
-    except ImportError:
-        return _fake_decode_meta(data)
+    except Exception:
+        # undecodable bytes must not fail the whole job — mark, don't crash
+        return {"mime": "image/undecodable", "width": None, "height": None, "n_bytes": len(data)}
 
 
 def with_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:

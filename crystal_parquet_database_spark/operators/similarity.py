@@ -49,11 +49,16 @@ def cosine_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Returns (query_id, match_id, cos, rank). Ties broken by match id so the
     cut is deterministic. The query side is broadcast; corpus is scanned once.
+
+    ``exclude_self`` drops matches whose id equals the query id — correct for
+    self-search over one table; pass False when queries and corpus come from
+    unrelated id spaces (numeric collisions would silently drop neighbors).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -61,7 +66,7 @@ def cosine_topk(
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("match_id") != F.col("query_id"))
+        .filter(F.col("match_id") != F.col("query_id") if exclude_self else F.lit(True))
         .select(
             "query_id",
             "match_id",
@@ -99,12 +104,14 @@ def ann_lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     dim: int = 64,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: compare only within the query's hyperplane bucket.
 
     At 100 TB the bucket column is computed once at ingest and used as a
     partition/cluster key; the per-query search then touches ~1/2^n_planes of
     the corpus. Recall is tunable via multi-probe (not needed here).
+    See cosine_topk for ``exclude_self``.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -118,7 +125,7 @@ def ann_lsh_topk(
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
-        .filter(F.col("match_id") != F.col("query_id"))
+        .filter(F.col("match_id") != F.col("query_id") if exclude_self else F.lit(True))
         .select("query_id", "match_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
@@ -137,6 +144,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
     corpus into cells; each query scans only its ``n_probe`` nearest cells.
@@ -181,7 +189,7 @@ def ivf_topk(
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("match_id") != F.col("query_id"))
+        .filter(F.col("match_id") != F.col("query_id") if exclude_self else F.lit(True))
         .select("query_id", "match_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))

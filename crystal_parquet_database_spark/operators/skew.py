@@ -48,8 +48,11 @@ def salted_join(
             f"salted_join supports {sorted(allowed)} join types; {how!r} would "
             "duplicate unmatched small-side rows across salt replicas"
         )
+    # salt from the row *position*, not row content: the skew case routinely
+    # contains byte-identical hot rows, which a content hash would send to
+    # the same reducer, defeating the whole point
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
     salts = big.sparkSession.range(n_salts).select(F.col("id").cast("long").alias("__salt"))
     salted_small = small.crossJoin(salts)

@@ -222,6 +222,20 @@ def unify_schemas(schemas: list[T.StructType]) -> T.StructType:
     return out
 
 
+def leaf_types(schema: T.DataType, prefix: str = "") -> dict[str, str]:
+    """Dotted-path → typeName map across struct/array nesting (for schema
+    comparisons that must ignore nullability/metadata and field additions)."""
+    out: dict[str, str] = {}
+    if isinstance(schema, T.StructType):
+        for f in schema.fields:
+            out.update(leaf_types(f.dataType, f"{prefix}{f.name}."))
+    elif isinstance(schema, T.ArrayType):
+        out.update(leaf_types(schema.elementType, f"{prefix}[]."))
+    else:
+        out[prefix.rstrip(".")] = schema.typeName()
+    return out
+
+
 def _null_of(dt: T.DataType) -> Column:
     return F.lit(None).cast(dt)
 

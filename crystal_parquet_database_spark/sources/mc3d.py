@@ -168,7 +168,13 @@ def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
-            rec = _parse_cif(bytes(content).decode("utf-8", errors="replace"))
+            try:
+                rec = _parse_cif(bytes(content).decode("utf-8", errors="replace"))
+            except Exception:
+                # e.g. esd notation '0.5(2)' passes the header regexes but
+                # fails float() in the minimal parser — skip the file, never
+                # fail the distributed ingest
+                rec = None
             if rec is None:
                 continue
             rec["source_id"] = os.path.splitext(os.path.basename(path))[0]

@@ -45,6 +45,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the low digits). Floor matches DuckDB's ns→µs truncation.
         # (Re-written copies of the table already carry a proper timestamp —
         # convert only when ts actually arrives as a long.)
+        # NOTE: this conf intentionally stays set on the session (restoring it
+        # after a lazy read races plan execution); its only observable effect
+        # elsewhere is turning a hard PARQUET_TYPE_ILLEGAL error on other
+        # NANOS columns into an int64 read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":

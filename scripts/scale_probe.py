@@ -66,6 +66,14 @@ def replicate(spark, factor: int, out_dir: str) -> None:
             for col, step in shift.items():
                 if step:
                     c = c.withColumn(col, F.col(col) + F.lit(i * step))
+            if name == "documents" and i > 0:
+                # Perturb text per copy (vowel rotation) so copies of the same
+                # doc are NOT near-duplicates of each other — otherwise the
+                # dedup probes would measure C(factor,2) duplicate-group
+                # blowup that replication itself manufactures, not the
+                # algorithm's scaling.
+                src, dst = "aeiou", ("aeiou" * 2)[i % 5 : i % 5 + 5]
+                c = c.withColumn("text", F.translate(F.col("text"), src, dst))
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
