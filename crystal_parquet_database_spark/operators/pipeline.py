@@ -1,0 +1,103 @@
+"""Composable training-data pipeline: the end-to-end shape a 100 TB corpus
+actually runs — dedup → quality filter → language filter → sample → write —
+as one lazy DataFrame chain over the engine's operators.
+
+Each step stays declarative (one Catalyst plan end to end, optimized as a
+whole), so filters commute down to the scan and nothing materializes between
+steps. ``describe()`` reports per-step row counts for auditability (each
+count is an action — use on samples, not on the full corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.functions.portable_hash import spark_hash64
+from crystal_parquet_database_spark.operators import dedup as D
+from crystal_parquet_database_spark.operators import text as T
+
+
+class TrainingDataPipeline:
+    """Fluent pipeline over a documents frame (id + text columns)."""
+
+    def __init__(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+        self.df = df
+        self.id_col = id_col
+        self.text_col = text_col
+        self.steps: list[str] = ["source"]
+        self._frames: list[DataFrame] = [df]
+
+    def _push(self, name: str, df: DataFrame) -> "TrainingDataPipeline":
+        self.df = df
+        self.steps.append(name)
+        self._frames.append(df)
+        return self
+
+    # ------------------------------------------------------------------ steps
+
+    def dedup_exact(self) -> "TrainingDataPipeline":
+        """Drop exact duplicates, keeping the lowest id per content digest."""
+        marks = D.exact_dedup(self.df, self.text_col, self.id_col)
+        keep = marks.filter(~F.col("is_dup")).select(self.id_col)
+        return self._push("dedup_exact", self.df.join(keep, self.id_col, "left_semi"))
+
+    def dedup_near(
+        self, threshold: float = 0.8, n_hashes: int = 32, n_bands: int = 8
+    ) -> "TrainingDataPipeline":
+        """Drop near-duplicates via MinHash+LSH: from every verified pair the
+        higher id is removed (transitively keeps one representative per
+        connected pair chain's minimum)."""
+        pairs = D.minhash_lsh_dedup(
+            self.df, self.text_col, self.id_col,
+            threshold=threshold, n_hashes=n_hashes, n_bands=n_bands,
+        )
+        losers = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
+        return self._push(
+            f"dedup_near(j>={threshold})",
+            self.df.join(losers, self.id_col, "left_anti"),
+        )
+
+    def filter_quality(
+        self, min_score: float = 0.3, stopwords: list[str] | None = None
+    ) -> "TrainingDataPipeline":
+        sw = stopwords or ["the", "a", "of", "and", "key", "value"]
+        scored = T.quality_features(self.df, self.text_col, sw)
+        kept = scored.filter(F.col("quality_score") >= min_score).drop(
+            "n_words", "stopword_ratio", "punct_ratio", "quality_score"
+        )
+        return self._push(f"quality>={min_score}", kept)
+
+    def filter_language(self, langs: list[str]) -> "TrainingDataPipeline":
+        pred = T.language_id(self.df, self.text_col)
+        kept = pred.filter(F.col("lang_pred").isin(langs)).drop(
+            *[f"score_{lang}" for lang in T.LANG_ORDER], "lang_pred"
+        )
+        return self._push(f"lang in {langs}", kept)
+
+    def filter_length(self, min_tokens: int = 5, max_tokens: int = 100_000) -> "TrainingDataPipeline":
+        n = F.size(T.ws_tokens(F.col(self.text_col)))
+        return self._push(
+            f"len in [{min_tokens},{max_tokens}]",
+            self.df.filter((n >= min_tokens) & (n <= max_tokens)),
+        )
+
+    def sample_fraction(self, keep_percent: int) -> "TrainingDataPipeline":
+        """Deterministic hash-based sampling (stable across engines/retries —
+        never rand())."""
+        h = spark_hash64(F.col(self.id_col).cast("string")) % 100
+        return self._push(f"sample {keep_percent}%", self.df.filter(h < keep_percent))
+
+    def with_token_counts(self) -> "TrainingDataPipeline":
+        return self._push("token_counts", T.token_counts(self.df, self.text_col))
+
+    # ---------------------------------------------------------------- outputs
+
+    def write(self, path: str, partition_by: list[str] | None = None, **kwargs) -> None:
+        from crystal_parquet_database_spark.sources.io import write_table
+
+        write_table(self.df, path, partition_by=partition_by, **kwargs)
+
+    def describe(self) -> list[tuple[str, int]]:
+        """(step, surviving rows) per step — counts execute the chain."""
+        return [(name, frame.count()) for name, frame in zip(self.steps, self._frames)]

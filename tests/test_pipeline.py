@@ -1,0 +1,69 @@
+"""End-to-end training-data pipeline: dedup → filters → sample → write."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.operators.pipeline import TrainingDataPipeline
+from crystal_parquet_database_spark.tables import load_table
+
+
+def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    p = (
+        TrainingDataPipeline(docs)
+        .dedup_exact()
+        .dedup_near(threshold=0.8)
+        .filter_length(min_tokens=10)
+        .filter_quality(min_score=0.2)
+        .sample_fraction(80)
+    )
+    stats = p.describe()
+    names = [s[0] for s in stats]
+    counts = [s[1] for s in stats]
+    assert names[0] == "source" and counts[0] == 500
+    # monotone: every step can only shrink the corpus
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # near-dedup removed the planted near-duplicates
+    assert counts[2] < counts[1]
+    assert counts[-1] > 0
+
+    out = str(tmp_path / "clean")
+    p.write(out, max_records_per_file=100, n_files=1)
+    back = spark.read.parquet(out)
+    assert back.count() == counts[-1]
+    assert glob.glob(f"{out}/*.parquet")
+    # schema preserved (pipeline drops its own helper columns)
+    assert set(back.columns) == set(docs.columns)
+
+
+def test_pipeline_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run():
+        return sorted(
+            r["doc_id"]
+            for r in TrainingDataPipeline(docs)
+            .dedup_near()
+            .sample_fraction(50)
+            .df.select("doc_id")
+            .collect()
+        )
+
+    assert run() == run()
+
+
+def test_pipeline_near_dedup_keeps_one_representative(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from crystal_parquet_database_spark.operators.dedup import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.8)
+    pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    survivors = {
+        r["doc_id"] for r in TrainingDataPipeline(docs).dedup_near().df.select("doc_id").collect()
+    }
+    for a, b in pair_rows:
+        assert not (a in survivors and b in survivors)  # at most one side survives
+        assert a in survivors or b not in survivors  # losers are the higher ids
