@@ -238,6 +238,64 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q2_ORACLE = """
+SELECT p_partkey, p_name, l_suppkey, l_extendedprice
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size = 25
+  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("q2_min_cost_supplier", _Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — decorrelated as an
+    aggregate-then-join (exactly what Catalyst does to the SQL form).
+    Equality on raw stored doubles is exact (same bits both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    mins = li.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(mins, (li.l_partkey == F.col("mk")) & (li.l_extendedprice == F.col("min_price")))
+        .select("p_partkey", "p_name", "l_suppkey", "l_extendedprice")
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@query("q12_priority_shipping", _Q12_ORACLE)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation over a join
+    (l_returnflag stands in for the missing shipmode column)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
 _Q22_ORACLE = """
 WITH avg_pos AS (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
