@@ -329,6 +329,97 @@ def window_range_frame_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIST_WINDOW_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(NTILE(4) OVER w AS INTEGER) AS balance_quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@query("window_distribution_functions", _DIST_WINDOW_ORACLE)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist — distribution window functions
+    (rank-formula doubles are engine-identical given the same total order)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_NTH_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+       LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("window_positional_values", _NTH_ORACLE)
+def window_positional_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value / last_value over an unbounded frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
+
+
+_HOF_ORACLE = f"""
+SELECT vec_id,
+       list_aggregate(list_transform(generate_series(1, 64),
+                      i -> CAST(embedding[i] AS DOUBLE) + CAST(embedding[i] AS DOUBLE)),
+                      'sum') AS doubled_sum,
+       len(list_filter(embedding, x -> x > 0.1)) > 0 AS any_large,
+       CAST(embedding[1] AS DOUBLE) >= 0 AND CAST(embedding[2] AS DOUBLE) >= 0 AS head_nonneg
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+@query("scalar_higher_order_functions", _HOF_ORACLE)
+def scalar_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip_with / exists higher-order functions over array columns."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    doubled = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("embedding"),
+            lambda x, y: x.cast("double") + y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        doubled.alias("doubled_sum"),
+        F.exists("embedding", lambda x: x > 0.1).alias("any_large"),
+        (
+            (F.element_at("embedding", 1).cast("double") >= 0)
+            & (F.element_at("embedding", 2).cast("double") >= 0)
+        ).alias("head_nonneg"),
+    )
+
+
 _SAMPLE_ORACLE = f"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
