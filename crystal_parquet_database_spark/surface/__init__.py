@@ -19,6 +19,7 @@ from crystal_parquet_database_spark.surface.registry import ORACLES, QUERIES, qu
 from crystal_parquet_database_spark.surface import relational  # noqa: E402,F401
 from crystal_parquet_database_spark.surface import relational_ext  # noqa: E402,F401
 from crystal_parquet_database_spark.surface import tpch_ext  # noqa: E402,F401
+from crystal_parquet_database_spark.surface import tpch_complete  # noqa: E402,F401
 from crystal_parquet_database_spark.surface import scalar  # noqa: E402,F401
 from crystal_parquet_database_spark.surface import llm  # noqa: E402,F401
 from crystal_parquet_database_spark.surface import streaming  # noqa: E402,F401
