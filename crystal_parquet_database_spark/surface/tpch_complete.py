@@ -266,9 +266,11 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     s = _t(spark, sf_dir, "supplier")
+    # heavy_pairs is post-HAVING output, bounded by |supplier| — broadcast it
+    # so the semi probe needs no supplier-side shuffle.
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(heavy_pairs, s.s_suppkey == heavy_pairs.l_suppkey, "left_semi")
+        .join(F.broadcast(heavy_pairs), s.s_suppkey == heavy_pairs.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
 
@@ -295,9 +297,11 @@ LIMIT 10
 @query("q21_suppliers_kept_waiting", _Q21_ORACLE)
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole late supplier on a multi-supplier order —
-    EXISTS + correlated NOT EXISTS, decorrelated to per-order distinct
-    supplier counts (one fact shuffle on l_orderkey, reused for candidates
-    and stats). ("Late" = shipped >60 days after the order date, standing in
+    EXISTS + correlated NOT EXISTS, decorrelated to per-order supplier stats.
+    The two distinct counts are computed as a TWO-LEVEL aggregation
+    ((orderkey, suppkey) partial → orderkey) instead of countDistinct×2,
+    which would plan an Expand that triples the fact's rows before the
+    shuffle. ("Late" = shipped >60 days after the order date, standing in
     for l_receiptdate > l_commitdate.)"""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
@@ -306,9 +310,12 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("po_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"),
     )
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
     s = _t(spark, sf_dir, "supplier")

@@ -73,3 +73,32 @@ def test_similarity_broadcasts_queries(spark, sf_dir):
     strategies = join_strategies(df)
     assert "BroadcastHashJoin" in strategies or "BroadcastNestedLoopJoin" in strategies
     assert "SortMergeJoin" not in strategies
+
+
+def test_q8_single_fact_shuffle(spark, sf_dir):
+    """Q8's 7-way star join: every dimension broadcasts; only the final
+    group-by year exchanges."""
+    df = QUERIES["q8_national_market_share"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 6
+    assert num_shuffles(df) <= 2
+
+
+def test_q20_broadcast_semi_no_expand(spark, sf_dir):
+    """Q20: the post-HAVING pair list broadcasts into the semi join, and the
+    conditional-sum HAVING avoids Expand — one fact shuffle total."""
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["q20_potential_promotion"](spark, sf_dir)
+    assert "SortMergeJoin" not in join_strategies(df)
+    assert num_shuffles(df) <= 2
+    assert "Expand" not in formatted_plan(df)
+
+
+def test_q21_two_level_distinct_no_expand(spark, sf_dir):
+    """Q21: distinct supplier counts via two-level aggregation — the plan
+    must NOT contain the Expand node countDistinct x2 would introduce."""
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["q21_suppliers_kept_waiting"](spark, sf_dir)
+    assert "Expand" not in formatted_plan(df)
