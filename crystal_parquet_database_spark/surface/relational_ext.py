@@ -445,3 +445,62 @@ def sample_deterministic_stratified(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+# ----------------------------------------------------------------------------
+# statistical moments: corr / covar_pop / stddev_pop from exact power sums
+# ----------------------------------------------------------------------------
+
+_MOM = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS DOUBLE) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+            AS DOUBLE) AS sxx,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS DOUBLE) AS syy,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS DOUBLE) AS sxy
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_MOMENTS_ORACLE = f"""
+SELECT l_returnflag,
+       (sxy - sx * sy / n) / n AS covar_pop,
+       SQRT((sxx - sx * sx / n) / n) AS stddev_qty,
+       (sxy - sx * sy / n) / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+FROM ({_MOM.strip()})
+"""
+
+
+@query("agg_stats_moments", _MOMENTS_ORACLE)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group correlation / covariance / stddev built from exact decimal
+    power sums (n, Σx, Σy, Σx², Σy², Σxy) — one pass over the fact with
+    map-side partials (the identical shuffle shape as any groupBy sum),
+    then the moment formulas evaluated in double with the exact same
+    expression tree as the oracle, so results are bit-identical. Spark's
+    built-in corr/stddev are also single-pass but their merge order leaks
+    into the low bits, which is why they can't be oracle-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = money("l_quantity")
+    y = money("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return g.select(
+        "l_returnflag",
+        ((sxy - sx * sy / n) / n).alias("covar_pop"),
+        F.sqrt((sxx - sx * sx / n) / n).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).alias(
+            "corr_qty_price"
+        ),
+    )
