@@ -522,7 +522,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COLLECT_ORACLE = """
 SELECT n_regionkey,
-       LIST(DISTINCT n_name ORDER BY n_name) AS nations,
+       ARRAY_TO_STRING(LIST(DISTINCT n_name ORDER BY n_name), ',') AS nations,
        COUNT(*) AS n_nations
 FROM nation
 GROUP BY n_regionkey
@@ -531,12 +531,15 @@ GROUP BY n_regionkey
 
 @query("agg_collect_sorted_list", _COLLECT_ORACLE)
 def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set → sorted array (deterministic list aggregation)."""
+    """collect_set → sorted list, joined to a string (deterministic list
+    aggregation). Emitted as a comma-joined string rather than array<string>
+    because order-insensitive result comparison needs hashable cells; the
+    list semantics are identical."""
     return (
         _t(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_set("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
             F.count("*").alias("n_nations"),
         )
     )

@@ -296,10 +296,11 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the single-pass fixed-memory scale path for
     quantiles (exact percentile shuffles all values per group)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Scalar columns (not one array<double>) so result canonicalizers that
+    # sort/hash cell values don't choke on unhashable lists.
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000).alias(
-            "approx_p50_p90"
-        ),
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.approx_percentile("l_extendedprice", 0.9, 10000).alias("approx_p90"),
         F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
     )
 
