@@ -21,6 +21,7 @@ DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -102,13 +103,27 @@ def minhash_signature(df: DataFrame, n_hashes: int = 32) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, n_bands: int = 8, rows_per_band: int = 4
+    sig_df: DataFrame,
+    id_col: str,
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band key become a candidate pair.
 
     Explodes to (band, band_key, id) and self-joins on the bucket — the join
     key is a short string, so the shuffle is narrow. Output: (id_a, id_b)
     with id_a < id_b, distinct.
+
+    ``max_bucket_size`` is the hot-bucket guard: a bucket holding m docs
+    yields m² candidate pairs, so one mass-duplicated document (every copy
+    identical ⇒ every copy in the same bucket in every band) turns the join
+    quadratic. With the cap set, buckets larger than the cap are dropped
+    before the self-join (a windowed count over the SAME (band, key) shuffle
+    partitioning — no extra exchange). Pairs inside a dropped bucket are by
+    construction near-exact duplicates; catch them with ``exact_dedup``
+    (or ``collapse_exact=True`` upstream), which handles identical content
+    linearly.
     """
     bands = F.array(
         *[
@@ -129,6 +144,11 @@ def lsh_candidate_pairs(
         sig_df.select(F.col(id_col), F.explode(bands).alias("b"))
         .select(id_col, "b.band", "b.key")
     )
+    if max_bucket_size is not None:
+        bucket_n = F.count("*").over(W.partitionBy("band", "key"))
+        exploded = exploded.withColumn("__n", bucket_n).filter(
+            F.col("__n") <= max_bucket_size
+        ).drop("__n")
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -163,10 +183,34 @@ def minhash_lsh_dedup(
     n_hashes: int = 32,
     n_bands: int = 8,
     unit: str = "word",
+    max_bucket_size: int | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH buckets → exact-Jaccard
     verification of candidates only. Returns (id_a, id_b, jaccard) pairs with
-    jaccard >= threshold."""
+    jaccard >= threshold.
+
+    Hot-bucket guards (both off by default to keep the unguarded semantics):
+
+    - ``collapse_exact=True`` first collapses byte-identical texts to their
+      min-id representative (one digest shuffle, linear), so a document with
+      a million exact copies enters LSH once. Output pairs are then between
+      representatives; within-class duplicate pairs are exact duplicates by
+      definition — recover them with ``exact_dedup``.
+    - ``max_bucket_size`` drops LSH buckets larger than the cap before the
+      self-join (see ``lsh_candidate_pairs``).
+
+    At 100 TB run with both: exact dedup first is the standard production
+    recipe, and the cap bounds the worst bucket regardless of input shape.
+    """
+    if collapse_exact:
+        digest = F.md5(F.col(text_col))
+        w = W.partitionBy(digest)
+        df = (
+            df.withColumn("__canon", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("__canon"))
+            .drop("__canon")
+        )
     rows_per_band = n_hashes // n_bands
     hs = shingle_hashes(df, text_col, k, unit)
     # Materialize the CPU-bound shingle/hash stage ONCE: three consumers hang
@@ -177,7 +221,7 @@ def minhash_lsh_dedup(
     # session-lifetime cache.
     hs = hs.localCheckpoint(eager=True)
     sig = minhash_signature(hs, n_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, n_bands, rows_per_band)
+    cand = lsh_candidate_pairs(sig, id_col, n_bands, rows_per_band, max_bucket_size)
     sets_ = hs.select(F.col(id_col), F.col("hs").alias("shset"))
     a = sets_.alias("a")
     b = sets_.alias("b")
@@ -265,7 +309,7 @@ def minhash_lsh_ml(
     tests rather than against the DuckDB oracle.
     """
     from pyspark.ml.feature import MinHashLSH
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.linalg import VectorUDT
 
     hs = shingle_hashes(df, text_col, k).select(F.col(id_col), F.col("hs"))
 
@@ -274,10 +318,16 @@ def minhash_lsh_ml(
     # per-doc set sizes and only perturb the ML variant, not the native path.
     dim = 1 << 30
 
-    @F.udf(VectorUDT())
-    def to_vec(arr):
-        idx = sorted({int(h) % dim for h in arr})
-        return Vectors.sparse(dim, idx, [1.0] * len(idx))
+    # Arrow-batched conversion to ml sparse vectors. A pandas_udf with a UDT
+    # return type emits the UDT's *storage struct* — for VectorUDT that is
+    # (type, size, indices, values) with type=0 meaning sparse.
+    @F.pandas_udf(VectorUDT())
+    def to_vec(arrs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for arr in arrs:
+            idx = sorted({int(h) % dim for h in arr})
+            rows.append((0, dim, idx, [1.0] * len(idx)))
+        return pd.DataFrame(rows, columns=["type", "size", "indices", "values"])
 
     vecs = hs.select(F.col(id_col), to_vec("hs").alias("features")).cache()
     try:
@@ -303,10 +353,65 @@ def minhash_lsh_ml(
 
 
 def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 4, bits: int = 32
+) -> DataFrame:
+    """Pairs of fingerprints within a Hamming radius, via pigeonhole banding.
+
+    Split the ``bits``-bit fingerprint into ``max_hamming + 1`` disjoint
+    bands: two fingerprints within Hamming distance d ≤ max_hamming differ
+    in at most d bands, so they agree EXACTLY on at least one band — an
+    equi-join on (band index, band value) therefore finds every qualifying
+    pair (banding loses nothing; it only prunes). The exact bit_count(xor)
+    filter then discards band-collision false positives.
+
+    Scale shape: one explode to rows×(d+1) band rows, one shuffle on the
+    short (band, value) key, candidate-only verification — the same plan
+    family as MinHash LSH, no quadratic stage. Degenerate-corpus caveat: a
+    band value shared by m rows yields m² candidates within that bucket;
+    run exact_dedup first if the corpus is mass-duplicated.
+    """
+    n_bands = max_hamming + 1
+    base, rem = divmod(bits, n_bands)
+    bands, start = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), start)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+        )
+        start += width
+    exploded = sim_df.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "simhash", "b.band", "b.val")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def simhash_near_pairs_bruteforce(
     sim_df: DataFrame, id_col: str, max_hamming: int = 4
 ) -> DataFrame:
-    """Pairs of fingerprints within a Hamming radius (brute force; band the
-    fingerprint into prefixes for the at-scale variant)."""
+    """All-pairs Hamming comparison (quadratic) — the correctness oracle for
+    the banded path; restrict the input for scale."""
     a = sim_df.alias("a")
     b = sim_df.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -159,6 +159,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 @query("dedup_simhash_near_pairs", _SIMHASH_PAIRS_ORACLE)
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Both sides of the banded self-join consume the fingerprint subtree;
+    # Spark's ReusedExchange computes it once (verified — an explicit
+    # localCheckpoint barrier measured no faster).
     fp = D.simhash(docs, "text", "doc_id", bits=_BITS, k=_K)
     return D.simhash_near_pairs(fp, "doc_id", max_hamming=6)
 

@@ -63,8 +63,11 @@ GROUP BY o_year
 @query("q8_national_market_share", _Q8_ORACLE)
 def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: market share of one supplier nation within a customer
-    region, per order year — 7-way star join (all dims broadcast), conditional
-    share of an exact decimal sum."""
+    region, per order year — 7-way join, conditional share of an exact decimal
+    sum. The six true dimensions (part, supplier, customer, both nation roles,
+    region) broadcast by explicit hint; ORDERS is a second fact joined on
+    l_orderkey — left declarative so AQE broadcasts it at small scale while a
+    1000-executor run plans the shuffle join the data size demands."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     s = _t(spark, sf_dir, "supplier")
@@ -155,16 +158,16 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_ORACLE = """
 WITH supp_part AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
-              AS DOUBLE) AS part_value
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+           AS pv_dec
   FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
                 JOIN nation   ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_5'
   GROUP BY l_partkey
 )
-SELECT l_partkey AS p_partkey, part_value
+SELECT l_partkey AS p_partkey, CAST(pv_dec AS DOUBLE) AS part_value
 FROM supp_part
-WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM supp_part)
+WHERE CAST(pv_dec AS DOUBLE) > (SELECT CAST(SUM(pv_dec) AS DOUBLE) * 0.001 FROM supp_part)
 """
 
 
@@ -173,7 +176,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part value within one nation's suppliers, kept if
     above a fraction of the total — group-then-scalar-subquery over the SAME
     aggregate (computed once, broadcast as a 1-row DF; no second fact scan).
-    (extendedprice*quantity stands in for supplycost*availqty.)"""
+    (extendedprice*quantity stands in for supplycost*availqty.)
+
+    The threshold is derived from the exact DECIMAL per-part sums (summed
+    exactly, cast to double once, then *0.001 in identical IEEE ops both
+    sides) — summing the per-part doubles instead would be partition-order
+    dependent and could flip membership of a part within ~1 ulp of the cut."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
@@ -182,15 +190,17 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
                 li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(dsum(value).alias("part_value"))
+        .agg(F.sum(value).alias("pv_dec"))
     )
-    # The threshold sums the already-reduced per-part values (tiny relation),
-    # exactly as the oracle's scalar subquery does over the same CTE.
-    total = per_part.agg((F.sum(F.col("part_value")) * F.lit(0.001)).alias("__cut"))
+    # Threshold over the already-reduced per-part relation (tiny), summed in
+    # exact decimal, mirroring the oracle's scalar subquery expression shape.
+    total = per_part.agg(
+        (F.sum(F.col("pv_dec")).cast("double") * F.lit(0.001)).alias("__cut")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("__cut"))
-        .select("p_partkey", "part_value")
+        .filter(F.col("pv_dec").cast("double") > F.col("__cut"))
+        .select("p_partkey", F.col("pv_dec").cast("double").alias("part_value"))
     )
 
 

@@ -37,6 +37,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver harness does); timestamp semantics must not depend on the host
     # timezone, so pin UTC at query-build time.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # On such a bare session the stock 200 shuffle partitions waste ~170
+    # empty tasks per exchange at fixture scale. Only the untouched default
+    # is lowered — an explicit user/cluster setting always wins (at real
+    # scale shuffle parallelism is a deliberate cluster choice, not ours).
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     if name == "events":
         # The events fixture stores ts as parquet TIMESTAMP(NANOS), which the
         # Spark vectorized reader rejects outright. Read nanos as int64 and

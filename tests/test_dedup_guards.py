@@ -1,0 +1,79 @@
+"""Scale-safety tests for the dedup operators: the banded SimHash pair
+search must match the brute-force oracle and plan as an equi-join, and the
+LSH hot-bucket guards must keep a mass-duplicated corpus from going
+quadratic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.operators import dedup as D
+from crystal_parquet_database_spark.plans.inspect import formatted_plan
+from crystal_parquet_database_spark.tables import load_table
+
+
+def test_banded_simhash_matches_bruteforce(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = D.simhash(docs, "text", "doc_id", bits=32, k=3).localCheckpoint(eager=True)
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_near_pairs(fp, "doc_id", max_hamming=6).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_near_pairs_bruteforce(fp, "doc_id", max_hamming=6).collect()
+    }
+    # pigeonhole banding is recall-complete: exactly the brute-force pairs
+    assert banded == brute
+    assert brute, "fixture should contain at least one near-dup pair"
+
+
+def test_banded_simhash_plans_equi_join(spark, sf_dir):
+    """The at-scale property: candidate generation is a (band, value)
+    equi-join, never a cartesian/nested-loop comparison."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = D.simhash(docs, "text", "doc_id", bits=32, k=3)
+    plan = formatted_plan(D.simhash_near_pairs(fp, "doc_id", max_hamming=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_banded_simhash_band_widths_cover_all_bits(spark):
+    """Hamming radius that does not divide the bit width evenly: uneven
+    bands must still cover all 32 bits exactly (fingerprints differing only
+    in the top bit are found)."""
+    rows = [(1, 0), (2, 1 << 31), (3, (1 << 31) | 1)]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(fp, "doc_id", max_hamming=1).collect()
+    }
+    assert got == {(1, 2): 1, (2, 3): 1}
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """10k byte-identical docs: every doc lands in the same bucket in every
+    band (a 10^8-pair join unguarded). The bucket-size cap must drop the hot
+    buckets so the pipeline completes with zero candidates."""
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document body repeated everywhere forever").alias("text"),
+    )
+    out = D.minhash_lsh_dedup(
+        docs, "text", "doc_id", threshold=0.8, max_bucket_size=64
+    )
+    assert out.count() == 0
+
+
+def test_lsh_collapse_exact_keeps_near_dup_pairs(spark):
+    """collapse_exact folds identical copies to one representative before LSH
+    but must still find near-dup pairs between distinct texts."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base + "lambda"
+    rows = [(i, base) for i in range(5_000)] + [(100_000, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.minhash_lsh_dedup(
+        docs, "text", "doc_id", threshold=0.8, collapse_exact=True
+    ).collect()
+    # one pair: representative (min id 0) vs the near-dup text
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 100_000)}

@@ -75,13 +75,15 @@ def test_similarity_broadcasts_queries(spark, sf_dir):
     assert "SortMergeJoin" not in strategies
 
 
-def test_q8_single_fact_shuffle(spark, sf_dir):
-    """Q8's 7-way star join: every dimension broadcasts; only the final
-    group-by year exchanges."""
+def test_q8_dimensions_broadcast(spark, sf_dir):
+    """Q8's 7-way join: the six hint-forced dimensions must broadcast at any
+    scale. The lineitem⨝orders fact-fact join is deliberately declarative —
+    broadcast at fixture scale, shuffle join at real scale — so only the
+    hinted joins are asserted (no shuffle-count bound: it would encode the
+    fixture-size auto-broadcast of orders, not a plan property)."""
     df = QUERIES["q8_national_market_share"](spark, sf_dir)
     strategies = join_strategies(df)
     assert strategies.count("BroadcastHashJoin") >= 6
-    assert num_shuffles(df) <= 2
 
 
 def test_q20_broadcast_semi_no_expand(spark, sf_dir):
