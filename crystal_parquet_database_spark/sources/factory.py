@@ -23,7 +23,9 @@ class LoaderFactory:
         ("materialscloud", "mc3d"): MC3DLoader,
         # JARVIS intentionally absent: the reference's jarvis module is
         # import-broken and commented out of its factory (factory.py:13,24;
-        # README.md:131) — 40 stub classes, no behavior to reproduce.
+        # README.md:131) — 40 stub classes, no behavior to reproduce. Its one
+        # working piece (the figshare fetch) is mirrored as
+        # sources.jarvis.fetch_jarvis_dataset, import-gated on jarvis-tools.
     }
 
     @classmethod
