@@ -51,6 +51,7 @@ HEADLINE = [
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",
+    "sim_embedding_near_dup_lsh",
     "text_quality_scores",
     "text_language_id",
     "text_fingerprint",

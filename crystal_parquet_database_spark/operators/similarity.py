@@ -60,17 +60,26 @@ def cosine_topk(
     self-search over one table; pass False when queries and corpus come from
     unrelated id spaces (numeric collisions would silently drop neighbors).
     """
+    # Norms once per row (not per pair): bit-identical (same IEEE expression
+    # on the same doubles), and the corpus norm is no longer recomputed for
+    # every query it meets.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("match_id") != F.col("query_id") if exclude_self else F.lit(True))
         .select(
             "query_id",
             "match_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
@@ -116,17 +125,23 @@ def ann_lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
         hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
         hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("match_id") != F.col("query_id") if exclude_self else F.lit(True))
-        .select("query_id", "match_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return (
@@ -145,6 +160,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
     corpus into cells; each query scans only its ``n_probe`` nearest cells.
@@ -161,17 +177,28 @@ def ivf_topk(
     corpus_v = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    # A coarse quantizer does not need convergence — cell QUALITY only moves
+    # recall marginally while every extra iteration is a full corpus pass, so
+    # the iteration budget is capped (recall is governed by n_probe/n_cells).
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="features", predictionCol="cell",
+    )
     model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).select("match_id", "cvec", "cell")
+    assigned = model.transform(corpus_v).select("match_id", "cvec", "cnorm", "cell")
 
     centers = [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     spark = corpus.sparkSession
     centers_df = spark.createDataFrame(centers, schema="cell int, center array<double>")
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
+    )
     # rank cells per query by distance to centroid, keep n_probe
     qc = q.crossJoin(F.broadcast(centers_df)).withColumn(
         "dist2",
@@ -185,12 +212,16 @@ def ivf_topk(
     probes = (
         qc.withColumn("cell_rank", F.row_number().over(wcell))
         .filter(F.col("cell_rank") <= n_probe)
-        .select("query_id", "qvec", "cell")
+        .select("query_id", "qvec", "qnorm", "cell")
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("match_id") != F.col("query_id") if exclude_self else F.lit(True))
-        .select("query_id", "match_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
@@ -202,11 +233,104 @@ def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force over the given
-    frame — pre-filter or bucket for scale)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    frame — the correctness baseline; the scale path is
+    ``embedding_near_dup_lsh``)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    band_size: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH — the
+    100 TB path for the brute-force ``embedding_near_dup_pairs``.
+
+    The ``n_planes`` sign bits are split into bands of ``band_size``; rows
+    sharing ANY band key become candidates (equi-join on the short
+    (band, key) key — same plan family as MinHash LSH, no quadratic stage),
+    then the exact cosine filter keeps true near-dups. Smaller bands raise
+    recall at the cost of more candidates. The hyperplanes are the same
+    fixed integer formula as ``hyperplane_bucket``, so the candidate set —
+    and therefore the full result — is deterministic and reproducible by an
+    external SQL oracle; the operator is approximate (a near pair differing
+    in every band is missed) but exactly specified.
+
+    Defaults (two 6-bit bands = 64 buckets/band): for true near-dups
+    (cos ≥ 0.95 ⇒ per-plane agreement ≥ 0.9) recall ≈ 1-(1-0.9^6)² ≈ 0.8,
+    rising fast with similarity (≈0.996 at cos 0.999). Candidates per band
+    ≈ n²/64 — fixture-scale; at 100 TB raise n_planes with corpus size so
+    bucket populations stay bounded.
+    """
+    n_bands = (n_planes + band_size - 1) // band_size
+    # Norms are computed ONCE per row, not per candidate pair — inside a
+    # bucket of m rows the pairwise cosine would otherwise recompute each
+    # norm m times (measured 3×+ slower). sqrt(dot(v,v)) per row is the same
+    # IEEE expression on the same doubles, so results are bit-identical.
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__norm"),
+    )
+
+    def plane_bit(j: int) -> Column:
+        w_arr = F.array(*[F.lit(float(_w(j, kk))) for kk in range(dim)])
+        d = F.aggregate(
+            F.zip_with(F.col("__vec"), w_arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bands = []
+    for i in range(n_bands):
+        planes = range(i * band_size, min((i + 1) * band_size, n_planes))
+        key = None
+        for off, j in enumerate(planes):
+            term = plane_bit(j) * F.lit(2**off)
+            key = term if key is None else key + term
+        bands.append(F.struct(F.lit(i).alias("band"), key.cast("bigint").alias("key")))
+    exploded = base.select(
+        "__id", "__vec", "__norm", F.explode(F.array(*bands)).alias("b")
+    ).select("__id", "__vec", "__norm", "b.band", "b.key")
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cos = dot(F.col("a.__vec"), F.col("b.__vec")) / (
+        F.col("a.__norm") * F.col("b.__norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
     )

@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "sim_ann_lsh_topk",
     "sim_ivf_topk",
     "sim_embedding_near_dup",
+    "sim_embedding_near_dup_lsh",
     "text_token_counts",
     "text_quality_scores",
     "text_language_id",

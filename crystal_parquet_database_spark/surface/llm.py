@@ -269,6 +269,48 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
+def _sql_band_key(vec: str, band: int, band_size: int = 6) -> str:
+    terms = []
+    for off, j in enumerate(range(band * band_size, (band + 1) * band_size)):
+        w_list = "[" + ", ".join(f"{float(S._w(j, kk))}" for kk in range(_DIM)) + "]"
+        d = (
+            f"list_aggregate(list_transform(generate_series(1, {_DIM}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({w_list})[i]), 'sum')"
+        )
+        terms.append(f"CASE WHEN {d} >= 0 THEN CAST({2**off} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_NEARDUP_LSH_ORACLE = f"""
+WITH x AS (
+  SELECT vec_id, embedding, 0 AS band, {_sql_band_key('embedding', 0)} AS key FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding, 1 AS band, {_sql_band_key('embedding', 1)} AS key FROM embeddings
+)
+SELECT DISTINCT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_sql_dot('a.embedding', 'b.embedding')}
+           / (SQRT({_sql_dot('a.embedding', 'a.embedding')})
+              * SQRT({_sql_dot('b.embedding', 'b.embedding')})) AS cos
+  FROM x a JOIN x b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+) WHERE cos >= 0.4
+"""
+
+
+@query("sim_embedding_near_dup_lsh", _NEARDUP_LSH_ORACLE)
+def sim_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH near-dup — the at-scale variant of the brute
+    force above: candidates only within shared (band, sign-key) buckets, so
+    no quadratic stage. Deterministic hyperplanes make even this approximate
+    path oracle-exact. At 100 TB raise n_planes/band count so bucket sizes
+    stay bounded (12 planes ⇒ 64 buckets/band is a fixture-scale choice)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=12, band_size=6, dim=_DIM
+    )
+
+
 # ----------------------------------------------------------------------------
 # text analysis
 # ----------------------------------------------------------------------------

@@ -45,3 +45,64 @@ def test_lsh_returns_bucket_constrained_topk(spark, sf_dir):
     res = ann_lsh_topk(q, emb, "vec_id", "embedding", k=10)
     got = _topk_sets(res)
     assert got and all(len(v) <= 10 for v in got.values())
+
+
+def test_lsh_near_dup_subset_of_bruteforce(spark, sf_dir):
+    """Banded-LSH near-dup pairs must be a subset of the brute-force pairs
+    (the cosine filter is exact; banding only prunes candidates)."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_lsh(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    assert lsh <= brute
+    # At this deliberately-low threshold (cos 0.4 ⇒ per-plane agreement
+    # ~0.63 ⇒ theoretical recall ~0.12 with two 6-bit bands) recall is low
+    # by design; the high-threshold regime the operator targets is covered by
+    # test_lsh_near_dup_recall_on_true_near_dups.
+    if brute:
+        assert len(lsh) / len(brute) >= 0.03
+
+
+def test_lsh_near_dup_recall_on_true_near_dups(spark):
+    """True near-duplicates (cos ≥ 0.95) agree on nearly every hyperplane, so
+    banded LSH must recover most of them."""
+    import random
+
+    from crystal_parquet_database_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        noisy = [x + rng.gauss(0, 0.02) for x in v]  # cos ≈ 0.9998
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, noisy))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_lsh(df, "vec_id", "embedding", 0.95).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    assert len(got & planted) / len(planted) >= 0.8
+
+
+def test_lsh_near_dup_plans_equi_join(spark, sf_dir):
+    from crystal_parquet_database_spark.operators.similarity import embedding_near_dup_lsh
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = formatted_plan(embedding_near_dup_lsh(emb, "vec_id", "embedding", 0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
