@@ -55,6 +55,7 @@ HEADLINE = [
     "text_quality_scores",
     "text_language_id",
     "text_fingerprint",
+    "text_repetition_features",
 ]
 
 

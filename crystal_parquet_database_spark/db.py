@@ -293,7 +293,18 @@ class PqDB:
                 "update keys must be unique"
             )
         u = up.select(on, *[F.col(c).alias(f"__u_{c}") for c in upd_cols])
-        joined = base.join(F.broadcast(u), on, "left")
+        # Broadcast only plausibly-small update frames; a bulk update (more
+        # than ~10M keys or an unknown-size plan) goes through the normal
+        # shuffle join — forcing a huge broadcast would OOM every executor.
+        try:
+            n_up = u.limit(10_000_001).count()
+        except Exception:  # pragma: no cover - defensive
+            n_up = None
+        joined = base.join(
+            F.broadcast(u) if n_up is not None and n_up <= 10_000_000 else u,
+            on,
+            "left",
+        )
         out = joined.select(
             *[
                 (

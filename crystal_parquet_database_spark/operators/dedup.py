@@ -166,10 +166,12 @@ def lsh_candidate_pairs(
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays, as double.
 
-    Expressed as size(filter(a, x in b)) so the oracle can reproduce the
-    exact same integer arithmetic before one double division.
+    ``array_intersect`` builds a hash set (O(|a|+|b|)) where a filter +
+    array_contains scan would be O(|a|·|b|); for distinct inputs both yield
+    the same integer counts, so the single double division still matches any
+    oracle implementation bit-for-bit.
     """
-    inter = F.size(F.filter(a, lambda x: F.array_contains(b, x)))
+    inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
     return inter.cast("double") / union.cast("double")
 

@@ -168,6 +168,59 @@ def quality_score_pandas_udf(df: DataFrame, text_col: str, stopwords: list[str])
     return df.withColumn("quality_score_udf", score(F.col(text_col)))
 
 
+def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-family filters): duplicate
+    word / 2-gram / 3-gram fractions and the most-frequent-word share.
+
+    Scale shape: the n-gram fractions are pure per-row column expressions;
+    only the top-word share aggregates (explode → count per (doc, word) with
+    map-side partial aggregation → max per doc), then joins back on the doc
+    id. Every ratio is an int/int double division the SQL oracle mirrors
+    bit-for-bit.
+    """
+    t = F.col(text_col)
+    df = _spread(df).withColumn("__toks", ws_tokens(t))
+    toks = F.col("__toks")
+    n = F.size(toks)
+
+    def dup_frac(k: int) -> Column:
+        """1 - distinct/total over word k-grams; 0.0 when fewer than k words."""
+        if k == 1:
+            total, grams = n, toks
+        else:
+            total = n - (k - 1)
+            gram = lambda i: F.concat_ws(  # noqa: E731
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
+            )
+            grams = F.transform(F.sequence(F.lit(1), total), gram)
+        frac = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast(
+            "double"
+        )
+        return F.when(total >= 1, frac).otherwise(F.lit(0.0))
+
+    base = df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        dup_frac(1).alias("dup_word_frac"),
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(toks).alias("__w"))
+        .groupBy(id_col, "__w")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("__top_c"), F.sum("count").alias("__n"))
+        .select(
+            F.col(id_col),
+            (F.col("__top_c").cast("double") / F.col("__n").cast("double")).alias(
+                "top_word_frac"
+            ),
+        )
+    )
+    return base.join(top, id_col)
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
     """Document fingerprint: min of rolling k-gram hashes (MinHash with one
     hash function) — a compact content id robust to small reorderings.

@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "text_language_id",
     "multimodal_image_pipeline",
     "text_fingerprint",
+    "text_repetition_features",
     "stream_tumbling_window_counts",
     "stream_sliding_window_counts",
     "stream_session_windows",

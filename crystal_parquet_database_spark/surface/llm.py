@@ -434,3 +434,37 @@ FROM documents
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.fingerprint(docs, "text", "doc_id", k=8)
+
+
+_REP_ORACLE = r"""
+WITH tk AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST(LEN(t) AS INTEGER) AS n_words,
+    CASE WHEN LEN(t) >= 1
+         THEN 1.0 - CAST(LEN(LIST_DISTINCT(t)) AS DOUBLE) / CAST(LEN(t) AS DOUBLE)
+         ELSE 0.0 END AS dup_word_frac,
+    CASE WHEN LEN(t) - 1 >= 1
+         THEN 1.0 - CAST(LEN(LIST_DISTINCT(list_transform(generate_series(1, LEN(t) - 1),
+                i -> t[i] || ' ' || t[i+1]))) AS DOUBLE) / CAST(LEN(t) - 1 AS DOUBLE)
+         ELSE 0.0 END AS dup_bigram_frac,
+    CASE WHEN LEN(t) - 2 >= 1
+         THEN 1.0 - CAST(LEN(LIST_DISTINCT(list_transform(generate_series(1, LEN(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE) / CAST(LEN(t) - 2 AS DOUBLE)
+         ELSE 0.0 END AS dup_trigram_frac
+  FROM tk),
+e AS (SELECT doc_id, unnest(t) AS w FROM tk),
+c AS (SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY doc_id, w),
+tp AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
+       FROM c GROUP BY doc_id)
+SELECT base.doc_id, n_words, dup_word_frac, dup_bigram_frac, dup_trigram_frac, top_word_frac
+FROM base JOIN tp USING (doc_id)
+"""
+
+
+@query("text_repetition_features", _REP_ORACLE)
+def text_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filters (duplicate word/2-gram/3-gram fractions,
+    top-word share) — the Gopher-style signals a pretraining pipeline uses to
+    drop boilerplate and degenerate documents."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.repetition_features(docs, "text", "doc_id")

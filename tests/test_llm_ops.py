@@ -41,3 +41,27 @@ def test_pandas_udf_matches_expression_scorer(spark, sf_dir):
             assert a[k] is None and b[k] is None
         else:
             assert abs(a[k] - b[k]) < 1e-12, (k, a[k], b[k])
+
+
+def test_repetition_features_known_values(spark):
+    from crystal_parquet_database_spark.operators.text import repetition_features
+
+    rows = [
+        (1, "a a a a"),          # 4 words, 1 distinct; bigrams: 3 total 1 distinct
+        (2, "a b c d"),          # no repetition
+        (3, "x y x y x"),        # bigrams: "x y","y x","x y","y x" -> 2/4 dup
+        (4, ""),                 # split('') -> [''] : 1 word, no n-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_features(df, "text", "doc_id").collect()}
+    assert got[1]["n_words"] == 4
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["dup_bigram_frac"] == 1.0 - 1.0 / 3.0
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[2]["top_word_frac"] == 0.25
+    assert got[3]["dup_bigram_frac"] == 0.5
+    assert got[3]["top_word_frac"] == 3.0 / 5.0
+    assert got[4]["n_words"] == 1
+    assert got[4]["dup_bigram_frac"] == 0.0 and got[4]["dup_trigram_frac"] == 0.0
