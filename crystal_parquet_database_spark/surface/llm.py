@@ -468,3 +468,197 @@ def text_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop boilerplate and degenerate documents."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return T.repetition_features(docs, "text", "doc_id")
+
+
+# ----------------------------------------------------------------------------
+# dedup: near-dup pairs → connected components (dedup groups)
+# ----------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_SIMHASH_CTES.strip()},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+ed AS (SELECT id_a AS src, id_b AS dst FROM p
+       UNION ALL SELECT id_b, id_a FROM p),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ed.dst, reach.lab FROM reach JOIN ed ON ed.src = reach.id
+)
+SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@query("dedup_cluster_components", _CC_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup groups: SimHash pair graph collapsed to
+    connected components by min-label propagation (each doc labeled with the
+    min doc_id in its component; singletons label themselves). The keep-one
+    policy of a dedup pipeline is then `WHERE doc_id = cluster_id`."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.simhash(docs, "text", "doc_id", bits=_BITS, k=_K)
+    pairs = D.simhash_near_pairs(fp, "doc_id", max_hamming=6)
+    return D.connected_components(pairs, docs.select("doc_id"), "doc_id")
+
+
+# ----------------------------------------------------------------------------
+# text: TF-IDF top terms per document
+# ----------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+_TFIDF_ORACLE = rf"""
+WITH tc AS (
+  SELECT doc_id, unnest(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS term
+  FROM documents
+),
+c AS (SELECT doc_id, term, COUNT(*) AS tc FROM tc GROUP BY doc_id, term),
+s AS (
+  SELECT doc_id, term, tc,
+         SUM(tc) OVER (PARTITION BY doc_id) AS n,
+         COUNT(*) OVER (PARTITION BY term) AS df,
+         (SELECT COUNT(*) FROM documents) AS nd
+  FROM c
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT doc_id, term,
+         (CAST(tc AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY (CAST(tc AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+                    term) AS INTEGER) AS rank
+  FROM s
+) WHERE rank <= {_TFIDF_K}
+"""
+
+
+@query("text_tfidf_top_terms", _TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (rational idf N/df — log-free so the
+    score is an exact int-ratio product both engines compute identically)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.tfidf_top_terms(docs, "text", "doc_id", top_k=_TFIDF_K)
+
+
+# ----------------------------------------------------------------------------
+# text: benchmark decontamination (eval-set n-gram overlap)
+# ----------------------------------------------------------------------------
+
+_DECON_ORACLE = f"""
+WITH hs AS (SELECT doc_id,
+                   list_transform({sql_word_shingles('text', _K)}, s -> {sql_hash64('s')}) AS hs
+            FROM documents),
+ev AS (SELECT DISTINCT unnest(hs) AS g FROM hs WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, hs FROM hs WHERE doc_id % 97 <> 0),
+m AS (
+  SELECT c.doc_id, COUNT(*) AS n_matched
+  FROM (SELECT doc_id, unnest(hs) AS g FROM corp) c
+  WHERE c.g IN (SELECT g FROM ev)
+  GROUP BY c.doc_id
+)
+SELECT corp.doc_id, CAST(len(corp.hs) AS INTEGER) AS n_grams,
+       CAST(COALESCE(m.n_matched, 0) AS INTEGER) AS n_matched,
+       CASE WHEN len(corp.hs) > 0
+            THEN CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(len(corp.hs) AS DOUBLE)
+            ELSE 0.0 END AS overlap_frac,
+       COALESCE(m.n_matched, 0) > 0 AS contaminated
+FROM corp LEFT JOIN m ON corp.doc_id = m.doc_id
+"""
+
+
+@query("text_decontaminate_overlap", _DECON_ORACLE)
+def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th document stands in for the eval
+    suite; the rest of the corpus is scored by shared word-3-gram fraction.
+    The eval gram set broadcasts (benchmarks are tiny vs a 100 TB corpus)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return T.ngram_decontaminate(corpus, ev, "text", "doc_id", k=_K)
+
+
+# ----------------------------------------------------------------------------
+# text: corpus-quantile quality filter
+# ----------------------------------------------------------------------------
+
+_QFILTER_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id,
+         0.4 * (CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE))
+         + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(len_floor AS DOUBLE))
+         + 0.3 * (CAST(LEAST(n_words, 100) AS DOUBLE) / 100.0) AS quality_score
+  FROM (
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS INTEGER) AS n_words,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                                x -> x IN ({_SW_SQL}))) AS INTEGER) AS n_stop,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct,
+           CAST(GREATEST(LENGTH(text), 1) AS INTEGER) AS len_floor
+    FROM documents
+  )
+)
+SELECT doc_id, quality_score
+FROM q
+WHERE quality_score >= (SELECT quantile_cont(quality_score, 0.25) FROM q)
+"""
+
+
+@query("text_quality_quantile_filter", _QFILTER_ORACLE)
+def text_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: keep documents at or above the exact
+    25th-percentile quality score. The cut is one exact interpolated
+    percentile over the scored corpus (both engines interpolate linearly over
+    the same double multiset — order-independent), broadcast as a 1-row frame;
+    no second scan of the raw text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = T.quality_features(docs, "text", _STOPWORDS).select("doc_id", "quality_score")
+    cut = q.agg(F.percentile("quality_score", 0.25).alias("__cut"))
+    return (
+        q.crossJoin(F.broadcast(cut))
+        .filter(F.col("quality_score") >= F.col("__cut"))
+        .select("doc_id", "quality_score")
+    )
+
+
+# ----------------------------------------------------------------------------
+# sampling: deterministic language-mixture (data-mixing weights)
+# ----------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 1.0, "de": 0.75, "es": 0.5, "fr": 0.25, "zh": 0.1}
+_MIX_MOD = 10000
+
+_MIX_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {int(rate * _MIX_MOD)}" for lang, rate in _MIX_RATES.items()
+)
+
+_MIX_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ({sql_hash64("'mix:' || CAST(doc_id AS VARCHAR)")}) % {_MIX_MOD}
+      < (CASE {_MIX_CASE} ELSE {_MIX_MOD} END)
+"""
+
+
+@query("sample_language_mixture", _MIX_ORACLE)
+def sample_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: per-language keep rates applied by a
+    deterministic portable hash of the doc id — stable across engines,
+    retries, partitionings, and reruns (rand()-based sampling is none of
+    these). Pure filter: no shuffle, fully pushdown-friendly except the hash
+    itself; at 100 TB this is a single map-stage pass."""
+    from crystal_parquet_database_spark.functions.portable_hash import spark_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = spark_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % _MIX_MOD
+    rate = None
+    for lang, r in _MIX_RATES.items():
+        cond = F.col("lang") == lang
+        thr = F.lit(int(r * _MIX_MOD))
+        rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
+    rate = rate.otherwise(F.lit(_MIX_MOD))
+    return docs.filter(h < rate).select("doc_id", "lang")

@@ -505,3 +505,78 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_qty_price"
         ),
     )
+
+
+# ----------------------------------------------------------------------------
+# skew-mitigated join: salted fact⋈dim, result identical to the plain join
+# ----------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+@query("join_salted_skew_agg", _SALTED_ORACLE)
+def join_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew-mitigation path (operators/skew.py) as a verified
+    query: orders⋈customer through a salted join — the big side salted by row
+    position, the small side replicated per salt, so a hot customer key
+    spreads over n_salts reducers — then aggregated. The result is identical
+    to the unsalted join (that is the point), so the oracle is the plain SQL
+    join; at fixture scale salting costs a little, at a skewed 100 TB it is
+    the difference between a straggler-free run and one stuck reducer."""
+    from crystal_parquet_database_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    return (
+        salted_join(o, c, "o_custkey", n_salts=8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(money("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# sessionization: per-event session ids (gaps-and-islands)
+# ----------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+"""
+
+
+@query("window_sessionize_events", _SESSIONIZE_ORACLE)
+def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-level session assignment (the labeled-output sibling of the
+    aggregated stream_session_windows): a gap >= 30 min opens a new session;
+    the running sum of the new-session flag numbers sessions per user. Both
+    windows share one (user_id) shuffle — per-user event counts are bounded,
+    so no skew; the output feeds per-session feature generation downstream."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap: the fixture timestamps carry sub-second parts, so
+    # a seconds-cast would truncate and could flip a gap within 1s of the cut
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_s = F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
+    return e.withColumn(
+        "session_seq",
+        F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+    )

@@ -65,3 +65,50 @@ def test_repetition_features_known_values(spark):
     assert got[3]["top_word_frac"] == 3.0 / 5.0
     assert got[4]["n_words"] == 1
     assert got[4]["dup_bigram_frac"] == 0.0 and got[4]["dup_trigram_frac"] == 0.0
+
+
+def test_connected_components_known_graph(spark):
+    from crystal_parquet_database_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges, nodes, "doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_path_graph_converges(spark):
+    from crystal_parquet_database_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges, nodes, "doc_id").collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_tfidf_known_values(spark):
+    from crystal_parquet_database_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    rows = tfidf_top_terms(df, "text", "doc_id", top_k=2).collect()
+    got = {(r["doc_id"], r["term"]): (r["tfidf"], r["rank"]) for r in rows}
+    assert got[(1, "a")] == ((2 / 3) * (2 / 1), 1)
+    assert got[(1, "b")] == ((1 / 3) * (2 / 2), 2)
+    assert got[(2, "c")] == ((1 / 2) * (2 / 1), 1)
+    assert got[(2, "b")] == ((1 / 2) * (2 / 2), 2)
+
+
+def test_decontaminate_known_values(spark):
+    from crystal_parquet_database_spark.operators.text import ngram_decontaminate
+
+    ev = spark.createDataFrame([(100, "x y z w")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "x y z q"), (2, "no overlap here at"), (3, "ab")],
+        "doc_id long, text string",
+    )
+    rows = ngram_decontaminate(corpus, ev, "text", "doc_id", k=3).collect()
+    got = {r["doc_id"]: r.asDict() for r in rows}
+    assert got[1]["n_grams"] == 2 and got[1]["n_matched"] == 1
+    assert got[1]["overlap_frac"] == 0.5 and got[1]["contaminated"] is True
+    assert got[2]["n_matched"] == 0 and got[2]["contaminated"] is False
+    # short text falls back to one whole-text shingle
+    assert got[3]["n_grams"] == 1 and got[3]["n_matched"] == 0
