@@ -58,6 +58,7 @@ HEADLINE = [
     "text_repetition_features",
     "text_tfidf_top_terms",
     "text_decontaminate_overlap",
+    "text_pack_sequences",
     "dedup_cluster_components",
 ]
 

@@ -342,3 +342,59 @@ def ngram_decontaminate(
         frac.alias("overlap_frac"),
         (F.col("n_matched") > 0).alias("contaminated"),
     )
+
+
+def pack_sequences(
+    df: DataFrame, text_col: str, id_col: str, capacity: int = 512
+) -> DataFrame:
+    """Sequence packing for pretraining: concatenate documents in id order and
+    chop into fixed-capacity token windows (the GPT-style pack-and-chunk).
+    Emits per doc: token count, the bin it starts in, its offset there, and
+    whether it spans a bin boundary.
+
+    The core is a GLOBAL running token sum — the one window Spark cannot do
+    scalably as `Window.orderBy` (that plans a single-partition exchange). The
+    scalable form is the classic two-phase prefix sum: range-partition by id,
+    run the window WITHIN each partition, and add per-partition base offsets
+    computed from the (tiny, one row per partition) partial-sum table
+    broadcast back. The only driver-side data is that partition-sum table —
+    bounded by partition count, not data size. Values are independent of
+    where the range boundaries land, so the op is deterministic even though
+    range sampling isn't guaranteed to be.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(id_col), F.size(ws_tokens(F.col(text_col))).alias("n_tokens"))
+        .repartitionByRange(n_part, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning: 3 consumers below
+    )
+    within = F.sum("n_tokens").over(
+        W.partitionBy("__pid").orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+    )
+    psums = (
+        d.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("__psum"))
+        .withColumn(
+            "__base",
+            F.coalesce(
+                F.sum("__psum").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__base")
+    )
+    cum = F.coalesce(F.col("__w"), F.lit(0)) + F.col("__base")
+    return (
+        d.withColumn("__w", within)
+        .join(F.broadcast(psums), "__pid")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.floor(cum / capacity).cast("int").alias("bin_id"),
+            (cum % capacity).cast("int").alias("bin_offset"),
+            ((cum % capacity) + F.col("n_tokens") > capacity).alias("spans_boundary"),
+        )
+    )

@@ -32,6 +32,9 @@ from crystal_parquet_database_spark.surface import streaming  # noqa: E402,F401
 # stays registered — only iteration order changes.
 _VERIFY_FIRST = [
     # — new this round (no driver row yet) —
+    "text_pack_sequences",
+    "sample_train_val_test_split",
+    "agg_mode_per_group",
     "dedup_cluster_components",
     "text_tfidf_top_terms",
     "text_decontaminate_overlap",

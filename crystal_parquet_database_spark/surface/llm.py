@@ -662,3 +662,68 @@ def sample_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
     rate = rate.otherwise(F.lit(_MIX_MOD))
     return docs.filter(h < rate).select("doc_id", "lang")
+
+
+# ----------------------------------------------------------------------------
+# text: sequence packing (pack-and-chunk into fixed token windows)
+# ----------------------------------------------------------------------------
+
+_PACK_CAP = 512
+
+_PACK_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(cum / {_PACK_CAP}) AS INTEGER) AS bin_id,
+       CAST(cum % {_PACK_CAP} AS INTEGER) AS bin_offset,
+       (cum % {_PACK_CAP}) + n_tokens > {_PACK_CAP} AS spans_boundary
+FROM c
+"""
+
+
+@query("text_pack_sequences", _PACK_ORACLE)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed 512-token context windows in doc-id order
+    (concatenate-and-chop). The global running token sum is computed as a
+    distributed two-phase prefix sum — NOT a single-partition global window;
+    see operators/text.pack_sequences."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.pack_sequences(docs, "text", "doc_id", capacity=_PACK_CAP)
+
+
+# ----------------------------------------------------------------------------
+# sampling: deterministic train/val/test split
+# ----------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ({sql_hash64("'split:' || CAST(doc_id AS VARCHAR)")}) % 10 AS h
+      FROM documents)
+"""
+
+
+@query("sample_train_val_test_split", _SPLIT_ORACLE)
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by portable hash of the doc id — stable
+    across engines, reruns, and repartitioning (a doc never migrates between
+    splits when the corpus grows; rand()-based splits can't promise that).
+    Pure map stage: no shuffle at any scale."""
+    from crystal_parquet_database_spark.functions.portable_hash import spark_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = spark_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 10
+    split = (
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test").alias("split")
+    )
+    return docs.select("doc_id", split)

@@ -580,3 +580,35 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_seq",
         F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
     )
+
+
+# ----------------------------------------------------------------------------
+# mode per group (deterministic tie-break)
+# ----------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+SELECT user_id, event_type AS mode_event, n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+@query("agg_mode_per_group", _MODE_ORACLE)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent event type per user with a deterministic tie-break
+    (count desc, then lexicographic) — F.mode() leaves ties engine-defined,
+    so the portable form is count + row_number; the count partial-aggregates
+    map-side and both windows ride the (user_id) shuffle."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        c.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )

@@ -112,3 +112,20 @@ def test_decontaminate_known_values(spark):
     assert got[2]["n_matched"] == 0 and got[2]["contaminated"] is False
     # short text falls back to one whole-text shingle
     assert got[3]["n_grams"] == 1 and got[3]["n_matched"] == 0
+
+
+def test_pack_sequences_prefix_sum_correct(spark):
+    """The two-phase distributed prefix sum must equal the naive global one."""
+    from crystal_parquet_database_spark.operators.text import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (7 + (i * 13) % 40))) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    got = {r["doc_id"]: r.asDict() for r in pack_sequences(df, "text", "doc_id", capacity=100).collect()}
+    cum = 0
+    for i in range(500):
+        n = 7 + (i * 13) % 40
+        assert got[i]["n_tokens"] == n
+        assert got[i]["bin_id"] == cum // 100, (i, got[i], cum)
+        assert got[i]["bin_offset"] == cum % 100
+        assert got[i]["spans_boundary"] == (cum % 100 + n > 100)
+        cum += n
