@@ -96,3 +96,20 @@ def sql_word_shingles(expr: str, n: int = 3) -> str:
         f"list_distinct([{gram} for i in generate_series(1, len(w) - {n - 1})]) "
         f"ELSE [trim({expr})] END FROM (SELECT {w} AS w))"
     )
+
+
+def spark_hash_raw60(c: Column) -> Column:
+    """Full-width 60-bit hash (first 15 md5 hex chars, NO mod-P reduction).
+
+    MinHash needs hashes < P so affine transforms can't overflow int64;
+    SimHash needs every fingerprint bit position to carry entropy — a mod-P
+    value is < 2^31, so bits 31+ of a "wide" fingerprint built from it are
+    identically zero (caught by the 10x scale probe as a single hot LSH band
+    bucket holding the whole corpus). Matches ``sql_hash_raw60``.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def sql_hash_raw60(expr: str) -> str:
+    """DuckDB expression equal to ``spark_hash_raw60`` for the same input."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"

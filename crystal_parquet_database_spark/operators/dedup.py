@@ -30,6 +30,7 @@ from crystal_parquet_database_spark.functions.portable_hash import (
     minhash_coeffs,
     P,
     spark_hash64,
+    spark_hash_raw60,
     spark_shingles,
     spark_word_shingles,
 )
@@ -276,8 +277,10 @@ def simhash(
         sh = spark_word_shingles(c, k, toks=F.col("__toks"))
     else:
         sh = spark_shingles(c, k)
+    # full-width hash: a mod-P (31-bit) hash would zero every vote above
+    # bit 30, collapsing wide fingerprints (see spark_hash_raw60)
     exploded = d.select(F.col(id_col), F.explode(sh).alias("__s")).select(
-        F.col(id_col), spark_hash64(F.col("__s")).alias("h")
+        F.col(id_col), spark_hash_raw60(F.col("__s")).alias("h")
     )
     votes = [
         F.sum(

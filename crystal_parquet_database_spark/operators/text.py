@@ -253,11 +253,16 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, top_k: int = 5) -
     tc = df.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term"))
     c = tc.groupBy(id_col, "term").agg(F.count("*").alias("tc"))
     n_doc = F.sum("tc").over(W.partitionBy(id_col))
-    dfreq = F.count("*").over(W.partitionBy("term"))
+    # Document frequency via groupBy, NOT a window over term: a window ships
+    # every (doc, term) row of a hot term to one reducer (stop-words appear in
+    # every doc — guaranteed skew at scale), while groupBy partial-aggregates
+    # map-side so each term arrives as one row per upstream partition. The
+    # join back is AQE's choice (broadcast for small vocabularies).
+    dfreq = c.groupBy("term").agg(F.count("*").alias("__df"))
     n_docs = df.select(F.count("*").alias("__n_docs"))
     scored = (
         c.withColumn("__n", n_doc)
-        .withColumn("__df", dfreq)
+        .join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

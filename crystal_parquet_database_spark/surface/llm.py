@@ -16,6 +16,7 @@ from crystal_parquet_database_spark.functions.portable_hash import (
     P,
     minhash_coeffs,
     sql_hash64,
+    sql_hash_raw60,
     sql_shingles,
     sql_word_shingles,
 )
@@ -125,15 +126,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup: SimHash fingerprints + near pairs
 # ----------------------------------------------------------------------------
 
-_BITS = 32
+# Manku-style config (WWW'07 simhash dedup): wide fingerprint, tight radius.
+# 60 bits (not 64: bit 63 would overflow signed BIGINT in both engines) with
+# Hamming <= 3 gives 4 bands of 15 bits — band buckets hold ~n/2^15 docs, so
+# the banded self-join stays near-linear. The earlier 32-bit / Hamming<=6
+# config had 4-5-bit bands whose buckets held n/32 docs: quadratic candidate
+# growth, caught by the 10x scale probe.
+_BITS = 60
+_HAM = 3
 _VOTES = ", ".join(
     f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(_BITS)
 )
 _FP = " + ".join(f"CASE WHEN v{i} >= 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END" for i in range(_BITS))
 
+# SimHash shingle hashes use the FULL-WIDTH 60-bit hash (no mod-P): a mod-P
+# hash is < 2^31, so votes for bits 31+ would all be -1 and the wide
+# fingerprint would collapse to 31 effective bits (one all-corpus LSH bucket).
+_SIMHASH_HS_CTE = (
+    f"shs AS (SELECT doc_id, "
+    f"list_transform({sql_word_shingles('text', _K)}, s -> {sql_hash_raw60('s')}) AS hs "
+    f"FROM documents)"
+)
+
 _SIMHASH_CTES = f"""
-{_HS_CTE},
-e AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+{_SIMHASH_HS_CTE},
+e AS (SELECT doc_id, unnest(hs) AS h FROM shs),
 v AS (SELECT doc_id, {_VOTES} FROM e GROUP BY doc_id),
 fp AS (SELECT doc_id, {_FP} AS simhash FROM v)
 """
@@ -152,7 +169,7 @@ WITH {_SIMHASH_CTES.strip()}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAM}
 """
 
 
@@ -163,7 +180,7 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's ReusedExchange computes it once (verified — an explicit
     # localCheckpoint barrier measured no faster).
     fp = D.simhash(docs, "text", "doc_id", bits=_BITS, k=_K)
-    return D.simhash_near_pairs(fp, "doc_id", max_hamming=6)
+    return D.simhash_near_pairs(fp, "doc_id", max_hamming=_HAM, bits=_BITS)
 
 
 # ----------------------------------------------------------------------------
@@ -479,7 +496,7 @@ WITH RECURSIVE {_SIMHASH_CTES.strip()},
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAM}
 ),
 ed AS (SELECT id_a AS src, id_b AS dst FROM p
        UNION ALL SELECT id_b, id_a FROM p),
@@ -500,7 +517,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy of a dedup pipeline is then `WHERE doc_id = cluster_id`."""
     docs = load_table(spark, sf_dir, "documents")
     fp = D.simhash(docs, "text", "doc_id", bits=_BITS, k=_K)
-    pairs = D.simhash_near_pairs(fp, "doc_id", max_hamming=6)
+    pairs = D.simhash_near_pairs(fp, "doc_id", max_hamming=_HAM, bits=_BITS)
     return D.connected_components(pairs, docs.select("doc_id"), "doc_id")
 
 

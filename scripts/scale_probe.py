@@ -34,6 +34,10 @@ PROBES = [
     "sim_cosine_topk_bruteforce",
     "text_quality_scores",
     "stream_session_windows",
+    "dedup_cluster_components",
+    "text_decontaminate_overlap",
+    "text_tfidf_top_terms",
+    "text_pack_sequences",
 ]
 
 

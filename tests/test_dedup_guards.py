@@ -14,14 +14,14 @@ from crystal_parquet_database_spark.tables import load_table
 
 def test_banded_simhash_matches_bruteforce(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = D.simhash(docs, "text", "doc_id", bits=32, k=3).localCheckpoint(eager=True)
+    fp = D.simhash(docs, "text", "doc_id", bits=60, k=3).localCheckpoint(eager=True)
     banded = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in D.simhash_near_pairs(fp, "doc_id", max_hamming=6).collect()
+        for r in D.simhash_near_pairs(fp, "doc_id", max_hamming=3, bits=60).collect()
     }
     brute = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in D.simhash_near_pairs_bruteforce(fp, "doc_id", max_hamming=6).collect()
+        for r in D.simhash_near_pairs_bruteforce(fp, "doc_id", max_hamming=3).collect()
     }
     # pigeonhole banding is recall-complete: exactly the brute-force pairs
     assert banded == brute
@@ -32,8 +32,8 @@ def test_banded_simhash_plans_equi_join(spark, sf_dir):
     """The at-scale property: candidate generation is a (band, value)
     equi-join, never a cartesian/nested-loop comparison."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = D.simhash(docs, "text", "doc_id", bits=32, k=3)
-    plan = formatted_plan(D.simhash_near_pairs(fp, "doc_id", max_hamming=6))
+    fp = D.simhash(docs, "text", "doc_id", bits=60, k=3)
+    plan = formatted_plan(D.simhash_near_pairs(fp, "doc_id", max_hamming=3, bits=60))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -104,3 +104,28 @@ def test_q21_two_level_distinct_no_expand(spark, sf_dir):
 
     df = QUERIES["q21_suppliers_kept_waiting"](spark, sf_dir)
     assert "Expand" not in formatted_plan(df)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval gram set must broadcast; no cartesian anywhere."""
+    df = QUERIES["text_decontaminate_overlap"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_mixture_and_split_are_pure_map_stages(spark, sf_dir):
+    """Hash-based sampling/splitting must not shuffle at any scale."""
+    assert num_shuffles(QUERIES["sample_language_mixture"](spark, sf_dir)) == 0
+    assert num_shuffles(QUERIES["sample_train_val_test_split"](spark, sf_dir)) == 0
+
+
+def test_pack_sequences_no_global_single_partition_window(spark, sf_dir):
+    """The packing prefix sum must not funnel the corpus through one
+    partition: the only SinglePartition exchange allowed is the tiny
+    per-partition-sums table (one row per partition)."""
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["text_pack_sequences"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange SinglePartition") <= 1
