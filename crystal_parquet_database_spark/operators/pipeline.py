@@ -91,6 +91,41 @@ class TrainingDataPipeline:
     def with_token_counts(self) -> "TrainingDataPipeline":
         return self._push("token_counts", T.token_counts(self.df, self.text_col))
 
+    def decontaminate(self, eval_set: DataFrame, k: int = 3) -> "TrainingDataPipeline":
+        """Drop documents sharing any word k-gram with the evaluation set
+        (see operators/text.ngram_decontaminate — eval grams broadcast)."""
+        flags = T.ngram_decontaminate(self.df, eval_set, self.text_col, self.id_col, k=k)
+        clean = flags.filter(~F.col("contaminated")).select(self.id_col)
+        return self._push("decontaminate", self.df.join(clean, self.id_col, "left_semi"))
+
+    def mixture(self, rates: dict[str, float], lang_col: str = "lang") -> "TrainingDataPipeline":
+        """Per-language keep rates by deterministic hash (data-mixing
+        weights); languages absent from ``rates`` are kept in full."""
+        mod = 10_000
+        h = spark_hash64(F.concat(F.lit("mix:"), F.col(self.id_col).cast("string"))) % mod
+        rate = None
+        for lang, r in rates.items():
+            cond = F.col(lang_col) == lang
+            thr = F.lit(int(r * mod))
+            rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
+        rate = F.lit(mod) if rate is None else rate.otherwise(F.lit(mod))
+        return self._push(f"mixture {rates}", self.df.filter(h < rate))
+
+    def with_split(self) -> "TrainingDataPipeline":
+        """Append a deterministic 80/10/10 train/val/test split column."""
+        h = spark_hash64(F.concat(F.lit("split:"), F.col(self.id_col).cast("string"))) % 10
+        split = F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+        return self._push("split", self.df.withColumn("split", split))
+
+    def with_packing(self, capacity: int = 512) -> "TrainingDataPipeline":
+        """Assign each doc its context-window bin (see text.pack_sequences).
+        NB: the prefix sum executes eagerly (localCheckpoint inside)."""
+        bins = T.pack_sequences(self.df, self.text_col, self.id_col, capacity)
+        return self._push(
+            f"pack(cap={capacity})",
+            self.df.join(bins.select(self.id_col, "bin_id", "bin_offset"), self.id_col),
+        )
+
     # ---------------------------------------------------------------- outputs
 
     def write(self, path: str, partition_by: list[str] | None = None, **kwargs) -> None:

@@ -32,6 +32,7 @@ from crystal_parquet_database_spark.surface import streaming  # noqa: E402,F401
 # stays registered — only iteration order changes.
 _VERIFY_FIRST = [
     # — new this round (no driver row yet) —
+    "agg_hll_sketch_distinct",
     "text_pack_sequences",
     "sample_train_val_test_split",
     "agg_mode_per_group",

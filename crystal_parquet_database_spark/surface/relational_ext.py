@@ -612,3 +612,26 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_event"), "n")
     )
+
+
+# No oracle: Apache DataSketches HLL internals are engine-specific (DuckDB
+# has no compatible sketch); the estimate is validated against the exact
+# distinct counts in tests instead, and the driver records rows-only.
+@query("agg_hll_sketch_distinct")
+def agg_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (DataSketches HLL): per-group
+    sketches built with hll_sketch_agg, merged across groups with
+    hll_union_agg — the 100 TB pattern where per-partition/per-day sketches
+    are persisted once and re-aggregated endlessly without rescanning. The
+    sketch column is bytes; only estimates are returned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey", 14).alias("sk")
+    )
+    est = per_flag.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").alias("approx_orders")
+    )
+    total = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_orders")
+    ).select(F.lit("ALL").alias("l_returnflag"), "approx_orders")
+    return est.unionByName(total)

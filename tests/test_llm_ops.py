@@ -129,3 +129,19 @@ def test_pack_sequences_prefix_sum_correct(spark):
         assert got[i]["bin_offset"] == cum % 100
         assert got[i]["spans_boundary"] == (cum % 100 + n > 100)
         cum += n
+
+
+def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
+    from crystal_parquet_database_spark.surface import QUERIES
+    from crystal_parquet_database_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = {r["l_returnflag"]: r["approx_orders"]
+           for r in QUERIES["agg_hll_sketch_distinct"](spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {r["l_returnflag"]: r["n"]
+             for r in li.groupBy("l_returnflag")
+                        .agg(F.countDistinct("l_orderkey").alias("n")).collect()}
+    exact["ALL"] = li.select("l_orderkey").distinct().count()
+    for k, approx in got.items():
+        assert abs(approx - exact[k]) / exact[k] < 0.05, (k, approx, exact[k])

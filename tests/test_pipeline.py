@@ -67,3 +67,32 @@ def test_pipeline_near_dedup_keeps_one_representative(spark, sf_dir):
     for a, b in pair_rows:
         assert not (a in survivors and b in survivors)  # at most one side survives
         assert a in survivors or b not in survivors  # losers are the higher ids
+
+
+def test_pipeline_full_pretraining_chain(spark, sf_dir, tmp_path):
+    """The complete pretraining shape: dedup → decontaminate → quality →
+    mixture → split → pack → write."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    p = (
+        TrainingDataPipeline(corpus)
+        .dedup_exact()
+        .decontaminate(ev)
+        .filter_quality(min_score=0.2)
+        .mixture({"en": 1.0, "de": 0.5})
+        .with_split()
+        .with_packing(capacity=256)
+    )
+    out = str(tmp_path / "packed")
+    p.write(out, partition_by=["split"])
+    back = spark.read.parquet(out)
+    assert {"doc_id", "text", "split", "bin_id", "bin_offset"} <= set(back.columns)
+    splits = {r["split"] for r in back.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # packing is dense: bins are contiguous from 0
+    n_bins = back.agg(F.max("bin_id")).first()[0]
+    assert back.select("bin_id").distinct().count() == n_bins + 1
+    # deterministic end to end
+    stats1 = p.describe()
+    assert [s[1] for s in stats1] == [s[1] for s in p.describe()]
