@@ -98,6 +98,40 @@ def sql_word_shingles(expr: str, n: int = 3) -> str:
     )
 
 
+def spark_word_ngrams(c: Column, n: int = 2, toks: Column | None = None) -> Column:
+    """NON-distinct word n-grams (every occurrence kept) — the unit for
+    frequency counting (corpus n-gram statistics), unlike
+    ``spark_word_shingles`` which deduplicates for set-similarity. Texts
+    shorter than ``n`` tokens contribute nothing (empty array), so counts are
+    pure occurrence counts. Matches ``sql_word_ngrams``."""
+    if toks is None:
+        toks = F.split(F.trim(c), r"\s+")
+
+    def gram(i: Column) -> Column:
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + F.lit(j)))
+        return F.concat(*parts)
+
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_word_ngrams(expr: str, n: int = 2) -> str:
+    """DuckDB expression equal to ``spark_word_ngrams``."""
+    w = rf"string_split_regex(trim({expr}), '\s+')"
+    gram = " || ' ' || ".join(f"w[i + {j}]" if j else "w[i]" for j in range(n))
+    return (
+        f"(SELECT CASE WHEN len(w) >= {n} THEN "
+        f"[{gram} for i in generate_series(1, len(w) - {n - 1})] "
+        f"ELSE [] END FROM (SELECT {w} AS w))"
+    )
+
+
 def spark_hash_raw60(c: Column) -> Column:
     """Full-width 60-bit hash (first 15 md5 hex chars, NO mod-P reduction).
 

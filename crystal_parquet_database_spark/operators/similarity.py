@@ -160,60 +160,95 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
-    max_iter: int = 8,
+    max_iter: int = 4,
+    train_hint: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    """IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     corpus into cells; each query scans only its ``n_probe`` nearest cells.
 
-    The trained centroids are a tiny broadcastable table; at 100 TB the cell
-    id is computed at ingest and used as a partition/cluster key, so a query
-    touches ~n_probe/n_cells of the corpus. Seeded k-means ⇒ reproducible
-    (but engine-specific, so this is validated against brute force in tests,
-    not against the SQL oracle).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Quantizer training is DRIVER-SIDE numpy over a bounded sample (the FAISS
+    practice — ~256 vectors per cell suffices, so the sample is ≤256·n_cells
+    rows *by construction*, a few MB at any corpus size; this is the one
+    place a collect is the scale-correct design, exactly like building a
+    broadcast literal). Cell assignment is a pure codegen'd expression with
+    the centroids inlined — a map-only stage, no spark.ml, no extra jobs; at
+    100 TB the cell id is computed once at ingest and used as a
+    partition/cluster key, so a query touches ~n_probe/n_cells of the corpus.
+    Seeded ⇒ reproducible (but engine-specific: validated against brute
+    force in tests, not against the SQL oracle).
 
-    corpus_v = corpus.select(
+    ``train_hint``: optional pre-shuffled sample frame (same ``vec_col``) for
+    corpora with strong file-order locality — limit() reads the file head.
+    """
+    import numpy as np
+
+    train_src = train_hint if train_hint is not None else corpus
+    sample = train_src.select(vec_col).limit(256 * n_cells).collect()
+    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+
+    rng = np.random.default_rng(seed)
+    centers = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(max_iter):
+        # Lloyd over the in-memory sample: assign, then mean per cell
+        # (empty cells keep their previous center).
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        for j in range(len(centers)):
+            m = cell == j
+            if m.any():
+                centers[j] = x[m].mean(axis=0)
+
+    # Centroids inlined ONCE as a nested literal array; per-row math is a
+    # single transform lambda over it (compact expression tree — 16 separate
+    # aggregate() trees measured several seconds of Catalyst analysis).
+    centers_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
+    )
+
+    def dists(vec: Column) -> Column:
+        return F.transform(
+            centers_arr,
+            lambda c: F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    def cell_of(vec: Column) -> Column:
+        """argmin over inlined centroids; first-min tie-break (deterministic)."""
+        ds = dists(vec)
+        return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+    # The inverted file IS a materialization (FAISS builds it at add()-time;
+    # at 100 TB it's an ingest-time partition key) — checkpointing here both
+    # models that and keeps the inlined-centroid trees out of join planning
+    # (left inline, the optimizer re-analyzes them per join rule — measured
+    # 4× slower planning than execution).
+    assigned = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
-        array_to_vector(F.col(vec_col)).alias("features"),
-    )
-    # A coarse quantizer does not need convergence — cell QUALITY only moves
-    # recall marginally while every extra iteration is a full corpus pass, so
-    # the iteration budget is capped (recall is governed by n_probe/n_cells).
-    km = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter,
-        featuresCol="features", predictionCol="cell",
-    )
-    model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).select("match_id", "cvec", "cnorm", "cell")
+        cell_of(F.col(vec_col)).alias("cell"),
+    ).localCheckpoint(eager=True)
 
-    centers = [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    spark = corpus.sparkSession
-    centers_df = spark.createDataFrame(centers, schema="cell int, center array<double>")
+    # n_probe nearest cells per query: sort (dist2, cell) structs and keep
+    # the first n_probe — still pure expressions.
+    def probe_cells(vec: Column) -> Column:
+        entries = F.transform(
+            dists(vec), lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+        )
+        return F.slice(F.array_sort(entries), 1, n_probe)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("qnorm"),
+        probe_cells(F.col(vec_col)).alias("__probes"),
     )
-    # rank cells per query by distance to centroid, keep n_probe
-    qc = q.crossJoin(F.broadcast(centers_df)).withColumn(
-        "dist2",
-        F.aggregate(
-            F.zip_with(F.col("qvec"), F.col("center"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    wcell = W.partitionBy("query_id").orderBy("dist2", "cell")
-    probes = (
-        qc.withColumn("cell_rank", F.row_number().over(wcell))
-        .filter(F.col("cell_rank") <= n_probe)
-        .select("query_id", "qvec", "qnorm", "cell")
-    )
+    probes = q.select(
+        "query_id", "qvec", "qnorm", F.explode("__probes.cell").alias("cell")
+    ).localCheckpoint(eager=True)
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("match_id") != F.col("query_id") if exclude_self else F.lit(True))
@@ -333,4 +368,63 @@ def embedding_near_dup_lsh(
         )
         .filter(F.col("cos") >= threshold)
         .distinct()
+    )
+
+
+def decontaminate_by_similarity(
+    eval_set: DataFrame,
+    train_set: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Benchmark decontamination on embeddings: for each EVAL vector, find
+    TRAIN vectors with cosine ≥ threshold (semantic near-matches that would
+    leak the benchmark into training data). Returns one row per eval vector:
+    (eval_id, n_contaminating, max_cos, nearest_train_id) — nearest by
+    cosine, ties broken on train id.
+
+    Scale shape: the eval set (benchmarks — thousands of rows) is broadcast;
+    the 100 TB train side streams through a map-only score stage, and the
+    per-eval aggregate shuffles only the rows above threshold (tiny). For
+    eval sets too big to broadcast, bucket both sides with
+    ``embedding_near_dup_lsh``'s hyperplane keys instead.
+    """
+    e = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("evec"),
+        norm(F.col(vec_col)).alias("enorm"),
+    )
+    t = train_set.select(
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("tvec"),
+        norm(F.col(vec_col)).alias("tnorm"),
+    )
+    scored = t.crossJoin(F.broadcast(e)).select(
+        "eval_id",
+        "train_id",
+        (dot(F.col("evec"), F.col("tvec")) / (F.col("enorm") * F.col("tnorm"))).alias("cos"),
+    )
+    hits = scored.filter(F.col("cos") >= threshold)
+    best = F.row_number().over(
+        W.partitionBy("eval_id").orderBy(F.desc("cos"), F.asc("train_id"))
+    )
+    agg = (
+        hits.withColumn("__rn", best)
+        .groupBy("eval_id")
+        .agg(
+            F.count("*").alias("n_contaminating"),
+            F.max("cos").alias("max_cos"),
+            F.max(F.when(F.col("__rn") == 1, F.col("train_id"))).alias("nearest_train_id"),
+        )
+    )
+    return (
+        e.select("eval_id")
+        .join(agg, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce(F.col("n_contaminating"), F.lit(0)).cast("bigint").alias("n_contaminating"),
+            "max_cos",
+            "nearest_train_id",
+        )
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from crystal_parquet_database_spark.functions.portable_hash import (
     spark_hash64,
     spark_shingles,
+    spark_word_ngrams,
 )
 
 # BPE-ish tokenizer: letter runs, digit runs, single non-space symbols.
@@ -403,3 +404,101 @@ def pack_sequences(
             ((cum % capacity) + F.col("n_tokens") > capacity).alias("spans_boundary"),
         )
     )
+
+
+def chunk_dedup_stats(
+    df: DataFrame, text_col: str, id_col: str, width: int = 16
+) -> DataFrame:
+    """Cross-document chunk-level duplication: split each document into
+    consecutive ``width``-token blocks, hash each block, and report per
+    document how many blocks also occur in at least one OTHER document
+    (sub-document dedup signal — catches boilerplate shared across pages
+    that document-level dedup misses).
+
+    Scale shape: explode → groupBy the 60-bit chunk hash (uniform shuffle
+    key; partial agg collapses mass-duplicated chunks map-side) → sort-merge
+    join back on the same key (both sides already hash-partitioned by it) →
+    per-doc aggregate. A window over chunk_hash would ship every copy of a
+    hot boilerplate chunk to one reducer — groupBy+join is deliberate, same
+    reasoning as tfidf_top_terms' document-frequency stage.
+    """
+    df = _spread(df)
+    d = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__t"))
+    n_full = (F.size("__t") / width).cast("int")
+
+    def chunk(i: Column) -> Column:
+        return spark_hash64(F.array_join(F.slice(F.col("__t"), i * width + 1, width), " "))
+
+    chunks = F.when(
+        n_full >= 1, F.transform(F.sequence(F.lit(0), n_full - 1), chunk)
+    ).otherwise(F.array().cast("array<bigint>"))
+    ch = d.select(F.col(id_col), F.explode(chunks).alias("chunk_hash"))
+    freq = ch.groupBy("chunk_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("__dwc")
+    )
+    per_doc = (
+        ch.join(freq, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("__dwc") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_chunks"), F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            F.when(
+                F.coalesce(F.col("n_chunks"), F.lit(0)) > 0,
+                F.col("n_shared").cast("double") / F.col("n_chunks").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_ratio"),
+        )
+    )
+
+
+def ngram_topk(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:
+    """Top-k corpus word n-grams by occurrence count (deterministic
+    tie-break on the gram itself) — the classic distributed word-count
+    shape: explode → partial-agg groupBy (shuffle key is the gram; stop-word
+    grams are collapsed map-side so no reducer hotspot) → global top-k via
+    TakeOrdered (no full sort)."""
+    df = _spread(df)
+    toks = ws_tokens(F.col(text_col))
+    grams = spark_word_ngrams(F.col(text_col), n, toks=toks)
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+# PII patterns — deliberately simple enough to mean the same thing in Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repeats, no
+# backrefs/lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+1-555-[0-9]{4}"
+
+
+def pii_redact(df: DataFrame, text_col: str) -> DataFrame:
+    """Count and redact email/phone PII via chained regexp_replace — pure
+    column expressions, whole-stage-codegen'd; at 100 TB this is a map-only
+    stage with zero shuffle."""
+    df = _spread(df)
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "[EMAIL]"), PHONE_PATTERN, "[PHONE]"
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(t, F.lit(EMAIL_PATTERN)).cast("int"),
+            "n_phones": F.regexp_count(t, F.lit(PHONE_PATTERN)).cast("int"),
+            "redacted_md5": F.md5(redacted),
+        }
+    ).drop(text_col)

@@ -120,3 +120,34 @@ def first_event_per_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def windowed_distinct_keys(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    width: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Distinct-key counts per tumbling window via streaming-legal dedup.
+
+    COUNT(DISTINCT ...) is not allowed in a streaming aggregation, so the
+    canonical plan is dropDuplicates on (window, keys) — bounded state once a
+    watermark is attached (Spark evicts window state past the watermark) —
+    followed by a plain count. Chained stateful operators (dedup → agg) are
+    supported for append output with event-time watermarks. The identical
+    plan runs in batch for replay/backfill.
+    """
+    df = _with_watermark(df, ts_col, watermark)
+    deduped = df.select(
+        F.window(ts_col, width).alias("w"), *key_cols
+    ).dropDuplicates(["w", *key_cols])
+    return (
+        deduped.groupBy("w")
+        .agg(F.count("*").alias("n_distinct_keys"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_distinct_keys",
+        )
+    )

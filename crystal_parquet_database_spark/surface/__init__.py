@@ -32,6 +32,11 @@ from crystal_parquet_database_spark.surface import streaming  # noqa: E402,F401
 # stays registered — only iteration order changes.
 _VERIFY_FIRST = [
     # — new this round (no driver row yet) —
+    "text_chunk_dedup_ratio",
+    "text_ngram_topk",
+    "text_pii_redact",
+    "sim_decontaminate_embeddings",
+    "stream_windowed_distinct_keys",
     "agg_hll_sketch_distinct",
     "text_pack_sequences",
     "sample_train_val_test_split",

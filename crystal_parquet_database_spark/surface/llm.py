@@ -744,3 +744,144 @@ def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h < 8, "train").when(h == 8, "val").otherwise("test").alias("split")
     )
     return docs.select("doc_id", split)
+
+
+# ----------------------------------------------------------------------------
+# chunk-level (sub-document) duplication stats
+# ----------------------------------------------------------------------------
+
+_CHUNK_W = 16
+
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest([{sql_hash64(f"array_to_string(w[i*{_CHUNK_W}+1:i*{_CHUNK_W}+{_CHUNK_W}], ' ')")}
+                 for i in range(len(w) // {_CHUNK_W})]) AS chunk_hash
+  FROM t
+),
+f AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS dwc FROM c GROUP BY 1),
+p AS (
+  SELECT c.doc_id, COUNT(*) AS n_chunks,
+         CAST(SUM(CASE WHEN f.dwc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM c JOIN f USING (chunk_hash) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN COALESCE(p.n_chunks, 0) > 0
+            THEN CAST(p.n_shared AS DOUBLE) / CAST(p.n_chunks AS DOUBLE)
+            ELSE 0.0 END AS shared_ratio
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+@query("text_chunk_dedup_ratio", _CHUNK_ORACLE)
+def text_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_dedup_stats(docs, "text", "doc_id", width=_CHUNK_W)
+
+
+# ----------------------------------------------------------------------------
+# corpus n-gram statistics (distributed word count)
+# ----------------------------------------------------------------------------
+
+from crystal_parquet_database_spark.functions.portable_hash import sql_word_ngrams
+
+_NGRAM_ORACLE = f"""
+WITH g AS (SELECT unnest({sql_word_ngrams('text', 2)}) AS gram FROM documents)
+SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY gram
+ORDER BY n_occurrences DESC, gram LIMIT 20
+"""
+
+
+@query("text_ngram_topk", _NGRAM_ORACLE)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.ngram_topk(docs, "text", n=2, k=20)
+
+
+# ----------------------------------------------------------------------------
+# PII redaction (emails/phones synthesized deterministically, then redacted)
+# ----------------------------------------------------------------------------
+
+_PII_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, lang, source, n_chars, {_PII_AUG} AS text FROM documents
+)
+SELECT doc_id, lang, source, n_chars,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\+1-555-[0-9]{{4}}')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+           '\\+1-555-[0-9]{{4}}', '[PHONE]', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+@query("text_pii_redact", _PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture corpus contains no PII, so a deterministic contact line is
+    appended first (same expression in both engines); the redaction regexes
+    use only constructs Java regex and RE2 interpret identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return T.pii_redact(aug, "text").select(
+        "doc_id", "lang", "source", "n_chars", "n_emails", "n_phones", "redacted_md5"
+    )
+
+
+# ----------------------------------------------------------------------------
+# benchmark decontamination on embeddings (broadcast kNN threshold join)
+# ----------------------------------------------------------------------------
+
+_DECON_THRESH = 0.3
+
+_DECON_COS = (
+    f"{_sql_dot('evec', 'tvec')} / "
+    f"(SQRT({_sql_dot('evec', 'evec')}) * SQRT({_sql_dot('tvec', 'tvec')}))"
+)
+
+_DECON_ORACLE = f"""
+WITH e AS (SELECT vec_id AS eval_id, embedding AS evec FROM embeddings WHERE label = 0),
+t AS (SELECT vec_id AS train_id, embedding AS tvec FROM embeddings WHERE label <> 0),
+s AS (SELECT eval_id, train_id, {_DECON_COS} AS cos FROM t, e),
+h AS (SELECT * FROM s WHERE cos >= {_DECON_THRESH}),
+r AS (SELECT eval_id, train_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY cos DESC, train_id) AS rn
+      FROM h),
+a AS (SELECT eval_id, COUNT(*) AS n_contaminating, MAX(cos) AS max_cos,
+             MAX(CASE WHEN rn = 1 THEN train_id END) AS nearest_train_id
+      FROM r GROUP BY 1)
+SELECT e.eval_id,
+       CAST(COALESCE(a.n_contaminating, 0) AS BIGINT) AS n_contaminating,
+       a.max_cos, a.nearest_train_id
+FROM e LEFT JOIN a USING (eval_id)
+"""
+
+
+@query("sim_decontaminate_embeddings", _DECON_ORACLE)
+def sim_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval set = label 0 (broadcast); train = everything else (streams)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.decontaminate_by_similarity(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") != 0),
+        "vec_id",
+        "embedding",
+        threshold=_DECON_THRESH,
+    )

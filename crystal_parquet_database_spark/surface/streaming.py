@@ -90,3 +90,21 @@ SELECT event_id, ts, user_id, event_type, value, props FROM (
 def stream_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = SW.first_event_per_key(load_table(spark, sf_dir, "events"))
     return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+_DISTINCT_KEYS_ORACLE = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+       CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type) AS BIGINT)
+         AS n_distinct_keys
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream_windowed_distinct_keys", _DISTINCT_KEYS_ORACLE)
+def stream_windowed_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) is illegal in streaming aggregation — the streaming
+    plan is watermarked dropDuplicates on (window, key) chained into a plain
+    windowed count (bounded state; see streaming/windows.py)."""
+    return SW.windowed_distinct_keys(load_table(spark, sf_dir, "events"))

@@ -145,3 +145,63 @@ def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
     exact["ALL"] = li.select("l_orderkey").distinct().count()
     for k, approx in got.items():
         assert abs(approx - exact[k]) / exact[k] < 0.05, (k, approx, exact[k])
+
+
+def test_chunk_dedup_stats_known_values(spark):
+    # docs A and B share one 4-token chunk; C is too short for any chunk
+    rows = [
+        (1, "a b c d e f g h"),        # chunks: [a b c d], [e f g h]
+        (2, "a b c d x y z w"),        # chunks: [a b c d], [x y z w]
+        (3, "p q"),                    # no full chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from crystal_parquet_database_spark.operators.text import chunk_dedup_stats
+
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_shared"], r["shared_ratio"])
+        for r in chunk_dedup_stats(df, "text", "doc_id", width=4).collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (0, 0, 0.0)
+
+
+def test_ngram_topk_counts_occurrences_not_distinct(spark):
+    # "x y" occurs twice inside one doc — occurrence counting must see both
+    df = spark.createDataFrame([(1, "x y x y"), (2, "x y q")], "doc_id long, text string")
+    from crystal_parquet_database_spark.operators.text import ngram_topk
+
+    got = {r["gram"]: r["n_occurrences"] for r in ngram_topk(df, "text", n=2, k=10).collect()}
+    assert got["x y"] == 3
+    assert got["y x"] == 1
+
+
+def test_pii_redact_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at bob@example.com or +1-555-1234 thanks"), (2, "no pii here")],
+        "doc_id long, text string",
+    )
+    from crystal_parquet_database_spark.operators.text import pii_redact
+
+    out = {r["doc_id"]: r for r in pii_redact(df, "text").collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+
+
+def test_decontaminate_keeps_uncontaminated_evals(spark):
+    from crystal_parquet_database_spark.operators.similarity import (
+        decontaminate_by_similarity,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    tr = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, [1.0, 0.2])], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["eval_id"]: r
+        for r in decontaminate_by_similarity(ev, tr, "vec_id", "embedding", 0.9).collect()
+    }
+    assert out[1]["n_contaminating"] == 2 and out[1]["nearest_train_id"] == 10
+    assert out[2]["n_contaminating"] == 0 and out[2]["nearest_train_id"] is None

@@ -79,3 +79,31 @@ def test_streaming_dedup_bounded_state(spark, sf_dir, events_dir):
     )
     assert len(got) == len(got.drop_duplicates())
     assert canon_frame(got) == canon_frame(batch_keys)
+
+
+def test_windowed_distinct_stream_equals_batch(spark, sf_dir, events_dir):
+    """Chained stateful ops (dedup → windowed agg) on a real stream match the
+    batch run of the same builder."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = SW.windowed_distinct_keys(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wdk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_wdk").toPandas()
+    finally:
+        q.stop()
+    batch = SW.windowed_distinct_keys(
+        load_table(spark, sf_dir, "events")
+    ).toPandas()
+    # append mode emits only windows closed by the watermark; every emitted
+    # window must match its batch row, and most windows must have closed.
+    merged = got.merge(batch, on=["window_start", "window_end"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["n_distinct_keys_s"] == merged["n_distinct_keys_b"]).all()
+    assert len(got) >= 0.5 * len(batch)
