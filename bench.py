@@ -60,6 +60,11 @@ HEADLINE = [
     "text_decontaminate_overlap",
     "text_pack_sequences",
     "dedup_cluster_components",
+    "text_chunk_dedup_ratio",
+    "text_ngram_topk",
+    "text_pii_redact",
+    "sim_decontaminate_embeddings",
+    "stream_windowed_distinct_keys",
 ]
 
 
