@@ -65,6 +65,10 @@ HEADLINE = [
     "text_pii_redact",
     "sim_decontaminate_embeddings",
     "stream_windowed_distinct_keys",
+    "sample_global_shuffle",
+    "sample_upsample_by_weight",
+    "stream_running_user_stats",
+    "text_dedup_chunks_keep_first",
 ]
 
 

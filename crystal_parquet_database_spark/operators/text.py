@@ -467,11 +467,13 @@ def ngram_topk(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFra
     shape: explode → partial-agg groupBy (shuffle key is the gram; stop-word
     grams are collapsed map-side so no reducer hotspot) → global top-k via
     TakeOrdered (no full sort)."""
-    df = _spread(df)
-    toks = ws_tokens(F.col(text_col))
-    grams = spark_word_ngrams(F.col(text_col), n, toks=toks)
+    # Materialize tokens as a real projected column — passing the ws_tokens
+    # EXPRESSION as `toks` still re-splits the text per element_at inside the
+    # gram lambda (no CSE across lambda scopes; visible in the plan).
+    d = _spread(df).select(ws_tokens(F.col(text_col)).alias("__t"))
+    grams = spark_word_ngrams(F.col("__t"), n, toks=F.col("__t"))
     return (
-        df.select(F.explode(grams).alias("gram"))
+        d.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
@@ -502,3 +504,132 @@ def pii_redact(df: DataFrame, text_col: str) -> DataFrame:
             "redacted_md5": F.md5(redacted),
         }
     ).drop(text_col)
+
+
+def global_shuffle_rank(df: DataFrame, id_col: str, salt: str = "shuffle:") -> DataFrame:
+    """Deterministic global pretraining-order shuffle: every row ranked by a
+    portable salted hash of its id (doc_id tie-break for collisions).
+
+    A bare ``Window.orderBy`` global row_number plans a single-partition
+    exchange — the whole corpus through one reducer. This is the scalable
+    form (same two-phase prefix sum as ``pack_sequences``): range-partition
+    by the sort key, rank WITHIN each partition, add per-partition base
+    offsets from the one-row-per-partition count table broadcast back. The
+    output is independent of where range boundaries land (the (hash, id) key
+    is unique), so the rank is deterministic even though range sampling
+    isn't guaranteed to be.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    h = spark_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    d = (
+        df.select(F.col(id_col), h.alias("__h"))
+        .repartitionByRange(n_part, F.col("__h"), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning: two consumers below
+    )
+    rn = F.row_number().over(W.partitionBy("__pid").orderBy("__h", id_col))
+    bases = (
+        d.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn(
+            "__base",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__base")
+    )
+    return (
+        d.withColumn("__rn", rn)
+        .join(F.broadcast(bases), "__pid")
+        .select(
+            F.col(id_col),
+            (F.col("__rn") + F.col("__base")).cast("bigint").alias("shuffle_pos"),
+        )
+    )
+
+
+def dedup_chunks_keep_first(
+    df: DataFrame, text_col: str, id_col: str, width: int = 16
+) -> DataFrame:
+    """C4-style sub-document dedup with a rewrite: split each document into
+    ``width``-token blocks, keep only the globally FIRST occurrence of each
+    block (ordered by (doc_id, position) — repeats later in the same document
+    are removed too), and rebuild the document from its surviving blocks plus
+    its (always kept) tail remainder.
+
+    Returns (id, n_kept, n_removed, cleaned_md5) — the md5 stands in for the
+    rebuilt text so the output stays canonicalizer-safe; a write path would
+    emit the text itself.
+
+    Scale shape: same as ``chunk_dedup_stats`` — the 60-bit block hash is the
+    one shuffle key (uniform; mass-duplicated boilerplate collapses in the
+    map-side partial min) — plus a per-document collect_list for reassembly,
+    bounded by document size, shuffled on the id.
+    """
+    df = _spread(df)
+    toks = ws_tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__nf", (F.size("__t") / width).cast("int")
+    )
+
+    def block(i: Column) -> Column:
+        return F.array_join(F.slice(F.col("__t"), i * width + 1, width), " ")
+
+    chunks = F.when(
+        F.col("__nf") >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__nf") - 1),
+            lambda i: F.struct(i.alias("pos"), block(i).alias("ctext")),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,ctext:string>>"))
+    tail = F.array_join(
+        F.slice(F.col("__t"), F.col("__nf") * width + 1, F.greatest(F.size("__t") - F.col("__nf") * width, F.lit(0))),
+        " ",
+    )
+    base = d.select(F.col(id_col), tail.alias("__tail"), chunks.alias("__c"))
+
+    ch = base.select(F.col(id_col), F.explode("__c").alias("c")).select(
+        F.col(id_col),
+        F.col("c.pos").alias("pos"),
+        F.col("c.ctext").alias("ctext"),
+    ).withColumn("chash", spark_hash64(F.col("ctext")))
+    first = ch.groupBy("chash").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("__f")
+    )
+    flagged = ch.join(first, "chash").withColumn(
+        "__keep",
+        (F.col(id_col) == F.col("__f.d")) & (F.col("pos") == F.col("__f.p")),
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct(F.col("pos"), F.col("ctext")))
+                    )
+                ),
+                lambda s: s.getField("ctext"),
+            ),
+            " ",
+        ).alias("__kept_text"),
+    )
+    joined = base.join(per_doc, id_col, "left")
+    cleaned = F.when(
+        F.coalesce(F.col("__kept_text"), F.lit("")) == "", F.col("__tail")
+    ).otherwise(
+        F.when(F.col("__tail") == "", F.col("__kept_text")).otherwise(
+            F.concat(F.col("__kept_text"), F.lit(" "), F.col("__tail"))
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )

@@ -42,9 +42,14 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     if not events.isStreaming:
         from pyspark.sql import functions as F
 
+        from crystal_parquet_database_spark.functions.exact import dsum_of_double
+
+        # decimal-routed sum: exact, order-independent, SQL-oracle-checkable
+        # (the streaming path accumulates in float — equality within fp noise
+        # is pinned in tests/test_stateful_streaming.py)
         return events.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            dsum_of_double("value", "decimal(18,6)").alias("total_value"),
             F.max("value").alias("max_value"),
         )
     return events.groupBy("user_id").applyInPandasWithState(

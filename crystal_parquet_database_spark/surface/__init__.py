@@ -37,6 +37,10 @@ _VERIFY_FIRST = [
     "text_pii_redact",
     "sim_decontaminate_embeddings",
     "stream_windowed_distinct_keys",
+    "sample_global_shuffle",
+    "sample_upsample_by_weight",
+    "stream_running_user_stats",
+    "text_dedup_chunks_keep_first",
     "agg_hll_sketch_distinct",
     "text_pack_sequences",
     "sample_train_val_test_split",

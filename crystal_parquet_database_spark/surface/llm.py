@@ -856,8 +856,15 @@ _DECON_COS = (
     f"(SQRT({_sql_dot('evec', 'evec')}) * SQRT({_sql_dot('tvec', 'tvec')}))"
 )
 
+# Eval side bounded by a fixed id cut: benchmark/eval sets are fixed-size —
+# they do NOT grow with the training corpus — so the broadcast side stays
+# bounded at any sf (and the 10x scale probe measures the real linear shape,
+# not an artificial eval×train quadratic).
+_DECON_EVAL_CAP = 500
+
 _DECON_ORACLE = f"""
-WITH e AS (SELECT vec_id AS eval_id, embedding AS evec FROM embeddings WHERE label = 0),
+WITH e AS (SELECT vec_id AS eval_id, embedding AS evec FROM embeddings
+           WHERE label = 0 AND vec_id < {_DECON_EVAL_CAP}),
 t AS (SELECT vec_id AS train_id, embedding AS tvec FROM embeddings WHERE label <> 0),
 s AS (SELECT eval_id, train_id, {_DECON_COS} AS cos FROM t, e),
 h AS (SELECT * FROM s WHERE cos >= {_DECON_THRESH}),
@@ -879,9 +886,117 @@ def sim_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval set = label 0 (broadcast); train = everything else (streams)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.decontaminate_by_similarity(
-        emb.filter(F.col("label") == 0),
+        emb.filter((F.col("label") == 0) & (F.col("vec_id") < _DECON_EVAL_CAP)),
         emb.filter(F.col("label") != 0),
         "vec_id",
         "embedding",
         threshold=_DECON_THRESH,
     )
+
+
+# ----------------------------------------------------------------------------
+# pretraining-order shuffle + source upsampling (data-mixing epochs)
+# ----------------------------------------------------------------------------
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY {sql_hash64("'shuffle:' || CAST(doc_id AS VARCHAR)")}, doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+@query("sample_global_shuffle", _SHUFFLE_ORACLE)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global pretraining-order shuffle: rank by a portable
+    hash of the doc id (salted so it decorrelates from the id order, doc_id
+    tie-break for hash collisions). Reproducible across engines, reruns, and
+    partitioning — rand()-based shuffles are none of those. At scale this is
+    ONE range-partitioned total sort (Spark samples hash boundaries, each
+    partition sorts locally); writing the result partitioned by
+    floor(pos/chunk) yields ready-to-stream training shards."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return T.global_shuffle_rank(docs, "doc_id", salt="shuffle:")
+
+
+# Per-source epoch weights — the data-mixing knob (e.g. books × 3, web × 1).
+# Deterministic function of the source name so both engines agree.
+_UPSAMPLE_ORACLE = f"""
+SELECT doc_id, source, epoch
+FROM (
+  SELECT doc_id, source,
+         1 + ({sql_hash64("'weight:' || source")}) % 3 AS n_epochs
+  FROM documents
+), LATERAL unnest(range(1, n_epochs + 1)) AS t(epoch)
+"""
+
+
+@query("sample_upsample_by_weight", _UPSAMPLE_ORACLE)
+def sample_upsample_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted upsampling: each document is replicated n_epochs times
+    (1-3, a deterministic function of its source standing in for the mixture
+    config), tagged with its epoch number. Pure map + explode — no shuffle at
+    any scale; the multiplier lives in the row, so a 100 TB corpus streams
+    through once."""
+    from crystal_parquet_database_spark.functions.portable_hash import spark_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n_epochs = (
+        F.lit(1)
+        + spark_hash64(F.concat(F.lit("weight:"), F.col("source"))) % 3
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), n_epochs)).alias("epoch"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# C4-style sub-document dedup with rewrite (keep first global occurrence)
+# ----------------------------------------------------------------------------
+
+_C4_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, w, len(w) // {_CHUNK_W} AS nf
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+),
+base AS (
+  SELECT doc_id, nf,
+         COALESCE(array_to_string(w[nf*{_CHUNK_W}+1:len(w)], ' '), '') AS tail
+  FROM t
+),
+c AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i*{_CHUNK_W}+1:u.i*{_CHUNK_W}+{_CHUNK_W}], ' ') AS ctext
+  FROM t, LATERAL unnest(range(nf)) AS u(i)
+),
+h AS (SELECT doc_id, pos, ctext, {sql_hash64('ctext')} AS chash FROM c),
+fd AS (SELECT chash, MIN(doc_id) AS d FROM h GROUP BY 1),
+fp AS (SELECT h.chash, fd.d, MIN(h.pos) AS p
+       FROM h JOIN fd ON h.chash = fd.chash AND h.doc_id = fd.d
+       GROUP BY h.chash, fd.d),
+k AS (
+  SELECT h.doc_id,
+         CAST(SUM(CASE WHEN h.doc_id = fp.d AND h.pos = fp.p THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN h.doc_id = fp.d AND h.pos = fp.p THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(CASE WHEN h.doc_id = fp.d AND h.pos = fp.p THEN h.ctext END,
+                             ' ' ORDER BY h.pos), '') AS kept_text
+  FROM h JOIN fp ON h.chash = fp.chash
+  GROUP BY h.doc_id
+)
+SELECT b.doc_id,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.n_removed, 0) AS n_removed,
+       md5(CASE WHEN COALESCE(k.kept_text, '') = '' THEN b.tail
+                WHEN b.tail = '' THEN k.kept_text
+                ELSE k.kept_text || ' ' || b.tail END) AS cleaned_md5
+FROM base b LEFT JOIN k USING (doc_id)
+"""
+
+
+@query("text_dedup_chunks_keep_first", _C4_ORACLE)
+def text_dedup_chunks_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.dedup_chunks_keep_first(docs, "text", "doc_id", width=_CHUNK_W)

@@ -108,3 +108,25 @@ def stream_windowed_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame
     plan is watermarked dropDuplicates on (window, key) chained into a plain
     windowed count (bounded state; see streaming/windows.py)."""
     return SW.windowed_distinct_keys(load_table(spark, sf_dir, "events"))
+
+
+_RUNNING_STATS_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("stream_running_user_stats", _RUNNING_STATS_ORACLE)
+def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-stateful-operator surface (applyInPandasWithState): per-user
+    running stats with O(keys) state on a stream; the batch replay path (run
+    here) is a plain decimal-exact aggregation with identical output.
+    Cross-microbatch state evolution is proven in
+    tests/test_stateful_streaming.py."""
+    from crystal_parquet_database_spark.streaming.stateful import running_user_stats
+
+    return running_user_stats(load_table(spark, sf_dir, "events"))

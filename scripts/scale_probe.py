@@ -38,6 +38,12 @@ PROBES = [
     "text_decontaminate_overlap",
     "text_tfidf_top_terms",
     "text_pack_sequences",
+    "text_chunk_dedup_ratio",
+    "text_ngram_topk",
+    "sim_decontaminate_embeddings",
+    "sample_global_shuffle",
+    "sample_upsample_by_weight",
+    "text_dedup_chunks_keep_first",
 ]
 
 

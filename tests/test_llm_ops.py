@@ -205,3 +205,30 @@ def test_decontaminate_keeps_uncontaminated_evals(spark):
     }
     assert out[1]["n_contaminating"] == 2 and out[1]["nearest_train_id"] == 10
     assert out[2]["n_contaminating"] == 0 and out[2]["nearest_train_id"] is None
+
+
+def test_dedup_chunks_keep_first_semantics(spark):
+    # width=2: doc1 = [a b][c d], doc2 = [a b][e f], doc3 repeats [a b] twice
+    rows = [
+        (1, "a b c d"),
+        (2, "a b e f"),
+        (3, "a b a b x"),  # two full chunks + tail "x"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from crystal_parquet_database_spark.operators.text import dedup_chunks_keep_first
+    from pyspark.sql import functions as F
+
+    out = {
+        r["doc_id"]: r
+        for r in dedup_chunks_keep_first(df, "text", "doc_id", width=2).collect()
+    }
+    # doc1 keeps both chunks (first occurrence of [a b] globally)
+    assert (out[1]["n_kept"], out[1]["n_removed"]) == (2, 0)
+    # doc2 loses [a b], keeps [e f]
+    assert (out[2]["n_kept"], out[2]["n_removed"]) == (1, 1)
+    # doc3 loses both [a b] copies, tail x survives
+    assert (out[3]["n_kept"], out[3]["n_removed"]) == (0, 2)
+    md5_x = spark.range(1).select(F.md5(F.lit("x"))).first()[0]
+    assert out[3]["cleaned_md5"] == md5_x
+    md5_ef = spark.range(1).select(F.md5(F.lit("e f"))).first()[0]
+    assert out[2]["cleaned_md5"] == md5_ef

@@ -129,3 +129,44 @@ def test_pack_sequences_no_global_single_partition_window(spark, sf_dir):
     df = QUERIES["text_pack_sequences"](spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_global_shuffle_rank_no_single_partition_corpus_window(spark, sf_dir):
+    """The shuffle-order rank must use the two-phase prefix sum, not a bare
+    global Window.orderBy (single-partition exchange of the whole corpus).
+    Allowed SinglePartition exchange: the one-row-per-partition base table."""
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["sample_global_shuffle"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_upsample_is_pure_map_stage(spark, sf_dir):
+    """Epoch replication is explode over a row-local multiplier: no shuffle."""
+    assert num_shuffles(QUERIES["sample_upsample_by_weight"](spark, sf_dir)) == 0
+
+
+def test_chunk_dedup_no_cartesian(spark, sf_dir):
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["text_chunk_dedup_ratio"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_embeddings_broadcasts_eval_side(spark, sf_dir):
+    """The train side must stream (map-only score stage); only the bounded
+    eval set is broadcast."""
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["sim_decontaminate_embeddings"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_join_is_broadcast(spark, sf_dir):
+    from crystal_parquet_database_spark.plans.inspect import join_strategies
+
+    df = QUERIES["sim_ivf_topk"](spark, sf_dir)
+    strats = join_strategies(df)
+    assert any("Broadcast" in s for s in strats)
