@@ -345,9 +345,13 @@ def embedding_near_dup_lsh(
             term = plane_bit(j) * F.lit(2**off)
             key = term if key is None else key + term
         bands.append(F.struct(F.lit(i).alias("band"), key.cast("bigint").alias("key")))
+    # Materialize the bucketed index once: the banding expression (n_planes
+    # folds over the vector) otherwise evaluates on BOTH sides of the
+    # self-join and its wide tree slows join planning (same lesson as
+    # ivf_topk). At scale this is the ingest-time LSH index build.
     exploded = base.select(
         "__id", "__vec", "__norm", F.explode(F.array(*bands)).alias("b")
-    ).select("__id", "__vec", "__norm", "b.band", "b.key")
+    ).select("__id", "__vec", "__norm", "b.band", "b.key").localCheckpoint(eager=True)
 
     a = exploded.alias("a")
     b = exploded.alias("b")

@@ -439,6 +439,26 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_audio_pipeline")
+def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio binary-column pipeline: bytes → typed metadata + per-chunk
+    energy profile through Arrow-batched mapInPandas (decode stubbed
+    deterministically — media libs absent; the Spark-side schema,
+    partitioning and batch shape are real). Rows-only check by design:
+    blob-chunk arithmetic is not expressible in portable SQL."""
+    from crystal_parquet_database_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    binary = M.documents_as_binary(docs).withColumnRenamed("image_id", "audio_id")
+    chunks = M.audio_chunk_energy(binary, id_col="audio_id")
+    return chunks.select(
+        "audio_id",
+        F.col("meta.duration_s").alias("duration_s"),
+        "chunk_index",
+        "energy",
+    )
+
+
 _FP_ORACLE = f"""
 SELECT doc_id,
        list_aggregate(list_transform({sql_shingles('text', 8)}, s -> {sql_hash64('s')}),
