@@ -104,16 +104,28 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 4)
 
-    out = {
-        "metric": "headline_queries_total_runtime",
-        "value": round(sum(times.values()), 4),
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
-        "warm": True,
+    # The driver captures the tail of stdout and parses the FINAL line as the
+    # headline JSON. Keep that line compact (contract keys only, value first);
+    # the full cold/warm breakdown + methodology goes to BENCH_DETAIL.json and
+    # an earlier stdout line so a human still sees it without breaking parse.
+    detail = {
         "cold_value": round(sum(cold.values()), 4),
         "cold_queries": cold,
+        "warm_queries": times,
         "methodology": "two passes at target sf in one process; value=2nd (steady-state) pass, cold_value=1st pass",
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    out = {
+        "value": round(sum(times.values()), 4),
+        "metric": "headline_queries_total_runtime",
+        "unit": "sec",
+        "sf": sf,
+        "queries": times,
     }
     print(json.dumps(out))
 

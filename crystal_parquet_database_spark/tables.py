@@ -57,8 +57,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # NANOS columns into an int64 read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Newer fixture copies store ts as parquet TIMESTAMP(MICROS)
+            # without the UTC-adjusted flag, which Spark 4 infers as
+            # TIMESTAMP_NTZ. Session tz is pinned UTC above, so casting to
+            # TIMESTAMP maps wall-clock to the same instant DuckDB reads —
+            # and restores unix_micros()/withWatermark compatibility.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
