@@ -69,6 +69,13 @@ HEADLINE = [
     "sample_upsample_by_weight",
     "stream_running_user_stats",
     "text_dedup_chunks_keep_first",
+    # round 3: event analytics + token-budget sampling + sorted packing +
+    # centroid outliers
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "sample_token_budget_mixture",
+    "text_pack_sequences_sorted",
+    "sim_label_centroid_outliers",
 ]
 
 

@@ -432,3 +432,70 @@ def decontaminate_by_similarity(
             "nearest_train_id",
         )
     )
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    top_k: int = 3,
+    scale: int = 10_000_000,
+) -> DataFrame:
+    """Per-label centroid distances → the ``top_k`` farthest members of each
+    label (SemDeDup/CleanLab-style outlier audit of a labeled embedding set).
+
+    Exactness: a centroid is a cross-row float mean, which is order-dependent
+    in double — so components are first fixed-point quantized
+    (``floor(x * scale)`` as int64). Integer sums are exact and
+    order-independent in both engines; the squared distance to the centroid is
+    computed on the integer grid as ``(q_i*n - S_i)²`` (per-label count n,
+    component sum S_i — both exact), each square cast to decimal(38,6) so the
+    cross-component sum is exact too, and only the final score division
+    happens in double with the identical expression on the oracle side.
+
+    Scale shape: posexplode to (row, component) — map-side only; one shuffle
+    to (label, pos) for the centroid sums (dim × labels rows — tiny);
+    broadcast-join centroids back; one shuffle to re-aggregate per row; a
+    bounded per-label top-k window. No step holds a whole label on one task
+    except the final top-k, whose input is one scored row per member.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    q = (
+        df.repartition(n_part)
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("__lbl"),
+            F.posexplode(F.col(vec_col)).alias("__pos", "__c"),
+        )
+        .withColumn("__q", F.floor(F.col("__c").cast("double") * scale).cast("bigint"))
+        .drop("__c")
+    )
+    cent = q.groupBy("__lbl", "__pos").agg(
+        F.sum("__q").alias("__s"), F.count("*").alias("__n")
+    )
+    # Per-component deviation back in embedding units, computed in double
+    # with the SAME expression shape as the oracle (int→double casts are
+    # exact below 2^53; the divisions are correctly rounded identically in
+    # both engines). The cross-component sum is made order-independent by
+    # floor-quantizing each squared term onto a 1e-12 grid — floor(double)
+    # and int64 addition are exact in both engines, unlike a double→decimal
+    # cast whose 15th-digit rounding the engines disagree on by 1 ulp.
+    tv = (
+        (F.col("__q") * F.col("__n") - F.col("__s")).cast("double")
+        / F.col("__n").cast("double")
+        / F.lit(float(scale))
+    )
+    term_q = F.floor(tv * tv * F.lit(1e12)).cast("bigint")
+    scored = (
+        q.join(F.broadcast(cent), ["__lbl", "__pos"])
+        .withColumn("__t", term_q)
+        .groupBy(F.col(id_col), F.col("__lbl"))
+        .agg((F.sum("__t").cast("double") / F.lit(1e12)).alias("dist2"))
+    )
+    w = W.partitionBy("__lbl").orderBy(F.desc("dist2"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col(id_col), F.col("__lbl").alias(label_col), "dist2", "rank")
+    )

@@ -406,6 +406,137 @@ def pack_sequences(
     )
 
 
+def pack_sequences_sorted(
+    df: DataFrame, text_col: str, id_col: str, capacity: int = 512
+) -> DataFrame:
+    """Length-sorted sequence packing: same pack-and-chop as
+    ``pack_sequences`` but documents are ordered by (token count, id) before
+    packing, so every bin holds documents of near-identical length — the
+    length-bucketing a curriculum schedule or a padding-free batcher wants.
+    (Under chop semantics the boundary-span RATE is order-invariant — what
+    sorting buys is within-bin length homogeneity, which the test asserts.)
+
+    Scale shape is identical to ``pack_sequences``: range-partition by the
+    sort key, per-partition window, broadcast per-partition base offsets —
+    no single-partition global window anywhere.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.select(F.col(id_col), F.size(ws_tokens(F.col(text_col))).alias("n_tokens"))
+        .repartitionByRange(n_part, F.col("n_tokens"), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning: 3 consumers below
+    )
+    within = F.sum("n_tokens").over(
+        W.partitionBy("__pid")
+        .orderBy("n_tokens", id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    psums = (
+        d.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("__psum"))
+        .withColumn(
+            "__base",
+            F.coalesce(
+                F.sum("__psum").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__base")
+    )
+    cum = F.coalesce(F.col("__w"), F.lit(0)) + F.col("__base")
+    return (
+        d.withColumn("__w", within)
+        .join(F.broadcast(psums), "__pid")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.floor(cum / capacity).cast("int").alias("bin_id"),
+            (cum % capacity).cast("int").alias("bin_offset"),
+            ((cum % capacity) + F.col("n_tokens") > capacity).alias("spans_boundary"),
+        )
+    )
+
+
+def token_budget_per_group(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    budget: int,
+    salt: str = "budget:",
+) -> DataFrame:
+    """Keep a deterministic token-budgeted subset of each group: within every
+    ``group_col`` value, order documents by a portable hash of their id (a
+    stable shuffle) and keep documents while the running token total before
+    them is under ``budget``. This is how a mixture is specified in TOKENS
+    rather than document counts — the unit a pretraining recipe actually
+    budgets.
+
+    The running sum is a per-group prefix sum. A plain
+    ``Window.partitionBy(group)`` would put one whole group on one task —
+    with a handful of sources over 100 TB that's the worst skew possible. So
+    the prefix sum is two-phase like ``pack_sequences``, generalized per
+    group: range-partition by (group, hash, id) so each partition holds a
+    contiguous slice of one-or-more groups' hash order, window WITHIN the
+    partition, then add per-(partition, group) base offsets computed from the
+    tiny partial-sum table (≤ partitions × groups-crossing-boundaries rows)
+    broadcast back. Every group can span many partitions; no task ever sees
+    more than ~1/n_part of a group.
+
+    Output: (id, group, n_tokens, cum_before) for kept documents.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    h = spark_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    d = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col).alias("__grp"),
+            F.size(ws_tokens(F.col(text_col))).alias("n_tokens"),
+            h.alias("__h"),
+        )
+        .repartitionByRange(n_part, F.col("__grp"), F.col("__h"), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning: 3 consumers below
+    )
+    within = F.sum("n_tokens").over(
+        W.partitionBy("__pid", "__grp")
+        .orderBy("__h", id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    psums = (
+        d.groupBy("__pid", "__grp")
+        .agg(F.sum("n_tokens").alias("__psum"))
+        .withColumn(
+            "__base",
+            F.coalesce(
+                F.sum("__psum").over(
+                    W.partitionBy("__grp")
+                    .orderBy("__pid")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__grp", "__base")
+    )
+    cum = F.coalesce(F.col("__w"), F.lit(0)) + F.col("__base")
+    return (
+        d.withColumn("__w", within)
+        .join(F.broadcast(psums), ["__pid", "__grp"])
+        .withColumn("cum_before", cum)
+        .filter(F.col("cum_before") < budget)
+        .select(
+            F.col(id_col),
+            F.col("__grp").alias(group_col),
+            F.col("n_tokens"),
+            F.col("cum_before"),
+        )
+    )
+
+
 def chunk_dedup_stats(
     df: DataFrame, text_col: str, id_col: str, width: int = 16
 ) -> DataFrame:

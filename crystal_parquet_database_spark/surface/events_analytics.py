@@ -1,0 +1,154 @@
+"""Event-analytics query surface: funnel conversion and retention cohorts —
+the two canonical product-analytics shapes over an append-only event log
+(reference scope: crystpqdb serves batch tables; these are the query forms a
+warehouse layered on it runs — same declarative DataFrame surface).
+
+Both queries shuffle exclusively on ``user_id`` (conditional aggregation /
+sequential joins share the key, so AQE coalesces into one exchange family)
+and end in a tiny global rollup — the shape that survives a 1000-executor
+cluster: per-user state is bounded by that user's events, never by corpus
+size, and there is no window wider than one user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.surface.registry import query
+from crystal_parquet_database_spark.tables import load_table
+
+# ----------------------------------------------------------------------------
+# funnel: view → signup → purchase, strictly ordered per user
+# ----------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'signup' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t2
+    AND e.ts <= s.t2 + INTERVAL 168 HOUR
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT 1 AS stage_ord, 'view' AS stage, COUNT(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'signup_after_view', COUNT(*) FROM s
+  UNION ALL
+  SELECT 3, 'purchase_after_signup', COUNT(*) FROM p
+) ORDER BY stage_ord
+"""
+
+
+@query("events_funnel_conversion", _FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order, time-bounded funnel: users who viewed, then signed up
+    within 24 hours of their first view, then purchased within 7 days of
+    that signup. Each stage is a conditional-min aggregation joined to the
+    previous stage on user_id — three shuffles on the same key
+    (co-partitioned, AQE-coalesced), then a three-row rollup. Event-time
+    ordering is enforced with the actual timestamps, not event ids, so
+    out-of-order ingestion can't fake a conversion."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 168 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        v.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).alias("stage_ord"), F.lit("view").alias("stage"), "n_users"
+        )
+        .unionByName(
+            s.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("stage_ord"),
+                F.lit("signup_after_view").alias("stage"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("stage_ord"),
+                F.lit("purchase_after_signup").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    return stages.orderBy("stage_ord").select("stage", "n_users")
+
+
+# ----------------------------------------------------------------------------
+# retention cohorts: weekly cohort × week offset active-user matrix
+# ----------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER)
+         AS week_offset,
+       COUNT(*) AS n_users
+FROM f JOIN a ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("events_retention_cohorts", _RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users cohorted by the week of their first
+    event; each (cohort_week, week_offset) cell counts users active that many
+    weeks later. Both engines truncate weeks to Monday, and both sides'
+    offsets divide an exact whole-week day difference, so the matrix is
+    hash-exact. Scale: first-event and distinct-active are both user_id
+    shuffles (bounded per-user state); the final cell aggregation is
+    cohort-sized — tiny."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    a = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("active_week")).distinct()
+    return (
+        f.join(a, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -1020,3 +1020,129 @@ FROM base b LEFT JOIN k USING (doc_id)
 def text_dedup_chunks_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.dedup_chunks_keep_first(docs, "text", "doc_id", width=_CHUNK_W)
+
+
+# ----------------------------------------------------------------------------
+# sampling: per-source token budgets (mixture specified in tokens, not docs)
+# ----------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 3000
+
+_BUDGET_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+         ({sql_hash64("'budget:' || CAST(doc_id AS VARCHAR)")}) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+FROM c WHERE cum_before < {_BUDGET_TOKENS}
+"""
+
+
+@query("sample_token_budget_mixture", _BUDGET_ORACLE)
+def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture: each source contributes documents (in
+    deterministic portable-hash order) until its TOKEN budget is exhausted —
+    the unit pretraining recipes actually allocate. The per-source running
+    sum is a grouped two-phase prefix sum (operators/text.py:
+    token_budget_per_group), never a one-task-per-source window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return T.token_budget_per_group(
+        docs, "text", "doc_id", "source", budget=_BUDGET_TOKENS
+    )
+
+
+# ----------------------------------------------------------------------------
+# text: length-sorted sequence packing (fewer boundary-spanning docs)
+# ----------------------------------------------------------------------------
+
+_SORTED_PACK_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(cum / {_PACK_CAP}) AS INTEGER) AS bin_id,
+       CAST(cum % {_PACK_CAP} AS INTEGER) AS bin_offset,
+       (cum % {_PACK_CAP}) + n_tokens > {_PACK_CAP} AS spans_boundary
+FROM c
+"""
+
+
+@query("text_pack_sequences_sorted", _SORTED_PACK_ORACLE)
+def text_pack_sequences_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-sorted packing: documents ordered by (token count, id) before
+    the pack-and-chop, so each bin holds near-identical-length documents —
+    length bucketing for curriculum schedules and padding-free batchers.
+    Same distributed two-phase prefix sum as text_pack_sequences; only the
+    sort key changes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.pack_sequences_sorted(docs, "text", "doc_id", capacity=_PACK_CAP)
+
+
+# ----------------------------------------------------------------------------
+# embeddings: per-label centroid outliers (labeled-set audit)
+# ----------------------------------------------------------------------------
+
+_CENTROID_SCALE = 10_000_000
+_CENTROID_TOPK = 3
+
+_CENTROID_ORACLE = f"""
+WITH x AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS e,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, pos,
+         CAST(FLOOR(CAST(e AS DOUBLE) * {_CENTROID_SCALE}) AS BIGINT) AS qv
+  FROM x
+),
+s AS (SELECT label, pos, SUM(qv) AS sv, COUNT(*) AS n FROM q GROUP BY label, pos),
+t AS (
+  SELECT q.vec_id, q.label,
+         CAST(q.qv * s.n - s.sv AS DOUBLE) / CAST(s.n AS DOUBLE)
+           / {_CENTROID_SCALE}.0 AS tv
+  FROM q JOIN s ON q.label = s.label AND q.pos = s.pos
+),
+r AS (
+  SELECT vec_id, label,
+         CAST(SUM(CAST(FLOOR(tv * tv * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000000.0 AS dist2
+  FROM t GROUP BY vec_id, label
+)
+SELECT vec_id, label, dist2,
+       CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id)
+            AS INTEGER) AS rank
+FROM r QUALIFY rank <= {_CENTROID_TOPK}
+"""
+
+
+@query("sim_label_centroid_outliers", _CENTROID_ORACLE)
+def sim_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-from-centroid members per label — the audit pass that surfaces
+    mislabeled or junk vectors in a labeled embedding set. Centroids are
+    cross-row float means, so components are fixed-point quantized first;
+    all cross-row arithmetic is exact integer/decimal (hash-identical to the
+    oracle), with doubles only in the final scored division. See
+    operators/similarity.label_centroid_outliers for the scale shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.label_centroid_outliers(
+        emb, "vec_id", "embedding", "label",
+        top_k=_CENTROID_TOPK, scale=_CENTROID_SCALE,
+    )

@@ -1,0 +1,102 @@
+"""Event-analytics (funnel, retention) + round-3 LLM-op tests: oracle
+equivalence lives in tests/test_oracle.py's registry sweep; these check the
+semantics and the scale-shape properties directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crystal_parquet_database_spark.operators import similarity as S
+from crystal_parquet_database_spark.operators import text as T
+from crystal_parquet_database_spark.plans.inspect import formatted_plan
+from crystal_parquet_database_spark.surface import QUERIES
+from crystal_parquet_database_spark.tables import load_table
+
+
+def test_funnel_stages_monotone(spark, sf_dir):
+    rows = {r["stage"]: r["n_users"] for r in QUERIES["events_funnel_conversion"](spark, sf_dir).collect()}
+    assert set(rows) == {"view", "signup_after_view", "purchase_after_signup"}
+    # a funnel can only narrow
+    assert rows["view"] >= rows["signup_after_view"] >= rows["purchase_after_signup"]
+    # fixture has dense per-user activity: stages must not be degenerate
+    assert rows["view"] > 0 and rows["signup_after_view"] > 0
+
+
+def test_retention_cohort_zero_offset_covers_everyone(spark, sf_dir):
+    """Every user is active in their own cohort week, so summing the
+    offset-0 cells equals the number of distinct users."""
+    df = QUERIES["events_retention_cohorts"](spark, sf_dir)
+    rows = df.collect()
+    assert all(r["week_offset"] >= 0 for r in rows)
+    at0 = sum(r["n_users"] for r in rows if r["week_offset"] == 0)
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert at0 == n_users
+
+
+def test_token_budget_respected_per_group(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = T.token_budget_per_group(docs, "text", "doc_id", "source", budget=1000)
+    pdf = out.toPandas()
+    # every kept doc started under budget, and each group's pre-doc running
+    # totals are consistent: cum_before values must be distinct and the
+    # smallest must be 0 for every non-empty group
+    assert (pdf["cum_before"] < 1000).all()
+    for _, g in pdf.groupby("source"):
+        assert g["cum_before"].min() == 0
+        assert g["cum_before"].is_unique
+
+
+def test_token_budget_no_single_partition_window(spark, sf_dir):
+    plan = formatted_plan(QUERIES["sample_token_budget_mixture"](spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_sorted_packing_homogenizes_bin_lengths(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plain = T.pack_sequences(docs, "text", "doc_id", capacity=512)
+    srt = T.pack_sequences_sorted(docs, "text", "doc_id", capacity=512)
+
+    def mean_bin_spread(df):
+        per_bin = df.groupBy("bin_id").agg(
+            (F.max("n_tokens") - F.min("n_tokens")).alias("spread"),
+            F.count("*").alias("n"),
+        )
+        row = per_bin.filter(F.col("n") > 1).agg(F.avg("spread")).first()
+        return row[0]
+
+    # sorting's payoff: bins hold near-identical-length documents
+    assert mean_bin_spread(srt) < mean_bin_spread(plain)
+    # token totals are invariant under reordering
+    assert (
+        plain.agg(F.sum("n_tokens")).first()[0]
+        == srt.agg(F.sum("n_tokens")).first()[0]
+    )
+
+
+def test_sorted_packing_no_single_partition_window(spark, sf_dir):
+    plan = formatted_plan(QUERIES["text_pack_sequences_sorted"](spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_centroid_outliers_shape_and_rank(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.label_centroid_outliers(emb, "vec_id", "embedding", "label", top_k=3)
+    pdf = out.toPandas()
+    n_labels = emb.select("label").distinct().count()
+    assert len(pdf) == 3 * n_labels
+    for _, g in pdf.groupby("label"):
+        assert sorted(g["rank"]) == [1, 2, 3]
+        # rank 1 is the farthest
+        assert g.sort_values("rank")["dist2"].is_monotonic_decreasing
+    assert (pdf["dist2"] >= 0).all()
+
+
+def test_centroid_outliers_invariant_to_partitioning(spark, sf_dir):
+    """Fixed-point quantization makes the score independent of aggregation
+    order — repartitioning must not move a single bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = S.label_centroid_outliers(emb, "vec_id", "embedding", "label").toPandas()
+    b = S.label_centroid_outliers(emb.repartition(13), "vec_id", "embedding", "label").toPandas()
+    ka = sorted(map(tuple, a[["vec_id", "label", "dist2", "rank"]].values.tolist()))
+    kb = sorted(map(tuple, b[["vec_id", "label", "dist2", "rank"]].values.tolist()))
+    assert ka == kb
