@@ -73,6 +73,8 @@ HEADLINE = [
     # centroid outliers
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "events_multires_rollup",
+    "stream_view_purchase_join",
     "sample_token_budget_mixture",
     "text_pack_sequences_sorted",
     "sim_label_centroid_outliers",

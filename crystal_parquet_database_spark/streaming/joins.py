@@ -1,0 +1,61 @@
+"""Stream-stream join recipe — one logical plan for batch AND streaming.
+
+Spark's stream-stream inner join keeps both sides' state until the watermark
+plus the join's event-time bound passes, so the builder REQUIRES a time-range
+condition: without it, state grows forever (the 100 TB/day concern). The same
+builder over batch frames is the replay/backfill path — identical results by
+construction, asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
+    if df.isStreaming and delay is not None:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def view_purchase_pairs(
+    df: DataFrame,
+    ts_col: str = "ts",
+    watermark: str | None = "1 hour",
+    horizon_sql: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Purchase attribution as a stream-stream self-join: every (view,
+    purchase) pair for the same user where the purchase happens within
+    ``horizon_sql`` AFTER the view.
+
+    Both derived sides carry their own watermark, and the join condition
+    bounds purchase_ts relative to view_ts — together these let Spark expire
+    view-side state ``horizon + watermark`` behind the stream and
+    purchase-side state at the watermark, so state is bounded regardless of
+    stream length. Batch semantics are the plain time-range join (the DuckDB
+    oracle mirrors it exactly).
+    """
+    v = _with_watermark(
+        df.filter(F.col("event_type") == "view"), ts_col, watermark
+    ).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col(ts_col).alias("view_ts"),
+    )
+    p = _with_watermark(
+        df.filter(F.col("event_type") == "purchase"), ts_col, watermark
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("__p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("__p_user"))
+            & (F.col("purchase_ts") > F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(horizon_sql)),
+        )
+        .select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    )

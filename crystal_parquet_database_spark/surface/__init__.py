@@ -55,6 +55,8 @@ _VERIFY_FIRST = [
     # — 4: new in round 3 (no row could exist yet) —
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "events_multires_rollup",
+    "stream_view_purchase_join",
     "sample_token_budget_mixture",
     "text_pack_sequences_sorted",
     "sim_label_centroid_outliers",

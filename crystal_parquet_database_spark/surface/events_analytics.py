@@ -152,3 +152,72 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ----------------------------------------------------------------------------
+# multi-resolution time rollup (continuous-aggregate / hypertable pattern)
+# ----------------------------------------------------------------------------
+
+_MULTIRES_ORACLE = """
+WITH m AS (
+  SELECT date_trunc('minute', ts) AS b,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1
+)
+SELECT 'minute' AS level, b AS bucket_start,
+       CAST(n AS BIGINT) AS n_events, CAST(s AS DOUBLE) AS sum_value
+FROM m
+UNION ALL
+SELECT 'hour', date_trunc('hour', b),
+       CAST(SUM(n) AS BIGINT), CAST(SUM(s) AS DOUBLE)
+FROM m GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', b),
+       CAST(SUM(n) AS BIGINT), CAST(SUM(s) AS DOUBLE)
+FROM m GROUP BY 2
+"""
+
+
+@query("events_multires_rollup", _MULTIRES_ORACLE)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute/hour/day rollup ladder from ONE raw scan — the
+    continuous-aggregate (hypertable) pattern: the hour level re-aggregates
+    the minute level's mergeable partials (exact decimal sums + counts), the
+    day level re-aggregates hours. At 100 TB the raw table is read once;
+    each coarser level aggregates the (tiny) previous level, which is also
+    exactly how incremental refresh works — merge new minute partials
+    upward, never rescan raw history. Decimal sums keep every level
+    bit-exact against the oracle (floats would drift under re-aggregation
+    order)."""
+    e = load_table(spark, sf_dir, "events").select("ts", "value")
+    minute = (
+        e.groupBy(F.date_trunc("minute", F.col("ts")).alias("bucket_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
+        )
+        # 3 consumers (emit + hour + transitively day): materialize the
+        # narrow partial table once instead of re-scanning raw events
+        .localCheckpoint(eager=True)
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", F.col("bucket_start")).alias("bucket_start"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("__s").alias("__s"))
+        .localCheckpoint(eager=True)
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket_start")).alias("bucket_start")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("__s").alias("__s"))
+
+    def emit(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            "bucket_start",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("__s").cast("double").alias("sum_value"),
+        )
+
+    return emit(minute, "minute").unionByName(emit(hour, "hour")).unionByName(
+        emit(day, "day")
+    )

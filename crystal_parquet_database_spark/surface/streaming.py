@@ -130,3 +130,31 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crystal_parquet_database_spark.streaming.stateful import running_user_stats
 
     return running_user_stats(load_table(spark, sf_dir, "events"))
+
+
+_SSJOIN_ORACLE = """
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("stream_view_purchase_join", _SSJOIN_ORACLE)
+def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase attribution pairs via the stream-stream self-join builder
+    (streaming/joins.py): each purchase matched to every view by the same
+    user within the prior hour. The streaming run (watermarks on both sides +
+    the event-time bound in the join condition → bounded state) is asserted
+    equal to this batch form in tests/test_streaming.py."""
+    from crystal_parquet_database_spark.streaming.joins import view_purchase_pairs
+
+    return view_purchase_pairs(load_table(spark, sf_dir, "events"))

@@ -44,6 +44,14 @@ PROBES = [
     "sample_global_shuffle",
     "sample_upsample_by_weight",
     "text_dedup_chunks_keep_first",
+    # round 3
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_multires_rollup",
+    "stream_view_purchase_join",
+    "sample_token_budget_mixture",
+    "text_pack_sequences_sorted",
+    "sim_label_centroid_outliers",
 ]
 
 

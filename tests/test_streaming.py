@@ -107,3 +107,27 @@ def test_windowed_distinct_stream_equals_batch(spark, sf_dir, events_dir):
     assert len(merged) == len(got)
     assert (merged["n_distinct_keys_s"] == merged["n_distinct_keys_b"]).all()
     assert len(got) >= 0.5 * len(batch)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_dir):
+    """Stream-stream self-join (watermarked both sides, event-time-bounded):
+    the append-mode pair stream must equal the batch time-range join."""
+    from crystal_parquet_database_spark.streaming.joins import view_purchase_pairs
+
+    batch = view_purchase_pairs(load_table(spark, sf_dir, "events")).toPandas()
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = view_purchase_pairs(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssjoin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_ssjoin").toPandas()
+    finally:
+        q.stop()
+    assert canon_frame(got) == canon_frame(batch)
+    assert len(got) > 0
