@@ -334,9 +334,21 @@ class PqDB:
 
     # ------------------------------------------------------------ layout / stats
 
-    def normalize(self, max_rows_per_file: int = 1_000_000) -> None:
+    def normalize(
+        self,
+        max_rows_per_file: int = 1_000_000,
+        cluster_by: list[str] | None = None,
+    ) -> None:
         """Rewrite the dataset into evenly sized files (reference: parquetdb
         normalize, loaders/base.py:184-186 — '6GB file … should be ~2GB').
+
+        ``cluster_by``: range-partition + sort the rewrite on these columns,
+        so each file (and each parquet row group inside it) covers a narrow
+        value range. Parquet min/max footer stats then let ANY engine skip
+        whole files/row groups for predicates on those columns — the
+        data-skipping layout (Delta/Iceberg "cluster by" / ZORDER's 1-D case)
+        that turns a 100 TB scan-with-filter into a touch-few-files read.
+        tests/test_db.py asserts the post-rewrite stats are actually narrow.
 
         Locally this is repartition + maxRecordsPerFile; at 100 TB the same
         rewrite runs as a distributed compaction job (AQE balances the
@@ -344,7 +356,12 @@ class PqDB:
         df = self._df()
         n = df.count()
         n_files = max(1, math.ceil(n / max_rows_per_file))
-        self._rewrite(df, n_files=n_files, max_records_per_file=max_rows_per_file)
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+            self._rewrite(df, max_records_per_file=max_rows_per_file)
+        else:
+            self._rewrite(df, n_files=n_files, max_records_per_file=max_rows_per_file)
 
     @property
     def n_rows(self) -> int:

@@ -149,3 +149,39 @@ def test_assign_contiguous_ids_multipartition(spark):
     out = assign_contiguous_ids(df, start=100)
     ids = sorted(r["id"] for r in out.collect())
     assert ids == list(range(100, 1100))
+
+
+def test_normalize_cluster_by_narrows_file_stats(spark, db):
+    """cluster_by rewrite → per-file min/max ranges on the cluster column are
+    narrow and non-overlapping, so footer stats can skip files for point or
+    range predicates (the data-skipping layout)."""
+    import pyarrow.parquet as pq
+    import random
+
+    rng = random.Random(7)
+    vals = list(range(1000))
+    rng.shuffle(vals)  # ingest order uncorrelated with x
+    db.create([{"x": v} for v in vals])
+    db.normalize(max_rows_per_file=100, cluster_by=["x"])
+
+    ranges = []
+    for f in db._data_files():
+        md = pq.ParquetFile(f).metadata
+        sch = md.schema.to_arrow_schema()
+        xi = sch.get_field_index("x")
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(xi).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 5
+    # each file covers a narrow slice (< 1/4 of the domain)…
+    assert all(hi - lo < 250 for lo, hi in ranges)
+    # …and the slices don't overlap (range partitioning), so a point lookup
+    # touches exactly one file
+    ranges.sort()
+    assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
+    # rewrite preserved the data
+    got = sorted(r["x"] for r in db.read(columns=["x"]).collect())
+    assert got == sorted(vals)
