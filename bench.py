@@ -75,6 +75,9 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_multires_rollup",
     "stream_view_purchase_join",
+    "stream_enrich_static_join",
+    "dedup_incremental_new_vs_index",
+    "text_token_rarity_score",
     "sample_token_budget_mixture",
     "text_pack_sequences_sorted",
     "sim_label_centroid_outliers",

@@ -59,3 +59,20 @@ def view_purchase_pairs(
         )
         .select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
     )
+
+
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each event picks up the customer row
+    whose key equals its user_id. The static side is batch (broadcast by
+    Catalyst — it re-reads per micro-batch, so dimension updates are picked
+    up); the stream side needs NO watermark because stream-static joins keep
+    no state. Works identically when ``events`` is a batch frame — the
+    backfill path."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name"),
+        F.col("c_nationkey"),
+    )
+    return events.select("event_id", "user_id", "event_type", "ts").join(
+        F.broadcast(dim), "user_id"
+    )

@@ -9,6 +9,7 @@ formula, marker-word sets) so both engines compute the identical function.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.functions.portable_hash import (
@@ -1145,4 +1146,127 @@ def sim_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroid_outliers(
         emb, "vec_id", "embedding", "label",
         top_k=_CENTROID_TOPK, scale=_CENTROID_SCALE,
+    )
+
+
+# ----------------------------------------------------------------------------
+# dedup: incremental — today's batch against the historical digest index
+# ----------------------------------------------------------------------------
+
+_INCR_CUT = 250  # doc_id < cut = "historical corpus"; >= cut = "new batch"
+
+_INCR_ORACLE = f"""
+WITH old_idx AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < {_INCR_CUT}
+),
+new_batch AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id >= {_INCR_CUT}
+),
+first_in_batch AS (
+  SELECT digest, MIN(doc_id) AS first_id FROM new_batch GROUP BY digest
+)
+SELECT n.doc_id,
+       CASE WHEN o.digest IS NOT NULL THEN 'dup_of_history'
+            WHEN n.doc_id <> f.first_id THEN 'dup_within_batch'
+            ELSE 'kept' END AS status
+FROM new_batch n
+LEFT JOIN old_idx o ON n.digest = o.digest
+JOIN first_in_batch f ON n.digest = f.digest
+"""
+
+
+@query("dedup_incremental_new_vs_index", _INCR_ORACLE)
+def dedup_incremental_new_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-ingest) dedup: an arriving batch is checked against
+    the historical corpus's DIGEST INDEX — never the corpus itself — then
+    deduped within the batch (keep-first). At 100 TB the index is
+    O(distinct digests × 16 bytes), typically broadcastable per batch or a
+    digest-bucketed sort-merge join; history is never rescanned. Statuses:
+    kept / dup_of_history / dup_within_batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    digest = F.md5(F.col("text"))
+    old_idx = (
+        docs.filter(F.col("doc_id") < _INCR_CUT)
+        .select(digest.alias("digest"))
+        .distinct()
+        .withColumn("__hist", F.lit(True))
+    )
+    new_batch = docs.filter(F.col("doc_id") >= _INCR_CUT).select(
+        "doc_id", digest.alias("digest")
+    )
+    first_in_batch = new_batch.groupBy("digest").agg(F.min("doc_id").alias("first_id"))
+    return (
+        new_batch.join(F.broadcast(old_idx), "digest", "left")
+        .join(first_in_batch, "digest")
+        .select(
+            "doc_id",
+            F.when(F.col("__hist"), "dup_of_history")
+            .when(F.col("doc_id") != F.col("first_id"), "dup_within_batch")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# text: corpus-derived token-rarity score (frequency-rank vocabulary signal)
+# ----------------------------------------------------------------------------
+
+_RARITY_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+rk AS (
+  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+  FROM tf
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(rk.rank) AS BIGINT) AS rank_sum,
+       CAST(CAST(SUM(rk.rank) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DOUBLE)
+         AS mean_rank
+FROM tok t JOIN rk ON t.term = rk.term
+GROUP BY t.doc_id
+"""
+
+
+@query("text_token_rarity_score", _RARITY_ORACLE)
+def text_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-frequency signal without a trained LM: every term
+    gets its corpus frequency RANK (1 = most common; deterministic (count
+    desc, term) tie-break keeps both engines identical), and each document
+    scores the mean rank of its tokens — high = rare vocabulary, low =
+    boilerplate. Integer ranks make the cross-engine compare exact where a
+    log-probability would drift in libm's low bits. Scale shape = the green
+    TF-IDF plan: token groupBy with map-side partials; the global rank is
+    over the (small) VOCABULARY, not the corpus; join back on term."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count("*").alias("n"))
+    rk = tf.select(
+        "term",
+        F.row_number()
+        .over(W.orderBy(F.desc("n"), F.asc("term")))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return (
+        tok.join(rk, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("rank").cast("bigint").alias("rank_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rank_sum",
+            (F.col("rank_sum").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "mean_rank"
+            ),
+        )
     )

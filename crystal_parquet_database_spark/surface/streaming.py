@@ -158,3 +158,23 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crystal_parquet_database_spark.streaming.joins import view_purchase_pairs
 
     return view_purchase_pairs(load_table(spark, sf_dir, "events"))
+
+
+_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type, e.ts, c.c_name, c.c_nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@query("stream_enrich_static_join", _ENRICH_ORACLE)
+def stream_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (streaming/joins.py): events joined
+    map-side to the broadcast customer dimension — stateless in streaming
+    (no watermark needed), identical as a batch backfill. The readStream
+    equivalence is asserted in tests/test_streaming.py."""
+    from crystal_parquet_database_spark.streaming.joins import enrich_with_customer
+
+    return enrich_with_customer(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )

@@ -52,6 +52,9 @@ PROBES = [
     "sample_token_budget_mixture",
     "text_pack_sequences_sorted",
     "sim_label_centroid_outliers",
+    "stream_enrich_static_join",
+    "dedup_incremental_new_vs_index",
+    "text_token_rarity_score",
 ]
 
 

@@ -131,3 +131,28 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, events_dir):
         q.stop()
     assert canon_frame(got) == canon_frame(batch)
     assert len(got) > 0
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir, events_dir):
+    """Stream-static join (stateless, broadcast dim): append-mode stream
+    output equals the batch join."""
+    from crystal_parquet_database_spark.streaming.joins import enrich_with_customer
+
+    dim = load_table(spark, sf_dir, "customer")
+    batch = enrich_with_customer(load_table(spark, sf_dir, "events"), dim).toPandas()
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        enrich_with_customer(stream, dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_enrich")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_enrich").toPandas()
+    finally:
+        q.stop()
+    assert canon_frame(got) == canon_frame(batch)
+    assert len(got) > 0
