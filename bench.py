@@ -78,6 +78,8 @@ HEADLINE = [
     "stream_enrich_static_join",
     "dedup_incremental_new_vs_index",
     "text_token_rarity_score",
+    "sim_ann_multiprobe_topk",
+    "sim_ann_recall_at_k",
     "sample_token_budget_mixture",
     "text_pack_sequences_sorted",
     "sim_label_centroid_outliers",

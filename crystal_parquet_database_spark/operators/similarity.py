@@ -114,13 +114,17 @@ def ann_lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     exclude_self: bool = True,
+    multiprobe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: compare only within the query's hyperplane bucket.
 
     At 100 TB the bucket column is computed once at ingest and used as a
     partition/cluster key; the per-query search then touches ~1/2^n_planes of
-    the corpus. Recall is tunable via multi-probe (not needed here).
-    See cosine_topk for ``exclude_self``.
+    the corpus. Recall is tunable via multi-probe (``multiprobe_hamming``):
+    the QUERY side explodes into every bucket within that Hamming distance of
+    its own (1 + n_planes keys at distance 1) — probe count grows on the tiny
+    query side, never the corpus side, so the equi-join plan is unchanged.
+    Measured by ``sim_ann_recall_at_k``; see cosine_topk for ``exclude_self``.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -128,6 +132,17 @@ def ann_lsh_topk(
         norm(F.col(vec_col)).alias("qnorm"),
         hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
+    if multiprobe_hamming >= 1:
+        # distance-0 key plus each single-bit flip (distance 1). Higher radii
+        # would add pairs of flips; 1 is the standard recall/cost point.
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("bigint")
+                for j in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
