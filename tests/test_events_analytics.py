@@ -100,3 +100,17 @@ def test_centroid_outliers_invariant_to_partitioning(spark, sf_dir):
     ka = sorted(map(tuple, a[["vec_id", "label", "dist2", "rank"]].values.tolist()))
     kb = sorted(map(tuple, b[["vec_id", "label", "dist2", "rank"]].values.tolist()))
     assert ka == kb
+
+
+def test_token_budget_invariant_to_partitioning(spark, sf_dir):
+    """The grouped two-phase prefix sum must give identical results no matter
+    how the input arrives partitioned (the determinism retries/AQE need)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    a = T.token_budget_per_group(docs, "text", "doc_id", "source", budget=1000).toPandas()
+    b = T.token_budget_per_group(
+        docs.repartition(17), "text", "doc_id", "source", budget=1000
+    ).toPandas()
+    key = ["doc_id", "source", "n_tokens", "cum_before"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
