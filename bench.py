@@ -83,6 +83,7 @@ HEADLINE = [
     "sample_token_budget_mixture",
     "text_pack_sequences_sorted",
     "sim_label_centroid_outliers",
+    "text_chunk_windows",
 ]
 
 

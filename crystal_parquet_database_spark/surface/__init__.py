@@ -62,6 +62,7 @@ _VERIFY_FIRST = [
     "text_token_rarity_score",
     "sim_ann_multiprobe_topk",
     "sim_ann_recall_at_k",
+    "text_chunk_windows",
     "sample_token_budget_mixture",
     "text_pack_sequences_sorted",
     "sim_label_centroid_outliers",

@@ -1409,3 +1409,68 @@ def sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# text: overlapping chunk windows (RAG / long-context training chunker)
+# ----------------------------------------------------------------------------
+
+_CW_WIDTH = 64
+_CW_STRIDE = 32
+
+_CHUNK_WINDOWS_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+x AS (
+  SELECT doc_id, w, len(w) AS n_tokens,
+         unnest(generate_series(0,
+           CAST(GREATEST(CEIL((len(w) - {_CW_WIDTH}) / {_CW_STRIDE}.0), 0) AS BIGINT))) AS i
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+         CAST(i AS INTEGER) AS chunk_index,
+         i * {_CW_STRIDE} + 1 AS start_tok,
+         n_tokens,
+         array_to_string(w[i*{_CW_STRIDE}+1 : i*{_CW_STRIDE}+{_CW_WIDTH}], ' ') AS chunk_text
+  FROM x
+)
+SELECT doc_id, chunk_index,
+       CAST(start_tok AS INTEGER) AS start_tok,
+       CAST(LEAST(start_tok + {_CW_WIDTH} - 1, n_tokens) AS INTEGER) AS end_tok,
+       md5(chunk_text) AS chunk_md5
+FROM c
+"""
+
+
+@query("text_chunk_windows", _CHUNK_WINDOWS_ORACLE)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / long-context chunker: each document exploded into overlapping
+    {width}-token windows at stride {stride} (the last window is the first
+    one covering the tail). Pure map-side explode — no shuffle at any scale;
+    emitted text is fingerprinted (md5) so the oracle compare stays compact.
+    Chunk offsets (start_tok/end_tok) are 1-based token positions, the
+    metadata a retriever needs to cite spans.""".format(
+        width=_CW_WIDTH, stride=_CW_STRIDE
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_chunks = F.greatest(
+        F.ceil((F.size(F.col("__w")) - F.lit(_CW_WIDTH)) / F.lit(float(_CW_STRIDE))),
+        F.lit(0),
+    ).cast("int")
+    d = docs.select("doc_id", T.ws_tokens(F.col("text")).alias("__w")).select(
+        "doc_id",
+        F.size(F.col("__w")).alias("__n"),
+        F.col("__w"),
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_index"),
+    )
+    start = F.col("chunk_index") * _CW_STRIDE + 1
+    chunk_text = F.array_join(F.slice(F.col("__w"), start, _CW_WIDTH), " ")
+    return d.select(
+        "doc_id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        start.cast("int").alias("start_tok"),
+        F.least(start + _CW_WIDTH - 1, F.col("__n")).cast("int").alias("end_tok"),
+        F.md5(chunk_text).alias("chunk_md5"),
+    )

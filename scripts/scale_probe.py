@@ -55,6 +55,7 @@ PROBES = [
     "stream_enrich_static_join",
     "dedup_incremental_new_vs_index",
     "text_token_rarity_score",
+    "text_chunk_windows",
 ]
 
 
