@@ -114,3 +114,33 @@ def test_token_budget_invariant_to_partitioning(spark, sf_dir):
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+def test_chunk_windows_is_map_only(spark, sf_dir):
+    """The RAG chunker must be a pure map stage (explode + project): any
+    shuffle would mean it can't stream through a 100 TB corpus."""
+    from crystal_parquet_database_spark.plans.inspect import num_shuffles
+
+    assert num_shuffles(QUERIES["text_chunk_windows"](spark, sf_dir)) == 0
+
+
+def test_enrich_static_join_broadcasts_no_shuffle(spark, sf_dir):
+    """Stream-static enrichment must broadcast the dimension: zero exchanges
+    on the event side (stateless map-side join at any scale)."""
+    from crystal_parquet_database_spark.plans.inspect import (
+        join_strategies,
+        num_shuffles,
+    )
+
+    df = QUERIES["stream_enrich_static_join"](spark, sf_dir)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert num_shuffles(df) == 0
+
+
+def test_incremental_dedup_broadcasts_history_index(spark, sf_dir):
+    """The historical digest index joins broadcast — the new batch must never
+    shuffle against corpus history."""
+    from crystal_parquet_database_spark.plans.inspect import join_strategies
+
+    df = QUERIES["dedup_incremental_new_vs_index"](spark, sf_dir)
+    assert "BroadcastHashJoin" in join_strategies(df)
