@@ -84,6 +84,8 @@ HEADLINE = [
     "text_pack_sequences_sorted",
     "sim_label_centroid_outliers",
     "text_chunk_windows",
+    "quality_profile_orders",
+    "events_trending_types_hourly",
 ]
 
 

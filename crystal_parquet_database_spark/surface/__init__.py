@@ -63,6 +63,8 @@ _VERIFY_FIRST = [
     "sim_ann_multiprobe_topk",
     "sim_ann_recall_at_k",
     "text_chunk_windows",
+    "quality_profile_orders",
+    "events_trending_types_hourly",
     "sample_token_budget_mixture",
     "text_pack_sequences_sorted",
     "sim_label_centroid_outliers",

@@ -221,3 +221,85 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emit(minute, "minute").unionByName(emit(hour, "hour")).unionByName(
         emit(day, "day")
     )
+
+
+# ----------------------------------------------------------------------------
+# data-quality profile (deequ-style single-pass column audit)
+# ----------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_custkey) AS BIGINT) AS custkey_nonnull,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS orderdate_min,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS orderdate_max,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS totalprice_min,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS totalprice_max,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS totalprice_nonpositive
+FROM orders
+"""
+
+
+@query("quality_profile_orders", _PROFILE_ORACLE)
+def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of a table (the deequ/Great-
+    Expectations shape): row count, per-column non-null and distinct counts,
+    min/max ranges, and a constraint violation count — ONE aggregation over
+    ONE scan, so profiling a 100 TB table costs exactly one pass. Distinct
+    counts use Spark's exact two-phase expand plan; swap in
+    approx_count_distinct at scale for fixed memory."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("o_custkey").cast("bigint").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").cast("bigint").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("status_distinct"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("orderdate_min"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("orderdate_max"),
+        F.min(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("totalprice_min"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("totalprice_max"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).cast("bigint").alias("totalprice_nonpositive"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# trending: top event types per hour bucket (windowed group top-k)
+# ----------------------------------------------------------------------------
+
+_TRENDING_K = 3
+
+_TRENDING_ORACLE = f"""
+SELECT * FROM (
+  SELECT date_trunc('hour', ts) AS bucket,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                 ORDER BY COUNT(*) DESC, event_type)
+              AS INTEGER) AS rank
+  FROM events GROUP BY 1, 2
+) WHERE rank <= {_TRENDING_K}
+"""
+
+
+@query("events_trending_types_hourly", _TRENDING_ORACLE)
+def events_trending_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard: top event types per hour bucket — aggregate
+    first (map-side partials shrink the corpus to bucket×type cells), then a
+    per-bucket top-k window over the TINY aggregate, never the raw events.
+    Deterministic (count desc, type) tie-break keeps both engines identical."""
+    e = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    cells = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("bucket").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        cells.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TRENDING_K)
+    )
