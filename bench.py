@@ -86,6 +86,8 @@ HEADLINE = [
     "text_chunk_windows",
     "quality_profile_orders",
     "events_trending_types_hourly",
+    "events_dau_wau",
+    "agg_value_histogram",
 ]
 
 

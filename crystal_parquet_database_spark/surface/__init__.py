@@ -65,6 +65,8 @@ _VERIFY_FIRST = [
     "text_chunk_windows",
     "quality_profile_orders",
     "events_trending_types_hourly",
+    "events_dau_wau",
+    "agg_value_histogram",
     "sample_token_budget_mixture",
     "text_pack_sequences_sorted",
     "sim_label_centroid_outliers",

@@ -303,3 +303,88 @@ def events_trending_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _TRENDING_K)
     )
+
+
+# ----------------------------------------------------------------------------
+# engagement: DAU / rolling 7-day WAU per day
+# ----------------------------------------------------------------------------
+
+_DAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+contrib AS (
+  SELECT user_id, d + CAST(g.i AS INTEGER) AS wd, d, g.i
+  FROM ud, generate_series(0, 6) g(i)
+),
+wau AS (
+  SELECT wd, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY wd
+),
+dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau
+FROM dau JOIN wau ON wau.wd = dau.d
+"""
+
+
+@query("events_dau_wau", _DAU_ORACLE)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + rolling 7-day weekly actives per day. A
+    COUNT(DISTINCT) over a sliding date range can't partial-aggregate, so
+    the scalable form is contribution-explode: each distinct (user, day)
+    emits the 7 window-days it contributes to (bounded 7× expansion of the
+    already-aggregated pair set, not raw events), then a plain distinct
+    count per window-day — every stage partial-aggregates map-side. Days
+    with zero activity in the trailing week simply have no row (dau drives
+    the output domain)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    dau = e.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    contrib = e.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d"
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("wd"))
+    wau = contrib.groupBy("wd").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.d == wau.wd)
+        .select(
+            F.date_format(F.col("d"), "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# histogram: fixed-width value distribution
+# ----------------------------------------------------------------------------
+
+_HIST_WIDTH = 50
+
+_HIST_ORACLE = f"""
+SELECT CAST(FLOOR(CAST(value AS DOUBLE) / {_HIST_WIDTH}) AS INTEGER) AS bucket,
+       CAST(FLOOR(CAST(value AS DOUBLE) / {_HIST_WIDTH}) * {_HIST_WIDTH} AS DOUBLE)
+         AS bucket_low,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("agg_value_histogram", _HIST_ORACLE)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values — the one-pass, map-side-partial
+    distribution sketch every monitoring dashboard needs (bucket id is a
+    row-local expression, so the only shuffle carries bucket×count cells)."""
+    e = load_table(spark, sf_dir, "events").select("value")
+    bucket = F.floor(F.col("value").cast("double") / _HIST_WIDTH)
+    return (
+        e.groupBy(
+            bucket.cast("int").alias("bucket"),
+            (bucket * _HIST_WIDTH).cast("double").alias("bucket_low"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
