@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is the compact headline JSON
+{"value": total_sec, "metric": ..., "unit": "sec", "sf": ...}; the per-query
+cold/warm breakdown prints on the line before it and lands in
+BENCH_DETAIL.json.
 
 Each query executes to completion through the noop sink (full plan runs, no
 driver collect overhead). The one quadratic correctness-baseline query
@@ -139,12 +141,16 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(detail))
+    # FINAL stdout line: contract keys ONLY (~90 bytes). The driver captures a
+    # bounded tail of stdout and parses the final line as the headline JSON —
+    # embedding the per-query dict here overflows that window and truncates
+    # the line head, so "value" never parses. Per-query numbers live on the
+    # detail line above and in BENCH_DETAIL.json.
     out = {
         "value": round(sum(times.values()), 4),
         "metric": "headline_queries_total_runtime",
         "unit": "sec",
         "sf": sf,
-        "queries": times,
     }
     print(json.dumps(out))
 

@@ -6,8 +6,10 @@ The Spark-side plumbing — schemas, partitioning, UDF signatures, batch shapes
 libraries (PIL, torchvision, ffmpeg, …) are not in this container, so each
 operator resolves a decoder via try-import and otherwise uses a
 clearly-marked DETERMINISTIC FAKE derived from the bytes' md5 (stable across
-runs/partitionings, so tests can assert values). Swap ``_fake_*`` for the real
-decoder body when the libraries exist; nothing else changes.
+runs/partitionings, so tests can assert values). Exception: PNG metadata
+(width/height) is REAL even without PIL, via a vendored pure-python IHDR
+header parse. Swap ``_fake_*`` for the real decoder body when the libraries
+exist; nothing else changes.
 
 Scale notes: mapInPandas streams Arrow batches — content bytes never
 materialize as one driver object; CPU-heavy decode parallelizes per
@@ -57,11 +59,28 @@ def _fake_decode_meta(data: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png_ihdr(data: bytes) -> dict | None:
+    """REAL (pure-python) PNG metadata: the IHDR chunk is mandated to be
+    first (PNG spec §11.2.2), so width/height sit at fixed offsets 16/20 as
+    big-endian u32 — no imaging library needed for header fields."""
+    if len(data) >= 24 and data[:8] == _PNG_SIG and data[12:16] == b"IHDR":
+        width = int.from_bytes(data[16:20], "big")
+        height = int.from_bytes(data[20:24], "big")
+        return {"mime": "image/png", "width": width, "height": height, "n_bytes": len(data)}
+    return None
+
+
 def _decode_meta(data: bytes) -> dict:
-    try:  # real path — not available in this container
+    try:  # full-decode path — PIL not available in this container
         from PIL import Image  # type: ignore
     except ImportError:
-        return _fake_decode_meta(data)
+        # PNG header fields are still REAL without PIL (vendored IHDR parse);
+        # only non-PNG formats fall back to the deterministic fake.
+        png = _parse_png_ihdr(data)
+        return png if png is not None else _fake_decode_meta(data)
     import io
 
     try:

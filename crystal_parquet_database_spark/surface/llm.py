@@ -1195,8 +1195,13 @@ def dedup_incremental_new_vs_index(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id", digest.alias("digest")
     )
     first_in_batch = new_batch.groupBy("digest").agg(F.min("doc_id").alias("first_id"))
+    # No explicit broadcast hint: a digest index over deep history can exceed
+    # executor memory, and a hard hint is honored regardless of size. Let
+    # Catalyst/AQE pick broadcast when the index fits
+    # (autoBroadcastJoinThreshold) and fall back to a digest-bucketed
+    # sort-merge join when it doesn't.
     return (
-        new_batch.join(F.broadcast(old_idx), "digest", "left")
+        new_batch.join(old_idx, "digest", "left")
         .join(first_in_batch, "digest")
         .select(
             "doc_id",
@@ -1447,13 +1452,11 @@ FROM c
 @query("text_chunk_windows", _CHUNK_WINDOWS_ORACLE)
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG / long-context chunker: each document exploded into overlapping
-    {width}-token windows at stride {stride} (the last window is the first
-    one covering the tail). Pure map-side explode — no shuffle at any scale;
-    emitted text is fingerprinted (md5) so the oracle compare stays compact.
-    Chunk offsets (start_tok/end_tok) are 1-based token positions, the
-    metadata a retriever needs to cite spans.""".format(
-        width=_CW_WIDTH, stride=_CW_STRIDE
-    )
+    64-token windows at stride 32 (``_CW_WIDTH``/``_CW_STRIDE``; the last
+    window is the first one covering the tail). Pure map-side explode — no
+    shuffle at any scale; emitted text is fingerprinted (md5) so the oracle
+    compare stays compact. Chunk offsets (start_tok/end_tok) are 1-based
+    token positions, the metadata a retriever needs to cite spans."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_chunks = F.greatest(
         F.ceil((F.size(F.col("__w")) - F.lit(_CW_WIDTH)) / F.lit(float(_CW_STRIDE))),

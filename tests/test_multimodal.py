@@ -50,28 +50,36 @@ def _tiny_png(width: int = 1, height: int = 1) -> bytes:
     )
 
 
-@pytest.mark.skipif(
-    not _HAS_PIL,
-    reason="PIL not installed in this container — real decode branch "
-    "unreachable; the fake branch is covered by the tests below",
-)
-def test_decode_meta_real_branch():
+def test_decode_meta_png_metadata_always_real():
+    # Runs in EVERY container: with PIL this is the full decode; without it
+    # the vendored IHDR parse reads the same header fields. Either way PNG
+    # width/height are REAL values, not the fake.
     meta = M._decode_meta(_tiny_png(3, 2))
     assert meta["mime"] == "image/png"
     assert (meta["width"], meta["height"]) == (3, 2)
-    # undecodable bytes mark, don't crash
+    assert meta["n_bytes"] == len(_tiny_png(3, 2))
+
+
+def test_decode_meta_non_image_bytes():
+    # Non-PNG bytes must not crash the job: PIL marks them undecodable, the
+    # no-PIL path falls back to the labeled deterministic fake.
     bad = M._decode_meta(b"definitely not an image")
-    assert bad["mime"] == "image/undecodable"
-    assert bad["width"] is None and bad["n_bytes"] == 23
-
-
-def test_decode_meta_fake_branch_shape():
     if _HAS_PIL:
-        pytest.skip("PIL present — fake branch unreachable (real branch tested above)")
-    meta = M._decode_meta(_tiny_png())
-    assert meta["mime"] == "image/fake"
-    assert 16 <= meta["width"] < 256 and 16 <= meta["height"] < 256
-    assert meta == M._decode_meta(_tiny_png())  # deterministic
+        assert bad["mime"] == "image/undecodable"
+        assert bad["width"] is None
+    else:
+        assert bad["mime"] == "image/fake"
+        assert 16 <= bad["width"] < 256 and 16 <= bad["height"] < 256
+        assert bad == M._decode_meta(b"definitely not an image")  # deterministic
+    assert bad["n_bytes"] == 23
+
+
+def test_parse_png_ihdr_rejects_close_misses():
+    assert M._parse_png_ihdr(b"") is None
+    assert M._parse_png_ihdr(M._PNG_SIG) is None  # signature but no IHDR
+    truncated = _tiny_png(5, 7)[:20]
+    assert M._parse_png_ihdr(truncated) is None
+    assert M._parse_png_ihdr(_tiny_png(5, 7))["width"] == 5
 
 
 def test_with_image_meta_schema_and_values(binary_df):
