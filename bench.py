@@ -90,6 +90,9 @@ HEADLINE = [
     "events_trending_types_hourly",
     "events_dau_wau",
     "agg_value_histogram",
+    # round 4: checked ANN-recall + sketch-bound companions
+    "sim_ivf_recall_at_k",
+    "agg_hll_error_bound",
 ]
 
 

@@ -177,6 +177,7 @@ def ivf_topk(
     exclude_self: bool = True,
     max_iter: int = 4,
     train_hint: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     corpus into cells; each query scans only its ``n_probe`` nearest cells.
@@ -194,24 +195,32 @@ def ivf_topk(
 
     ``train_hint``: optional pre-shuffled sample frame (same ``vec_col``) for
     corpora with strong file-order locality — limit() reads the file head.
+
+    ``centroids``: optional explicit cell centers (list of vectors). Skips
+    quantizer training entirely — the caller owns the codebook, e.g. pinned
+    seed rows that an external oracle can reproduce, or centers trained once
+    at ingest and reused across queries (the production IVF shape).
     """
     import numpy as np
 
-    train_src = train_hint if train_hint is not None else corpus
-    sample = train_src.select(vec_col).limit(256 * n_cells).collect()
-    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    if centroids is not None:
+        centers = np.asarray(centroids, dtype=np.float64)
+    else:
+        train_src = train_hint if train_hint is not None else corpus
+        sample = train_src.select(vec_col).limit(256 * n_cells).collect()
+        x = np.asarray([r[0] for r in sample], dtype=np.float64)
 
-    rng = np.random.default_rng(seed)
-    centers = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
-    for _ in range(max_iter):
-        # Lloyd over the in-memory sample: assign, then mean per cell
-        # (empty cells keep their previous center).
-        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        cell = d2.argmin(axis=1)
-        for j in range(len(centers)):
-            m = cell == j
-            if m.any():
-                centers[j] = x[m].mean(axis=0)
+        rng = np.random.default_rng(seed)
+        centers = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+        for _ in range(max_iter):
+            # Lloyd over the in-memory sample: assign, then mean per cell
+            # (empty cells keep their previous center).
+            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)
+            for j in range(len(centers)):
+                m = cell == j
+                if m.any():
+                    centers[j] = x[m].mean(axis=0)
 
     # Centroids inlined ONCE as a nested literal array; per-row math is a
     # single transform lambda over it (compact expression tree — 16 separate

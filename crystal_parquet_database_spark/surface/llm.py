@@ -256,16 +256,142 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# No oracle: the k-means coarse quantizer is engine-specific (seeded spark.ml
-# KMeans); validated against brute force in tests/test_similarity_ann.py.
+# No oracle: the k-means coarse quantizer (Lloyd iterations over a numpy
+# sample) is engine-specific; validated against brute force in
+# tests/test_similarity_ann.py, and its recall is *measured* with an exact
+# integer-count oracle by sim_ivf_recall_at_k below (pinned-seed codebook).
 @query("sim_ivf_topk")
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means cells + n_probe nearest-cell search — the other
-    at-scale ANN path besides hyperplane LSH."""
+    at-scale ANN path besides hyperplane LSH. Training sample pinned by
+    vec_id (TakeOrdered, not bare limit) so the codebook — and therefore the
+    result — is stable across partitionings and file orders."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding",
         k=10, n_cells=16, n_probe=4,
+        train_hint=emb.select("vec_id", "embedding").orderBy("vec_id"),
+    )
+
+
+_IVF_SEED_LO, _IVF_SEED_N, _IVF_PROBE = 100, 16, 4
+
+
+def _sql_l2(a: str, b: str) -> str:
+    """Squared L2 distance, element fold mirroring operators.similarity
+    (cast-to-double, subtract, self-multiply, left-fold sum)."""
+    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {_DIM}), "
+        f"i -> {diff} * {diff}), 'sum')"
+    )
+
+
+_IVF_RECALL_ORACLE = f"""
+WITH seeds AS (
+  SELECT CAST(vec_id - {_IVF_SEED_LO} AS INTEGER) AS cell_id, embedding AS svec
+  FROM embeddings
+  WHERE vec_id >= {_IVF_SEED_LO} AND vec_id < {_IVF_SEED_LO + _IVF_SEED_N}
+),
+d AS (
+  SELECT e.vec_id, s.cell_id, {_sql_l2('e.embedding', 's.svec')} AS d2
+  FROM embeddings e CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM d) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM d WHERE vec_id < 10) WHERE rn <= {_IVF_PROBE}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT e.vec_id AS match_id, e.embedding AS cvec, a.cell_id
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+ivf AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, c.match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS} DESC, c.match_id) AS rank
+    FROM c
+    JOIN probes p ON c.cell_id = p.cell_id
+    JOIN q ON q.query_id = p.query_id
+    WHERE c.match_id <> q.query_id
+  ) WHERE rank <= 10
+),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, c.match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS} DESC, c.match_id) AS rank
+    FROM c CROSS JOIN q WHERE c.match_id <> q.query_id
+  ) WHERE rank <= 10
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(i.match_id) AS BIGINT) AS n_hit_ivf,
+       CAST(CAST(COUNT(i.match_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DOUBLE)
+         AS recall_ivf
+FROM truth t
+LEFT JOIN ivf i ON t.query_id = i.query_id AND t.match_id = i.match_id
+GROUP BY t.query_id
+"""
+
+
+@query("sim_ivf_recall_at_k", _IVF_RECALL_ORACLE)
+def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured IVF quality with an EXACT cross-engine oracle: the codebook
+    is pinned to seed rows (vec_id 100-115) instead of k-means output, so
+    DuckDB can recompute the identical cell assignment (argmin of squared L2
+    to each seed, first-min tie-break), the identical n_probe=4 probe list,
+    and the identical IVF top-10 — making recall@10 integer hit counts, not
+    a rows-only claim. The production path (sim_ivf_topk) keeps its trained
+    quantizer; this query proves the search machinery (assign → probe →
+    candidate join → rank) exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = [
+        list(r[0])
+        for r in (
+            emb.filter(
+                (F.col("vec_id") >= _IVF_SEED_LO)
+                & (F.col("vec_id") < _IVF_SEED_LO + _IVF_SEED_N)
+            )
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+    ]
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    truth = S.cosine_topk(queries_df, emb, "vec_id", "embedding", k=10).select(
+        "query_id", "match_id"
+    )
+    ivf = S.ivf_topk(
+        queries_df, emb, "vec_id", "embedding",
+        k=10, n_cells=_IVF_SEED_N, n_probe=_IVF_PROBE, centroids=cent,
+    ).select("query_id", F.col("match_id").alias("__ivf_match"))
+    joined = truth.join(
+        ivf,
+        (truth.query_id == ivf.query_id) & (truth.match_id == ivf.__ivf_match),
+        "left",
+    ).drop(ivf.query_id)
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.count("__ivf_match").cast("bigint").alias("n_hit_ivf"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit_ivf",
+            (F.col("n_hit_ivf").cast("double") / F.col("n_true").cast("double")).alias(
+                "recall_ivf"
+            ),
+        )
     )
 
 

@@ -616,7 +616,8 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # No oracle: Apache DataSketches HLL internals are engine-specific (DuckDB
 # has no compatible sketch); the estimate is validated against the exact
-# distinct counts in tests instead, and the driver records rows-only.
+# distinct counts in tests, and its error bound is driver-CHECKED by the
+# companion query agg_hll_error_bound below.
 @query("agg_hll_sketch_distinct")
 def agg_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (DataSketches HLL): per-group
@@ -635,3 +636,60 @@ def agg_hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_orders")
     ).select(F.lit("ALL").alias("l_returnflag"), "approx_orders")
     return est.unionByName(total)
+
+
+_HLL_BOUND_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS within_5pct
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL' AS l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS within_5pct
+FROM lineitem
+"""
+
+
+@query("agg_hll_error_bound", _HLL_BOUND_ORACLE)
+def agg_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKED companion to agg_hll_sketch_distinct: emits the exact distinct
+    count per group plus a boolean asserting the HLL estimate (lgK=14,
+    theoretical RSE ~0.8%) lands within 5% of it. The oracle recomputes the
+    exact counts and pins the boolean TRUE — if the sketch ever drifted past
+    the bound the row would flip false and hash-mismatch, upgrading the
+    sketch family from a rows-only claim to a driver-checked one. (The
+    estimates themselves stay out of the output: sketch internals are
+    engine-specific.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey", 14).alias("sk"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
+    )
+    bound = lambda approx, exact: (  # noqa: E731
+        F.abs(approx - exact.cast("double")) / exact.cast("double") <= F.lit(0.05)
+    )
+    per = per_flag.select(
+        "l_returnflag",
+        "exact_orders",
+        bound(F.hll_sketch_estimate("sk").cast("double"), F.col("exact_orders")).alias(
+            "within_5pct"
+        ),
+    )
+    # The ALL row merges per-group sketches (hll_union_agg) but needs the true
+    # global distinct for the bound — an order ships under several return
+    # flags, so per-group exacts don't sum. Two 1-row aggregates crossJoined:
+    # the scalar-subquery pattern, not a data-sized cartesian.
+    total_exact = li.agg(F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"))
+    total = (
+        per_flag.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("double").alias("__approx")
+        )
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            "exact_orders",
+            bound(F.col("__approx"), F.col("exact_orders")).alias("within_5pct"),
+        )
+    )
+    return per.unionByName(total)

@@ -106,3 +106,40 @@ def test_lsh_near_dup_plans_equi_join(spark, sf_dir):
     plan = formatted_plan(embedding_near_dup_lsh(emb, "vec_id", "embedding", 0.4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_explicit_centroids_skip_training(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    cent = [
+        list(r[0])
+        for r in emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    out = ivf_topk(
+        q, emb, "vec_id", "embedding", k=5, n_cells=16, n_probe=4, centroids=cent
+    )
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+    # caller-owned codebook ⇒ identical output on rerun and across repartition
+    again = ivf_topk(
+        q.repartition(5), emb.repartition(7), "vec_id", "embedding",
+        k=5, n_cells=16, n_probe=4, centroids=cent,
+    )
+    assert sorted(map(tuple, out.select("query_id", "match_id", "rank").collect())) == \
+        sorted(map(tuple, again.select("query_id", "match_id", "rank").collect()))
+
+
+def test_registered_ivf_recall_query_quality(spark, sf_dir):
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    rows = QUERIES["sim_ivf_recall_at_k"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    # 4/16 probed cells must recover a meaningful share of the true top-10
+    mean_recall = sum(r["recall_ivf"] for r in rows) / len(rows)
+    assert mean_recall >= 0.3
+    assert all(r["n_true"] == 10 for r in rows)
+    assert all(0 <= r["n_hit_ivf"] <= 10 for r in rows)
