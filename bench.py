@@ -90,9 +90,10 @@ HEADLINE = [
     "events_trending_types_hourly",
     "events_dau_wau",
     "agg_value_histogram",
-    # round 4: checked ANN-recall + sketch-bound companions
+    # round 4: checked ANN-recall + sketch-bound companions + session funnel
     "sim_ivf_recall_at_k",
     "agg_hll_error_bound",
+    "events_funnel_sessionized",
 ]
 
 

@@ -39,6 +39,7 @@ _VERIFY_FIRST = [
     # — 1: new in round 4 —
     "sim_ivf_recall_at_k",
     "agg_hll_error_bound",
+    "events_funnel_sessionized",
     # — 2: newest row is r1 —
     "scalar_higher_order_functions",
     "sample_deterministic_stratified",
@@ -88,11 +89,11 @@ _VERIFY_FIRST = [
     "stream_tumbling_window_counts",
     "stream_session_windows",
     "join_salted_skew_agg",
-    "agg_approx_percentiles",
-    # ——— the 50-query verification window ends HERE (agg_approx_percentiles
+    # ——— the 50-query verification window ends HERE (join_salted_skew_agg
     # is position 50) — entries below are positions 51+ and get NO row this
     # round; they are the r2 refreshes that did not fit, queued first for the
     # round-5 window —
+    "agg_approx_percentiles",
     "agg_collect_sorted_list",
     "agg_mode_per_group",
     "scalar_date_functions",

@@ -144,3 +144,32 @@ def test_incremental_dedup_broadcasts_history_index(spark, sf_dir):
 
     df = QUERIES["dedup_incremental_new_vs_index"](spark, sf_dir)
     assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_sessionized_funnel_populated_and_monotone(spark, sf_dir):
+    """Every stage must be populated at fixture scale (the gap constant is
+    chosen so the last stage isn't vacuously zero) and counts must shrink
+    monotonically — a session can't convert a later stage without the
+    earlier one."""
+    rows = QUERIES["events_funnel_sessionized"](spark, sf_dir).collect()
+    assert [r["stage"] for r in rows] == [
+        "view", "click_after_view", "purchase_after_click"
+    ]
+    counts = [r["n_sessions"] for r in rows]
+    assert counts[0] >= counts[1] >= counts[2]
+    assert counts[2] > 0
+
+
+def test_sessionized_funnel_single_exchange_family(spark, sf_dir):
+    """Sessionizer windows + all three stage aggregations must shuffle on the
+    user_id-rooted key only — no corpus-wide exchange."""
+    from crystal_parquet_database_spark.plans.inspect import num_shuffles
+
+    df = QUERIES["events_funnel_sessionized"](spark, sf_dir)
+    # Static-plan exchange census: the user_id window exchange appears once
+    # per stage reuse of `sess` (identical subtree — runtime AQE dedupes to a
+    # ReusedExchange), plus (user_id, session_seq) stage aggregations and the
+    # three 1-row rollup collects. All key-rooted at user_id or single-row —
+    # nothing corpus-wide. Bound guards against a structural regression
+    # (e.g. an accidental global window would add an un-keyed exchange).
+    assert num_shuffles(df) <= 9
