@@ -36,10 +36,14 @@ from crystal_parquet_database_spark.surface import events_analytics  # noqa: E40
 # stays registered every round — only iteration order changes. (Round row
 # map: README "Verification rotation".)
 _VERIFY_FIRST = [
-    # — 1: new in round 4 —
+    # — 1: new in round 4 (incl. the two multimodal pipelines whose driver
+    # check upgraded from rows-only to hash: their md5/byte-arithmetic fakes
+    # are now recomputed exactly by SQL oracles) —
     "sim_ivf_recall_at_k",
     "agg_hll_error_bound",
     "events_funnel_sessionized",
+    "multimodal_image_pipeline",
+    "multimodal_audio_pipeline",
     # — 2: newest row is r1 —
     "scalar_higher_order_functions",
     "sample_deterministic_stratified",
@@ -87,12 +91,12 @@ _VERIFY_FIRST = [
     "scalar_string_functions",
     "scalar_json_extraction",
     "stream_tumbling_window_counts",
+    # ——— the 50-query verification window ends HERE
+    # (stream_tumbling_window_counts is position 50) — entries below are
+    # positions 51+ and get NO row this round; they are the r2 refreshes
+    # that did not fit, queued first for the round-5 window —
     "stream_session_windows",
     "join_salted_skew_agg",
-    # ——— the 50-query verification window ends HERE (join_salted_skew_agg
-    # is position 50) — entries below are positions 51+ and get NO row this
-    # round; they are the r2 refreshes that did not fit, queued first for the
-    # round-5 window —
     "agg_approx_percentiles",
     "agg_collect_sorted_list",
     "agg_mode_per_group",

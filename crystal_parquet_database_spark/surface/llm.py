@@ -543,12 +543,41 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# No oracle: the decode step is an Arrow-batched mapInPandas stub (see
-# operators/multimodal.py) — not SQL-expressible; driver records rows-only.
-@query("multimodal_image_pipeline")
+try:  # decides which decode branch multimodal takes (and thus the oracle)
+    import PIL  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+# The documented deterministic fake (operators/multimodal.py:_fake_decode_meta)
+# IS md5 arithmetic — width/height are bytes 0/1 of md5(content) — so DuckDB
+# can recompute it exactly: the oracle checks the whole Arrow/mapInPandas
+# plumbing (schema, batching, join) end-to-end, not just row counts. Only
+# registered where PIL is absent: with PIL the real decode branch runs and
+# text bytes are (correctly) 'image/undecodable' instead.
+_IMG_PIPELINE_ORACLE = (
+    None
+    if _HAS_PIL
+    else """
+SELECT doc_id AS image_id,
+       'image/fake' AS mime,
+       CAST(16 + (('0x' || substr(md5(text), 1, 2))::INTEGER % 240) AS INTEGER) AS width,
+       CAST(16 + (('0x' || substr(md5(text), 3, 2))::INTEGER % 240) AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(16 AS INTEGER) AS feat_dim
+FROM documents
+"""
+)
+
+
+@query("multimodal_image_pipeline", _IMG_PIPELINE_ORACLE)
 def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: bytes → typed metadata → feature vectors →
-    similarity-ready output. Decode is stubbed; plumbing is real."""
+    similarity-ready output. Decode is stubbed; plumbing is real — and since
+    the stub is deterministic md5 arithmetic, the SQL oracle recomputes it
+    exactly (no-PIL containers), upgrading this from a rows-only row to a
+    hash-checked one."""
     from crystal_parquet_database_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")
@@ -566,13 +595,48 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_audio_pipeline")
+# The audio fake is byte-slice arithmetic over the content (chunk step =
+# len//8, energy = mean byte value) — expressible in SQL because the fixture
+# text is pure ASCII (verified: octet_length == length at every sf), so char
+# offsets are byte offsets and ord() is the byte value. Empty tail chunks
+# mirror the fake's  b"\\x00" placeholder as 0.0.
+_AUDIO_PIPELINE_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS audio_id, text,
+         octet_length(encode(text)) AS n_bytes,
+         GREATEST(octet_length(encode(text)) // 8, 1) AS step
+  FROM documents
+),
+x AS (
+  SELECT audio_id, text, n_bytes, step,
+         unnest(generate_series(0, 7)) AS chunk_index
+  FROM base
+),
+c AS (
+  SELECT audio_id, n_bytes, chunk_index,
+         substr(text, chunk_index * step + 1, step) AS chunk
+  FROM x
+)
+SELECT audio_id,
+       CAST(n_bytes AS DOUBLE) / 16000.0 AS duration_s,
+       CAST(chunk_index AS INTEGER) AS chunk_index,
+       CASE WHEN length(chunk) = 0 THEN 0.0
+            ELSE list_aggregate(list_transform(generate_series(1, length(chunk)),
+                   j -> CAST(ord(substr(chunk, j, 1)) AS DOUBLE)), 'sum')
+                 / length(chunk)
+       END AS energy
+FROM c
+"""
+
+
+@query("multimodal_audio_pipeline", _AUDIO_PIPELINE_ORACLE)
 def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio binary-column pipeline: bytes → typed metadata + per-chunk
     energy profile through Arrow-batched mapInPandas (decode stubbed
     deterministically — media libs absent; the Spark-side schema,
-    partitioning and batch shape are real). Rows-only check by design:
-    blob-chunk arithmetic is not expressible in portable SQL."""
+    partitioning and batch shape are real). The stub's byte arithmetic is
+    recomputed exactly by the SQL oracle (ASCII fixture ⇒ chars are bytes),
+    so the whole mapInPandas path is hash-checked, not rows-only."""
     from crystal_parquet_database_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")

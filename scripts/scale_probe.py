@@ -56,6 +56,10 @@ PROBES = [
     "dedup_incremental_new_vs_index",
     "text_token_rarity_score",
     "text_chunk_windows",
+    # round 4
+    "sim_ivf_recall_at_k",
+    "agg_hll_error_bound",
+    "events_funnel_sessionized",
 ]
 
 
