@@ -94,6 +94,7 @@ HEADLINE = [
     "sim_ivf_recall_at_k",
     "agg_hll_error_bound",
     "events_funnel_sessionized",
+    "sample_source_cap",
 ]
 
 

@@ -44,6 +44,7 @@ _VERIFY_FIRST = [
     "events_funnel_sessionized",
     "multimodal_image_pipeline",
     "multimodal_audio_pipeline",
+    "sample_source_cap",
     # — 2: newest row is r1 —
     "scalar_higher_order_functions",
     "sample_deterministic_stratified",
@@ -89,15 +90,16 @@ _VERIFY_FIRST = [
     "text_tfidf_top_terms",
     "text_pack_sequences",
     "scalar_string_functions",
+    "agg_approx_percentiles",
+    # ——— the 50-query verification window ends HERE
+    # (agg_approx_percentiles is position 50, rotated in because its check
+    # upgraded from rows-only to an exact-percentile + sketch-bound hash) —
+    # entries below are positions 51+ and get NO row this round; they are
+    # the r2 refreshes that did not fit, queued first for the round-5 window —
     "scalar_json_extraction",
     "stream_tumbling_window_counts",
-    # ——— the 50-query verification window ends HERE
-    # (stream_tumbling_window_counts is position 50) — entries below are
-    # positions 51+ and get NO row this round; they are the r2 refreshes
-    # that did not fit, queued first for the round-5 window —
     "stream_session_windows",
     "join_salted_skew_agg",
-    "agg_approx_percentiles",
     "agg_collect_sorted_list",
     "agg_mode_per_group",
     "scalar_date_functions",

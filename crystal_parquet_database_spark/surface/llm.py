@@ -1165,6 +1165,49 @@ def sample_upsample_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------------
+# per-source contribution cap (RefinedWeb/C4-style "domain cap")
+# ----------------------------------------------------------------------------
+
+_SOURCE_CAP = 10
+
+_SOURCE_CAP_ORACLE = f"""
+SELECT doc_id, source,
+       CAST(rk AS INTEGER) AS src_rank,
+       rk <= {_SOURCE_CAP} AS kept
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+  FROM documents
+)
+"""
+
+
+@query("sample_source_cap", _SOURCE_CAP_ORACLE)
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap (the 'domain cap' step of web-corpus
+    recipes): each source contributes at most ``_SOURCE_CAP`` documents,
+    selected in md5(text) order — a deterministic, content-keyed pseudo-
+    random draw that is reproducible across runs, partitionings, and
+    engines (no RNG state to ship). Emits every doc with its in-source rank
+    and kept flag so the downstream filter (``kept``) and audit (``src_rank``)
+    come from one pass.
+
+    100 TB shape: one shuffle on ``source``. A mega-source (most of the web
+    under one domain) is the skew risk; because the order key is a uniform
+    hash, the refinement is to pre-aggregate per-source counts and rank only
+    docs whose hash falls below ~(cap/n_source_docs + ε) of the hash space —
+    a literal-threshold map-side prefilter that bounds every ranked
+    partition to ~cap rows before the window runs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = W.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("int").alias("src_rank"),
+    ).withColumn("kept", F.col("src_rank") <= _SOURCE_CAP)
+
+
+# ----------------------------------------------------------------------------
 # C4-style sub-document dedup with rewrite (keep first global occurrence)
 # ----------------------------------------------------------------------------
 

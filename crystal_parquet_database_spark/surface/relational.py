@@ -508,15 +508,35 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# No oracle: HLL sketch results are engine-specific by design; the driver
-# records a rows-only check for this one.
-@query("agg_approx_count_distinct")
+_APPROX_CD_ORACLE = """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_3pct
+FROM lineitem
+"""
+
+
+@query("agg_approx_count_distinct", _APPROX_CD_ORACLE)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the sketch-based scale path for distinct counts
-    (single pass, fixed memory, no expand) — plus exact for comparison."""
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    (single pass, fixed memory, no expand). The estimate itself stays out of
+    the output (HLL internals are engine-specific), but it is CHECKED: at
+    rsd=0.01 the relative standard error is ~1%, so the emitted boolean
+    asserts the 3-sigma bound |approx − exact| / exact ≤ 3% against the
+    exact count the oracle recomputes — drift flips the row red."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("__approx"),
+            F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        )
+        .select(
+            "exact_parts",
+            (
+                F.abs(F.col("__approx").cast("double") - F.col("exact_parts").cast("double"))
+                / F.col("exact_parts").cast("double")
+                <= F.lit(0.03)
+            ).alias("within_3pct"),
+        )
     )
 
 
