@@ -95,6 +95,7 @@ HEADLINE = [
     "agg_hll_error_bound",
     "events_funnel_sessionized",
     "sample_source_cap",
+    "stream_view_purchase_left_join",
 ]
 
 

@@ -24,6 +24,7 @@ def view_purchase_pairs(
     ts_col: str = "ts",
     watermark: str | None = "1 hour",
     horizon_sql: str = "INTERVAL 1 HOUR",
+    how: str = "inner",
 ) -> DataFrame:
     """Purchase attribution as a stream-stream self-join: every (view,
     purchase) pair for the same user where the purchase happens within
@@ -56,6 +57,7 @@ def view_purchase_pairs(
             (F.col("user_id") == F.col("__p_user"))
             & (F.col("purchase_ts") > F.col("view_ts"))
             & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(horizon_sql)),
+            how,
         )
         .select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
     )

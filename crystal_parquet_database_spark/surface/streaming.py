@@ -160,6 +160,32 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_purchase_pairs(load_table(spark, sf_dir, "events"))
 
 
+_SSJOIN_LEFT_ORACLE = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+       v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("stream_view_purchase_left_join", _SSJOIN_LEFT_ORACLE)
+def stream_view_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER purchase attribution: every view, converted or not — the
+    unconverted-views stream a funnel monitor feeds on. In streaming this is
+    the hardest state-management shape (outer emission must wait for the
+    watermark to rule out a future match; state stays bounded by
+    horizon + watermark); as a batch backfill it is this plain time-range
+    left join. Streaming⇄batch equality — including the watermark-flush
+    semantics — is asserted with a sentinel event in
+    tests/test_streaming.py."""
+    from crystal_parquet_database_spark.streaming.joins import view_purchase_pairs
+
+    return view_purchase_pairs(load_table(spark, sf_dir, "events"), how="left_outer")
+
+
 _ENRICH_ORACLE = """
 SELECT e.event_id, e.user_id, e.event_type, e.ts, c.c_name, c.c_nationkey
 FROM events e JOIN customer c ON e.user_id = c.c_custkey

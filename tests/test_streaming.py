@@ -3,9 +3,11 @@
 
 from __future__ import annotations
 
+import datetime
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.streaming import windows as SW
 from crystal_parquet_database_spark.tables import load_table
@@ -156,3 +158,56 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir, events_dir):
         q.stop()
     assert canon_frame(got) == canon_frame(batch)
     assert len(got) > 0
+
+
+def test_stream_stream_left_outer_join_flushes_unmatched(spark, sf_dir, events_dir):
+    """Left-outer stream-stream join: unmatched views are emitted only once
+    the watermark proves no match can arrive. A far-future sentinel view
+    advances the watermark past every real view's horizon, so the flushed
+    append stream must equal the batch left join over the real events (the
+    sentinel itself stays pending in state — never emitted)."""
+    import shutil
+
+    from crystal_parquet_database_spark.streaming.joins import view_purchase_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = view_purchase_pairs(ev, how="left_outer").toPandas()
+
+    d = tempfile.mkdtemp(prefix="events_stream_louter_")
+    shutil.copytree(events_dir, d, dirs_exist_ok=True)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    # One sentinel PER SIDE: each side filters its event_type BEFORE its
+    # watermark node, so the global watermark (min of both) only advances if
+    # both a future view AND a future purchase arrive. Distinct negative
+    # user_ids keep the sentinels from pairing with anything.
+    far = max_ts + datetime.timedelta(days=30)
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "view", 0.0, "{}"),
+            (-2, far, -2, "purchase", 0.0, "{}"),
+        ],
+        schema=ev.schema,
+    )
+    sentinel.write.mode("append").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = view_purchase_pairs(stream, how="left_outer")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssjoin_louter")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_ssjoin_louter WHERE view_id >= 0").toPandas()
+    finally:
+        q.stop()
+    assert canon_frame(got) == canon_frame(batch)
+    # the outer rows are the point: some views must appear with null purchase
+    assert got["purchase_id"].isna().any()
