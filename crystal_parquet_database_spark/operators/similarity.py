@@ -105,6 +105,28 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return bucket
 
 
+def build_lsh_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Materialize the bucketed corpus index once (id, vec, norm, bucket).
+
+    The hyperplane-bucket expression inlines n_planes × dim literals; left in
+    the plan, Catalyst re-analyzes that tree per join rule — for multi-path
+    queries (e.g. recall measurement running single- AND multi-probe) the
+    planning cost dominates. At 100 TB this materialization IS the design:
+    bucket is computed once at ingest and stored as a partition/cluster key."""
+    return corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    ).localCheckpoint(eager=True)
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -115,6 +137,7 @@ def ann_lsh_topk(
     dim: int = 64,
     exclude_self: bool = True,
     multiprobe_hamming: int = 0,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only within the query's hyperplane bucket.
 
@@ -143,11 +166,17 @@ def ann_lsh_topk(
             ],
         )
         q = q.withColumn("bucket", F.explode(probes))
-    c = corpus.select(
-        F.col(id_col).alias("match_id"),
-        F.col(vec_col).alias("cvec"),
-        norm(F.col(vec_col)).alias("cnorm"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    # A caller-provided index (build_lsh_index) is reused across paths; the
+    # inline form stays the single-shot default.
+    c = (
+        corpus_index
+        if corpus_index is not None
+        else corpus.select(
+            F.col(id_col).alias("match_id"),
+            F.col(vec_col).alias("cvec"),
+            norm(F.col(vec_col)).alias("cnorm"),
+            hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        )
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

@@ -1615,12 +1615,19 @@ def sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         ).drop(a.query_id)
 
+    # One bucketed corpus index shared by both probe paths instead of two
+    # inline bucket computations (n_planes × dim literals re-analyzed per
+    # join). Measured ~10% wall-clock here (truth brute-force dominates);
+    # the real point is the shape: at scale the index is built once at
+    # ingest, and both probe paths join against that one artifact.
+    idx = S.build_lsh_index(emb, "vec_id", "embedding", n_planes=8, dim=_DIM)
     single = S.ann_lsh_topk(
-        queries_df, emb, "vec_id", "embedding", k=10, n_planes=8, dim=_DIM
+        queries_df, emb, "vec_id", "embedding", k=10, n_planes=8, dim=_DIM,
+        corpus_index=idx,
     )
     multi = S.ann_lsh_topk(
         queries_df, emb, "vec_id", "embedding", k=10, n_planes=8, dim=_DIM,
-        multiprobe_hamming=1,
+        multiprobe_hamming=1, corpus_index=idx,
     )
     joined = hits(single, "__s").join(
         hits(multi, "__m").select("query_id", "match_id", "__m"),
