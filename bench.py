@@ -96,6 +96,7 @@ HEADLINE = [
     "events_funnel_sessionized",
     "sample_source_cap",
     "stream_view_purchase_left_join",
+    "llm_corpus_pipeline",
 ]
 
 

