@@ -552,3 +552,80 @@ def label_centroid_outliers(
         .filter(F.col("rank") <= top_k)
         .select(F.col(id_col), F.col("__lbl").alias(label_col), "dist2", "rank")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seeds: DataFrame,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering the
+    embedding space and removing, within each cluster, all but the
+    centroid-closest member of every above-threshold cosine pair.
+
+    ``seeds`` is a small (cell_id, cvec) frame — the cluster centroids. Here
+    they are caller-pinned deterministic vectors so the whole operator is
+    oracle-exact; in production they come from a k-means pass (see
+    ``ivf_topk``'s trained quantizer — the same machinery).
+
+    Returns one row per input vector: (<id_col>, cell_id, cos_centroid,
+    is_removed). ``is_removed`` is True iff some same-cell neighbor with
+    cosine > ``threshold`` sits closer to the centroid (ties: the smaller id
+    wins, matching the paper's keep-one-representative rule).
+
+    100 TB shape: centroids broadcast (the paper's LAION run uses 50k
+    clusters × d floats — a few MB); assignment is a map-only argmax over the
+    broadcast set, no corpus shuffle. The only shuffle keys on cell_id, and
+    the quadratic stage is confined within a cell — cluster count is chosen
+    ∝ corpus size precisely so cells stay bounded (the paper's design). A
+    pathological giant cell is handled the same way as an LSH mega-bucket:
+    AQE skew-join splitting, or a cell-size cap with re-clustering.
+    """
+    cell = seeds.select(
+        F.col("cell_id").alias("__cell"), F.col("cvec").alias("__cvec")
+    )
+    scored = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).crossJoin(F.broadcast(cell)).select(
+        "__id",
+        "__vec",
+        "__cell",
+        cosine(F.col("__vec"), F.col("__cvec")).alias("__cosc"),
+    )
+    w = W.partitionBy("__id").orderBy(F.desc("__cosc"), F.asc("__cell"))
+    assigned = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("__id", "__vec", "__cell", "__cosc")
+        .localCheckpoint(eager=True)  # reused by both sides of the self-join
+    )
+    a = assigned.select(
+        F.col("__id").alias("id_a"), F.col("__vec").alias("va"),
+        F.col("__cell").alias("__cell"), F.col("__cosc").alias("ca"),
+    )
+    b = assigned.select(
+        F.col("__id").alias("id_b"), F.col("__vec").alias("vb"),
+        F.col("__cell").alias("__cell"), F.col("__cosc").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("__cos") > threshold)
+    )
+    # per pair the centroid-farther member loses; ties keep the smaller id
+    loser = F.when(F.col("ca") < F.col("cb"), F.col("id_a")).otherwise(
+        F.when(F.col("cb") < F.col("ca"), F.col("id_b")).otherwise(F.col("id_b"))
+    )
+    removed = pairs.select(loser.alias("__id")).distinct()
+    return (
+        assigned.join(removed.withColumn("__rm", F.lit(True)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cell").cast("int").alias("cell_id"),
+            F.col("__cosc").alias("cos_centroid"),
+            F.coalesce(F.col("__rm"), F.lit(False)).alias("is_removed"),
+        )
+    )

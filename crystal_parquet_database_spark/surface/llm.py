@@ -1825,3 +1825,71 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(start + _CW_WIDTH - 1, F.col("__n")).cast("int").alias("end_tok"),
         F.md5(chunk_text).alias("chunk_md5"),
     )
+
+
+# ----------------------------------------------------------------------------
+# dedup: semantic (SemDeDup) — cluster the embedding space, drop the
+# centroid-farther member of every above-threshold within-cluster pair
+# ----------------------------------------------------------------------------
+
+_SEM_SEED_LO, _SEM_K, _SEM_TAU = 200, 8, 0.4
+
+_SEM_COSC = (
+    f"{_sql_dot('e.embedding', 's.cvec')} / "
+    f"(SQRT({_sql_dot('e.embedding', 'e.embedding')}) * SQRT({_sql_dot('s.cvec', 's.cvec')}))"
+)
+_SEM_COSP = (
+    f"{_sql_dot('a.embedding', 'b.embedding')} / "
+    f"(SQRT({_sql_dot('a.embedding', 'a.embedding')}) * SQRT({_sql_dot('b.embedding', 'b.embedding')}))"
+)
+
+_SEMDEDUP_ORACLE = f"""
+WITH seeds AS (
+  SELECT CAST(vec_id - {_SEM_SEED_LO} AS INTEGER) AS cell_id, embedding AS cvec
+  FROM embeddings WHERE vec_id >= {_SEM_SEED_LO} AND vec_id < {_SEM_SEED_LO + _SEM_K}
+),
+sc AS (
+  SELECT e.vec_id, e.embedding, s.cell_id, {_SEM_COSC} AS cosc
+  FROM embeddings e CROSS JOIN seeds s
+),
+asg AS (
+  SELECT vec_id, embedding, cell_id, cosc FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cell_id) AS rk
+    FROM sc
+  ) WHERE rk = 1
+),
+pairs AS (
+  SELECT a.vec_id AS ia, a.cosc AS ca, b.vec_id AS ib, b.cosc AS cb,
+         {_SEM_COSP} AS cp
+  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+),
+rm AS (
+  SELECT DISTINCT CASE WHEN ca < cb THEN ia ELSE ib END AS vec_id
+  FROM pairs WHERE cp > {_SEM_TAU}
+)
+SELECT g.vec_id, g.cell_id, g.cosc AS cos_centroid,
+       (r.vec_id IS NOT NULL) AS is_removed
+FROM asg g LEFT JOIN rm r USING (vec_id)
+"""
+
+
+@query("dedup_semantic_semdedup", _SEMDEDUP_ORACLE)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: assign every vector to its
+    nearest of 8 pinned centroids (deterministic stand-ins for a k-means
+    codebook — same pinning trick as ``sim_ivf_recall_at_k``), then within
+    each cell remove the centroid-farther member of every cosine>τ pair.
+    The paper's recipe verbatim, with the cluster count the knob that keeps
+    the within-cell stage bounded at corpus scale; see operators/similarity.
+    semdedup for the full 100 TB shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(
+            (F.col("vec_id") >= _SEM_SEED_LO) & (F.col("vec_id") < _SEM_SEED_LO + _SEM_K)
+        )
+        .select(
+            (F.col("vec_id") - _SEM_SEED_LO).cast("int").alias("cell_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    return S.semdedup(emb, "vec_id", "embedding", seeds, threshold=_SEM_TAU)

@@ -143,3 +143,38 @@ def test_registered_ivf_recall_query_quality(spark, sf_dir):
     assert mean_recall >= 0.3
     assert all(r["n_true"] == 10 for r in rows)
     assert all(0 <= r["n_hit_ivf"] <= 10 for r in rows)
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """SemDeDup: every vector assigned exactly once; each above-threshold
+    within-cell pair has its centroid-farther member removed; removal is a
+    subset of vectors that actually have an above-threshold neighbor."""
+    from crystal_parquet_database_spark.operators.similarity import cosine, semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 208)).select(
+        (F.col("vec_id") - 200).cast("int").alias("cell_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    out = semdedup(emb, "vec_id", "embedding", seeds, threshold=0.4)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == emb.count()  # one verdict per vector
+
+    # recompute above-threshold within-cell pairs and check the rule
+    asg = out.select("vec_id", "cell_id", "cos_centroid")
+    withvec = asg.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = withvec.selectExpr("vec_id AS ia", "cell_id", "cos_centroid AS ca", "embedding AS va")
+    b = withvec.selectExpr("vec_id AS ib", "cell_id", "cos_centroid AS cb", "embedding AS vb")
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") > 0.4)
+        .collect()
+    )
+    assert pairs, "fixture should contain above-threshold semantic pairs"
+    flagged = {v for v, r in rows.items() if r["is_removed"]}
+    expect_removed = set()
+    for p in pairs:
+        expect_removed.add(p["ia"] if p["ca"] < p["cb"] else p["ib"])
+    assert flagged == expect_removed
