@@ -764,3 +764,45 @@ def dedup_chunks_keep_first(
         F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
         F.md5(cleaned).alias("cleaned_md5"),
     )
+
+
+# Hashed-linear-classifier constants: feature dim, multiplier (Knuth's
+# 32-bit golden-ratio constant), weight modulus/offset. Shared with the
+# oracle SQL in surface/llm.py so both engines score identically.
+CLF_DIM = 64
+CLF_MULT = 2654435761
+CLF_MOD = 97
+CLF_OFF = 48
+
+
+def quality_classifier_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Model-scored quality filtering, fasttext/DCLM-style: a linear
+    classifier over a hashed bag-of-words. Each whitespace token hashes to
+    one of ``CLF_DIM`` feature buckets (first 16 bits of md5 — portable to
+    any engine with md5); the "trained" weight vector is a fixed pseudo-random
+    integer formula of the bucket so the whole score is deterministic and
+    oracle-exact. Swapping in real learned weights = replacing one literal
+    array; the plan is identical.
+
+    Returns (<id_col>, n_tokens, score_sum, avg_score, quality_label) —
+    ``keep`` iff the mean per-token weight is non-negative.
+
+    100 TB shape: pure map-side — tokenize, hash, fold, label inside
+    whole-stage codegen; no shuffle, no Python. This is the shape a real
+    quality-classifier pass has when the model is linear (hash + dot with a
+    broadcast weight vector); only transformer scorers need the Pandas-UDF
+    escape hatch (see quality_score_pandas_udf)."""
+    toks = ws_tokens(F.col(text_col))
+    weight = lambda t: (  # noqa: E731 — shape mirrors the SQL oracle 1:1
+        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint") % CLF_DIM
+    ) * CLF_MULT % CLF_MOD - CLF_OFF
+    score = F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return _spread(df).select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tokens"),
+        score.alias("score_sum"),
+        (score.cast("double") / F.size(toks).cast("double")).alias("avg_score"),
+        F.when(score >= 0, "keep").otherwise("drop").alias("quality_label"),
+    )

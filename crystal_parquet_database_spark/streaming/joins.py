@@ -59,7 +59,15 @@ def view_purchase_pairs(
             & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(horizon_sql)),
             how,
         )
-        .select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+        # coalesce so outer rows from EITHER side keep their user key (for
+        # inner/left the view side is always present and this is a no-op)
+        .select(
+            "view_id",
+            "purchase_id",
+            F.coalesce(F.col("user_id"), F.col("__p_user")).alias("user_id"),
+            "view_ts",
+            "purchase_ts",
+        )
     )
 
 

@@ -1893,3 +1893,38 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return S.semdedup(emb, "vec_id", "embedding", seeds, threshold=_SEM_TAU)
+
+
+# ----------------------------------------------------------------------------
+# text: model-scored quality filtering (hashed linear classifier)
+# ----------------------------------------------------------------------------
+
+_CLF_W = (
+    f"(('0x' || substr(md5(t), 1, 4))::BIGINT % {T.CLF_DIM}) "
+    f"* {T.CLF_MULT} % {T.CLF_MOD} - {T.CLF_OFF}"
+)
+
+_CLF_ORACLE = rf"""
+WITH x AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(w) AS INTEGER) AS n_tokens,
+       CAST(list_aggregate(list_transform(w, t -> {_CLF_W}), 'sum') AS BIGINT)
+         AS score_sum,
+       CAST(CAST(list_aggregate(list_transform(w, t -> {_CLF_W}), 'sum') AS BIGINT)
+            AS DOUBLE) / CAST(LEN(w) AS DOUBLE) AS avg_score,
+       CASE WHEN list_aggregate(list_transform(w, t -> {_CLF_W}), 'sum') >= 0
+            THEN 'keep' ELSE 'drop' END AS quality_label
+FROM x
+"""
+
+
+@query("text_quality_classifier", _CLF_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext/DCLM-style model-scored filter: hashed bag-of-words × fixed
+    integer weight vector, entirely in whole-stage codegen (map-only; the
+    deterministic weight formula stands in for learned weights — see
+    operators/text.quality_classifier_score for the scale argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_classifier_score(docs, "text", "doc_id")

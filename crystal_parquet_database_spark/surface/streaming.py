@@ -204,3 +204,30 @@ def stream_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+_SSJOIN_FULL_ORACLE = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+       COALESCE(v.user_id, p.user_id) AS user_id,
+       v.ts AS view_ts, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("stream_view_purchase_full_join", _SSJOIN_FULL_ORACLE)
+def stream_view_purchase_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER attribution — completes the stream-stream join family
+    (inner / left / full): unconverted views AND unattributed purchases in
+    one frame, the reconciliation feed an ads-measurement pipeline emits.
+    Streaming state bounds are the same as the left join (watermark on both
+    sides + event-time bound ⇒ each side's state expires at
+    horizon + watermark); both outer directions must wait for the watermark
+    before emitting null-padded rows. Batch form = this plain full join;
+    stream⇄batch equality asserted in tests/test_streaming.py."""
+    from crystal_parquet_database_spark.streaming.joins import view_purchase_pairs
+
+    return view_purchase_pairs(load_table(spark, sf_dir, "events"), how="full_outer")

@@ -249,3 +249,34 @@ def test_corpus_pipeline_stages_and_invariance(spark, sf_dir):
     assert set(counts) == {"short", "cap", "budget", "kept"}
     assert all(v > 0 for v in counts.values())
     assert len(rows) == out.count()  # one label per doc
+
+
+def test_quality_classifier_score(spark):
+    """Hashed linear classifier: score is the exact token-weight sum (checked
+    against a Python reimplementation of the hash), labels split on sign, and
+    the plan is map-only (no shuffle)."""
+    import hashlib
+
+    from crystal_parquet_database_spark.operators.text import (
+        CLF_DIM, CLF_MOD, CLF_MULT, CLF_OFF, quality_classifier_score,
+    )
+
+    def pyweight(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16)
+        return (b % CLF_DIM) * CLF_MULT % CLF_MOD - CLF_OFF
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lorem ipsum dolor sit amet"), (3, "x")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in quality_classifier_score(docs, "text", "doc_id").collect()}
+    for did, text in [(1, "the quick brown fox"), (2, "lorem ipsum dolor sit amet"), (3, "x")]:
+        toks = text.split()
+        want = sum(pyweight(t) for t in toks)
+        assert out[did]["score_sum"] == want
+        assert out[did]["n_tokens"] == len(toks)
+        assert out[did]["quality_label"] == ("keep" if want >= 0 else "drop")
+    # map-only: the only exchange is the deliberate round-robin spread —
+    # no hash shuffle anywhere (scoring never aggregates across rows)
+    plan = quality_classifier_score(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan.lower()

@@ -211,3 +211,55 @@ def test_stream_stream_left_outer_join_flushes_unmatched(spark, sf_dir, events_d
     assert canon_frame(got) == canon_frame(batch)
     # the outer rows are the point: some views must appear with null purchase
     assert got["purchase_id"].isna().any()
+
+
+def test_stream_stream_full_outer_join_flushes_both_sides(spark, sf_dir, events_dir):
+    """Full-outer stream-stream join: BOTH unmatched views and unmatched
+    purchases flush once the watermark passes their horizon. Same sentinel
+    trick as the left-outer test; the flushed append stream must equal the
+    batch full join over the real events."""
+    import shutil
+
+    from crystal_parquet_database_spark.streaming.joins import view_purchase_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = view_purchase_pairs(ev, how="full_outer").toPandas()
+
+    d = tempfile.mkdtemp(prefix="events_stream_fouter_")
+    shutil.copytree(events_dir, d, dirs_exist_ok=True)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    far = max_ts + datetime.timedelta(days=30)
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "view", 0.0, "{}"),
+            (-2, far, -2, "purchase", 0.0, "{}"),
+        ],
+        schema=ev.schema,
+    )
+    sentinel.write.mode("append").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = view_purchase_pairs(stream, how="full_outer")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssjoin_fouter")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT * FROM t_ssjoin_fouter "
+            "WHERE COALESCE(view_id, 0) >= 0 AND COALESCE(purchase_id, 0) >= 0"
+        ).toPandas()
+    finally:
+        q.stop()
+    assert canon_frame(got) == canon_frame(batch)
+    # both outer directions must actually occur
+    assert got["purchase_id"].isna().any()
+    assert got["view_id"].isna().any()
