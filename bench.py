@@ -97,6 +97,11 @@ HEADLINE = [
     "sample_source_cap",
     "stream_view_purchase_left_join",
     "llm_corpus_pipeline",
+    "dedup_semantic_semdedup",
+    "text_quality_classifier",
+    "stream_view_purchase_full_join",
+    "agg_kll_quantile_bound",
+    "events_path_regex_match",
 ]
 
 

@@ -338,6 +338,7 @@ class PqDB:
         self,
         max_rows_per_file: int = 1_000_000,
         cluster_by: list[str] | None = None,
+        layout: str = "linear",
     ) -> None:
         """Rewrite the dataset into evenly sized files (reference: parquetdb
         normalize, loaders/base.py:184-186 — '6GB file … should be ~2GB').
@@ -350,13 +351,27 @@ class PqDB:
         that turns a 100 TB scan-with-filter into a touch-few-files read.
         tests/test_db.py asserts the post-rewrite stats are actually narrow.
 
+        ``layout="zorder"`` (with 2+ numeric ``cluster_by`` columns)
+        interleaves the columns' bit planes into a Morton key and clusters on
+        THAT (operators/skew.zorder_key) — every clustered column gets narrow
+        per-file ranges simultaneously, where the linear sort leaves all but
+        the first column full-range. This is Delta/Iceberg ZORDER semantics;
+        the multi-dim skipping win is asserted file-by-file in
+        tests/test_db.py.
+
         Locally this is repartition + maxRecordsPerFile; at 100 TB the same
         rewrite runs as a distributed compaction job (AQE balances the
         shuffle)."""
         df = self._df()
         n = df.count()
         n_files = max(1, math.ceil(n / max_rows_per_file))
-        if cluster_by:
+        if cluster_by and layout == "zorder":
+            from crystal_parquet_database_spark.operators.skew import zorder_key
+
+            keyed, key = zorder_key(df, cluster_by)
+            keyed = keyed.repartitionByRange(n_files, F.col(key)).sortWithinPartitions(key)
+            self._rewrite(keyed.drop(key), max_records_per_file=max_rows_per_file)
+        elif cluster_by:
             cols = [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
             self._rewrite(df, max_records_per_file=max_rows_per_file)

@@ -93,3 +93,48 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two co-bucketed tables (see ``write_bucketed``)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits_per_dim: int = 16
+) -> tuple[DataFrame, str]:
+    """Append a Morton (Z-order) interleave column over ``cols`` — the
+    multi-dimensional data-skipping layout key (Delta/Iceberg ZORDER).
+
+    Each column is scaled to a ``bits_per_dim``-bit integer grid between its
+    global min and max (one tiny agg, broadcast as literals), then the bit
+    planes are interleaved MSB-first so sorting by the key keeps rows close
+    in EVERY dimension at once — a linear sort keeps only the first column
+    narrow per file, leaving the others full-range (asserted side by side in
+    tests/test_db.py).
+
+    All arithmetic is built-in integer expressions inside codegen; the only
+    non-map stage is the 1-row min/max aggregate. Uniform-grid scaling (not
+    quantile) is the standard ZORDER choice — skew in a dimension costs
+    skipping precision, not correctness, and avoids a quantile pass.
+
+    Returns (frame-with-key, key-column-name).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    stats = df.agg(*aggs).first()
+    nbuckets = 1 << bits_per_dim
+    scaled = []
+    for c in cols:
+        mn = float(stats[f"__mn_{c}"])
+        mx = float(stats[f"__mx_{c}"])
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(nbuckets - 1),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * nbuckets
+                ).cast("bigint"),
+            )
+        )
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits_per_dim - 1, -1, -1):  # MSB first
+        for s in scaled:
+            z = F.shiftleft(z, 1).bitwiseOR(F.shiftright(s, bit).bitwiseAND(F.lit(1)))
+    return df.withColumn("__zorder", z), "__zorder"

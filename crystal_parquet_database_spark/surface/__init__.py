@@ -47,6 +47,11 @@ _VERIFY_FIRST = [
     "sample_source_cap",
     "stream_view_purchase_left_join",
     "llm_corpus_pipeline",
+    "dedup_semantic_semdedup",
+    "text_quality_classifier",
+    "stream_view_purchase_full_join",
+    "agg_kll_quantile_bound",
+    "events_path_regex_match",
     # — 2: newest row is r1 —
     "scalar_higher_order_functions",
     "sample_deterministic_stratified",
@@ -85,17 +90,19 @@ _VERIFY_FIRST = [
     "sim_ann_lsh_topk",
     "sim_embedding_near_dup",
     "sim_embedding_near_dup_lsh",
+    "agg_approx_percentiles",
+    # ——— the 50-query verification window ends HERE
+    # (agg_approx_percentiles is position 50, rotated in because its check
+    # upgraded from rows-only to an exact-percentile + sketch-bound hash;
+    # six r2 refreshes moved below to make room for the six queries new
+    # this session — a first row beats a refresh) —
+    # entries below are positions 51+ and get NO row this round; they are
+    # the r2 refreshes that did not fit, queued first for the round-5 window —
     "sim_decontaminate_embeddings",
     "text_token_counts",
     "text_quality_scores",
     "text_language_id",
     "text_tfidf_top_terms",
-    "agg_approx_percentiles",
-    # ——— the 50-query verification window ends HERE
-    # (agg_approx_percentiles is position 50, rotated in because its check
-    # upgraded from rows-only to an exact-percentile + sketch-bound hash) —
-    # entries below are positions 51+ and get NO row this round; they are
-    # the r2 refreshes that did not fit, queued first for the round-5 window —
     "text_pack_sequences",
     "scalar_string_functions",
     "scalar_json_extraction",

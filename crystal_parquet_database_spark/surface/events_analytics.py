@@ -488,3 +488,56 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+# ----------------------------------------------------------------------------
+# path analysis: per-user event-sequence regex (MATCH_RECOGNIZE-lite)
+# ----------------------------------------------------------------------------
+
+_PATH_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         STRING_AGG(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, path,
+       regexp_matches(path, 'v.*p') AS view_then_purchase,
+       regexp_matches(path, 's.*p') AS signup_then_purchase
+FROM p
+"""
+
+
+@query("events_path_regex_match", _PATH_ORACLE)
+def events_path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence/path analysis (the MATCH_RECOGNIZE shape): each user's
+    time-ordered event-type initials become one path string, and behavioral
+    patterns are regexes over it — 'ever purchased after viewing'
+    (``v.*p``), 'ever purchased after signup' (``s.*p``). Arbitrary ordered
+    patterns (loops, negations, k-fold repeats) are the same one-liner,
+    which is why path strings beat hand-built sequential joins once the
+    pattern grows past two steps.
+
+    One shuffle on user_id; the per-user path is bounded by that user's
+    event count (order by (ts, event_id) makes the string deterministic).
+    For unbounded histories at 100 TB, bound the path per (user, month) —
+    same plan with a composite key."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.substring("event_type", 1, 1)
+    paths = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", c.alias("c")))),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("path"),
+    )
+    return paths.select(
+        "user_id",
+        "n_events",
+        "path",
+        F.col("path").rlike("v.*p").alias("view_then_purchase"),
+        F.col("path").rlike("s.*p").alias("signup_then_purchase"),
+    )

@@ -681,11 +681,23 @@ def agg_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bound the row would flip false and hash-mismatch, upgrading the
     sketch family from a rows-only claim to a driver-checked one. (The
     estimates themselves stay out of the output: sketch internals are
-    engine-specific.)"""
+    engine-specific.)
+
+    One-scan shape: an HLL sketch of a multiset equals the sketch of its
+    distinct set (duplicate inserts hit the same register), so lineitem is
+    pre-distincted on (flag, orderkey) once — one scan, one shuffle with
+    map-side partial distinct — and the per-flag exacts, the per-flag
+    sketches, AND the global exact all derive from that small checkpointed
+    frame instead of three separate lineitem scans."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_flag = li.groupBy("l_returnflag").agg(
+    dp = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    per_flag = dp.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_orderkey", 14).alias("sk"),
-        F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        F.count("*").cast("bigint").alias("exact_orders"),
     )
     bound = lambda approx, exact: (  # noqa: E731
         F.abs(approx - exact.cast("double")) / exact.cast("double") <= F.lit(0.05)
@@ -701,7 +713,7 @@ def agg_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global distinct for the bound — an order ships under several return
     # flags, so per-group exacts don't sum. Two 1-row aggregates crossJoined:
     # the scalar-subquery pattern, not a data-sized cartesian.
-    total_exact = li.agg(F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"))
+    total_exact = dp.agg(F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"))
     total = (
         per_flag.agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("double").alias("__approx")
@@ -714,3 +726,61 @@ def agg_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.unionByName(total)
+
+
+# ----------------------------------------------------------------------------
+# KLL quantile sketch with a driver-checked rank bound
+# ----------------------------------------------------------------------------
+
+_KLL_BOUND_ORACLE = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS median_rank_within_5pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_kll_quantile_bound", _KLL_BOUND_ORACLE)
+def agg_kll_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (DataSketches KLL), driver-checked: build
+    per-(flag, month) sub-sketches, MERGE them up to per-flag — the 100 TB
+    rollup where per-partition sketches are persisted once and re-merged
+    endlessly — then assert the merged sketch's median really sits near the
+    exact middle. KLL is a randomized sketch (estimates vary run to run), so
+    the output carries only deterministic columns: the exact group count and
+    a boolean that the sketch median's EXACT rank lands in [0.45, 0.55]
+    (default k=200 ⇒ ~1.65% single-sided rank error at 99% confidence; the
+    ±5% band is a ≳3σ margin). The rank of a data-dependent value needs a
+    second pass by definition: the 3-row medians frame broadcasts back onto
+    the scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("__p"),
+        F.month("l_shipdate").alias("__m"),
+    )
+    sub = li.groupBy("l_returnflag", "__m").agg(
+        F.kll_sketch_agg_double("__p").alias("sk"), F.count("*").alias("n")
+    )
+    # kll_sketch_merge_double is a binary scalar: fold it over the collected
+    # per-month sketches (≤ 12 per flag — a bounded list, not data-sized)
+    per_flag = sub.groupBy("l_returnflag").agg(
+        F.collect_list("sk").alias("__sks"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    merged = F.aggregate(
+        F.slice(F.col("__sks"), 2, F.greatest(F.size("__sks") - 1, F.lit(0))),
+        F.element_at("__sks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    med = per_flag.select(
+        "l_returnflag",
+        "n_rows",
+        F.kll_sketch_get_quantile_double(merged, F.lit(0.5)).alias("__med"),
+    )
+    ranked = li.join(F.broadcast(med), "l_returnflag").groupBy(
+        "l_returnflag", "n_rows"
+    ).agg(F.sum(F.when(F.col("__p") <= F.col("__med"), 1).otherwise(0)).alias("__le"))
+    frac = F.col("__le").cast("double") / F.col("n_rows").cast("double")
+    return ranked.select(
+        "l_returnflag",
+        "n_rows",
+        ((frac >= 0.45) & (frac <= 0.55)).alias("median_rank_within_5pct"),
+    )

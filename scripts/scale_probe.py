@@ -60,6 +60,13 @@ PROBES = [
     "sim_ivf_recall_at_k",
     "agg_hll_error_bound",
     "events_funnel_sessionized",
+    "llm_corpus_pipeline",
+    # round 4, second wave
+    "dedup_semantic_semdedup",
+    "text_quality_classifier",
+    "stream_view_purchase_full_join",
+    "agg_kll_quantile_bound",
+    "events_path_regex_match",
 ]
 
 

@@ -185,3 +185,50 @@ def test_normalize_cluster_by_narrows_file_stats(spark, db):
     # rewrite preserved the data
     got = sorted(r["x"] for r in db.read(columns=["x"]).collect())
     assert got == sorted(vals)
+
+
+def test_normalize_zorder_narrows_both_dims(spark, db):
+    """ZORDER layout: with two uncorrelated columns, every file's min/max
+    range is narrow in BOTH dimensions, where a linear cluster_by sort keeps
+    only the first column narrow. Asserted via parquet footer stats — the
+    exact mechanism any engine's file pruning uses."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    rng = random.Random(11)
+    n = 4096
+    side = 64  # x,y on a 64×64 grid, independent
+    rows = [{"x": rng.randrange(side), "y": rng.randrange(side)} for _ in range(n)]
+    db.create(rows)
+
+    def file_ranges(col):
+        out = []
+        for f in db._data_files():
+            md = pq.ParquetFile(f).metadata
+            sch = md.schema.to_arrow_schema()
+            ci = sch.get_field_index(col)
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    db.normalize(max_rows_per_file=256, cluster_by=["x", "y"], layout="linear")
+    lin_y = file_ranges("y")
+    # linear sort on (x, y): y is full-range in nearly every file
+    assert sum(1 for lo, hi in lin_y if hi - lo > side // 2) >= len(lin_y) // 2
+
+    db.normalize(max_rows_per_file=256, cluster_by=["x", "y"], layout="zorder")
+    zx, zy = file_ranges("x"), file_ranges("y")
+    assert len(zx) >= 8
+    # z-order: BOTH dims narrow per file (each file ≤ half the domain, and on
+    # average much less)
+    for ranges in (zx, zy):
+        spans = [hi - lo for lo, hi in ranges]
+        assert sum(spans) / len(spans) <= side // 2
+        assert max(spans) <= side  # sanity
+    # the rewrite preserved the data
+    assert db.read().count() == n

@@ -13,3 +13,15 @@ def test_hll_error_bound_query_all_within(spark, sf_dir):
     assert "ALL" in flags and len(rows) >= 2
     assert all(r["within_5pct"] for r in rows)
     assert all(r["exact_orders"] > 0 for r in rows)
+
+
+def test_kll_quantile_bound_query_stable_across_partitionings(spark, sf_dir):
+    """The KLL sketch itself is randomized, but the emitted columns must be
+    deterministic: exact counts plus a rank-band boolean that holds at any
+    partitioning (the sketch's rank error is ~1.65% vs the ±5% band)."""
+    rows1 = QUERIES["agg_kll_quantile_bound"](spark, sf_dir).collect()
+    assert len(rows1) == 3
+    assert all(r["median_rank_within_5pct"] for r in rows1)
+    assert all(r["n_rows"] > 0 for r in rows1)
+    rows2 = QUERIES["agg_kll_quantile_bound"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
