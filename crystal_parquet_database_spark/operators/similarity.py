@@ -583,36 +583,81 @@ def semdedup(
     pathological giant cell is handled the same way as an LSH mega-bucket:
     AQE skew-join splitting, or a cell-size cap with re-clustering.
     """
+    # Norms are computed ONCE per vector here and reused by every pair below
+    # (norm(a)*norm(b) is the identical expression tree to the inline form,
+    # so oracle exactness is unchanged — same trick as
+    # embedding_near_dup_pairs).
     cell = seeds.select(
-        F.col("cell_id").alias("__cell"), F.col("cvec").alias("__cvec")
+        F.col("cell_id").alias("__cell"),
+        F.col("cvec").alias("__cvec"),
+        norm(F.col("cvec")).alias("__cn"),
     )
-    scored = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-    ).crossJoin(F.broadcast(cell)).select(
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    scored = base.crossJoin(F.broadcast(cell)).select(
         "__id",
         "__vec",
+        "__n",
         "__cell",
-        cosine(F.col("__vec"), F.col("__cvec")).alias("__cosc"),
+        (dot(F.col("__vec"), F.col("__cvec")) / (F.col("__n") * F.col("__cn"))).alias(
+            "__cosc"
+        ),
     )
-    w = W.partitionBy("__id").orderBy(F.desc("__cosc"), F.asc("__cell"))
+    # Nearest-centroid argmax as max(struct) — identical semantics to the
+    # oracle's ROW_NUMBER (cosc DESC, cell ASC): lexicographic struct order
+    # on (cosc, -cell) picks max cosine, ties to the smallest cell, and the
+    # aggregate PARTIALS MAP-SIDE so only n small structs shuffle (a window
+    # here would shuffle all n×K scored rows WITH their vectors — the
+    # dominant cost once K grows with the corpus). The vectors are kept out
+    # of the aggregation buffers and re-attached with one n-row equi-join.
+    best = (
+        scored.groupBy("__id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__cosc").alias("c"),
+                    (-F.col("__cell")).alias("negcell"),
+                    F.col("__cell").alias("cell"),
+                )
+            ).alias("__b")
+        )
+        .select(
+            "__id",
+            F.col("__b.cell").alias("__cell"),
+            F.col("__b.c").alias("__cosc"),
+        )
+    )
     assigned = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select("__id", "__vec", "__cell", "__cosc")
+        base.join(best, "__id")
+        .select("__id", "__vec", "__n", "__cell", "__cosc")
         .localCheckpoint(eager=True)  # reused by both sides of the self-join
     )
     a = assigned.select(
         F.col("__id").alias("id_a"), F.col("__vec").alias("va"),
+        F.col("__n").alias("na"),
         F.col("__cell").alias("__cell"), F.col("__cosc").alias("ca"),
     )
     b = assigned.select(
         F.col("__id").alias("id_b"), F.col("__vec").alias("vb"),
+        F.col("__n").alias("nb"),
         F.col("__cell").alias("__cell"), F.col("__cosc").alias("cb"),
     )
+    # The equi-join keys on cell_id — with a handful of cells that caps
+    # parallelism at the cell count, so the (cheap) joined pair stream is
+    # re-spread across all cores BEFORE the per-pair dot-product fold, which
+    # is where the compute lives. At production cell counts (∝ corpus size)
+    # the join itself is already wide and the repartition is harmless.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     pairs = (
         a.join(b, "__cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__cos", cosine(F.col("va"), F.col("vb")))
+        .repartition(n_part)
+        .withColumn(
+            "__cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("__cos") > threshold)
     )
     # per pair the centroid-farther member loses; ties keep the smaller id

@@ -541,3 +541,60 @@ def events_path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path").rlike("v.*p").alias("view_then_purchase"),
         F.col("path").rlike("s.*p").alias("signup_then_purchase"),
     )
+
+
+# ----------------------------------------------------------------------------
+# anomaly detection: hourly volume z-score per event type (integer-exact)
+# ----------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q
+  FROM h GROUP BY event_type
+)
+SELECT h.event_type, h.hour_ts, h.n,
+       CAST(h.n * s.k - s.s AS DOUBLE)
+         / SQRT(CAST(s.q * s.k - s.s * s.s AS DOUBLE)) AS z,
+       (h.n * s.k - s.s) * (h.n * s.k - s.s) > 4 * (s.q * s.k - s.s * s.s)
+         AS is_anomaly
+FROM h JOIN s USING (event_type)
+"""
+
+
+@query("events_anomaly_hourly_zscore", _ANOMALY_ORACLE)
+def events_anomaly_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose event count sits more than 2σ
+    from that event type's hourly mean. The z-score test is done entirely in
+    INTEGER arithmetic — |n−μ|>2σ ⟺ (nk−S)² > 4(Qk−S²) with S=Σn, Q=Σn²
+    over k hours — so the anomaly boolean is exact and order-independent
+    (the reported z itself divides in double with the identical expression
+    shape on both sides).
+
+    Shape: one scan → (type, hour) count (map-side partials), a per-type
+    stats rollup over the tiny hourly frame, broadcast back. Per-type state
+    is 3 integers — at 100 TB the hourly frame is days×24×types rows
+    regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    s = h.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
+    )
+    dev = F.col("n") * F.col("k") - F.col("s")
+    var_num = F.col("q") * F.col("k") - F.col("s") * F.col("s")
+    return h.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "hour_ts",
+        "n",
+        (dev.cast("double") / F.sqrt(var_num.cast("double"))).alias("z"),
+        (dev * dev > 4 * var_num).alias("is_anomaly"),
+    )

@@ -1844,9 +1844,12 @@ _SEM_COSP = (
 )
 
 _SEMDEDUP_ORACLE = f"""
-WITH seeds AS (
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+seeds AS (
   SELECT CAST(vec_id - {_SEM_SEED_LO} AS INTEGER) AS cell_id, embedding AS cvec
-  FROM embeddings WHERE vec_id >= {_SEM_SEED_LO} AND vec_id < {_SEM_SEED_LO + _SEM_K}
+  FROM embeddings, nn
+  WHERE vec_id >= {_SEM_SEED_LO}
+    AND vec_id < {_SEM_SEED_LO} + GREATEST({_SEM_K}, (4 * n) // 500)
 ),
 sc AS (
   SELECT e.vec_id, e.embedding, s.cell_id, {_SEM_COSC} AS cosc
@@ -1876,16 +1879,26 @@ FROM asg g LEFT JOIN rm r USING (vec_id)
 @query("dedup_semantic_semdedup", _SEMDEDUP_ORACLE)
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: assign every vector to its
-    nearest of 8 pinned centroids (deterministic stand-ins for a k-means
+    nearest pinned centroid (deterministic stand-ins for a k-means
     codebook — same pinning trick as ``sim_ivf_recall_at_k``), then within
     each cell remove the centroid-farther member of every cosine>τ pair.
-    The paper's recipe verbatim, with the cluster count the knob that keeps
-    the within-cell stage bounded at corpus scale; see operators/similarity.
-    semdedup for the full 100 TB shape."""
+
+    The cluster count GROWS WITH THE CORPUS — K = max(8, 4n/500), i.e.
+    ~125 vectors per cell regardless of corpus size — which is the paper's
+    own scaling design and what keeps the within-cell pair stage LINEAR in
+    n (a pinned K would make cells, and therefore pairs, grow
+    quadratically; the 10× scale probe measured exactly that before this
+    was wired in — see SCALE.md). The oracle recomputes the same K from
+    COUNT(*), so the check stays exact at every scale factor. The n·K
+    assignment term is the standard IVF coarse-quantizer cost; production
+    systems cut it with hierarchical assignment, which composes here as a
+    pre-filter on the broadcast seed set."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(_SEM_K, (4 * n) // 500)
     seeds = (
         emb.filter(
-            (F.col("vec_id") >= _SEM_SEED_LO) & (F.col("vec_id") < _SEM_SEED_LO + _SEM_K)
+            (F.col("vec_id") >= _SEM_SEED_LO) & (F.col("vec_id") < _SEM_SEED_LO + k)
         )
         .select(
             (F.col("vec_id") - _SEM_SEED_LO).cast("int").alias("cell_id"),

@@ -67,6 +67,7 @@ PROBES = [
     "stream_view_purchase_full_join",
     "agg_kll_quantile_bound",
     "events_path_regex_match",
+    "events_anomaly_hourly_zscore",
 ]
 
 

@@ -173,3 +173,38 @@ def test_sessionized_funnel_single_exchange_family(spark, sf_dir):
     # nothing corpus-wide. Bound guards against a structural regression
     # (e.g. an accidental global window would add an un-keyed exchange).
     assert num_shuffles(df) <= 9
+
+
+def test_path_regex_match_path_semantics(spark, sf_dir):
+    """Each user's path has exactly one char per event, and the regex flags
+    agree with a Python recheck of the path string."""
+    import re
+
+    rows = QUERIES["events_path_regex_match"](spark, sf_dir).collect()
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["user_id"] for r in rows} == set(ev_counts)
+    for r in rows:
+        assert len(r["path"]) == ev_counts[r["user_id"]] == r["n_events"]
+        assert set(r["path"]) <= set("vcpse")  # view/click/purchase/signup/error
+        assert r["view_then_purchase"] == bool(re.search("v.*p", r["path"]))
+        assert r["signup_then_purchase"] == bool(re.search("s.*p", r["path"]))
+
+
+def test_anomaly_zscore_integer_rule_matches_float_rule(spark, sf_dir):
+    """The integer 2σ test must agree with the float z-score it mirrors, and
+    anomalies must exist both ways or neither (fixture has uniform-ish
+    traffic, so most hours are normal)."""
+    rows = QUERIES["events_anomaly_hourly_zscore"](spark, sf_dir).collect()
+    assert rows
+    n_anom = 0
+    for r in rows:
+        assert r["is_anomaly"] == (abs(r["z"]) > 2.0) or abs(abs(r["z"]) - 2.0) < 1e-9
+        n_anom += bool(r["is_anomaly"])
+    # the 2σ tail of ~3k hourly buckets is non-empty but small
+    assert 0 < n_anom < len(rows) * 0.2

@@ -107,3 +107,55 @@ def test_promote_numeric_widens(ts):
     m = promote_type(a, b)
     rank = {"integer": 0, "long": 1, "float": 2, "double": 3}
     assert rank[m.typeName()] == max(rank[a.typeName()], rank[b.typeName()])
+
+
+def _py_morton(xs: list[int], bits: int) -> int:
+    """Pure-Python Morton interleave oracle (MSB-first, dims in order)."""
+    z = 0
+    for bit in range(bits - 1, -1, -1):
+        for x in xs:
+            z = (z << 1) | ((x >> bit) & 1)
+    return z
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """zorder_key's bit interleave equals the reference Morton code for the
+    scaled bucket values (recomputed in Python from the same min/max grid)."""
+    import random
+
+    from crystal_parquet_database_spark.operators.skew import zorder_key
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    keyed, col = zorder_key(df, ["x", "y"], bits_per_dim=8)
+    got = {r["id"]: r[col] for r in keyed.collect()}
+
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+    for i, x, y in rows:
+        import math
+
+        bx = min(255, math.floor((x - mnx) / ((mxx - mnx) or 1.0) * 256))
+        by = min(255, math.floor((y - mny) / ((mxy - mny) or 1.0) * 256))
+        assert got[i] == _py_morton([bx, by], 8), (i, x, y)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii", min_codepoint=33, max_codepoint=126), min_size=1, max_size=12), min_size=1, max_size=20))
+def test_classifier_weight_formula_portable(tokens):
+    """The hashed-classifier weight is engine-independent: DuckDB evaluates
+    the same integer weight as the Python oracle for arbitrary tokens."""
+    from crystal_parquet_database_spark.operators.text import (
+        CLF_DIM, CLF_MOD, CLF_MULT, CLF_OFF,
+    )
+
+    for t in {tok for tok in tokens if "'" not in tok}:
+        b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
+        want = (b % CLF_DIM) * CLF_MULT % CLF_MOD - CLF_OFF
+        got = duckdb.sql(
+            f"SELECT (('0x' || substr(md5('{t}'), 1, 4))::BIGINT % {CLF_DIM})"
+            f" * {CLF_MULT} % {CLF_MOD} - {CLF_OFF}"
+        ).fetchone()[0]
+        assert got == want, t
