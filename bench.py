@@ -103,6 +103,7 @@ HEADLINE = [
     "agg_kll_quantile_bound",
     "events_path_regex_match",
     "events_anomaly_hourly_zscore",
+    "dedup_containment_pairs",
 ]
 
 

@@ -501,3 +501,80 @@ def simhash_near_pairs_bruteforce(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    k: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT —
+    |A∩B|/|A| — the relation Jaccard misses: a short document quoted whole
+    inside a long one scores high containment but low Jaccard. This is the
+    boilerplate/quotation/wrapper-page detector in a corpus-hygiene pass.
+
+    Scale shape (NOT the quadratic baseline): an inverted index
+    (shingle-hash → doc) drives candidate generation, so only pairs sharing
+    at least one indexed shingle are ever enumerated. Shingles appearing in
+    more than ``max_df`` documents are dropped from the index FIRST — the
+    stop-shingle cap that (a) bounds per-shingle pair fan-out at
+    C(max_df, 2) and (b) is the semantic choice anyway: corpus-common
+    shingles carry no containment signal. Containment is then computed over
+    the capped shingle space on both sides, so the measure stays exactly
+    reproducible (the oracle applies the same cap).
+
+    Returns (id_a, id_b, n_inter, cont_a_in_b, cont_b_in_a, direction) for
+    pairs whose larger direction reaches ``threshold``; direction is
+    'mutual', 'a_in_b', or 'b_in_a' (a is the smaller id).
+    """
+    # Materialize the shingle arrays BEFORE exploding: generating through the
+    # inline shingle/hash expression tree drops out of whole-stage codegen
+    # and re-evaluates per OUTPUT row (measured ~30× slower than exploding
+    # the materialized arrays — 12 s vs 0.4 s on the sf0.1 fixture).
+    hs = shingle_hashes(df, text_col, k).select(
+        F.col(id_col).alias("__id"), F.col("hs")
+    ).localCheckpoint(eager=True)
+    ex = hs.select("__id", F.explode("hs").alias("__h"))
+    # The STOP set (shingles over the df cap) is small by construction —
+    # broadcast anti-join keeps the filter map-side instead of shuffling the
+    # whole exploded frame a second time against the full df table.
+    stop = (
+        ex.groupBy("__h")
+        .agg(F.count("*").alias("__d"))
+        .filter(F.col("__d") > max_df)
+        .select("__h")
+    )
+    keep = (
+        ex.join(F.broadcast(stop), "__h", "left_anti")
+        .localCheckpoint(eager=True)  # feeds sizes AND both join sides
+    )
+    sz = keep.groupBy("__id").agg(F.count("*").alias("__n"))
+    a = keep.select(F.col("__id").alias("id_a"), F.col("__h"))
+    b = keep.select(F.col("__id").alias("id_b"), F.col("__h"))
+    inter = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    ca = F.col("n_inter").cast("double") / F.col("__na").cast("double")
+    cb = F.col("n_inter").cast("double") / F.col("__nb").cast("double")
+    return (
+        inter.join(sz.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(sz.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            ca.alias("cont_a_in_b"),
+            cb.alias("cont_b_in_a"),
+            F.when((ca >= threshold) & (cb >= threshold), "mutual")
+            .when(ca >= threshold, "a_in_b")
+            .otherwise("b_in_a")
+            .alias("direction"),
+        )
+        .filter(F.greatest(ca, cb) >= threshold)
+    )

@@ -32,9 +32,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
+    # local[N] runs driver+executors in ONE JVM whose default heap is 1g —
+    # far too small for a 32-core harness (a single wide shuffle OOMs it).
+    # Only effective at JVM launch; a no-op if a session already exists. On a
+    # real cluster this is superseded by spark-submit's --driver-memory.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

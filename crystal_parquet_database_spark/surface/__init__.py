@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "agg_kll_quantile_bound",
     "events_path_regex_match",
     "events_anomaly_hourly_zscore",
+    "dedup_containment_pairs",
     # — 2: newest row is r1 —
     "scalar_higher_order_functions",
     "sample_deterministic_stratified",
@@ -89,15 +90,15 @@ _VERIFY_FIRST = [
     "dedup_cluster_components",
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
-    "sim_embedding_near_dup",
     "agg_approx_percentiles",
     # ——— the 50-query verification window ends HERE
     # (agg_approx_percentiles is position 50, rotated in because its check
     # upgraded from rows-only to an exact-percentile + sketch-bound hash;
-    # seven r2 refreshes moved below to make room for the seven queries new
+    # eight r2 refreshes moved below to make room for the eight queries new
     # this session — a first row beats a refresh) —
     # entries below are positions 51+ and get NO row this round; they are
     # the r2 refreshes that did not fit, queued first for the round-5 window —
+    "sim_embedding_near_dup",
     "sim_embedding_near_dup_lsh",
     "sim_decontaminate_embeddings",
     "text_token_counts",

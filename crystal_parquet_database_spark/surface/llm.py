@@ -1941,3 +1941,48 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.quality_classifier_score for the scale argument)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.quality_classifier_score(docs, "text", "doc_id")
+
+
+# ----------------------------------------------------------------------------
+# dedup: asymmetric containment (quotation / boilerplate-wrapper detection)
+# ----------------------------------------------------------------------------
+
+_CONT_TAU, _CONT_MAXDF = 0.9, 100
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_HS_CTE},
+ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+dfreq AS (SELECT h, COUNT(*) AS d FROM ex GROUP BY h),
+keep AS (SELECT doc_id, h FROM ex JOIN dfreq USING (h) WHERE d <= {_CONT_MAXDF}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a_in_b,
+       CAST(n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b_in_a,
+       CASE WHEN CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= {_CONT_TAU}
+             AND CAST(n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) >= {_CONT_TAU}
+            THEN 'mutual'
+            WHEN CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= {_CONT_TAU}
+            THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM inter
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE GREATEST(CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+               CAST(n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= {_CONT_TAU}
+"""
+
+
+@query("dedup_containment_pairs", _CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (|A∩B|/|A| over word-shingle sets with a
+    stop-shingle df cap): catches quotation/wrapper pages that Jaccard
+    misses. Inverted-index candidates only — see
+    operators/dedup.containment_pairs for the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        docs, "text", "doc_id", threshold=_CONT_TAU, k=_K, max_df=_CONT_MAXDF
+    )

@@ -68,6 +68,7 @@ PROBES = [
     "agg_kll_quantile_bound",
     "events_path_regex_match",
     "events_anomaly_hourly_zscore",
+    "dedup_containment_pairs",
 ]
 
 

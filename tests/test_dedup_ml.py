@@ -25,3 +25,34 @@ def test_ml_lsh_agrees_with_exact(spark, sf_dir):
     assert exact  # fixture has planted near-dups
     recall = len(ml & exact) / len(exact)
     assert recall >= 0.9
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc quoted whole inside a long one: containment flags it
+    (a_in_b, cont=1.0) even though Jaccard is far below any dedup cut."""
+    from crystal_parquet_database_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    other = "completely different text with other words entirely here now"
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], ["doc_id", "text"]
+    )
+    rows = containment_pairs(df, "text", "doc_id", threshold=0.9, k=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["direction"]) == (1, 2, "a_in_b")
+    assert r["cont_a_in_b"] == 1.0
+    assert r["cont_b_in_a"] < 0.5
+
+
+def test_containment_stop_shingle_cap(spark):
+    """Shingles above the df cap are dropped from the index: with a cap of 1,
+    every shared shingle is a stop-shingle and no pair survives."""
+    from crystal_parquet_database_spark.operators.dedup import containment_pairs
+
+    t = "one two three four five six"
+    df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    assert containment_pairs(df, "text", "doc_id", threshold=0.5, k=3, max_df=1).count() == 0
+    got = containment_pairs(df, "text", "doc_id", threshold=0.5, k=3, max_df=2).collect()
+    assert len(got) == 1 and got[0]["direction"] == "mutual"
