@@ -170,3 +170,41 @@ def test_ivf_probe_join_is_broadcast(spark, sf_dir):
     df = QUERIES["sim_ivf_topk"](spark, sf_dir)
     strats = join_strategies(df)
     assert any("Broadcast" in s for s in strats)
+
+
+def test_containment_stop_filter_is_broadcast_anti(spark, sf_dir, monkeypatch):
+    """The stop-shingle filter must be a broadcast LEFT ANTI join (map-side),
+    and the whole plan must contain no cartesian product. The operator
+    checkpoints mid-plan (hiding earlier stages from the final plan), so the
+    checkpoint is stubbed to identity for the inspection."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    monkeypatch.setattr(ClassicDF, "localCheckpoint", lambda self, eager=True: self)
+    plan = formatted_plan(QUERIES["dedup_containment_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_semdedup_seeds_broadcast_no_cartesian(spark, sf_dir, monkeypatch):
+    """SemDeDup's centroid assignment must broadcast the seed set (the only
+    nested-loop join allowed) — no data-sized cartesian anywhere. Checkpoint
+    stubbed to identity so the assignment stage is visible in the plan."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    monkeypatch.setattr(ClassicDF, "localCheckpoint", lambda self, eager=True: self)
+    plan = formatted_plan(QUERIES["dedup_semantic_semdedup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_is_map_only(spark, sf_dir):
+    """Model-scored filtering with a linear model must not shuffle at all
+    beyond the deliberate round-robin spread."""
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["text_quality_classifier"](spark, sf_dir))
+    assert "hashpartitioning" not in plan.lower()
