@@ -204,6 +204,34 @@ audio_meta_struct = T.StructType(
 )
 
 
+def _parse_wav_header(data: bytes) -> dict | None:
+    """REAL (pure-python) WAV metadata: a canonical RIFF/PCM header puts the
+    fmt chunk first, so channel count / sample rate / bits-per-sample sit at
+    fixed offsets 22/24/34 (little-endian) and the data chunk at 36 — no
+    audio library needed for header fields (the audio analogue of
+    ``_parse_png_ihdr``)."""
+    if (
+        len(data) >= 44
+        and data[:4] == b"RIFF"
+        and data[8:12] == b"WAVE"
+        and data[12:16] == b"fmt "
+        and data[36:40] == b"data"
+    ):
+        n_channels = int.from_bytes(data[22:24], "little")
+        sample_rate = int.from_bytes(data[24:28], "little")
+        bits = int.from_bytes(data[34:36], "little")
+        data_size = int.from_bytes(data[40:44], "little")
+        bytes_per_frame = max(1, n_channels * max(bits, 8) // 8)
+        n_samples = data_size // bytes_per_frame
+        return {
+            "mime": "audio/wav",
+            "sample_rate": sample_rate,
+            "n_samples": n_samples,
+            "duration_s": n_samples / sample_rate if sample_rate else 0.0,
+        }
+    return None
+
+
 def audio_chunk_energy(
     df: DataFrame,
     content_col: str = "content",
@@ -214,7 +242,9 @@ def audio_chunk_energy(
 
     Real body: decode (soundfile/ffmpeg) → RMS per fixed-length chunk. FAKE:
     chunk the raw bytes and use mean byte value as 'energy' — deterministic,
-    same output shape. One row per (audio, chunk)."""
+    same output shape. One row per (audio, chunk). WAV header fields are
+    REAL without any library (``_parse_wav_header``); only non-WAV content
+    falls back to the deterministic fake metadata."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -229,7 +259,7 @@ def audio_chunk_energy(
             ids, metas, idxs, energies = [], [], [], []
             for aid, b in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(b)
-                meta = {
+                meta = _parse_wav_header(data) or {
                     "mime": "audio/fake",
                     "sample_rate": 16000,
                     "n_samples": len(data),

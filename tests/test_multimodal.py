@@ -144,3 +144,49 @@ def test_sample_video_frames_explodes(binary_df):
     assert len(rows) == 50 * 4
     assert {r["frame_index"] for r in rows} == {0, 1, 2, 3}
     assert all(len(r["frame_features"]) == 8 for r in rows)
+
+
+def _tiny_wav(sample_rate: int = 8000, n_samples: int = 16) -> bytes:
+    """Hand-authored canonical 16-bit mono PCM WAV (44-byte header + data)."""
+    data = bytes(2 * n_samples)  # silence
+    hdr = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")            # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")            # block align
+        + (16).to_bytes(2, "little")           # bits/sample
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def test_parse_wav_header_real_fields():
+    meta = M._parse_wav_header(_tiny_wav(8000, 16))
+    assert meta == {
+        "mime": "audio/wav",
+        "sample_rate": 8000,
+        "n_samples": 16,
+        "duration_s": 16 / 8000,
+    }
+    # close misses fall through to the fake path
+    assert M._parse_wav_header(b"") is None
+    assert M._parse_wav_header(b"RIFFxxxxWAVE" + b"\x00" * 40) is None
+    assert M._parse_wav_header(_tiny_wav()[:40]) is None
+
+
+def test_audio_chunk_energy_real_wav_meta(spark):
+    wav = _tiny_wav(8000, 64)
+    df = spark.createDataFrame([(1, bytearray(wav)), (2, bytearray(b"not audio"))],
+                               "audio_id long, content binary")
+    rows = {r["audio_id"]: r for r in M.audio_chunk_energy(df).collect()}
+    assert rows[1]["meta"]["mime"] == "audio/wav"
+    assert rows[1]["meta"]["sample_rate"] == 8000
+    assert rows[1]["meta"]["n_samples"] == 64
+    assert rows[2]["meta"]["mime"] == "audio/fake"
