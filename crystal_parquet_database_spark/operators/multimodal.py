@@ -157,6 +157,81 @@ def resize_images(
     return df.mapInPandas(op, schema=schema)
 
 
+video_meta_struct = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _parse_mp4_meta(data: bytes) -> dict | None:
+    """REAL (pure-python) MP4 metadata: walk the top-level ISO-BMFF boxes
+    ([u32 size][4-byte type]); the ftyp box carries the major brand, and the
+    moov box's mvhd child carries timescale/duration at fixed offsets
+    (version-0 layout) — no media library needed for container fields (the
+    video analogue of ``_parse_png_ihdr`` / ``_parse_wav_header``)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    brand = data[8:12].decode("ascii", "replace")
+    duration_s = None
+    pos = 0
+    while pos + 8 <= len(data):
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        if size < 8:
+            break
+        btype = data[pos + 4 : pos + 8]
+        if btype == b"moov":
+            # walk moov children for mvhd
+            cpos = pos + 8
+            end = min(pos + size, len(data))
+            while cpos + 8 <= end:
+                csize = int.from_bytes(data[cpos : cpos + 4], "big")
+                if csize < 8:
+                    break
+                if data[cpos + 4 : cpos + 8] == b"mvhd" and cpos + 28 <= end:
+                    version = data[cpos + 8]
+                    if version == 0:
+                        timescale = int.from_bytes(data[cpos + 20 : cpos + 24], "big")
+                        duration = int.from_bytes(data[cpos + 24 : cpos + 28], "big")
+                        if timescale:
+                            duration_s = duration / timescale
+                cpos += csize
+        pos += size
+    return {
+        "mime": "video/mp4",
+        "brand": brand,
+        "duration_s": duration_s,
+        "n_bytes": len(data),
+    }
+
+
+def with_video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append typed container metadata to a binary video column. MP4/ISO-BMFF
+    header fields are REAL without any media library; other content gets a
+    labeled deterministic fake (same contract as ``with_image_meta``)."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("meta", video_meta_struct)])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["meta"] = [
+                _parse_mp4_meta(bytes(b))
+                or {
+                    "mime": "video/fake",
+                    "brand": None,
+                    "duration_s": float(len(bytes(b))) / 1e6,
+                    "n_bytes": len(bytes(b)),
+                }
+                for b in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     content_col: str = "content",

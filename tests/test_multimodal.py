@@ -190,3 +190,41 @@ def test_audio_chunk_energy_real_wav_meta(spark):
     assert rows[1]["meta"]["sample_rate"] == 8000
     assert rows[1]["meta"]["n_samples"] == 64
     assert rows[2]["meta"]["mime"] == "audio/fake"
+
+
+def _tiny_mp4(brand: bytes = b"isom", timescale: int = 1000, duration: int = 2500) -> bytes:
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    ftyp = box(b"ftyp", brand + (0).to_bytes(4, "big") + brand)
+    mvhd = box(
+        b"mvhd",
+        bytes(1)            # version 0
+        + bytes(3)          # flags
+        + bytes(8)          # creation + modification
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + bytes(80),        # rate/volume/matrix/... padding
+    )
+    moov = box(b"moov", mvhd)
+    return ftyp + moov
+
+
+def test_parse_mp4_meta_real_fields():
+    meta = M._parse_mp4_meta(_tiny_mp4(b"mp42", 1000, 2500))
+    assert meta["mime"] == "video/mp4"
+    assert meta["brand"] == "mp42"
+    assert meta["duration_s"] == 2.5
+    assert M._parse_mp4_meta(b"not a video at all") is None
+    assert M._parse_mp4_meta(b"") is None
+
+
+def test_with_video_meta_mixed_content(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_tiny_mp4())), (2, bytearray(b"random bytes"))],
+        "video_id long, content binary",
+    )
+    rows = {r["video_id"]: r["meta"] for r in M.with_video_meta(df).collect()}
+    assert rows[1]["mime"] == "video/mp4" and rows[1]["brand"] == "isom"
+    assert rows[1]["duration_s"] == 2.5
+    assert rows[2]["mime"] == "video/fake" and rows[2]["brand"] is None
