@@ -1,0 +1,87 @@
+"""Executor-parallel Alexandria ingestion via Spark 4's Python DataSource API.
+
+The reference's download stage (crystpqdb/loaders/alexandria.py:142-190 —
+`_download_file` over a ThreadPoolExecutor) fetches and decompresses on ONE
+machine. This source moves that work onto the CLUSTER: each `.json.bz2` file
+(local path or http(s) URL) becomes one `InputPartition`, and every executor
+fetch/decompress/parses its own files — ingestion bandwidth scales with
+executor count, the driver never touches file bytes, and a 1000-file drop
+ingests 1000-wide.
+
+Usage::
+
+    spark.dataSource.register(AlexandriaJsonDataSource)
+    df = (spark.read.format("alexandria_json")
+          .option("files", ",".join(urls_or_paths)).load())
+    # → (source_file string, entry_id string, payload string) — one row per
+    #   Alexandria entry; feed payload to from_json with the loader schema.
+
+Network fetch is import-gated (urllib stdlib) and only triggered by http(s)
+URLs, so tests drive the identical partition/read machinery on local files.
+"""
+
+from __future__ import annotations
+
+import bz2
+import json
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _read_bytes(path: str) -> bytes:
+    if path.startswith(("http://", "https://")):
+        from urllib.request import urlopen  # executor-side fetch
+
+        with urlopen(path) as resp:  # noqa: S310 — caller supplies the index
+            return resp.read()
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+class _AlexandriaReader(DataSourceReader):
+    def __init__(self, options: dict):
+        files = options.get("files", "")
+        self._files = [f for f in files.split(",") if f]
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per file — ingestion parallelism = file count,
+        # scheduled across however many executors exist
+        return [_FilePartition(f) for f in self._files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        raw = _read_bytes(partition.path)
+        if partition.path.endswith(".bz2"):
+            raw = bz2.decompress(raw)
+        doc = json.loads(raw)
+        # Alexandria payloads are {"entries": {id: {...}}} or {id: {...}}
+        entries = doc.get("entries", doc) if isinstance(doc, dict) else {}
+        for entry_id, payload in entries.items():
+            yield (partition.path, str(entry_id), json.dumps(payload))
+
+
+class AlexandriaJsonDataSource(DataSource):
+    """`alexandria_json` — executor-parallel fetch+decompress+explode of
+    Alexandria entry files (see module docstring)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "alexandria_json"
+
+    def schema(self) -> StructType:
+        return StructType(
+            [
+                StructField("source_file", StringType()),
+                StructField("entry_id", StringType()),
+                StructField("payload", StringType()),
+            ]
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _AlexandriaReader(self.options)

@@ -188,3 +188,34 @@ def test_factory_error_lists_available(spark):
     with pytest.raises(KeyError, match="alex"):
         LoaderFactory.get_loader(spark, "nope", "nada")
     assert ("materialscloud", "mc3d") in LoaderFactory.available()
+
+
+def test_alexandria_python_datasource_executor_parallel(spark, tmp_path):
+    """The alexandria_json Python DataSource: one partition per file (the
+    ingestion-parallelism contract), entries exploded to rows, payloads
+    round-trippable JSON."""
+    import bz2 as _bz2
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from crystal_parquet_database_spark.sources.alexandria_datasource import (
+        AlexandriaJsonDataSource,
+    )
+
+    files = []
+    for i in range(3):
+        doc = {"entries": {f"agm-{i}-{j}": {"energy": -float(j)} for j in range(4)}}
+        p = tmp_path / f"alex_{i:03d}.json.bz2"
+        p.write_bytes(_bz2.compress(_json.dumps(doc).encode()))
+        files.append(str(p))
+
+    spark.dataSource.register(AlexandriaJsonDataSource)
+    df = spark.read.format("alexandria_json").option("files", ",".join(files)).load()
+    assert df.count() == 12
+    # one partition per file
+    n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 3
+    row = df.filter(F.col("entry_id") == "agm-1-2").first()
+    assert _json.loads(row["payload"]) == {"energy": -2.0}
+    assert row["source_file"].endswith("alex_001.json.bz2")
