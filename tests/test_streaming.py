@@ -263,3 +263,37 @@ def test_stream_stream_full_outer_join_flushes_both_sides(spark, sf_dir, events_
     # both outer directions must actually occur
     assert got["purchase_id"].isna().any()
     assert got["view_id"].isna().any()
+
+
+def test_synthetic_events_python_stream_source(spark):
+    """Custom Python streaming source: micro-batches arrive with the events
+    schema, rows are a pure function of the offset index (deterministic
+    replay), and a windowed aggregation runs on top of it end to end."""
+    from crystal_parquet_database_spark.streaming.event_source import (
+        SyntheticEventsDataSource, _row,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 50)
+        .load()
+    )
+    agg = stream.groupBy("event_type").count()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_pysource")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+        got = {r["event_type"]: r["count"] for r in spark.sql("SELECT * FROM t_pysource").collect()}
+    finally:
+        q.stop()
+    # availableNow drains exactly one batch: 50 deterministic rows
+    want: dict[str, int] = {}
+    for i in range(50):
+        want[_row(i)[3]] = want.get(_row(i)[3], 0) + 1
+    assert got == want
