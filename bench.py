@@ -24,6 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from crystal_parquet_database_spark.session import get_spark
 from crystal_parquet_database_spark.surface import QUERIES
 
+# INCLUSION RULE (what the headline total covers — mirrored in README
+# "Benchmark"): every query that is (a) a scale-path operator (the variant
+# meant for 100 TB: LSH not quadratic-Jaccard, IVF/LSH ANN not brute-force-
+# only, banded SimHash), or (b) a representative of each registered family
+# (relational core, heavy TPC-H joins, windows, streaming-equivalents, text,
+# events, sampling), with correctness-ORACLE queries that merely re-verify a
+# benched operator (exact recompute companions, labeled quadratic baselines)
+# excluded — their cost is validation, not the operator. Queries new in a
+# round join the list the same round.
 HEADLINE = [
     # relational core
     "q1_pricing_summary",

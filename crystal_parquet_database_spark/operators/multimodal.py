@@ -73,14 +73,73 @@ def _parse_png_ihdr(data: bytes) -> dict | None:
     return None
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOFn minus DHT/JPG/DAC (JPEG spec, table B.1)
+
+
+def _parse_jpeg_sof(data: bytes) -> dict | None:
+    """REAL (pure-python) JPEG metadata: walk the marker segments
+    ([0xFF marker][u16 length incl. itself]) until an SOFn frame header,
+    whose payload is [precision u8][height u16][width u16] big-endian —
+    same no-library trick as ``_parse_png_ihdr``."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None  # corrupt marker stream
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
+        if marker == 0xD9:  # end-of-image before any SOF
+            return None
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF_MARKERS and pos + 9 <= len(data):
+            height = int.from_bytes(data[pos + 5 : pos + 7], "big")
+            width = int.from_bytes(data[pos + 7 : pos + 9], "big")
+            return {
+                "mime": "image/jpeg",
+                "width": width,
+                "height": height,
+                "n_bytes": len(data),
+            }
+        if marker == 0xDA:  # start-of-scan: entropy data follows, no SOF seen
+            return None
+        pos += 2 + seg_len
+    return None
+
+
+def _parse_gif_header(data: bytes) -> dict | None:
+    """REAL (pure-python) GIF metadata: the logical-screen descriptor puts
+    width/height at fixed offsets 6/8 as little-endian u16 (GIF89a spec §18)."""
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        width = int.from_bytes(data[6:8], "little")
+        height = int.from_bytes(data[8:10], "little")
+        return {"mime": "image/gif", "width": width, "height": height, "n_bytes": len(data)}
+    return None
+
+
+def _parse_image_header(data: bytes) -> dict | None:
+    """Dispatch the pure-python header parsers (PNG/JPEG/GIF)."""
+    return _parse_png_ihdr(data) or _parse_jpeg_sof(data) or _parse_gif_header(data)
+
+
 def _decode_meta(data: bytes) -> dict:
     try:  # full-decode path — PIL not available in this container
         from PIL import Image  # type: ignore
     except ImportError:
-        # PNG header fields are still REAL without PIL (vendored IHDR parse);
-        # only non-PNG formats fall back to the deterministic fake.
-        png = _parse_png_ihdr(data)
-        return png if png is not None else _fake_decode_meta(data)
+        # PNG/JPEG/GIF header fields are still REAL without PIL (vendored
+        # fixed-offset parses); only unknown formats fall back to the
+        # labeled deterministic fake.
+        parsed = _parse_image_header(data)
+        return parsed if parsed is not None else _fake_decode_meta(data)
     import io
 
     try:
@@ -180,9 +239,20 @@ def _parse_mp4_meta(data: bytes) -> dict | None:
     pos = 0
     while pos + 8 <= len(data):
         size = int.from_bytes(data[pos : pos + 4], "big")
-        if size < 8:
-            break
         btype = data[pos + 4 : pos + 8]
+        if size == 1:
+            # 64-bit largesize (standard for >4 GiB mdat): real size is the
+            # u64 at pos+8; the box header is 16 bytes instead of 8
+            if pos + 16 > len(data):
+                break
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            if size < 16:
+                break
+        elif size == 0:
+            # "box extends to end of file" (ISO-BMFF §4.2)
+            size = len(data) - pos
+        elif size < 8:
+            break
         if btype == b"moov":
             # walk moov children for mvhd
             cpos = pos + 8
@@ -295,7 +365,9 @@ def _parse_wav_header(data: bytes) -> dict | None:
         n_channels = int.from_bytes(data[22:24], "little")
         sample_rate = int.from_bytes(data[24:28], "little")
         bits = int.from_bytes(data[34:36], "little")
-        data_size = int.from_bytes(data[40:44], "little")
+        # clamp the declared data size to the bytes actually present so a
+        # truncated file doesn't report inflated n_samples/duration_s
+        data_size = min(int.from_bytes(data[40:44], "little"), len(data) - 44)
         bytes_per_frame = max(1, n_channels * max(bits, 8) // 8)
         n_samples = data_size // bytes_per_frame
         return {

@@ -560,6 +560,7 @@ def semdedup(
     vec_col: str,
     seeds: DataFrame,
     threshold: float = 0.4,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering the
     embedding space and removing, within each cluster, all but the
@@ -581,7 +582,14 @@ def semdedup(
     the quadratic stage is confined within a cell — cluster count is chosen
     ∝ corpus size precisely so cells stay bounded (the paper's design). A
     pathological giant cell is handled the same way as an LSH mega-bucket:
-    AQE skew-join splitting, or a cell-size cap with re-clustering.
+    AQE skew-join splitting, or — when ``max_cell_size`` is set — a
+    deterministic cell-size cap: any cell larger than the cap is sub-split
+    by a hash of the id into ceil(size/cap) sub-cells, bounding the
+    quadratic stage at ~C(cap, 2) pairs per sub-cell. The cost is recall,
+    not correctness: cross-sub-cell pairs inside a giant cell are missed
+    (the capped removed-set is always a SUBSET of the uncapped one —
+    asserted in tests/test_similarity_ann.py), the same graceful trade the
+    paper makes by raising the cluster count.
     """
     # Norms are computed ONCE per vector here and reused by every pair below
     # (norm(a)*norm(b) is the identical expression tree to the inline form,
@@ -635,15 +643,32 @@ def semdedup(
         .select("__id", "__vec", "__n", "__cell", "__cosc")
         .localCheckpoint(eager=True)  # reused by both sides of the self-join
     )
+    pair_key = ["__cell"]
+    if max_cell_size is not None:
+        # giant-cell cap: sub-split oversized cells by a deterministic id
+        # hash so the quadratic stage is bounded per sub-cell; the cell-size
+        # frame is tiny (one row per cell) and broadcasts
+        sizes = assigned.groupBy("__cell").agg(F.count("*").alias("__csz"))
+        assigned = assigned.join(F.broadcast(sizes), "__cell").withColumn(
+            "__sub",
+            F.when(
+                F.col("__csz") > max_cell_size,
+                F.pmod(
+                    F.xxhash64("__id"),
+                    F.ceil(F.col("__csz") / F.lit(max_cell_size)).cast("long"),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        pair_key = ["__cell", "__sub"]
     a = assigned.select(
         F.col("__id").alias("id_a"), F.col("__vec").alias("va"),
         F.col("__n").alias("na"),
-        F.col("__cell").alias("__cell"), F.col("__cosc").alias("ca"),
+        *pair_key, F.col("__cosc").alias("ca"),
     )
     b = assigned.select(
         F.col("__id").alias("id_b"), F.col("__vec").alias("vb"),
         F.col("__n").alias("nb"),
-        F.col("__cell").alias("__cell"), F.col("__cosc").alias("cb"),
+        *pair_key, F.col("__cosc").alias("cb"),
     )
     # The equi-join keys on cell_id — with a handful of cells that caps
     # parallelism at the cell count, so the (cheap) joined pair stream is
@@ -652,7 +677,7 @@ def semdedup(
     # the join itself is already wide and the repartition is harmless.
     n_part = df.sparkSession.sparkContext.defaultParallelism
     pairs = (
-        a.join(b, "__cell")
+        a.join(b, pair_key)
         .filter(F.col("id_a") < F.col("id_b"))
         .repartition(n_part)
         .withColumn(

@@ -115,6 +115,13 @@ def zorder_key(
 
     Returns (frame-with-key, key-column-name).
     """
+    # the interleave must fit a signed 64-bit long: bits_per_dim * ndims > 63
+    # would push the top bit into the sign bit and make high-range rows sort
+    # negative, silently breaking the clustering order — shrink to fit
+    if cols and bits_per_dim * len(cols) > 63:
+        bits_per_dim = 63 // len(cols)
+        if bits_per_dim < 1:
+            raise ValueError(f"too many z-order columns ({len(cols)}) for a 64-bit key")
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
@@ -122,8 +129,14 @@ def zorder_key(
     nbuckets = 1 << bits_per_dim
     scaled = []
     for c in cols:
-        mn = float(stats[f"__mn_{c}"])
-        mx = float(stats[f"__mx_{c}"])
+        mn_raw, mx_raw = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
+        if mn_raw is None or mx_raw is None:
+            # empty frame or all-null column: no range to scale over — give
+            # the dimension a constant 0 plane rather than raising
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
+        mn = float(mn_raw)
+        mx = float(mx_raw)
         span = (mx - mn) or 1.0
         scaled.append(
             F.least(

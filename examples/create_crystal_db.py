@@ -153,6 +153,38 @@ def main(work_dir: str | None = None, n_per_source: int = 50) -> PqDB:
         n = db.create(canonical)
         print(f"ingested {source_database}/{source_dataset}: {n} rows")
 
+    # Executor-parallel ingestion path: the same Alexandria fixture read via
+    # the Python DataSource API (one partition per file, fetch/decompress/
+    # parse on executors) must yield exactly the rows the driver-side loader
+    # path ingested (sources/alexandria_datasource.py:13-17).
+    from crystal_parquet_database_spark.sources.alexandria_datasource import (
+        AlexandriaJsonDataSource,
+    )
+
+    alex_files = sorted(
+        os.path.join(data_dir, "alex", "3d", "raw", f)
+        for f in os.listdir(os.path.join(data_dir, "alex", "3d", "raw"))
+        if f.endswith(".json.bz2")
+    )
+    spark.dataSource.register(AlexandriaJsonDataSource)
+    ds_rows = (
+        spark.read.format("alexandria_json")
+        .option("files", ",".join(alex_files))
+        .load()
+    )
+    ds_ids = {r["entry_id"] for r in ds_rows.select("entry_id").collect()}
+    loader_ids = {
+        r["source_id"]
+        for r in db.read(columns=["source_id", "source_database"])
+        .filter(F.col("source_database") == "alex")
+        .collect()
+    }
+    assert ds_ids == loader_ids, (
+        f"DataSource path diverged from loader path: "
+        f"{len(ds_ids)} vs {len(loader_ids)} entries"
+    )
+    print(f"alexandria datasource path: {len(ds_ids)} entries, identical to loader path")
+
     db.normalize(max_rows_per_file=100_000)
     print("rows:", db.n_rows, "columns:", db.n_columns, "files:", len(db.get_file_sizes()))
 

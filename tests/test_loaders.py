@@ -219,3 +219,31 @@ def test_alexandria_python_datasource_executor_parallel(spark, tmp_path):
     row = df.filter(F.col("entry_id") == "agm-1-2").first()
     assert _json.loads(row["payload"]) == {"energy": -2.0}
     assert row["source_file"].endswith("alex_001.json.bz2")
+
+
+def test_alexandria_datasource_list_shaped_entries(spark, tmp_path):
+    """Canonical Alexandria format (reference: data.get("entries", [])) holds
+    entries as a LIST of dicts with ids at data.mat_id — the reader must
+    handle it, not just the dict-of-id variant."""
+    import bz2 as _bz2
+    import json as _json
+
+    from crystal_parquet_database_spark.sources.alexandria_datasource import (
+        AlexandriaJsonDataSource,
+    )
+
+    doc = {
+        "entries": [
+            {"data": {"mat_id": "agm-100", "e_form": -1.0}, "structure": {}},
+            {"data": {"mat_id": "agm-101", "e_form": -2.0}, "structure": {}},
+            {"no_data_key": True},  # id falls back to positional index
+        ]
+    }
+    p = tmp_path / "alex_list.json.bz2"
+    p.write_bytes(_bz2.compress(_json.dumps(doc).encode()))
+
+    spark.dataSource.register(AlexandriaJsonDataSource)
+    df = spark.read.format("alexandria_json").option("files", str(p)).load()
+    rows = {r["entry_id"]: _json.loads(r["payload"]) for r in df.collect()}
+    assert set(rows) == {"agm-100", "agm-101", "2"}
+    assert rows["agm-101"]["data"]["e_form"] == -2.0

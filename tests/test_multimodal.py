@@ -228,3 +228,83 @@ def test_with_video_meta_mixed_content(spark):
     assert rows[1]["mime"] == "video/mp4" and rows[1]["brand"] == "isom"
     assert rows[1]["duration_s"] == 2.5
     assert rows[2]["mime"] == "video/fake" and rows[2]["brand"] is None
+
+
+def _tiny_jpeg(width: int = 12, height: int = 9) -> bytes:
+    """Hand-authored minimal JPEG marker stream: SOI, APP0(JFIF), DQT stub,
+    SOF0 frame header, SOS, EOI — enough for the SOFn walk to find
+    dimensions."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (2 + len(payload)).to_bytes(2, "big") + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes(65))
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof0 + sos + b"\xff\xd9"
+
+
+def _tiny_gif(width: int = 7, height: int = 5) -> bytes:
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00\x00\x00"  # no GCT, bg, aspect
+        + b"\x3b"          # trailer
+    )
+
+
+def test_parse_jpeg_sof_real_fields():
+    meta = M._parse_jpeg_sof(_tiny_jpeg(12, 9))
+    assert meta == {"mime": "image/jpeg", "width": 12, "height": 9,
+                    "n_bytes": len(_tiny_jpeg(12, 9))}
+    # progressive JPEG uses SOF2 — same frame-header layout
+    prog = _tiny_jpeg(640, 480).replace(b"\xff\xc0", b"\xff\xc2")
+    assert M._parse_jpeg_sof(prog)["width"] == 640
+    assert M._parse_jpeg_sof(b"") is None
+    assert M._parse_jpeg_sof(b"\xff\xd8\xff\xd9") is None  # SOI then EOI, no SOF
+    assert M._parse_jpeg_sof(b"not a jpeg") is None
+
+
+def test_parse_gif_header_real_fields():
+    assert M._parse_gif_header(_tiny_gif(7, 5)) == {
+        "mime": "image/gif", "width": 7, "height": 5, "n_bytes": len(_tiny_gif(7, 5))
+    }
+    assert M._parse_gif_header(b"GIF89a") is None  # truncated descriptor
+    assert M._parse_gif_header(b"GIF00a" + bytes(8)) is None
+
+
+def test_decode_meta_jpeg_gif_metadata_real():
+    """JPEG/GIF join PNG in the always-real metadata branch — no PIL needed."""
+    assert M._decode_meta(_tiny_jpeg(12, 9))["mime"] == "image/jpeg"
+    assert M._decode_meta(_tiny_gif(7, 5))["width"] == 7
+
+
+def test_parse_wav_header_clamps_truncated_data():
+    """A truncated WAV (header claims more data bytes than present) must not
+    report inflated n_samples/duration_s."""
+    wav = _tiny_wav(8000, 64)
+    truncated = wav[: 44 + 2 * 16]  # only 16 of the claimed 64 samples remain
+    meta = M._parse_wav_header(truncated)
+    assert meta["n_samples"] == 16
+    assert meta["duration_s"] == 16 / 8000
+
+
+def test_parse_mp4_largesize_and_size_zero_boxes():
+    """size==1 means 64-bit largesize (big mdat); size==0 means box-to-EOF —
+    both are legal and must not stop the walk before moov."""
+    mp4 = _tiny_mp4(b"isom", 1000, 4000)
+    ftyp, moov = mp4[:20], mp4[20:]  # ftyp box = 8 hdr + 12 payload
+    assert ftyp[4:8] == b"ftyp" and moov[4:8] == b"moov"
+    payload = b"\x00" * 32
+    largesize_mdat = (
+        (1).to_bytes(4, "big") + b"mdat" + (16 + len(payload)).to_bytes(8, "big") + payload
+    )
+    meta = M._parse_mp4_meta(ftyp + largesize_mdat + moov)
+    assert meta["duration_s"] == 4.0
+    # size==0 final box must not loop forever or crash
+    tail_box = (0).to_bytes(4, "big") + b"free" + b"\x00" * 8
+    meta2 = M._parse_mp4_meta(ftyp + moov + tail_box)
+    assert meta2["duration_s"] == 4.0

@@ -178,3 +178,55 @@ def test_semdedup_invariants(spark, sf_dir):
     for p in pairs:
         expect_removed.add(p["ia"] if p["ca"] < p["cb"] else p["ib"])
     assert flagged == expect_removed
+
+
+def test_semdedup_giant_cell_cap_subset_and_bounded(spark):
+    """Skew stress for SemDeDup's giant-cell path: one cell attracts ~30% of
+    all vectors. With ``max_cell_size`` set, (a) the pair stage still
+    completes, (b) the capped removed-set is a strict SUBSET of the uncapped
+    one (cap can only MISS cross-sub-cell pairs, never invent removals), and
+    (c) recall within the giant cell stays non-trivial."""
+    import math
+    import random
+
+    from crystal_parquet_database_spark.operators.similarity import semdedup
+
+    rnd = random.Random(7)
+    dim = 8
+    rows = []
+    # giant cell: 300 vectors in a tight cone around axis 0 (many dup pairs)
+    for i in range(300):
+        v = [1.0] + [rnd.uniform(-0.05, 0.05) for _ in range(dim - 1)]
+        rows.append((i, v))
+    # 7 normal cells: 100 spread vectors each around other axes
+    for c in range(1, 8):
+        for j in range(100):
+            v = [rnd.uniform(-0.3, 0.3) for _ in range(dim)]
+            v[c] = 1.0
+            rows.append((1000 * c + j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(c, [1.0 if d == c else 0.0 for d in range(dim)]) for c in range(8)],
+        "cell_id int, cvec array<double>",
+    )
+
+    uncapped = semdedup(emb, "vec_id", "embedding", seeds, threshold=0.9)
+    removed_full = {r["vec_id"] for r in uncapped.filter("is_removed").collect()}
+    sizes = {r["cell_id"]: r["n"] for r in uncapped.groupBy("cell_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert sizes[0] >= 300  # the skew premise: cell 0 holds >= 30% of 1000
+
+    capped = semdedup(
+        emb, "vec_id", "embedding", seeds, threshold=0.9, max_cell_size=64
+    )
+    removed_capped = {r["vec_id"] for r in capped.filter("is_removed").collect()}
+    # subset: the cap only drops cross-sub-cell pairs
+    assert removed_capped <= removed_full
+    # recall stays non-trivial: each 64-vector sub-cell of a near-duplicate
+    # cone still removes all but ~1 member, so ~(300 - ceil(300/64)) of the
+    # ~299 uncapped removals survive
+    n_sub = math.ceil(300 / 64)
+    giant_removed_capped = {v for v in removed_capped if v < 1000}
+    assert len(giant_removed_capped) >= 300 - n_sub - 5
+    # assignment columns unchanged by the cap
+    assert capped.count() == uncapped.count() == 1000

@@ -91,3 +91,39 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_zorder_key_bit_budget_shrinks_to_fit_long(spark):
+    """4 cols × default 16 bits would overflow into the sign bit; the key
+    must stay non-negative (i.e. bits_per_dim silently shrinks to 63//4)."""
+    from pyspark.sql import functions as F
+
+    from crystal_parquet_database_spark.operators.skew import zorder_key
+
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("a"),
+        (F.col("id") % 7).alias("b"),
+        (F.col("id") % 5).alias("c"),
+        (F.col("id") % 3).alias("d"),
+    )
+    out, key = zorder_key(df, ["a", "b", "c", "d"])
+    assert out.filter(F.col(key) < 0).count() == 0
+    # ordering by the key must still interleave all four dims (distinct keys)
+    assert out.select(key).distinct().count() > 1
+
+
+def test_zorder_key_all_null_and_empty_columns(spark):
+    """An all-null column (min/max agg returns nulls) must not raise — the
+    dimension degrades to a constant plane."""
+    from pyspark.sql import functions as F
+
+    from crystal_parquet_database_spark.operators.skew import zorder_key
+
+    df = spark.range(100).select(
+        F.col("id").alias("x"), F.lit(None).cast("double").alias("y")
+    )
+    out, key = zorder_key(df, ["x", "y"], bits_per_dim=8)
+    assert out.filter(F.col(key).isNull()).count() == 0
+    # and an empty frame works end to end
+    empty, ekey = zorder_key(df.filter("x < 0"), ["x", "y"], bits_per_dim=8)
+    assert empty.count() == 0
