@@ -113,6 +113,11 @@ HEADLINE = [
     "events_path_regex_match",
     "events_anomaly_hourly_zscore",
     "dedup_containment_pairs",
+    # round 5: keyword search + incremental near-dup + bigram-LM signal
+    "text_bm25_topk",
+    "dedup_minhash_incremental",
+    "text_bigram_fluency",
+    "agg_cms_heavy_hitters",
 ]
 
 

@@ -578,3 +578,83 @@ def containment_pairs(
         )
         .filter(F.greatest(ca, cb) >= threshold)
     )
+
+
+def _band_explode(sig_df: DataFrame, id_col: str, n_bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, key) rows — one per LSH band (same key construction as
+    ``lsh_candidate_pairs``)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "-",
+                ).alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return sig_df.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band", "b.key"
+    )
+
+
+def minhash_lsh_incremental(
+    df_new: DataFrame,
+    df_old: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    unit: str = "word",
+) -> DataFrame:
+    """Incremental near-duplicate detection: today's ``df_new`` documents
+    against the ``df_old`` corpus — WITHOUT the old×old self-join. The
+    near-dup analogue of the exact-digest ``dedup_incremental_new_vs_index``
+    pattern: candidates come from an equi-join of the new batch's LSH band
+    keys against the corpus's band-key index, so work scales with
+    |new| × bucket-hit-rate, never |old|².
+
+    100 TB shape: in production the old side's (id, band, key) index and
+    shingle-set table are PERSISTED (written once when each batch was itself
+    "new") and only READ here — the history is never re-shingled; this
+    function recomputes them from text so the operator (and its oracle) is
+    self-contained. The band join is new-side-small → broadcastable; the
+    verify join touches only candidate old-ids.
+
+    Returns (id_new, id_old, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = n_hashes // n_bands
+    hs_new = shingle_hashes(df_new, text_col, k, unit).localCheckpoint(eager=True)
+    hs_old = shingle_hashes(df_old, text_col, k, unit).localCheckpoint(eager=True)
+    bands_new = _band_explode(
+        minhash_signature(hs_new, n_hashes), id_col, n_bands, rows_per_band
+    ).select(F.col(id_col).alias("id_new"), "band", "key")
+    bands_old = _band_explode(
+        minhash_signature(hs_old, n_hashes), id_col, n_bands, rows_per_band
+    ).select(F.col(id_col).alias("id_old"), "band", "key")
+    # the new batch is the small side — broadcast it against the corpus index
+    cand = (
+        F.broadcast(bands_new)
+        .join(bands_old, ["band", "key"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sets_new = hs_new.select(F.col(id_col).alias("id_new"), F.col("hs").alias("hs_n"))
+    sets_old = hs_old.select(F.col(id_col).alias("id_old"), F.col("hs").alias("hs_o"))
+    return (
+        cand.join(sets_new, "id_new")
+        .join(sets_old, "id_old")
+        .select(
+            "id_new",
+            "id_old",
+            jaccard(F.col("hs_n"), F.col("hs_o")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -806,3 +806,169 @@ def quality_classifier_score(df: DataFrame, text_col: str, id_col: str) -> DataF
         (score.cast("double") / F.size(toks).cast("double")).alias("avg_score"),
         F.when(score >= 0, "keep").otherwise("drop").alias("quality_label"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: dict[str, list[str]],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword search: top-``top_k`` documents per query, ranked by the
+    Okapi BM25 score with a RATIONAL idf — ``(N - df + 0.5)/(df + 0.5)``
+    without the usual ln() wrapper. ln is not correctly-rounded-guaranteed
+    across engines (libm vs JVM low-bit drift), while the rational form is
+    pure IEEE arithmetic the oracle reproduces bit-for-bit; per term it is a
+    strictly monotone transform of the standard idf, so single-term rankings
+    are identical and multi-term rankings simply weight rare terms harder.
+
+    Cross-term summation is ORDER-FIXED: per-term components pivot into
+    columns via conditional max (exact — no rounding) and the score is an
+    explicit left-to-right ``c0 + c1 + c2`` addition, the same association
+    the SQL oracle writes. A groupBy-sum of doubles would be shuffle-order-
+    dependent and hash-mismatch.
+
+    100 TB shape: the token stream filters to QUERY terms before any
+    aggregation (the vocabulary of interest is tiny), doc length needs no
+    explode (``size(split())`` per row), corpus stats (N, total length, df
+    per query-term) are scalar/tiny aggregates broadcast back, and the only
+    per-doc shuffle keys on (query_id, doc_id) over docs that contain at
+    least one query term.
+    """
+    max_terms = max(len(t) for t in queries.values())
+    spark = df.sparkSession
+    qrows = [
+        (qid, term, idx)
+        for qid, terms in queries.items()
+        for idx, term in enumerate(terms)
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id string, term string, idx int")
+
+    toks = ws_tokens(F.col(text_col))
+    base = _spread(df).select(
+        F.col(id_col), F.col(text_col), F.size(toks).cast("bigint").alias("dl")
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+    )
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    tf = (
+        base.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df_t"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + F.lit(0.5)) / (
+        F.col("df_t").cast("double") + F.lit(0.5)
+    )
+    tfn = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    )
+    comp = (
+        tf.join(base.select(id_col, "dl"), id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.col("term"), (idf * tfn).alias("comp"))
+    )
+    pivoted = (
+        comp.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("idx") == i, F.col("comp"))).alias(f"c{i}")
+                for i in range(max_terms)
+            ]
+        )
+    )
+    score = F.coalesce(F.col("c0"), F.lit(0.0))
+    for i in range(1, max_terms):
+        score = score + F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        pivoted.select("query_id", F.col(id_col), score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def bigram_fluency(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rare_max_count: int = 1,
+) -> DataFrame:
+    """Corpus-trained bigram language-model signal, in exact integer
+    arithmetic (the log-free stand-in for a KenLM perplexity filter):
+
+    - ``fluency`` — pooled transition commonness: over the document's word
+      bigrams (w1, w2), Σ corpus_count(w1, w2) / Σ corpus_count(w1·) — high
+      when the document walks transitions the corpus takes often (fluent /
+      boilerplate), low when transitions are unusual. Both sums are exact
+      int64; ONE final double division keeps the oracle bit-exact where a
+      per-bigram −ln P average would drift in libm's low bits.
+    - ``novel_ratio`` — fraction of bigram OCCURRENCES whose corpus count is
+      ≤ ``rare_max_count`` (i.e. essentially unique to this document) — the
+      novelty/contamination complement.
+
+    100 TB shape: the bigram model is a groupBy count over (w1, w2) with
+    map-side partials (model size = distinct corpus bigrams — vocabulary-
+    bounded, not corpus-bounded); scoring joins the document's bigram stream
+    against the model on the bigram key (shuffle keyed on text n-grams —
+    skew-safe, no single hot key) and reduces per doc. Documents with < 2
+    tokens have no bigrams and report (0, 0.0, 0.0).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.explode_outer(spark_word_ngrams(F.col(text_col), 2, toks=toks)).alias("bg"),
+        )
+    )
+    occs = grams.filter(F.col("bg").isNotNull())
+    model = occs.groupBy("bg").agg(F.count("*").cast("bigint").alias("c2"))
+    ctx = (
+        occs.select(F.col(id_col), F.split(F.col("bg"), " ", 2).getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("bigint").alias("c1"))
+    )
+    scored = (
+        occs.withColumn("w1", F.split(F.col("bg"), " ", 2).getItem(0))
+        .join(model, "bg")
+        .join(ctx, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("c2").cast("bigint").alias("__s2"),
+            F.sum("c1").cast("bigint").alias("__s1"),
+            F.sum(F.when(F.col("c2") <= rare_max_count, 1).otherwise(0))
+            .cast("bigint")
+            .alias("__rare"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            (F.col("__s2").cast("double") / F.col("__s1").cast("double")).alias("fluency"),
+            (F.col("__rare").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "novel_ratio"
+            ),
+        )
+    )
+    # keep bigram-less docs (< 2 tokens) with a zero row
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.coalesce(F.col("fluency"), F.lit(0.0)).alias("fluency"),
+            F.coalesce(F.col("novel_ratio"), F.lit(0.0)).alias("novel_ratio"),
+        )
+    )

@@ -37,6 +37,10 @@ from crystal_parquet_database_spark.surface import events_analytics  # noqa: E40
 # map: README "Verification rotation".)
 _VERIFY_FIRST = [
     # — 1: new in round 5 —
+    "text_bm25_topk",
+    "dedup_minhash_incremental",
+    "text_bigram_fluency",
+    "agg_cms_heavy_hitters",
     # — 2: newest row is r2 (the full backlog — all 27 fit this round) —
     "sim_embedding_near_dup",
     "sim_embedding_near_dup_lsh",

@@ -1986,3 +1986,182 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         docs, "text", "doc_id", threshold=_CONT_TAU, k=_K, max_df=_CONT_MAXDF
     )
+
+
+# ----------------------------------------------------------------------------
+# dedup: incremental MinHash — today's batch vs the corpus LSH index
+# ----------------------------------------------------------------------------
+
+# deterministic batch split: doc_id % 10 == 0 is "today's drop", the rest is
+# the already-indexed corpus
+_INC_NEW = "doc_id % 10 = 0"
+_INC_OLD = "doc_id % 10 <> 0"
+
+_MINHASH_INC_ORACLE = f"""
+WITH {_HS_CTE},
+sig AS (SELECT doc_id, hs, [{_SIG_LIST}] AS sig FROM hs),
+bands AS (
+  SELECT doc_id, g.i AS band,
+         array_to_string(list_transform(list_slice(sig, g.i*{_ROWS}+1, g.i*{_ROWS}+{_ROWS}),
+                                        x -> CAST(x AS VARCHAR)), '-') AS key
+  FROM sig, generate_series(0, {_BANDS - 1}) g(i)
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+  FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+  WHERE n.{_INC_NEW} AND o.{_INC_OLD}
+)
+SELECT * FROM (
+  SELECT id_new, id_old,
+         CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
+           / CAST(len(a.hs) + len(b.hs)
+                  - len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
+           AS jaccard
+  FROM cand JOIN hs a ON cand.id_new = a.doc_id JOIN hs b ON cand.id_old = b.doc_id
+) WHERE jaccard >= {_THRESH}
+"""
+
+
+@query("dedup_minhash_incremental", _MINHASH_INC_ORACLE)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the new batch's LSH band keys equi-join the
+    corpus band-key index — no old×old self-join, history never re-paired.
+    The near-dup sibling of ``dedup_incremental_new_vs_index``; see
+    operators/dedup.minhash_lsh_incremental for the persisted-index 100 TB
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.expr(_INC_NEW))
+    old = docs.filter(F.expr(_INC_OLD))
+    return D.minhash_lsh_incremental(
+        new, old, "text", "doc_id", threshold=_THRESH, k=_K,
+        n_hashes=N_MINHASH, n_bands=_BANDS, unit="word",
+    )
+
+
+# ----------------------------------------------------------------------------
+# text: BM25 keyword search (rational idf — log-free, oracle bit-exact)
+# ----------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+_BM25_QUERIES: dict[str, list[str]] = {
+    "q_spark_batch": ["spark", "batch"],
+    "q_hash_merge_sort": ["hash", "merge", "sort"],
+    "q_window": ["window"],
+    "q_table_scan": ["table", "scan"],
+}
+_BM25_MAXT = max(len(t) for t in _BM25_QUERIES.values())
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{t}', {i})"
+    for qid, terms in _BM25_QUERIES.items()
+    for i, t in enumerate(terms)
+)
+_BM25_TERMS_IN = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+)
+_BM25_PIV = ",\n    ".join(
+    f"MAX(CASE WHEN idx = {i} THEN comp END) AS c{i}" for i in range(_BM25_MAXT)
+)
+_BM25_SCORE_SQL = " + ".join(f"COALESCE(c{i}, 0.0)" for i in range(_BM25_MAXT))
+
+_BM25_ORACLE = rf"""
+WITH q(query_id, term, idx) AS (VALUES {_BM25_VALUES}),
+base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
+  FROM base
+),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({_BM25_TERMS_IN})
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+comp AS (
+  SELECT tf.doc_id, tf.term,
+         ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+            / (CAST(df_t AS DOUBLE) + 0.5))
+         * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
+            / (CAST(tf AS DOUBLE)
+               + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r}
+                 * (CAST(dl AS DOUBLE)
+                    / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+         AS comp
+  FROM tf JOIN base USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+),
+piv AS (
+  SELECT query_id, doc_id,
+    {_BM25_PIV}
+  FROM comp JOIN q USING (term)
+  GROUP BY query_id, doc_id
+),
+sc AS (SELECT query_id, doc_id, {_BM25_SCORE_SQL} AS score FROM piv)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+  FROM sc
+) WHERE rank <= {_BM25_TOPK}
+"""
+
+
+@query("text_bm25_topk", _BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword search, top-10 docs per query, rational idf (no
+    ln — cross-engine exact) and order-fixed cross-term summation. See
+    operators/text.bm25_topk for the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.bm25_topk(
+        docs, "text", "doc_id", _BM25_QUERIES,
+        top_k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+# ----------------------------------------------------------------------------
+# text: corpus bigram-LM fluency / novelty (exact-integer LM signal)
+# ----------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = rf"""
+WITH bg AS (
+  SELECT doc_id, unnest({sql_word_ngrams('text', 2)}) AS bg FROM documents
+),
+model AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM bg GROUP BY 1
+),
+sc AS (
+  SELECT o.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(c2) AS BIGINT) AS s2,
+         CAST(SUM(c1) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN c2 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS rare
+  FROM (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg) o
+  JOIN model USING (bg) JOIN ctx USING (w1)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       COALESCE(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE), 0.0) AS fluency,
+       COALESCE(CAST(rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) AS novel_ratio
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+@query("text_bigram_fluency", _BIGRAM_ORACLE)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM signal in exact integer arithmetic: pooled
+    transition commonness (fluency) + unique-bigram ratio (novelty) — the
+    log-free stand-in for a KenLM perplexity filter. See
+    operators/text.bigram_fluency for the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.bigram_fluency(docs, "text", "doc_id", rare_max_count=1)

@@ -784,3 +784,119 @@ def agg_kll_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         ((frac >= 0.45) & (frac <= 0.55)).alias("median_rank_within_5pct"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Count-Min sketch heavy hitters — mergeable frequency estimation, exact-
+# checked end to end (the frequency sibling of the HLL/KLL sketch queries)
+# ----------------------------------------------------------------------------
+
+_CMS_D = 4        # hash rows
+_CMS_W = 1024     # buckets per row
+_CMS_TOPN = 20    # heavy-hitter candidates = exact top-N terms
+
+_CMS_BUCKET_SQL = [
+    f"({sql_hash64(chr(39) + str(_i) + '#' + chr(39) + ' || term')} % {_CMS_W})"
+    for _i in range(_CMS_D)
+]
+_CMS_BUCKET_CASE = " ".join(
+    f"WHEN g.i = {_i} THEN {_b}" for _i, _b in enumerate(_CMS_BUCKET_SQL)
+)
+
+_CMS_ORACLE = rf"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS term FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n FROM tok GROUP BY term),
+top AS (
+  SELECT term, exact_n FROM (
+    SELECT term, exact_n,
+           ROW_NUMBER() OVER (ORDER BY exact_n DESC, term) AS rk
+    FROM exact
+  ) WHERE rk <= {_CMS_TOPN}
+),
+sk AS (
+  SELECT g.i AS row_i,
+         CASE {_CMS_BUCKET_CASE} END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok, generate_series(0, {_CMS_D - 1}) g(i)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT t.term, t.exact_n, MIN(sk.c) AS cms_est
+  FROM top t, generate_series(0, {_CMS_D - 1}) g(i)
+  JOIN sk ON sk.row_i = g.i
+         AND sk.bucket = (CASE {_CMS_BUCKET_CASE} END)
+  GROUP BY t.term, t.exact_n
+)
+SELECT term, exact_n, cms_est,
+       cms_est >= exact_n AS is_overestimate,
+       (cms_est - exact_n) * {_CMS_W} <= 2 * n AS within_eps
+FROM est CROSS JOIN tot
+"""
+
+
+@query("agg_cms_heavy_hitters", _CMS_ORACLE)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, exact-checked: build a d×w CMS
+    over the corpus token stream, then for the exact top-N heavy hitters
+    emit (exact count, CMS estimate, the one-sided-overcount invariant, and
+    the ε=2/w error bound as integer arithmetic). The sketch uses the
+    portable md5 hash with the row index baked into the key, so the DuckDB
+    oracle rebuilds the ENTIRE sketch bit-for-bit — the whole sketch family
+    is hash-exact, not rows-only.
+
+    100 TB shape: the sketch is d·w bounded cells — a groupBy over (row,
+    bucket) with map-side partials that never grows with the corpus, and
+    per-partition sketches merge by cell-wise addition (the production
+    pattern: persist per-day sketches, fold them forever without rescans).
+    Candidate probing touches d rows per candidate against the tiny sketch
+    table."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    from crystal_parquet_database_spark.operators.text import ws_tokens
+
+    tok = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("term"))
+        .localCheckpoint(eager=True)  # feeds exact counts, sketch, and total
+    )
+    tot = tok.agg(F.count("*").cast("bigint").alias("n"))
+    exact = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("exact_n"))
+    # deterministic global top-N via orderBy+limit → TakeOrderedAndProject
+    # (per-partition partial top-N, no single-partition window over the
+    # vocabulary)
+    top = exact.orderBy(F.desc("exact_n"), F.col("term")).limit(_CMS_TOPN)
+
+    def bucket(i: int) -> F.Column:
+        return spark_hash64(F.concat(F.lit(f"{i}#"), F.col("term"))) % _CMS_W
+
+    entries = F.array(
+        *[
+            F.struct(F.lit(i).alias("row_i"), bucket(i).alias("bucket"))
+            for i in range(_CMS_D)
+        ]
+    )
+    sk = (
+        tok.select(F.explode(entries).alias("e"))
+        .groupBy(F.col("e.row_i").alias("row_i"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    probes = top.select("term", "exact_n", F.explode(entries).alias("e")).select(
+        "term", "exact_n", F.col("e.row_i").alias("row_i"), F.col("e.bucket").alias("bucket")
+    )
+    est = (
+        F.broadcast(probes)
+        .join(sk, ["row_i", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("is_overestimate"),
+        (
+            (F.col("cms_est") - F.col("exact_n")) * F.lit(_CMS_W)
+            <= F.lit(2) * F.col("n")
+        ).alias("within_eps"),
+    )

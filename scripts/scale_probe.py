@@ -69,6 +69,11 @@ PROBES = [
     "events_path_regex_match",
     "events_anomaly_hourly_zscore",
     "dedup_containment_pairs",
+    # round 5
+    "text_bm25_topk",
+    "dedup_minhash_incremental",
+    "text_bigram_fluency",
+    "agg_cms_heavy_hitters",
 ]
 
 
@@ -129,6 +134,12 @@ def run(sf_dir: str, label: str) -> dict[str, float]:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2:  # optional probe subset: scale_probe.py 10 q1 q2 ...
+        global PROBES
+        unknown = [n for n in sys.argv[2:] if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown probe names: {unknown}")
+        PROBES = list(sys.argv[2:])
     out_dir = tempfile.mkdtemp(prefix=f"scale{factor}x_")
     spark = get_spark(app_name="scale_probe_gen")
     print(f"replicating sf0.1 x{factor} into {out_dir} ...", flush=True)

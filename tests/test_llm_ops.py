@@ -280,3 +280,87 @@ def test_quality_classifier_score(spark):
     # no hash shuffle anywhere (scoring never aggregates across rows)
     plan = quality_classifier_score(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan.lower()
+
+
+def test_bm25_topk_known_ranking(spark):
+    """BM25 invariants on a tiny corpus: a doc with more query-term hits and
+    shorter length outranks; docs without the term never appear; rank is
+    dense 1..k per query."""
+    from crystal_parquet_database_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast"),          # tf=3, dl=5
+            (2, "spark is a engine for data and more things here"),  # tf=1, long
+            (3, "nothing relevant at all here"),
+            (4, "spark spark"),                          # tf=2, dl=2
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "text", "doc_id", {"q": ["spark"]}, top_k=3).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 3 not in ranked                       # no query term -> excluded
+    assert set(ranked) == {1, 2, 4}
+    assert ranked[0] in (1, 4)                   # heavy-tf short docs lead
+    assert ranked[-1] == 2                       # single hit in a long doc last
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+    # multi-term: score is the explicit c0+c1 sum, so a doc hitting both
+    # terms beats one hitting a single term with equal stats
+    out2 = {r["doc_id"]: r for r in bm25_topk(
+        docs, "text", "doc_id", {"q2": ["spark", "fast"]}, top_k=4).collect()}
+    assert out2[1]["score"] > out2[4]["score"]
+
+
+def test_bigram_fluency_bounds_and_short_docs(spark):
+    """fluency in (0, 1] (each bigram's count <= its context count), novel
+    ratio in [0, 1], and <2-token docs yield an explicit zero row."""
+    from crystal_parquet_database_spark.operators.text import bigram_fluency
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),      # bigrams: ab, bc, ca, ab
+            (2, "a b x y"),        # shares ab with doc 1
+            (3, "only"),           # no bigrams
+            (4, ""),               # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_fluency(docs, "text", "doc_id").collect()}
+    assert len(rows) == 4
+    for d in (3, 4):
+        assert rows[d]["n_bigrams"] == 0
+        assert rows[d]["fluency"] == 0.0 and rows[d]["novel_ratio"] == 0.0
+    for d in (1, 2):
+        assert 0.0 < rows[d]["fluency"] <= 1.0
+        assert 0.0 <= rows[d]["novel_ratio"] <= 1.0
+    # doc 1's "a b" occurs 3x corpus-wide -> not novel; "c a" occurs once
+    assert rows[1]["n_bigrams"] == 4
+    assert rows[1]["novel_ratio"] == 2 / 4      # "b c" and "c a" are unique
+    # doc 2 has 3 bigrams, "a b" common, "b x"/"x y" unique
+    assert rows[2]["novel_ratio"] == 2 / 3
+
+
+def test_minhash_incremental_matches_full_cross_pairs(spark, sf_dir):
+    """The incremental path must find exactly the new↔old pairs the full
+    self-join dedup finds (restricted to cross pairs), with equal jaccard."""
+    from crystal_parquet_database_spark.operators.dedup import (
+        minhash_lsh_dedup, minhash_lsh_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter("doc_id % 10 = 0")
+    old = docs.filter("doc_id % 10 <> 0")
+    inc = {
+        (r["id_new"], r["id_old"]): r["jaccard"]
+        for r in minhash_lsh_incremental(
+            new, old, "text", "doc_id", threshold=0.8).collect()
+    }
+    full = minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.8).collect()
+    cross = {}
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if (a % 10 == 0) != (b % 10 == 0):
+            nid, oid = (a, b) if a % 10 == 0 else (b, a)
+            cross[(nid, oid)] = r["jaccard"]
+    assert inc == cross
+    assert inc, "fixture should contain at least one cross near-dup pair"

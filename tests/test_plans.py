@@ -208,3 +208,44 @@ def test_quality_classifier_is_map_only(spark, sf_dir):
 
     plan = formatted_plan(QUERIES["text_quality_classifier"](spark, sf_dir))
     assert "hashpartitioning" not in plan.lower()
+
+
+def test_bm25_broadcasts_stats_and_queries(spark, sf_dir):
+    """BM25: the scalar stats, df-per-term, and query-term frames are all
+    broadcast — the only real shuffles key on the token/doc aggregations; no
+    SortMergeJoin against the tiny sides."""
+    df = QUERIES["text_bm25_topk"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in strategies or "CartesianProduct" not in strategies
+
+
+def test_minhash_incremental_broadcasts_new_batch(spark, sf_dir):
+    """Incremental near-dup: the new batch's band keys broadcast against the
+    corpus index — NO old×old self-join shape (the whole point)."""
+    df = QUERIES["dedup_minhash_incremental"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_bigram_fluency_no_cartesian_and_map_side_model(spark, sf_dir):
+    """Bigram LM: model and context joins are equi-joins on the gram key —
+    no cartesian anywhere; the final per-doc reduce is a plain groupBy."""
+    df = QUERIES["text_bigram_fluency"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_cms_sketch_bounded_and_distributed_topn(spark, sf_dir):
+    """CMS heavy hitters: global top-N plans as TakeOrderedAndProject (no
+    single-partition vocabulary window); probe side broadcasts; no
+    cartesian."""
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["agg_cms_heavy_hitters"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in join_strategies(df)

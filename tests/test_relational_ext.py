@@ -25,3 +25,15 @@ def test_kll_quantile_bound_query_stable_across_partitionings(spark, sf_dir):
     assert all(r["n_rows"] > 0 for r in rows1)
     rows2 = QUERIES["agg_kll_quantile_bound"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+
+
+def test_cms_invariants(spark, sf_dir):
+    """CMS one-sided error: every estimate >= exact, and within the eps=2/w
+    bound on this corpus (both asserted as data, not just schema)."""
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    rows = QUERIES["agg_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["is_overestimate"] for r in rows)
+    assert all(r["within_eps"] for r in rows)
+    assert all(r["cms_est"] >= r["exact_n"] for r in rows)
