@@ -118,6 +118,7 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "text_bigram_fluency",
     "agg_cms_heavy_hitters",
+    "stream_windowed_approx_distinct",
 ]
 
 

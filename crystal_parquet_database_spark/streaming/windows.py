@@ -151,3 +151,37 @@ def windowed_distinct_keys(
             "n_distinct_keys",
         )
     )
+
+
+def windowed_approx_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    width: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+    lg_k: int = 14,
+) -> DataFrame:
+    """Approximate distinct keys per tumbling window via an HLL sketch —
+    the BOUNDED-STATE answer when key cardinality is too large for
+    ``windowed_distinct_keys``'s per-key dedup state: state is
+    O(windows × 2^lg_k registers) regardless of how many distinct keys flow
+    through. ``hll_sketch_agg`` is a deterministic function of the window's
+    key multiset, so the batch replay of the same data produces the exact
+    same estimates (asserted in tests/test_streaming.py).
+
+    100 TB / infinite-stream shape: per-partition partial sketches merge
+    associatively (the same property that makes the batch sketch mergeable
+    across days), watermark evicts window state, and the output row is one
+    bigint per window."""
+    df = _with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg(key_col, lg_k)).alias("approx_keys")
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "approx_keys",
+        )
+    )

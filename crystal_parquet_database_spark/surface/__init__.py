@@ -41,6 +41,7 @@ _VERIFY_FIRST = [
     "dedup_minhash_incremental",
     "text_bigram_fluency",
     "agg_cms_heavy_hitters",
+    "stream_windowed_approx_distinct",
     # — 2: newest row is r2 (the full backlog — all 27 fit this round) —
     "sim_embedding_near_dup",
     "sim_embedding_near_dup_lsh",

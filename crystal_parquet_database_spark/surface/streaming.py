@@ -12,6 +12,7 @@ only on strict overlap), session end = last event + gap.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.streaming import windows as SW
 from crystal_parquet_database_spark.surface.registry import query
@@ -231,3 +232,39 @@ def stream_view_purchase_full_join(spark: SparkSession, sf_dir: str) -> DataFram
     from crystal_parquet_database_spark.streaming.joins import view_purchase_pairs
 
     return view_purchase_pairs(load_table(spark, sf_dir, "events"), how="full_outer")
+
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_keys,
+       TRUE AS within_5pct
+FROM events
+GROUP BY 1
+"""
+
+
+@query("stream_windowed_approx_distinct", _APPROX_DISTINCT_ORACLE)
+def stream_windowed_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKED sketch-on-stream query: per-window HLL distinct-user estimates
+    (streaming/windows.windowed_approx_distinct — O(windows × sketch) state,
+    no per-key dedup) asserted within 5% of the exact count per window; the
+    oracle recomputes the exacts and pins the boolean, so a drifting sketch
+    hash-mismatches. Stream⇄batch estimate identity is proven separately in
+    tests/test_streaming.py (hll_sketch_agg is deterministic per multiset)."""
+    ev = load_table(spark, sf_dir, "events")
+    est = SW.windowed_approx_distinct(ev)
+    exact = (
+        ev.select(F.window("ts", "5 minutes").alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+        .groupBy(F.col("w.start").alias("window_start"))
+        .agg(F.count("*").cast("bigint").alias("exact_keys"))
+    )
+    return est.join(exact, "window_start").select(
+        "window_start",
+        "exact_keys",
+        (
+            F.abs(F.col("approx_keys").cast("double") - F.col("exact_keys").cast("double"))
+            / F.col("exact_keys").cast("double")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )

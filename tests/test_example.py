@@ -21,3 +21,11 @@ def test_create_crystal_db_example(spark):
         # ids contiguous across the combined DB
         ids = sorted(r["id"] for r in db.read(columns=["id"]).collect())
         assert ids == list(range(30))
+
+
+def test_search_corpus_example(spark, capsys):
+    from examples.search_corpus import main
+
+    main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "BM25 top hits" in out and "incremental near-dup pairs" in out

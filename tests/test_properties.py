@@ -159,3 +159,84 @@ def test_classifier_weight_formula_portable(tokens):
             f" * {CLF_MULT} % {CLF_MOD} - {CLF_OFF}"
         ).fetchone()[0]
         assert got == want, t
+
+
+def test_cms_overcount_invariant_random_streams(spark):
+    """Mathematical CMS contract on random token streams: for EVERY item,
+    the estimate is >= the exact count (one-sided error, no exceptions)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    # zipf-ish stream: low-index words dominate
+    docs = [
+        (i, " ".join(rng.choice(vocab[: 1 + rng.randint(0, 39)]) for _ in range(30)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from crystal_parquet_database_spark.functions.portable_hash import spark_hash64
+
+    W_, D_ = 64, 4  # tiny width -> collisions guaranteed -> bound must hold
+    tok = df.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    exact = tok.groupBy("term").agg(F.count("*").alias("exact_n"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (spark_hash64(F.concat(F.lit(f"{i}#"), F.col("term"))) % W_).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(D_)
+        ]
+    )
+    sk = (
+        tok.select(F.explode(entries).alias("e"))
+        .groupBy(F.col("e.row_i").alias("row_i"), F.col("e.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    probes = exact.select("term", "exact_n", F.explode(entries).alias("e")).select(
+        "term", "exact_n", F.col("e.row_i").alias("row_i"), F.col("e.bucket").alias("bucket")
+    )
+    est = (
+        probes.join(sk, ["row_i", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .collect()
+    )
+    assert est and all(r["cms_est"] >= r["exact_n"] for r in est)
+    # with w=64 and hundreds of distinct tokens, at least one real collision
+    assert any(r["cms_est"] > r["exact_n"] for r in est)
+
+
+def test_bm25_single_term_matches_python_oracle(spark):
+    """BM25 single-term scores against a pure-Python recomputation —
+    component formula, ranking, and tie-breaks all exact."""
+    import random
+
+    rng = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(40)
+    ]
+    from crystal_parquet_database_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, "text", "doc_id", {"q": ["alpha"]}, top_k=40).collect()
+    }
+    # python oracle
+    toks = {i: t.split() for i, t in docs}
+    N = len(docs)
+    total = sum(len(v) for v in toks.values())
+    avgdl = total / N
+    tf = {i: v.count("alpha") for i, v in toks.items() if "alpha" in v}
+    dfreq = len(tf)
+    idf = (N - dfreq + 0.5) / (dfreq + 0.5)
+    for i, f in tf.items():
+        dl = len(toks[i])
+        want = idf * ((f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        assert got[i] == want  # bit-exact, same expression shape
+    assert set(got) == set(tf)

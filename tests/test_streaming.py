@@ -354,3 +354,16 @@ def test_synthetic_events_checkpoint_restart_exactly_once(spark, tmp_path):
         )
         want[(start, etype)] = want.get((start, etype), 0) + 1
     assert got == want
+
+
+def test_windowed_approx_distinct_stream_equals_batch(spark, sf_dir, events_dir):
+    """The HLL sketch is a deterministic function of each window's key
+    multiset, so streaming and batch runs emit IDENTICAL estimates."""
+    batch = SW.windowed_approx_distinct(
+        load_table(spark, sf_dir, "events")
+    ).toPandas()
+    stream = _run_stream(
+        spark, events_dir, SW.windowed_approx_distinct, "t_approx_distinct"
+    )
+    assert canon_frame(stream) == canon_frame(batch)
+    assert (batch["approx_keys"] > 0).all()
