@@ -119,6 +119,7 @@ HEADLINE = [
     "text_bigram_fluency",
     "agg_cms_heavy_hitters",
     "stream_windowed_approx_distinct",
+    "dedup_cluster_representatives",
 ]
 
 

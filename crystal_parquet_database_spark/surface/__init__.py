@@ -42,6 +42,7 @@ _VERIFY_FIRST = [
     "text_bigram_fluency",
     "agg_cms_heavy_hitters",
     "stream_windowed_approx_distinct",
+    "dedup_cluster_representatives",
     # — 2: newest row is r2 (the full backlog — all 27 fit this round) —
     "sim_embedding_near_dup",
     "sim_embedding_near_dup_lsh",
@@ -86,14 +87,14 @@ _VERIFY_FIRST = [
     "events_path_regex_match",
     "events_anomaly_hourly_zscore",
     "sample_source_cap",
-    # ——— the 50-query verification window ends HERE when §1 has 8 entries;
-    # each query added in round 5 pushes one §3 re-verify (they hold green
-    # r4 rows, the freshest possible) below the line — never a §2 entry.
-    # entries below are positions 51+ and get NO row this round; everything
-    # here holds a green r3 or r4 row —
+    # — 4: r3-row refreshes filling the window to exactly 50 (6 new + 27 r2
+    # + 15 r4 re-verifies = 48, so two fit) —
     "agg_approx_percentiles",
     "sim_cosine_topk_bruteforce",
+    # ——— the 50-query verification window ends HERE.
     "sim_ann_lsh_topk",
+    # entries below are positions 51+ and get NO row this round; everything
+    # here holds a green r3 or r4 row —
     "dedup_exact_text",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -2165,3 +2165,84 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.bigram_fluency for the 100 TB shape."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return T.bigram_fluency(docs, "text", "doc_id", rare_max_count=1)
+
+
+# ----------------------------------------------------------------------------
+# dedup: quality-aware canonical selection per near-dup cluster
+# ----------------------------------------------------------------------------
+
+_QUAL_EXPR_SQL = rf"""
+  0.4 * (CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE))
+  + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(len_floor AS DOUBLE))
+  + 0.3 * (CAST(LEAST(n_words, 100) AS DOUBLE) / 100.0)
+"""
+
+_CC_REP_ORACLE = rf"""
+WITH RECURSIVE {_SIMHASH_CTES.strip()},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAM}
+),
+ed AS (SELECT id_a AS src, id_b AS dst FROM p
+       UNION ALL SELECT id_b, id_a FROM p),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ed.dst, reach.lab FROM reach JOIN ed ON ed.src = reach.id
+),
+comp AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+qf AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_words,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                              x -> x IN ({_SW_SQL}))) AS INTEGER) AS n_stop,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct,
+         CAST(GREATEST(LENGTH(text), 1) AS INTEGER) AS len_floor
+  FROM documents
+),
+q AS (SELECT doc_id, {_QUAL_EXPR_SQL} AS quality_score FROM qf),
+j AS (SELECT comp.doc_id, cluster_id, quality_score FROM comp JOIN q USING (doc_id))
+SELECT doc_id, cluster_id, quality_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY quality_score DESC, doc_id) AS INTEGER) = 1
+         AS is_canonical
+FROM j
+"""
+
+
+@query("dedup_cluster_representatives", _CC_REP_ORACLE)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (SimHash pair
+    graph → connected components) keep their HIGHEST-QUALITY member, not the
+    min-id one — what a production dedup pass actually ships (drop the
+    boilerplate-mangled copies, keep the cleanest). Ties break to the
+    smaller doc_id.
+
+    100 TB shape: components via the edge-incident min-label propagation of
+    ``connected_components`` (O(diameter) rounds); the per-cluster argmax is
+    a ``max(struct)`` aggregate — map-side partials, no per-cluster window
+    over the full corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.simhash(docs, "text", "doc_id", bits=_BITS, k=_K)
+    pairs = D.simhash_near_pairs(fp, "doc_id", max_hamming=_HAM, bits=_BITS)
+    comp = D.connected_components(pairs, docs.select("doc_id"), "doc_id")
+    q = T.quality_features(docs.select("doc_id", "text"), "text", _STOPWORDS).select(
+        "doc_id", "quality_score"
+    )
+    j = comp.join(q, "doc_id")
+    best = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("quality_score").alias("q"),
+                (-F.col("doc_id")).alias("negid"),
+                F.col("doc_id").alias("id"),
+            )
+        ).alias("__b")
+    )
+    return j.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.col("doc_id") == F.col("__b.id")).alias("is_canonical"),
+    )

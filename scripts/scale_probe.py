@@ -74,6 +74,8 @@ PROBES = [
     "dedup_minhash_incremental",
     "text_bigram_fluency",
     "agg_cms_heavy_hitters",
+    "stream_windowed_approx_distinct",
+    "dedup_cluster_representatives",
 ]
 
 

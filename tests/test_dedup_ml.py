@@ -56,3 +56,20 @@ def test_containment_stop_shingle_cap(spark):
     assert containment_pairs(df, "text", "doc_id", threshold=0.5, k=3, max_df=1).count() == 0
     got = containment_pairs(df, "text", "doc_id", threshold=0.5, k=3, max_df=2).collect()
     assert len(got) == 1 and got[0]["direction"] == "mutual"
+
+
+def test_cluster_representatives_quality_argmax(spark, sf_dir):
+    """Exactly one canonical per cluster; the canonical holds the cluster's
+    max quality score (ties to smaller id); singletons are canonical."""
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    rows = QUERIES["dedup_cluster_representatives"](spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert any(len(v) > 1 for v in by_cluster.values())  # real clusters exist
+    for cid, members in by_cluster.items():
+        canons = [m for m in members if m["is_canonical"]]
+        assert len(canons) == 1
+        best = max(members, key=lambda m: (m["quality_score"], -m["doc_id"]))
+        assert canons[0]["doc_id"] == best["doc_id"]
