@@ -120,6 +120,7 @@ HEADLINE = [
     "agg_cms_heavy_hitters",
     "stream_windowed_approx_distinct",
     "dedup_cluster_representatives",
+    "multimodal_image_header_real",
 ]
 
 

@@ -932,7 +932,10 @@ def bigram_fluency(
             F.explode_outer(spark_word_ngrams(F.col(text_col), 2, toks=toks)).alias("bg"),
         )
     )
-    occs = grams.filter(F.col("bg").isNotNull())
+    # materialize the exploded stream once — the model aggregation AND the
+    # scoring join both consume it, and the explode/split lineage would
+    # otherwise run twice (same pattern as dedup.shingle_hashes)
+    occs = grams.filter(F.col("bg").isNotNull()).localCheckpoint(eager=True)
     model = occs.groupBy("bg").agg(F.count("*").cast("bigint").alias("c2"))
     # context counts derive from the MODEL, not the occurrence stream:
     # Σ c2 over bigrams sharing w1 == occurrences with context w1, so the

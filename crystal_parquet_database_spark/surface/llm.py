@@ -2246,3 +2246,80 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         "quality_score",
         (F.col("doc_id") == F.col("__b.id")).alias("is_canonical"),
     )
+
+
+# ----------------------------------------------------------------------------
+# multimodal: REAL header parse, driver-checked (PNG / JPEG / GIF)
+# ----------------------------------------------------------------------------
+
+# The image/audio pipelines above check the deterministic FAKE branch (their
+# fixture bytes are document text). This query drives the REAL pure-python
+# header parsers through the driver gate: it synthesizes valid PNG IHDR /
+# JPEG SOF0 / GIF89a header bytes column-side (hex assembly → unhex) with
+# dimensions derived from document fields, runs them through the identical
+# mapInPandas decode path, and the oracle recomputes mime/width/height/
+# n_bytes from the same formulas — if any parser misread an offset the hash
+# would flip.
+
+_IMG_HDR_ORACLE = """
+SELECT doc_id AS image_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       ELSE 'image/gif' END AS mime,
+       CAST(1 + n_chars % 200 AS INTEGER) AS width,
+       CAST(1 + doc_id % 150 AS INTEGER) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 17 ELSE 14 END
+            AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@query("multimodal_image_header_real", _IMG_HDR_ORACLE)
+def multimodal_image_header_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image metadata, driver-checked: synthesize spec-valid PNG/JPEG/
+    GIF header bytes per document (hex → unhex, pure column expressions),
+    decode via the same ``with_image_meta`` mapInPandas path production
+    content takes, and hash-compare the parsed fields against the formulas
+    the bytes were built from. Exercises the vendored IHDR / SOF0-walk /
+    logical-screen-descriptor parsers (operators/multimodal.py) under the
+    driver gate, not just pytest."""
+    from crystal_parquet_database_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = (F.lit(1) + F.col("n_chars") % 200).cast("int")
+    h = (F.lit(1) + F.col("doc_id") % 150).cast("int")
+
+    def hx(c):  # one byte → two lowercase hex chars (values here are < 256)
+        return F.lpad(F.lower(F.hex(c)), 2, "0")
+
+    w16be = F.concat(F.lit("00"), hx(w))      # u16 big-endian, w <= 200
+    h16be = F.concat(F.lit("00"), hx(h))
+    w32be = F.concat(F.lit("000000"), hx(w))  # u32 big-endian
+    h32be = F.concat(F.lit("000000"), hx(h))
+    w16le = F.concat(hx(w), F.lit("00"))      # u16 little-endian (GIF)
+    h16le = F.concat(hx(h), F.lit("00"))
+
+    png = F.concat(  # sig + IHDR len/type + w + h + 5 header bytes = 29 bytes
+        F.lit("89504e470d0a1a0a" "0000000d" "49484452"),
+        w32be, h32be, F.lit("0800000000"),
+    )
+    jpeg = F.concat(  # SOI + SOF0(len 0x0b: prec, h, w, 1 comp×3) + EOI = 17 B
+        F.lit("ffd8" "ffc0" "000b" "08"), h16be, w16be,
+        F.lit("01" "011100" "ffd9"),
+    )
+    gif = F.concat(  # GIF89a + logical screen w/h + flags/bg/aspect + ';'
+        F.lit("474946383961"), w16le, h16le, F.lit("000000" "3b"),
+    )
+    content = F.unhex(
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, jpeg)
+        .otherwise(gif)
+    )
+    binary = docs.select(F.col("doc_id").alias("image_id"), content.alias("content"))
+    return M.with_image_meta(binary).select(
+        "image_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )

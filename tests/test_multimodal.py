@@ -308,3 +308,16 @@ def test_parse_mp4_largesize_and_size_zero_boxes():
     tail_box = (0).to_bytes(4, "big") + b"free" + b"\x00" * 8
     meta2 = M._parse_mp4_meta(ftyp + moov + tail_box)
     assert meta2["duration_s"] == 4.0
+
+
+def test_image_header_real_query_parses_all_three_formats(spark, sf_dir):
+    """The driver-checked header query: every row parses as a REAL format
+    (no image/fake fallback) with the dimensions its bytes were built from."""
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    rows = QUERIES["multimodal_image_header_real"](spark, sf_dir).collect()
+    mimes = {r["mime"] for r in rows}
+    assert mimes == {"image/png", "image/jpeg", "image/gif"}
+    for r in rows:
+        assert 1 <= r["width"] <= 200 and 1 <= r["height"] <= 150
+        assert r["image_id"] % 3 == {"image/png": 0, "image/jpeg": 1, "image/gif": 2}[r["mime"]]
