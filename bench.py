@@ -121,10 +121,23 @@ HEADLINE = [
     "stream_windowed_approx_distinct",
     "dedup_cluster_representatives",
     "multimodal_image_header_real",
+    "sim_pq_recall_at_k",
 ]
 
 
 def main() -> None:
+    # Optional isolated mode: `python3 bench.py <name>...` benches only the
+    # named queries (fresh process = the honest number when the full
+    # sequence's JVM/GC crowding is suspected — see SCALE.md). The driver
+    # invokes bench.py with no args and is unaffected. BENCH_REPEATS=N
+    # repeats the warm pass N times and reports the per-query minimum.
+    global HEADLINE
+    if len(sys.argv) > 1:
+        unknown = [n for n in sys.argv[1:] if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown query names: {unknown}")
+        HEADLINE = list(sys.argv[1:])
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "1")))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -152,9 +165,12 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
 
     # The driver captures the tail of stdout and parses the FINAL line as the
     # headline JSON. Keep that line compact (contract keys only, value first);

@@ -699,3 +699,93 @@ def semdedup(
             F.coalesce(F.col("__rm"), F.lit(False)).alias("is_removed"),
         )
     )
+
+
+def _sub_l2(sub: Column, centroid_arr: Column) -> Column:
+    """Squared L2 between a sub-vector column and one inlined centroid —
+    identical fold shape to ``dot``/``_sql_l2`` (zip, square, left-fold)."""
+    return F.aggregate(
+        F.zip_with(
+            sub, centroid_arr,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subspace_dists(sub: Column, cb_arr: Column) -> Column:
+    """Array of squared L2 distances from a sub-vector to every centroid of
+    one codebook (centroids inlined as a nested literal array)."""
+    return F.transform(cb_arr, lambda c: _sub_l2(sub, c))
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m = len(
+    codebooks)`` contiguous sub-vectors and replace each with the index of
+    its nearest codebook centroid (first-min tie-break) — 64 floats become
+    m uint8-sized codes, the ~64× compression that lets a 100 TB vector
+    corpus live in RAM for ANN (FAISS IVF-PQ's PQ half).
+
+    Pure map stage: codebooks inline as literals, the argmin is the same
+    codegen'd expression shape as ``ivf_topk``'s cell assignment. At scale
+    the codes are computed once at ingest and stored alongside (or instead
+    of) the raw vectors.
+
+    Returns (<id_col>, code0..code{m-1} int).
+    """
+    dsub = len(codebooks[0][0])
+    out = [F.col(id_col)]
+    for j, cb in enumerate(codebooks):
+        cb_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        ds = _subspace_dists(sub, cb_arr)
+        out.append((F.array_position(ds, F.array_min(ds)) - 1).cast("int").alias(f"code{j}"))
+    return df.select(*out)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query precomputes
+    its m×ksub table of sub-distances to every centroid (one row of
+    expressions — the classic ADC lookup table), then the corpus is scanned
+    touching only the CODES: approx_d2 = Σ_j table_j[code_j], an explicit
+    left-to-right 4-term addition (fixed FP order — oracle bit-exact).
+
+    100 TB shape: the query side (with its tables) broadcasts; the corpus
+    side streams code columns only — m ints per vector instead of the full
+    float vector, which is the entire point of PQ. Rank = (approx_d2 asc,
+    match_id) per query, top k.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qcols = [F.col(id_col).alias("query_id")]
+    for j, cb in enumerate(codebooks):
+        cb_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        qcols.append(_subspace_dists(sub, cb_arr).alias(f"__qt{j}"))
+    q = queries.select(*qcols)
+    joined = corpus_codes.withColumnRenamed(id_col, "match_id").crossJoin(F.broadcast(q))
+    approx = F.element_at(F.col("__qt0"), F.col("code0") + 1)
+    for j in range(1, m):
+        approx = approx + F.element_at(F.col(f"__qt{j}"), F.col(f"code{j}") + 1)
+    scored = joined.select("query_id", "match_id", approx.alias("approx_d2"))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("match_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("approx_d2"), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -44,6 +44,7 @@ _VERIFY_FIRST = [
     "stream_windowed_approx_distinct",
     "dedup_cluster_representatives",
     "multimodal_image_header_real",
+    "sim_pq_recall_at_k",
     # — 2: newest row is r2 (the full backlog — all 27 fit this round) —
     "sim_embedding_near_dup",
     "sim_embedding_near_dup_lsh",
@@ -88,10 +89,9 @@ _VERIFY_FIRST = [
     "events_path_regex_match",
     "events_anomaly_hourly_zscore",
     "sample_source_cap",
-    # — 4: r3-row refreshes filling the window to exactly 50 (7 new + 27 r2
-    # + 15 r4 re-verifies = 49, so one fits) —
+    # ——— the 50-query verification window ends HERE (8 new + 27 r2
+    # refreshes + 15 r4 re-verifies = exactly 50).
     "agg_approx_percentiles",
-    # ——— the 50-query verification window ends HERE.
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     # entries below are positions 51+ and get NO row this round; everything

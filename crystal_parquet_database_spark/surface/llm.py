@@ -2323,3 +2323,155 @@ def multimodal_image_header_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.col("meta.n_bytes").alias("n_bytes"),
     )
+
+
+# ----------------------------------------------------------------------------
+# similarity: product quantization (PQ) ADC search + exact recall oracle
+# ----------------------------------------------------------------------------
+
+# Codebooks pinned to seed rows (the sim_ivf_recall_at_k trick): centroid c
+# of subspace j is the [j*16, (j+1)*16) slice of embedding row vec_id=200+c,
+# so DuckDB recomputes encoding, ADC tables, ranking, and recall exactly.
+_PQ_SEED_LO, _PQ_KSUB, _PQ_M, _PQ_DSUB = 200, 16, 4, 16
+
+
+def _sql_sub_l2(a: str, b: str, j: int) -> str:
+    """Squared L2 over subspace j's dim range — fold shape of _sql_l2."""
+    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+    return (
+        f"list_aggregate(list_transform(generate_series({lo}, {hi}), "
+        f"i -> {diff} * {diff}), 'sum')"
+    )
+
+
+_PQ_CODE_CTES = ",\n".join(
+    f"""d{j} AS (
+  SELECT e.vec_id, s.code, {_sql_sub_l2('e.embedding', 's.svec', j)} AS d2
+  FROM embeddings e CROSS JOIN seeds s
+),
+kk{j} AS (
+  SELECT vec_id, code AS k{j} FROM (
+    SELECT vec_id, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+    FROM d{j}) WHERE rn = 1
+)"""
+    for j in range(_PQ_M)
+)
+
+_PQ_ADC_SUM = " + ".join(
+    _sql_sub_l2("q.qvec", f"s{j}.svec", j) for j in range(_PQ_M)
+)
+_PQ_SEED_JOINS = "\n  ".join(
+    f"JOIN seeds s{j} ON s{j}.code = c.k{j}" for j in range(_PQ_M)
+)
+
+_PQ_RECALL_ORACLE = f"""
+WITH seeds AS (
+  SELECT CAST(vec_id - {_PQ_SEED_LO} AS INTEGER) AS code, embedding AS svec
+  FROM embeddings
+  WHERE vec_id >= {_PQ_SEED_LO} AND vec_id < {_PQ_SEED_LO + _PQ_KSUB}
+),
+{_PQ_CODE_CTES},
+codes AS (
+  SELECT kk0.vec_id, k0, k1, k2, k3
+  FROM kk0 JOIN kk1 USING (vec_id) JOIN kk2 USING (vec_id) JOIN kk3 USING (vec_id)
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+adc AS (
+  SELECT q.query_id, c.vec_id AS match_id, {_PQ_ADC_SUM} AS approx_d2
+  FROM codes c CROSS JOIN q
+  {_PQ_SEED_JOINS}
+  WHERE c.vec_id <> q.query_id
+),
+pq AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_d2, match_id) AS rank
+    FROM adc) WHERE rank <= 10
+),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, e.vec_id AS match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_l2('e.embedding', 'q.qvec')},
+                                       e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 10
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(p.match_id) AS BIGINT) AS n_hit_pq,
+       CAST(CAST(COUNT(p.match_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DOUBLE)
+         AS recall_pq
+FROM truth t
+LEFT JOIN pq p ON t.query_id = p.query_id AND t.match_id = p.match_id
+GROUP BY t.query_id
+"""
+
+
+@query("sim_pq_recall_at_k", _PQ_RECALL_ORACLE)
+def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with an EXACT oracle: vectors compress to
+    {_PQ_M} codes (nearest pinned-centroid per 16-dim subspace), queries
+    search via the classic ADC lookup-table scan over CODES ONLY, and
+    recall@10 is measured against exact-L2 ground truth — all of it
+    (encoding argmin, ADC tables, ranking, hit counts) recomputed
+    bit-for-bit by DuckDB from the same pinned seed rows. PQ is the
+    compression half of FAISS-style IVF-PQ: a 100 TB float corpus becomes
+    m bytes/vector in the scan. See operators/similarity.pq_encode /
+    pq_adc_topk for the scale shapes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(
+            (F.col("vec_id") >= _PQ_SEED_LO)
+            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_KSUB)
+        )
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    codebooks = [
+        [list(r[0])[j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for r in seed_rows]
+        for j in range(_PQ_M)
+    ]
+    codes = S.pq_encode(emb, "vec_id", "embedding", codebooks).localCheckpoint(
+        eager=True
+    )
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    pq = S.pq_adc_topk(
+        queries_df, codes, "vec_id", "embedding", codebooks, k=10
+    ).select("query_id", F.col("match_id").alias("__pq_match"))
+    # exact-L2 ground truth (same fold shape as the oracle's _sql_l2)
+    q = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("cvec"))
+    sq = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            S._sub_l2(F.col("cvec"), F.col("qvec")).alias("__d2"),
+        )
+    )
+    wnd = W.partitionBy("query_id").orderBy(F.col("__d2"), F.col("match_id"))
+    truth = (
+        sq.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "match_id")
+    )
+    joined = truth.join(
+        pq,
+        (truth.query_id == pq.query_id) & (truth.match_id == pq.__pq_match),
+        "left",
+    ).drop(pq.query_id)
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_true"),
+        F.count("__pq_match").cast("bigint").alias("n_hit_pq"),
+        (
+            F.count("__pq_match").cast("double") / F.count("*").cast("double")
+        ).alias("recall_pq"),
+    )

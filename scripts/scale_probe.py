@@ -76,6 +76,7 @@ PROBES = [
     "agg_cms_heavy_hitters",
     "stream_windowed_approx_distinct",
     "dedup_cluster_representatives",
+    "sim_pq_recall_at_k",
 ]
 
 

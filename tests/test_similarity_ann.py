@@ -230,3 +230,42 @@ def test_semdedup_giant_cell_cap_subset_and_bounded(spark):
     assert len(giant_removed_capped) >= 300 - n_sub - 5
     # assignment columns unchanged by the cap
     assert capped.count() == uncapped.count() == 1000
+
+
+def test_pq_encode_and_adc_recall(spark, sf_dir):
+    """PQ invariants: codes in [0, ksub); ADC recall@10 beats random (the
+    pinned-seed codebook is crude, but near neighbors still collide in code
+    space); encoding is deterministic across repartitioning."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        pq_adc_topk, pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 216))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    codebooks = [
+        [list(r[0])[j * 16 : (j + 1) * 16] for r in seed_rows] for j in range(4)
+    ]
+    codes = pq_encode(emb, "vec_id", "embedding", codebooks)
+    rows = codes.collect()
+    assert all(0 <= r[f"code{j}"] < 16 for r in rows for j in range(4))
+    again = {r["vec_id"]: tuple(r[f"code{j}"] for j in range(4))
+             for r in pq_encode(emb.repartition(7), "vec_id", "embedding", codebooks).collect()}
+    assert {r["vec_id"]: tuple(r[f"code{j}"] for j in range(4)) for r in rows} == again
+
+    out = pq_adc_topk(emb.filter("vec_id < 10"), codes, "vec_id", "embedding",
+                      codebooks, k=10).collect()
+    assert {r["query_id"] for r in out} == set(range(10))
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+    # recall sanity via the registered measurement query
+    from crystal_parquet_database_spark.surface import QUERIES
+    rec = QUERIES["sim_pq_recall_at_k"](spark, sf_dir).collect()
+    n = emb.count()
+    avg_recall = sum(r["recall_pq"] for r in rec) / len(rec)
+    assert avg_recall > 10.0 / n * 3  # comfortably above random top-10 overlap

@@ -367,3 +367,42 @@ def test_windowed_approx_distinct_stream_equals_batch(spark, sf_dir, events_dir)
     )
     assert canon_frame(stream) == canon_frame(batch)
     assert (batch["approx_keys"] > 0).all()
+
+
+def test_stream_ingest_into_pqdb_exactly_once(spark, tmp_path):
+    """End-to-end exactly-once ingestion: custom replayable source →
+    foreachBatch idempotent upsert → PqDB. Three phases: drain one batch,
+    restart from checkpoint (next offsets), then WIPE the checkpoint and
+    re-drain from offset 0 — the replay must append nothing new."""
+    from crystal_parquet_database_spark.db import PqDB
+    from crystal_parquet_database_spark.streaming.event_source import (
+        SyntheticEventsDataSource,
+    )
+    from crystal_parquet_database_spark.streaming.ingest import stream_ingest_into_pqdb
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    db = PqDB(spark, str(tmp_path / "events_db"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 50)
+            .load()
+        )
+        q = stream_ingest_into_pqdb(stream, db, "event_id", checkpoint)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    drain(ckpt)                       # batch [0, 50)
+    assert db.read(columns=["event_id"]).count() == 50
+    drain(ckpt)                       # restart: batch [50, 100)
+    ids = sorted(r["event_id"] for r in db.read(columns=["event_id"]).collect())
+    assert ids == list(range(100))
+    # simulate a lost checkpoint: the source replays from offset 0 — the
+    # idempotent sink must drop every already-present key
+    drain(str(tmp_path / "ckpt2"))    # replays [0, 50)
+    ids2 = sorted(r["event_id"] for r in db.read(columns=["event_id"]).collect())
+    assert ids2 == list(range(100))   # no dupes, nothing lost
