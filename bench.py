@@ -157,11 +157,19 @@ def main() -> None:
     # pass 2 is steady state — the state a long-running cluster serves queries
     # from. Both are reported so the methodology is explicit; the headline
     # `value` is the warm pass, `cold_value`/`cold_queries` the first pass.
+    # Release each query's eager-localCheckpoint blocks before the next
+    # measurement: Python GC lag keeps dereferenced checkpointed RDDs alive,
+    # and by query ~60 the accumulated block-manager pressure inflated
+    # late-sequence numbers 2-4x vs fresh-process runs (measured — see
+    # SCALE.md's crowding notes).
+    import gc
+
     cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 4)
+        gc.collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -171,6 +179,7 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 4)
+        gc.collect()
 
     # The driver captures the tail of stdout and parses the FINAL line as the
     # headline JSON. Keep that line compact (contract keys only, value first);

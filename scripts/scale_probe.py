@@ -125,6 +125,8 @@ def replicate(spark, factor: int, out_dir: str) -> None:
 
 
 def run(sf_dir: str, label: str) -> dict[str, float]:
+    import gc
+
     spark = get_spark(app_name=f"scale_probe_{label}")
     times = {}
     for name in PROBES:
@@ -132,6 +134,10 @@ def run(sf_dir: str, label: str) -> dict[str, float]:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = time.perf_counter() - t0
+        # free the query's eager-localCheckpoint blocks before the next
+        # measurement (Python GC lag was the main "crowding" source — see
+        # bench.py and SCALE.md)
+        gc.collect()
     return times
 
 
