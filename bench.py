@@ -122,6 +122,7 @@ HEADLINE = [
     "dedup_cluster_representatives",
     "multimodal_image_header_real",
     "sim_pq_recall_at_k",
+    "text_hybrid_rrf_search",
 ]
 
 

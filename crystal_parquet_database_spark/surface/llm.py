@@ -2475,3 +2475,148 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__pq_match").cast("double") / F.count("*").cast("double")
         ).alias("recall_pq"),
     )
+
+
+# ----------------------------------------------------------------------------
+# text+vector: hybrid retrieval via reciprocal-rank fusion (RRF)
+# ----------------------------------------------------------------------------
+
+# Each keyword query is paired with a query VECTOR (a pinned embeddings row;
+# documents and embeddings share the 0..N id space in the fixtures), so the
+# fused list blends lexical (BM25) and semantic (cosine) evidence — the
+# standard hybrid-search recipe (RRF: Cormack et al. 2009), exactly
+# reproducible because RRF is pure rational arithmetic over integer ranks.
+_RRF_K = 60
+_RRF_TOPK = 10
+_RRF_CAND_K = 20
+_RRF_QVEC: list[tuple[str, int]] = [
+    (qid, i) for i, qid in enumerate(sorted(_BM25_QUERIES))
+]
+_RRF_QVEC_VALUES = ", ".join(f"('{q}', {v})" for q, v in _RRF_QVEC)
+
+_HYBRID_ORACLE = rf"""
+WITH q(query_id, term, idx) AS (VALUES {_BM25_VALUES}),
+base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
+  FROM base
+),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({_BM25_TERMS_IN})
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+comp AS (
+  SELECT tf.doc_id, tf.term,
+         ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+            / (CAST(df_t AS DOUBLE) + 0.5))
+         * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
+            / (CAST(tf AS DOUBLE)
+               + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r}
+                 * (CAST(dl AS DOUBLE)
+                    / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+         AS comp
+  FROM tf JOIN base USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+),
+piv AS (
+  SELECT query_id, doc_id,
+    {_BM25_PIV}
+  FROM comp JOIN q USING (term)
+  GROUP BY query_id, doc_id
+),
+sc AS (SELECT query_id, doc_id, {_BM25_SCORE_SQL} AS score FROM piv),
+bm AS (
+  SELECT query_id, doc_id, rank_b FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank_b
+    FROM sc) WHERE rank_b <= {_RRF_CAND_K}
+),
+qv(query_id, qvid) AS (VALUES {_RRF_QVEC_VALUES}),
+qvec AS (
+  SELECT qv.query_id, e.embedding AS qvec
+  FROM qv JOIN embeddings e ON e.vec_id = qv.qvid
+),
+pairs AS (
+  SELECT qvec.query_id, qvec.qvec, e.vec_id AS match_id, e.embedding AS cvec
+  FROM embeddings e CROSS JOIN qvec
+),
+vr AS (
+  SELECT query_id, match_id AS doc_id, rank_v FROM (
+    SELECT query_id, match_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_COS} DESC, match_id) AS rank_v
+    FROM pairs) WHERE rank_v <= {_RRF_CAND_K}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         COALESCE(1.0 / (60.0 + CAST(rank_b AS DOUBLE)), 0.0)
+         + COALESCE(1.0 / (60.0 + CAST(rank_v AS DOUBLE)), 0.0) AS rrf_score
+  FROM bm FULL JOIN vr USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, rrf_score, rank FROM (
+  SELECT query_id, doc_id, rrf_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM fused
+) WHERE rank <= {_RRF_TOPK}
+"""
+
+
+@query("text_hybrid_rrf_search", _HYBRID_ORACLE)
+def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 and cosine semantic top-20 per
+    query, fused by reciprocal-rank fusion (score = Σ 1/(60 + rank)) — the
+    standard lexical+vector blend behind modern RAG search. RRF is pure
+    rational arithmetic over integer ranks with an explicit two-term
+    addition, so the whole pipeline stays oracle bit-exact.
+
+    100 TB shape: the two candidate generators are the scale paths already
+    measured (BM25's query-term-filtered token stream; ANN for the vector
+    side — brute-force here only because the fixture corpus is small); the
+    fusion join touches ≤ 2k candidate rows per query regardless of corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = T.bm25_topk(
+        docs, "text", "doc_id", _BM25_QUERIES,
+        top_k=_RRF_CAND_K, k1=_BM25_K1, b=_BM25_B,
+    ).select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    qmap = spark.createDataFrame(_RRF_QVEC, "qid string, qvid long")
+    qv = qmap.join(emb, qmap.qvid == emb.vec_id).select(
+        F.col("qid").alias("vec_id"), "embedding"
+    )
+    vr = S.cosine_topk(
+        qv, emb, "vec_id", "embedding", k=_RRF_CAND_K, exclude_self=False
+    ).select(
+        "query_id",
+        F.col("match_id").alias("doc_id"),
+        F.col("rank").alias("rank_v"),
+    )
+    fused = bm.join(vr, ["query_id", "doc_id"], "full").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("rank_b").cast("double")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60.0) + F.col("rank_v").cast("double")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _RRF_TOPK)
+    )

@@ -77,6 +77,7 @@ PROBES = [
     "stream_windowed_approx_distinct",
     "dedup_cluster_representatives",
     "sim_pq_recall_at_k",
+    "text_hybrid_rrf_search",
 ]
 
 

