@@ -123,6 +123,7 @@ HEADLINE = [
     "multimodal_image_header_real",
     "sim_pq_recall_at_k",
     "text_hybrid_rrf_search",
+    "events_session_transitions",
 ]
 
 

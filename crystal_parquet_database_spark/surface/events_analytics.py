@@ -598,3 +598,85 @@ def events_anomaly_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dev.cast("double") / F.sqrt(var_num.cast("double"))).alias("z"),
         (dev * dev > 4 * var_num).alias("is_anomaly"),
     )
+
+
+# ----------------------------------------------------------------------------
+# session Markov transition matrix (behavior model over event sequences)
+# ----------------------------------------------------------------------------
+
+_TRANS_GAP_MIN = 30
+
+_TRANS_ORACLE = f"""
+WITH sess AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM (
+    SELECT event_id, user_id, event_type, ts,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= INTERVAL '{_TRANS_GAP_MIN} minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events)
+),
+pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS to_type
+  FROM sess
+),
+m AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM m GROUP BY from_type)
+SELECT m.from_type, m.to_type, m.n,
+       CAST(m.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM m JOIN tot t ON m.from_type = t.from_type
+"""
+
+
+@query("events_session_transitions", _TRANS_ORACLE)
+def events_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over event sequences WITHIN sessions: for
+    every consecutive in-session pair, count (from_type → to_type) and emit
+    the conditional transition probability — the behavior model behind
+    next-action prediction and anomalous-flow detection, and the event-log
+    sibling of the text bigram LM. Counts are exact int64; the probability
+    is one final division (oracle bit-exact). Row totals derive from the
+    transition MATRIX (type²-bounded), not a second pass over events.
+
+    Scale shape: the sessionizer window, the LEAD, and the pair counting all
+    ride one user_id-rooted shuffle family with map-side partials; no window
+    wider than one user, output bounded at |event_type|² rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_s = F.when(
+        gap.isNull() | (gap >= _TRANS_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = e.withColumn(
+        "session_seq",
+        F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    w2 = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    pairs = (
+        sess.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w2).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    m = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = m.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return m.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )

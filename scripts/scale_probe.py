@@ -78,6 +78,7 @@ PROBES = [
     "dedup_cluster_representatives",
     "sim_pq_recall_at_k",
     "text_hybrid_rrf_search",
+    "events_session_transitions",
 ]
 
 

@@ -208,3 +208,20 @@ def test_anomaly_zscore_integer_rule_matches_float_rule(spark, sf_dir):
         n_anom += bool(r["is_anomaly"])
     # the 2σ tail of ~3k hourly buckets is non-empty but small
     assert 0 < n_anom < len(rows) * 0.2
+
+
+def test_session_transitions_matrix_properties(spark, sf_dir):
+    """Transition matrix invariants: probabilities per from_type sum to 1
+    (exact ratios over a common denominator), all counts positive, matrix
+    bounded by |event_type|^2."""
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    rows = QUERIES["events_session_transitions"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for r in rows:
+        assert r["n"] > 0 and 0 < r["p"] <= 1
+        sums[r["from_type"]] += r["p"]
+    for s in sums.values():
+        assert abs(s - 1.0) < 1e-9
