@@ -332,6 +332,105 @@ class PqDB:
         out = base.filter(~F.coalesce(cond, F.lit(False)))
         self._rewrite(out)
 
+    # ------------------------------------------------- versioned (SCD2) history
+
+    VALID_FROM = "valid_from"
+    VALID_TO = "valid_to"
+
+    def create_versioned(self, data: Any, effective_ts: str) -> int:
+        """Create/append rows with SCD2 version columns: ``valid_from`` =
+        ``effective_ts`` (ISO string), ``valid_to`` = NULL (current)."""
+        df = self._to_df(data)
+        df = df.withColumn(
+            self.VALID_FROM, F.lit(effective_ts).cast("timestamp")
+        ).withColumn(self.VALID_TO, F.lit(None).cast("timestamp"))
+        return self.create(df)
+
+    def upsert_scd2(self, updates: Any, on: str, effective_ts: str) -> dict:
+        """Type-2 slowly-changing-dimension merge: for each update row keyed
+        by ``on``, if the current version's tracked columns differ, CLOSE it
+        (``valid_to`` = effective_ts) and append the new version
+        (``valid_from`` = effective_ts, current); unmatched keys append as
+        new current rows; unchanged matches are untouched. History is never
+        lost — ``read_asof`` reconstructs any past state.
+
+        The caller supplies ``effective_ts`` (deterministic, replay-safe —
+        re-running the same merge is a no-op because nothing differs).
+        Updates must carry every tracked (non-version, non-id) column.
+
+        100 TB shape: identical to ``update`` — current rows join the
+        (broadcastable) update frame; with ``partition_by`` on a stable key
+        the rewrite prunes to touched partitions. Returns counts
+        {"closed": n, "inserted": n, "unchanged": n}.
+        """
+        base = self._df()
+        up = self._to_df(updates)
+        meta = {ID_COL, self.VALID_FROM, self.VALID_TO}
+        tracked = [c for c in base.columns if c not in meta and c != on]
+        missing = [c for c in tracked if c not in up.columns]
+        if missing:
+            raise ValueError(f"SCD2 updates must carry all tracked columns; missing {missing}")
+        dup = up.groupBy(on).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(f"updates contain duplicate key {on}={dup[0][on]!r}")
+
+        current = base.filter(F.col(self.VALID_TO).isNull())
+        closed_hist = base.filter(F.col(self.VALID_TO).isNotNull())
+        u = up.select(on, *[F.col(c).alias(f"__u_{c}") for c in tracked])
+        j = current.join(F.broadcast(u), on, "left").localCheckpoint(eager=True)
+        matched = F.col(f"__u_{tracked[0]}").isNotNull() if tracked else F.lit(False)
+        same = F.lit(True)
+        for c in tracked:
+            same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+        changed = matched & ~same
+        # current rows: close the changed ones, keep the rest as-is
+        kept = j.select(
+            *[
+                (
+                    F.when(changed, F.lit(effective_ts).cast("timestamp")).alias(
+                        self.VALID_TO
+                    )
+                    if c == self.VALID_TO
+                    else F.col(c)
+                )
+                for c in base.columns
+            ]
+        )
+        n_changed = j.filter(changed).count()
+        matched_keys = j.filter(matched).select(on)
+        fresh = self._to_df(updates).join(matched_keys, on, "left_anti")
+        n_new = fresh.count()
+        changed_new = (
+            j.filter(changed)
+            .select(on, *[F.col(f"__u_{c}").alias(c) for c in tracked])
+        )
+        inserts = changed_new.unionByName(fresh.select(on, *tracked)).withColumn(
+            self.VALID_FROM, F.lit(effective_ts).cast("timestamp")
+        ).withColumn(self.VALID_TO, F.lit(None).cast("timestamp"))
+        start = (base.agg(F.max(ID_COL)).collect()[0][0] or -1) + 1
+        inserts = assign_contiguous_ids(
+            inserts.select(*[c for c in base.columns if c != ID_COL]), start=start
+        )
+        out = closed_hist.unionByName(kept).unionByName(
+            inserts.select(*base.columns)
+        )
+        n_unchanged = j.filter(~changed).count()
+        self._rewrite(out)
+        return {
+            "closed": n_changed,
+            "inserted": n_changed + n_new,
+            "unchanged": n_unchanged,
+        }
+
+    def read_asof(self, ts: str) -> DataFrame:
+        """Time travel: the table state as of ``ts`` (rows whose validity
+        interval covers it)."""
+        t = F.lit(ts).cast("timestamp")
+        return self._df().filter(
+            (F.col(self.VALID_FROM) <= t)
+            & (F.col(self.VALID_TO).isNull() | (F.col(self.VALID_TO) > t))
+        )
+
     # ------------------------------------------------------------ layout / stats
 
     def normalize(

@@ -232,3 +232,61 @@ def test_normalize_zorder_narrows_both_dims(spark, db):
         assert max(spans) <= side  # sanity
     # the rewrite preserved the data
     assert db.read().count() == n
+
+
+def test_scd2_upsert_versions_and_time_travel(spark, tmp_path):
+    """Type-2 merge: changed keys close their old version and append a new
+    current one; unchanged keys untouched; new keys insert; read_asof
+    reconstructs both points in time; replaying the same merge is a no-op."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "dim"))
+    db.create_versioned(
+        [
+            {"sku": "A", "price": 10.0, "vendor": "x"},
+            {"sku": "B", "price": 20.0, "vendor": "y"},
+            {"sku": "C", "price": 30.0, "vendor": "z"},
+        ],
+        effective_ts="2024-01-01 00:00:00",
+    )
+    stats = db.upsert_scd2(
+        [
+            {"sku": "A", "price": 11.0, "vendor": "x"},   # changed
+            {"sku": "B", "price": 20.0, "vendor": "y"},   # unchanged
+            {"sku": "D", "price": 40.0, "vendor": "w"},   # new
+        ],
+        on="sku",
+        effective_ts="2024-02-01 00:00:00",
+    )
+    assert stats == {"closed": 1, "inserted": 2, "unchanged": 2}
+
+    cur = {r["sku"]: r for r in db.read(load_format="dataset")
+           .filter("valid_to IS NULL").collect()}
+    assert set(cur) == {"A", "B", "C", "D"}
+    assert cur["A"]["price"] == 11.0
+    hist_a = db.read(load_format="dataset").filter("sku = 'A'").collect()
+    assert len(hist_a) == 2
+    closed = [r for r in hist_a if r["valid_to"] is not None]
+    assert len(closed) == 1 and closed[0]["price"] == 10.0
+
+    old = {r["sku"]: r["price"] for r in db.read_asof("2024-01-15 00:00:00").collect()}
+    assert old == {"A": 10.0, "B": 20.0, "C": 30.0}
+    new = {r["sku"]: r["price"] for r in db.read_asof("2024-02-15 00:00:00").collect()}
+    assert new == {"A": 11.0, "B": 20.0, "C": 30.0, "D": 40.0}
+
+    # ids stay unique across versions
+    ids = [r["id"] for r in db.read(columns=["id"]).collect()]
+    assert len(ids) == len(set(ids)) == 5
+
+    # replaying the identical merge changes nothing (idempotent)
+    stats2 = db.upsert_scd2(
+        [
+            {"sku": "A", "price": 11.0, "vendor": "x"},
+            {"sku": "B", "price": 20.0, "vendor": "y"},
+            {"sku": "D", "price": 40.0, "vendor": "w"},
+        ],
+        on="sku",
+        effective_ts="2024-02-01 00:00:00",
+    )
+    assert stats2 == {"closed": 0, "inserted": 0, "unchanged": 4}
+    assert db.read(columns=["id"]).count() == 5
