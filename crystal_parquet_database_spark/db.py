@@ -376,9 +376,16 @@ class PqDB:
 
         current = base.filter(F.col(self.VALID_TO).isNull())
         closed_hist = base.filter(F.col(self.VALID_TO).isNotNull())
-        u = up.select(on, *[F.col(c).alias(f"__u_{c}") for c in tracked])
+        # explicit match marker: testing a data column for null would misread
+        # an update row whose first tracked value is legitimately NULL as
+        # "unmatched" and fork a duplicate current version for the key
+        u = up.select(
+            on,
+            F.lit(True).alias("__matched"),
+            *[F.col(c).alias(f"__u_{c}") for c in tracked],
+        )
         j = current.join(F.broadcast(u), on, "left").localCheckpoint(eager=True)
-        matched = F.col(f"__u_{tracked[0]}").isNotNull() if tracked else F.lit(False)
+        matched = F.coalesce(F.col("__matched"), F.lit(False))
         same = F.lit(True)
         for c in tracked:
             same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))

@@ -126,25 +126,7 @@ def lsh_candidate_pairs(
     (or ``collapse_exact=True`` upstream), which handles identical content
     linearly.
     """
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.array_join(
-                    F.transform(
-                        F.slice("sig", i * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    "-",
-                ).alias("key"),
-            )
-            for i in range(n_bands)
-        ]
-    )
-    exploded = (
-        sig_df.select(F.col(id_col), F.explode(bands).alias("b"))
-        .select(id_col, "b.band", "b.key")
-    )
+    exploded = _band_explode(sig_df, id_col, n_bands, rows_per_band)
     if max_bucket_size is not None:
         bucket_n = F.count("*").over(W.partitionBy("band", "key"))
         exploded = exploded.withColumn("__n", bucket_n).filter(

@@ -240,12 +240,14 @@ def _parse_mp4_meta(data: bytes) -> dict | None:
     while pos + 8 <= len(data):
         size = int.from_bytes(data[pos : pos + 4], "big")
         btype = data[pos + 4 : pos + 8]
+        hdr = 8
         if size == 1:
             # 64-bit largesize (standard for >4 GiB mdat): real size is the
             # u64 at pos+8; the box header is 16 bytes instead of 8
             if pos + 16 > len(data):
                 break
             size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            hdr = 16
             if size < 16:
                 break
         elif size == 0:
@@ -254,8 +256,9 @@ def _parse_mp4_meta(data: bytes) -> dict | None:
         elif size < 8:
             break
         if btype == b"moov":
-            # walk moov children for mvhd
-            cpos = pos + 8
+            # walk moov children for mvhd (children start after THIS box's
+            # header, which is 16 bytes when moov itself uses largesize)
+            cpos = pos + hdr
             end = min(pos + size, len(data))
             while cpos + 8 <= end:
                 csize = int.from_bytes(data[cpos : cpos + 4], "big")

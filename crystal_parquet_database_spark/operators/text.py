@@ -924,18 +924,14 @@ def bigram_fluency(
     skew-safe, no single hot key) and reduces per doc. Documents with < 2
     tokens have no bigrams and report (0, 0.0, 0.0).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = (
-        _spread(df)
-        .select(
-            F.col(id_col),
-            F.explode_outer(spark_word_ngrams(F.col(text_col), 2, toks=toks)).alias("bg"),
-        )
+    grams = _spread(df).select(
+        F.col(id_col),
+        F.explode(spark_word_ngrams(F.col(text_col), 2)).alias("bg"),
     )
     # materialize the exploded stream once — the model aggregation AND the
     # scoring join both consume it, and the explode/split lineage would
     # otherwise run twice (same pattern as dedup.shingle_hashes)
-    occs = grams.filter(F.col("bg").isNotNull()).localCheckpoint(eager=True)
+    occs = grams.localCheckpoint(eager=True)
     model = occs.groupBy("bg").agg(F.count("*").cast("bigint").alias("c2"))
     # context counts derive from the MODEL, not the occurrence stream:
     # Σ c2 over bigrams sharing w1 == occurrences with context w1, so the

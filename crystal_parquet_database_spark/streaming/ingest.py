@@ -44,6 +44,10 @@ def stream_ingest_into_pqdb(
         if db.exists:
             existing = db.read(columns=[key_col])
             batch = batch.join(existing, key_col, "left_anti")
+        # materialize the dedupe+anti-join ONCE: the emptiness probe and
+        # create()'s write would otherwise each re-run the whole pipeline
+        # (including the growing key-column scan)
+        batch = batch.localCheckpoint(eager=True)
         if batch.take(1):  # skip empty appends (fully-replayed batch)
             db.create(batch)
 

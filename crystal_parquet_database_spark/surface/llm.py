@@ -2559,8 +2559,8 @@ vr AS (
 ),
 fused AS (
   SELECT query_id, doc_id,
-         COALESCE(1.0 / (60.0 + CAST(rank_b AS DOUBLE)), 0.0)
-         + COALESCE(1.0 / (60.0 + CAST(rank_v AS DOUBLE)), 0.0) AS rrf_score
+         COALESCE(1.0 / ({float(_RRF_K)!r} + CAST(rank_b AS DOUBLE)), 0.0)
+         + COALESCE(1.0 / ({float(_RRF_K)!r} + CAST(rank_v AS DOUBLE)), 0.0) AS rrf_score
   FROM bm FULL JOIN vr USING (query_id, doc_id)
 )
 SELECT query_id, doc_id, rrf_score, rank FROM (
@@ -2608,10 +2608,12 @@ def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (
             F.coalesce(
-                F.lit(1.0) / (F.lit(60.0) + F.col("rank_b").cast("double")), F.lit(0.0)
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_b").cast("double")),
+                F.lit(0.0),
             )
             + F.coalesce(
-                F.lit(1.0) / (F.lit(60.0) + F.col("rank_v").cast("double")), F.lit(0.0)
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_v").cast("double")),
+                F.lit(0.0),
             )
         ).alias("rrf_score"),
     )

@@ -36,7 +36,7 @@ K = 3
 def main() -> None:
     spark = get_spark(app_name="containment_sensitivity")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    docs.localCheckpoint(eager=True)  # take IO out of the measurement
+    docs = docs.localCheckpoint(eager=True)  # take IO out of the measurement
 
     # warm-up pass (discarded): JVM/codegen warm-up otherwise lands entirely
     # on the first measured cap and skews the comparison

@@ -290,3 +290,23 @@ def test_scd2_upsert_versions_and_time_travel(spark, tmp_path):
     )
     assert stats2 == {"closed": 0, "inserted": 0, "unchanged": 4}
     assert db.read(columns=["id"]).count() == 5
+
+
+def test_scd2_upsert_with_null_tracked_value(spark, tmp_path):
+    """Regression: an update row whose FIRST tracked column is legitimately
+    NULL must still match (close old + insert new), not fork a duplicate
+    current version."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "dim"))
+    db.create_versioned(
+        [{"sku": "A", "price": 10.0, "vendor": "x"}], effective_ts="2024-01-01 00:00:00"
+    )
+    up = spark.createDataFrame(
+        [("A", None, "q")], "sku string, price double, vendor string"
+    )
+    stats = db.upsert_scd2(up, on="sku", effective_ts="2024-02-01 00:00:00")
+    assert stats == {"closed": 1, "inserted": 1, "unchanged": 0}
+    cur = db.read(load_format="dataset").filter("valid_to IS NULL").collect()
+    assert len(cur) == 1  # exactly ONE current version of A
+    assert cur[0]["price"] is None and cur[0]["vendor"] == "q"

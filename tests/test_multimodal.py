@@ -321,3 +321,17 @@ def test_image_header_real_query_parses_all_three_formats(spark, sf_dir):
     for r in rows:
         assert 1 <= r["width"] <= 200 and 1 <= r["height"] <= 150
         assert r["image_id"] % 3 == {"image/png": 0, "image/jpeg": 1, "image/gif": 2}[r["mime"]]
+
+
+def test_parse_mp4_moov_itself_largesize(spark=None):
+    """A moov box written with size==1 + 64-bit largesize has its children
+    start at pos+16; the walk must still find mvhd."""
+    mp4 = _tiny_mp4(b"isom", 1000, 3000)
+    ftyp, moov = mp4[:20], mp4[20:]
+    assert moov[4:8] == b"moov"
+    payload = moov[8:]
+    large_moov = (
+        (1).to_bytes(4, "big") + b"moov" + (16 + len(payload)).to_bytes(8, "big") + payload
+    )
+    meta = M._parse_mp4_meta(ftyp + large_moov)
+    assert meta["duration_s"] == 3.0
