@@ -124,6 +124,7 @@ HEADLINE = [
     "sim_pq_recall_at_k",
     "text_hybrid_rrf_search",
     "events_session_transitions",
+    "dedup_prefix_filter_pairs",
 ]
 
 

@@ -47,6 +47,7 @@ _VERIFY_FIRST = [
     "sim_pq_recall_at_k",
     "text_hybrid_rrf_search",
     "events_session_transitions",
+    "dedup_prefix_filter_pairs",
     # — 2: newest row is r2 (the full backlog — all 27 fit this round) —
     "sim_embedding_near_dup",
     "sim_embedding_near_dup_lsh",
@@ -88,10 +89,10 @@ _VERIFY_FIRST = [
     "stream_view_purchase_full_join",
     "agg_kll_quantile_bound",
     "text_quality_classifier",
-    "events_path_regex_match",
-    # ——— the 50-query verification window ends HERE (10 new + 27 r2
-    # refreshes + 13 r4 re-verifies = exactly 50; the r4 re-verifies below
+    # ——— the 50-query verification window ends HERE (11 new + 27 r2
+    # refreshes + 12 r4 re-verifies = exactly 50; the r4 re-verifies below
     # keep their green r4 rows — a first row beats a re-verify).
+    "events_path_regex_match",
     "events_anomaly_hourly_zscore",
     "sample_source_cap",
     "agg_approx_percentiles",

@@ -2622,3 +2622,34 @@ def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _RRF_TOPK)
     )
+
+
+# ----------------------------------------------------------------------------
+# dedup: EXACT set-similarity join via prefix filtering (PPJoin-style)
+# ----------------------------------------------------------------------------
+
+# The oracle is the quadratic brute force itself — prefix filtering is
+# lossless, so the subquadratic plan must reproduce it row for row.
+_PREFIX_TAU = 0.7
+
+_PREFIX_ORACLE = f"""
+WITH {_HS_CTE}
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACC} AS jaccard
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+) WHERE jaccard >= {_PREFIX_TAU}
+"""
+
+
+@query("dedup_prefix_filter_pairs", _PREFIX_ORACLE)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs with guaranteed recall: prefix filtering
+    (rarest-first global token order, index |x|-ceil(t|x|)+1 tokens,
+    equi-join candidates, exact-Jaccard verify). Same answer as the
+    quadratic baseline — the oracle IS the brute force — via a subquadratic
+    inverted-index plan; the lossless counterpart to MinHash-LSH. See
+    operators/dedup.prefix_filter_pairs for the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_filter_pairs(
+        docs, "text", "doc_id", threshold=_PREFIX_TAU, k=_K, unit="word"
+    )

@@ -79,6 +79,7 @@ PROBES = [
     "sim_pq_recall_at_k",
     "text_hybrid_rrf_search",
     "events_session_transitions",
+    "dedup_prefix_filter_pairs",
 ]
 
 

@@ -73,3 +73,56 @@ def test_cluster_representatives_quality_argmax(spark, sf_dir):
         assert len(canons) == 1
         best = max(members, key=lambda m: (m["quality_score"], -m["doc_id"]))
         assert canons[0]["doc_id"] == best["doc_id"]
+
+
+def test_prefix_filter_equals_brute_force(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: its output must equal the quadratic
+    exact baseline row for row (the prefix lemma), and candidates must be
+    strictly fewer than all-pairs."""
+    from crystal_parquet_database_spark.operators.dedup import (
+        ngram_jaccard_pairs, prefix_filter_pairs,
+    )
+    from crystal_parquet_database_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7).collect()
+    }
+    pf = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(docs, "text", "doc_id", threshold=0.7).collect()
+    }
+    assert pf == brute and brute  # identical pairs AND identical values
+
+
+def test_prefix_filter_random_corpus_property(spark):
+    """Prefix lemma on a random corpus: exact equality with brute force at
+    several thresholds."""
+    import random
+
+    from crystal_parquet_database_spark.operators.dedup import (
+        ngram_jaccard_pairs, prefix_filter_pairs,
+    )
+
+    rnd = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [" ".join(rnd.choice(vocab) for _ in range(12)) for _ in range(20)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))
+        words = t.split()
+        if i % 2 == 0:  # perturb one word -> a near-duplicate
+            words[rnd.randrange(len(words))] = rnd.choice(vocab)
+        rows.append((2 * i + 1, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for tau in (0.5, 0.7, 0.9):
+        brute = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=tau).collect()
+        }
+        pf = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in prefix_filter_pairs(docs, "text", "doc_id", threshold=tau).collect()
+        }
+        assert pf == brute
