@@ -167,7 +167,8 @@ class PqDB:
         start = 0
         if self.exists:
             existing = self._df()
-            start = (existing.agg(F.max(ID_COL)).collect()[0][0] or -1) + 1
+            m = existing.agg(F.max(ID_COL)).collect()[0][0]
+            start = (m if m is not None else -1) + 1  # max id 0 is falsy but valid
             old_schema = T.StructType([f for f in existing.schema.fields if f.name != ID_COL])
             merged = unify_schemas([old_schema, df.schema])
             if merged != old_schema:
@@ -414,7 +415,8 @@ class PqDB:
         inserts = changed_new.unionByName(fresh.select(on, *tracked)).withColumn(
             self.VALID_FROM, F.lit(effective_ts).cast("timestamp")
         ).withColumn(self.VALID_TO, F.lit(None).cast("timestamp"))
-        start = (base.agg(F.max(ID_COL)).collect()[0][0] or -1) + 1
+        m = base.agg(F.max(ID_COL)).collect()[0][0]
+        start = (m if m is not None else -1) + 1  # max id 0 is falsy but valid
         inserts = assign_contiguous_ids(
             inserts.select(*[c for c in base.columns if c != ID_COL]), start=start
         )

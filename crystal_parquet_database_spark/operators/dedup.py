@@ -683,10 +683,17 @@ def prefix_filter_pairs(
         )
         .withColumn("__n", F.count("*").over(W.partitionBy("__id")))
     )
-    # prefix size |x| - ceil(t|x|) + 1 (kept as exact integer arithmetic)
+    # prefix size |x| - ceil(t|x|) + 1. ceil runs in double arithmetic, and a
+    # product that lands epsilon ABOVE an exact integer would shorten the
+    # prefix below what the lemma requires — a silent recall hole in an
+    # operator whose contract is EXACT. Bias the rounding toward the safe
+    # (longer-prefix) side; extra candidates are harmless (exact-Jaccard
+    # verify filters them).
     prefix = ranked.filter(
         F.col("__rn")
-        <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1
+        <= F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9)).cast("int")
+        + 1
     ).select("__id", "__h")
     cand = (
         prefix.alias("a")

@@ -132,14 +132,17 @@ def _parse_image_header(data: bytes) -> dict | None:
 
 
 def _decode_meta(data: bytes) -> dict:
-    try:  # full-decode path — PIL not available in this container
+    # Vendored header parsers FIRST: they are REAL (fixed-offset spec reads),
+    # deterministic across environments, and accept header-only fixtures
+    # (e.g. a PNG with IHDR but no IDAT) that a full decoder would reject —
+    # so installing PIL cannot flip results for bytes the parsers understand.
+    parsed = _parse_image_header(data)
+    if parsed is not None:
+        return parsed
+    try:  # full-decode path for formats outside PNG/JPEG/GIF, when available
         from PIL import Image  # type: ignore
     except ImportError:
-        # PNG/JPEG/GIF header fields are still REAL without PIL (vendored
-        # fixed-offset parses); only unknown formats fall back to the
-        # labeled deterministic fake.
-        parsed = _parse_image_header(data)
-        return parsed if parsed is not None else _fake_decode_meta(data)
+        return _fake_decode_meta(data)
     import io
 
     try:

@@ -686,9 +686,8 @@ def semdedup(
         .filter(F.col("__cos") > threshold)
     )
     # per pair the centroid-farther member loses; ties keep the smaller id
-    loser = F.when(F.col("ca") < F.col("cb"), F.col("id_a")).otherwise(
-        F.when(F.col("cb") < F.col("ca"), F.col("id_b")).otherwise(F.col("id_b"))
-    )
+    # (id_a < id_b by construction, so the tie arm folds into otherwise)
+    loser = F.when(F.col("ca") < F.col("cb"), F.col("id_a")).otherwise(F.col("id_b"))
     removed = pairs.select(loser.alias("__id")).distinct()
     return (
         assigned.join(removed.withColumn("__rm", F.lit(True)), "__id", "left")

@@ -48,8 +48,15 @@ def stream_ingest_into_pqdb(
         # create()'s write would otherwise each re-run the whole pipeline
         # (including the growing key-column scan)
         batch = batch.localCheckpoint(eager=True)
-        if batch.take(1):  # skip empty appends (fully-replayed batch)
-            db.create(batch)
+        try:
+            if batch.take(1):  # skip empty appends (fully-replayed batch)
+                db.create(batch)
+        finally:
+            # release the checkpoint's RDD blocks NOW: in continuous mode
+            # (available_now=False) leaving them to Python's cycle GC lets
+            # block-manager memory grow across micro-batches — the same
+            # crowding pathology the bench GC fix diagnosed
+            batch.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(upsert).option(
         "checkpointLocation", checkpoint_dir

@@ -310,3 +310,19 @@ def test_scd2_upsert_with_null_tracked_value(spark, tmp_path):
     cur = db.read(load_format="dataset").filter("valid_to IS NULL").collect()
     assert len(cur) == 1  # exactly ONE current version of A
     assert cur[0]["price"] is None and cur[0]["vendor"] == "q"
+    # regression: max id 0 is falsy — `(max or -1) + 1` would restart ids at
+    # 0 and the inserted version would collide with the closed row
+    ids = sorted(r["id"] for r in db.read(columns=["id"]).collect())
+    assert ids == [0, 1]
+
+
+def test_append_after_single_row_keeps_ids_unique(spark, tmp_path):
+    """Regression: appending to a table whose highest id is 0 must continue
+    at 1, not reassign 0 (falsy-max bug)."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "one"))
+    db.create([{"v": "first"}])
+    db.create([{"v": "second"}])
+    ids = sorted(r["id"] for r in db.read(columns=["id"]).collect())
+    assert ids == [0, 1]
