@@ -125,6 +125,12 @@ HEADLINE = [
     "text_hybrid_rrf_search",
     "events_session_transitions",
     "dedup_prefix_filter_pairs",
+    # round 6: PqDB mutation surface + real parsers through the driver gate
+    "scd2_asof_dimension",
+    "pqdb_update_delete_read",
+    "cif_parse_real",
+    "nested_struct_ops_real",
+    "multimodal_video_header_real",
 ]
 
 
@@ -135,7 +141,8 @@ def main() -> None:
     # invokes bench.py with no args and is unaffected. BENCH_REPEATS=N
     # repeats the warm pass N times and reports the per-query minimum.
     global HEADLINE
-    if len(sys.argv) > 1:
+    isolated = len(sys.argv) > 1
+    if isolated:
         unknown = [n for n in sys.argv[1:] if n not in QUERIES]
         if unknown:
             raise SystemExit(f"unknown query names: {unknown}")
@@ -184,6 +191,25 @@ def main() -> None:
         times[name] = round(best, 4)
         gc.collect()
 
+    # Round-over-round comparison on the SHARED query set: the headline total
+    # moves whenever queries join the suite, so the number that shows real
+    # progress is this run's total restricted to queries the PREVIOUS run
+    # also benched (prior warm numbers come from the committed
+    # BENCH_DETAIL.json, read before we overwrite it below).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    shared_now = prev_shared = None
+    try:
+        with open(detail_path) as fh:
+            prev_warm = json.load(fh).get("warm_queries", {})
+        common = [n for n in times if n in prev_warm]
+        if common:
+            shared_now = round(sum(times[n] for n in common), 4)
+            prev_shared = round(sum(prev_warm[n] for n in common), 4)
+    except (OSError, ValueError):
+        pass
+
     # The driver captures the tail of stdout and parses the FINAL line as the
     # headline JSON. Keep that line compact (contract keys only, value first);
     # the full cold/warm breakdown + methodology goes to BENCH_DETAIL.json and
@@ -194,11 +220,14 @@ def main() -> None:
         "warm_queries": times,
         "methodology": "two passes at target sf in one process; value=2nd (steady-state) pass, cold_value=1st pass",
     }
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
-            json.dump(detail, fh, indent=1)
-    except OSError:
-        pass
+    # Isolated probe runs must NOT clobber the full-suite detail file — it is
+    # the committed baseline the next full run's shared_with_prev reads.
+    if not isolated:
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError:
+            pass
     print(json.dumps(detail))
     # FINAL stdout line: contract keys ONLY (~90 bytes). The driver captures a
     # bounded tail of stdout and parses the final line as the headline JSON —
@@ -211,6 +240,10 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
     }
+    if shared_now is not None:
+        # this run vs previous committed run, SAME query set (see above)
+        out["shared_with_prev"] = shared_now
+        out["prev_shared"] = prev_shared
     print(json.dumps(out))
 
 

@@ -404,7 +404,11 @@ class PqDB:
                 for c in base.columns
             ]
         )
-        n_changed = j.filter(changed).count()
+        # one aggregation pass over the (checkpointed) join for both counts
+        n_changed, n_current = j.agg(
+            F.sum(changed.cast("long")), F.count(F.lit(1))
+        ).collect()[0]
+        n_changed = int(n_changed or 0)
         matched_keys = j.filter(matched).select(on)
         fresh = self._to_df(updates).join(matched_keys, on, "left_anti")
         n_new = fresh.count()
@@ -423,7 +427,7 @@ class PqDB:
         out = closed_hist.unionByName(kept).unionByName(
             inserts.select(*base.columns)
         )
-        n_unchanged = j.filter(~changed).count()
+        n_unchanged = int(n_current) - n_changed
         self._rewrite(out)
         return {
             "closed": n_changed,

@@ -24,60 +24,105 @@ from crystal_parquet_database_spark.surface import scalar  # noqa: E402,F401
 from crystal_parquet_database_spark.surface import llm  # noqa: E402,F401
 from crystal_parquet_database_spark.surface import streaming  # noqa: E402,F401
 from crystal_parquet_database_spark.surface import events_analytics  # noqa: E402,F401
+from crystal_parquet_database_spark.surface import versioned  # noqa: E402,F401
+from crystal_parquet_database_spark.surface import parsers  # noqa: E402,F401
 
 # External correctness harnesses may check only the first N registered
 # queries per run (50 per round, in registration order). Rotate verification
-# coverage across rounds — round-5 window, in priority order:
+# coverage across rounds — round-6 window, in priority order:
 #   1. queries NEW this round (no row can exist yet);
-#   2. the 27 queries whose newest row is r2 — the oldest evidence left in
-#      the repo (after this window runs, no query's newest row predates r3);
-#   3. re-verification of the queries new in r4, heaviest first.
-# Everything left outside the window holds a green r3 or r4 row. Every query
-# stays registered every round — only iteration order changes. (Round row
-# map: README "Verification rotation".)
+#   2. queries whose CODE changed this round (their green r4/r5 rows predate
+#      the change);
+#   3. the 8 queries whose newest row is still r2 — round 5's backlog was
+#      undercounted (27 listed vs 35 actual) and these fell past position 50;
+#   4. re-verification of queries whose newest row is r3, heaviest first
+#      (34 of the 46 oracle-paired r3 queries fit; the 12 lightest plus the
+#      2 no-oracle r3 rows wait below the line and head the r7 window).
+# Every query stays registered every round — only iteration order changes.
+# (Round row map: README "Verification rotation".)
 _VERIFY_FIRST = [
-    # — 1: new in round 5 —
+    # — 1: new in round 6 —
+    "scd2_asof_dimension",
+    "pqdb_update_delete_read",
+    "cif_parse_real",
+    "nested_struct_ops_real",
+    "multimodal_video_header_real",
+    # — 2: code changed in round 6 —
+    "multimodal_image_header_real",  # SOF2 arm + parser-first _decode_meta
+    "dedup_prefix_filter_pairs",     # safe-side ceil rounding
+    "dedup_semantic_semdedup",       # loser-expression simplification
+    # — 3: newest row is r2 (the undercounted round-5 tail — all 8) —
+    "sample_global_shuffle",
+    "sample_upsample_by_weight",
+    "stream_running_user_stats",
+    "stream_windowed_distinct_keys",
+    "text_chunk_dedup_ratio",
+    "text_dedup_chunks_keep_first",
+    "text_ngram_topk",
+    "text_pii_redact",
+    # — 4: newest row is r3; heaviest / most load-bearing plans first —
+    "dedup_incremental_new_vs_index",
+    "sim_ann_recall_at_k",
+    "sim_ann_multiprobe_topk",
+    "sim_label_centroid_outliers",
+    "events_retention_cohorts",
+    "events_multires_rollup",
+    "events_funnel_conversion",
+    "events_dau_wau",
+    "events_trending_types_hourly",
+    "join_asof_purchase_attribution",
+    "join_range_bucketized_event_pairs",
+    "join_anti_customers_without_orders",
+    "join_semi_recent_customers",
+    "join_full_nation_accounts",
+    "window_sessionize_events",
+    "window_range_frame_spend_30d",
+    "window_running_spend",
+    "window_topk_orders_per_customer",
+    "window_distribution_functions",
+    "stream_sliding_window_counts",
+    "stream_view_purchase_join",
+    "stream_enrich_static_join",
+    "text_pack_sequences_sorted",
+    "text_token_rarity_score",
+    "text_chunk_windows",
+    "sample_token_budget_mixture",
+    "quality_profile_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "sql_api_revenue_by_nation",
+    "agg_cube_lineitem",
+    "agg_grouping_sets_explicit",
+    # ——— the 50-query verification window ends HERE (5 new + 3 changed +
+    # 8 r2 refreshes + 34 r3 refreshes = exactly 50). Entries below get NO
+    # row this round: first the r3 remainder (heads the r7 window), then
+    # queries holding green r4/r5 rows.
+    "agg_rollup_order_stats",
+    "agg_value_histogram",
+    "agg_percentiles_by_flag",
+    "agg_argmax_customer_per_nation",
+    "agg_distinct_counts",
+    "agg_having_brands",
+    "join_right_customer_orders",
+    "pivot_event_type_counts",
+    "setop_nation_coverage",
+    "subquery_above_avg_customers",
+    "unpivot_part_metrics",
+    "window_positional_values",
+    "sim_ivf_topk",            # no_oracle: exact companion sim_ivf_recall_at_k
+    "agg_hll_sketch_distinct",  # no_oracle: exact companion agg_hll_error_bound
+    # green r4/r5 rows —
     "text_bm25_topk",
     "dedup_minhash_incremental",
     "text_bigram_fluency",
     "agg_cms_heavy_hitters",
     "stream_windowed_approx_distinct",
     "dedup_cluster_representatives",
-    "multimodal_image_header_real",
     "sim_pq_recall_at_k",
     "text_hybrid_rrf_search",
     "events_session_transitions",
-    "dedup_prefix_filter_pairs",
-    # — 2: newest row is r2 (the full backlog — all 27 fit this round) —
-    "sim_embedding_near_dup",
-    "sim_embedding_near_dup_lsh",
-    "sim_decontaminate_embeddings",
-    "text_tfidf_top_terms",
-    "text_token_counts",
-    "text_quality_scores",
-    "text_language_id",
-    "text_pack_sequences",
-    "stream_tumbling_window_counts",
-    "stream_session_windows",
-    "join_salted_skew_agg",
-    "agg_collect_sorted_list",
-    "agg_mode_per_group",
-    "scalar_string_functions",
-    "scalar_json_extraction",
-    "scalar_date_functions",
-    "scalar_math_functions",
-    "scalar_array_functions",
-    "scalar_map_functions",
-    "scalar_conditional_expressions",
-    "text_fingerprint",
-    "text_repetition_features",
-    "text_decontaminate_overlap",
-    "text_quality_quantile_filter",
-    "sample_language_mixture",
-    "sample_train_val_test_split",
-    "stream_first_event_per_key",
-    # — 3: r4-new re-verifies, heaviest plans first (fill to position 50) —
-    "dedup_semantic_semdedup",
     "dedup_containment_pairs",
     "sim_ivf_recall_at_k",
     "agg_hll_error_bound",
@@ -89,49 +134,6 @@ _VERIFY_FIRST = [
     "stream_view_purchase_full_join",
     "agg_kll_quantile_bound",
     "text_quality_classifier",
-    # ——— the 50-query verification window ends HERE (11 new + 27 r2
-    # refreshes + 12 r4 re-verifies = exactly 50; the r4 re-verifies below
-    # keep their green r4 rows — a first row beats a re-verify).
-    "events_path_regex_match",
-    "events_anomaly_hourly_zscore",
-    "sample_source_cap",
-    "agg_approx_percentiles",
-    "sim_cosine_topk_bruteforce",
-    "sim_ann_lsh_topk",
-    # entries below are positions 51+ and get NO row this round; everything
-    # here holds a green r3 or r4 row —
-    "dedup_exact_text",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_fingerprint",
-    "dedup_simhash_near_pairs",
-    "dedup_cluster_components",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "scalar_higher_order_functions",
-    "sample_deterministic_stratified",
-    "agg_stats_moments",
-    "agg_approx_count_distinct",
-    "join_cross_region_priority",
-    "sort_multikey_limit",
-    "setop_union_distinct_nations",
-    "explode_embedding_components",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_national_market_share",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
 ]
 
 

@@ -2303,8 +2303,14 @@ def multimodal_image_header_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("89504e470d0a1a0a" "0000000d" "49484452"),
         w32be, h32be, F.lit("0800000000"),
     )
-    jpeg = F.concat(  # SOI + SOF0(len 0x0b: prec, h, w, 1 comp×3) + EOI = 17 B
-        F.lit("ffd8" "ffc0" "000b" "08"), h16be, w16be,
+    # SOI + SOFn(len 0x0b: prec, h, w, 1 comp×3) + EOI = 17 B. Half the JPEG
+    # docs use baseline SOF0 (0xffc0), half progressive SOF2 (0xffc2) — both
+    # are in _JPEG_SOF_MARKERS and must parse identically (same byte layout),
+    # so the oracle needs no extra arm; a parser that missed SOF2 would fall
+    # through to the fake branch and flip the hash.
+    sof = F.when(F.col("doc_id") % 6 == 1, F.lit("ffc0")).otherwise(F.lit("ffc2"))
+    jpeg = F.concat(
+        F.lit("ffd8"), sof, F.lit("000b" "08"), h16be, w16be,
         F.lit("01" "011100" "ffd9"),
     )
     gif = F.concat(  # GIF89a + logical screen w/h + flags/bg/aspect + ';'
@@ -2321,6 +2327,70 @@ def multimodal_image_header_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.mime").alias("mime"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+# The MP4/ISO-BMFF walker (operators/multimodal._parse_mp4_meta) is the last
+# real container parser without a driver row — same synthesized-bytes trick:
+# build spec-valid ftyp + moov/mvhd boxes column-side and have the oracle
+# recompute brand/duration from the formulas the bytes encode. Half the docs
+# route moov through the size==1 64-bit LARGESIZE header (the >4 GiB form —
+# exercising the 16-byte-header child-offset fix) with a `free` box padding
+# the other arm so both layouts are exactly 60 bytes.
+
+_VIDEO_HDR_ORACLE = """
+SELECT doc_id AS video_id,
+       'video/mp4' AS mime,
+       CASE doc_id % 2 WHEN 0 THEN 'isom' ELSE 'mp42' END AS brand,
+       CAST(1 + doc_id % 3000 AS DOUBLE) / CAST(600 AS DOUBLE) AS duration_s,
+       CAST(60 AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@query("multimodal_video_header_real", _VIDEO_HDR_ORACLE)
+def multimodal_video_header_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 metadata, driver-checked: synthesize valid ISO-BMFF bytes per
+    document (hex → unhex, pure column expressions) and decode them via the
+    same ``with_video_meta`` mapInPandas path production content takes.
+
+    Even doc_ids: ftyp(isom) + free + moov[mvhd] with ordinary 32-bit box
+    sizes. Odd doc_ids: ftyp(mp42) + moov with the size==1 / 64-bit largesize
+    header (children start at +16, not +8 — the branch fixed for >4 GiB
+    boxes, operators/multimodal.py). mvhd is version 0 with timescale 600 and
+    duration 1+doc_id%3000 ticks; the oracle recomputes duration_s with the
+    identical IEEE division. Any misread offset flips the hash."""
+    from crystal_parquet_database_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dur = (F.lit(1) + F.col("doc_id") % 3000).cast("int")
+    dur32 = F.lpad(F.lower(F.hex(dur)), 8, "0")  # u32 big-endian hex
+
+    # mvhd v0 (28 B): size + 'mvhd' + ver/flags + creation + modification
+    # + timescale(600=0x258) + duration
+    mvhd = F.concat(
+        F.lit("0000001c" "6d766864" "00000000" "00000000" "00000000" "00000258"),
+        dur32,
+    )
+    plain = F.concat(  # ftyp(16) + free(8) + moov hdr(8) + mvhd(28) = 60 B
+        F.lit("00000010" "66747970" "69736f6d" "00000000"),  # ftyp, brand isom
+        F.lit("00000008" "66726565"),                          # free box
+        F.lit("00000024" "6d6f6f76"),                          # moov, size 36
+        mvhd,
+    )
+    largesize = F.concat(  # ftyp(16) + moov largesize hdr(16) + mvhd(28) = 60 B
+        F.lit("00000010" "66747970" "6d703432" "00000000"),  # ftyp, brand mp42
+        F.lit("00000001" "6d6f6f76" "00000000" "0000002c"),  # size==1, u64=44
+        mvhd,
+    )
+    content = F.unhex(F.when(F.col("doc_id") % 2 == 0, plain).otherwise(largesize))
+    binary = docs.select(F.col("doc_id").alias("video_id"), content.alias("content"))
+    return M.with_video_meta(binary).select(
+        "video_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.brand").alias("brand"),
+        F.col("meta.duration_s").alias("duration_s"),
         F.col("meta.n_bytes").alias("n_bytes"),
     )
 

@@ -80,6 +80,12 @@ PROBES = [
     "text_hybrid_rrf_search",
     "events_session_transitions",
     "dedup_prefix_filter_pairs",
+    # round 6
+    "scd2_asof_dimension",
+    "pqdb_update_delete_read",
+    "cif_parse_real",
+    "nested_struct_ops_real",
+    "multimodal_video_header_real",
 ]
 
 

@@ -23,6 +23,16 @@ def test_create_crystal_db_example(spark):
         assert ids == list(range(30))
 
 
+def test_stream_ingest_example(spark, capsys):
+    from examples.stream_ingest_events import main
+
+    with tempfile.TemporaryDirectory(prefix="ingest_ex_") as d:
+        db = main(work_dir=d)
+        assert db.read(columns=["event_id"]).count() == 300
+    out = capsys.readouterr().out
+    assert "exactly-once verified" in out
+
+
 def test_search_corpus_example(spark, capsys):
     from examples.search_corpus import main
 
