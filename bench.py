@@ -193,9 +193,9 @@ def main() -> None:
 
     # Round-over-round comparison on the SHARED query set: the headline total
     # moves whenever queries join the suite, so the number that shows real
-    # progress is this run's total restricted to queries the PREVIOUS run
-    # also benched (prior warm numbers come from the committed
-    # BENCH_DETAIL.json, read before we overwrite it below).
+    # progress is this run's total restricted to queries the PREVIOUS full
+    # run also benched (prior warm numbers come from the BENCH_DETAIL.json
+    # that run left on disk, read before we overwrite it below).
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

@@ -126,3 +126,28 @@ def test_prefix_filter_random_corpus_property(spark):
             for r in prefix_filter_pairs(docs, "text", "doc_id", threshold=tau).collect()
         }
         assert pf == brute
+
+
+def test_prefix_filter_ceil_rounding_boundary(spark):
+    """Regression for the double-arithmetic ceil bias: ceil(0.07 * 100)
+    evaluates to 8 in IEEE doubles (0.07*100 = 7.000000000000001), one MORE
+    than the exact 7 — which would shorten the prefix below what the lemma
+    requires. The tight witness is containment-shaped: B's 7 words are all
+    inside A's 100, J = 7/100 = 0.07 exactly, and the shared tokens (freq 2)
+    rank AFTER A's 93 unique tokens (freq 1) in the rarest-first order, so
+    A's prefix must reach exactly position 94 = 100 - ceil(7.0) + 1 to index
+    a single shared token. An unbiased ceil indexes zero and silently drops
+    the qualifying pair."""
+    from crystal_parquet_database_spark.operators.dedup import prefix_filter_pairs
+
+    a_words = [f"u{i}" for i in range(93)] + [f"s{i}" for i in range(7)]
+    b_words = [f"s{i}" for i in range(7)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(a_words)), (1, " ".join(b_words))], "doc_id long, text string"
+    )
+    got = prefix_filter_pairs(
+        docs, "text", "doc_id", threshold=0.07, k=1, unit="word"
+    ).collect()
+    assert len(got) == 1
+    assert (got[0]["id_a"], got[0]["id_b"]) == (0, 1)
+    assert got[0]["jaccard"] == 0.07
