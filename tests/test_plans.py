@@ -249,3 +249,37 @@ def test_cms_sketch_bounded_and_distributed_topn(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_pqdb_crud_readback_pushdown(spark, tmp_path):
+    """The CRUD cycle's final read must push BOTH the residual filter and the
+    3-column projection into the parquet scan — at 100 TB the read-back is
+    the hot path, not the (bounded) mutation bookkeeping."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "crud_plan"))
+    db.create(
+        spark.createDataFrame(
+            [(i, "en", 100 + i, f"t{i}") for i in range(50)],
+            "doc_id long, lang string, n_chars long, extra string",
+        )
+    )
+    out = db.read(columns=["doc_id", "lang", "n_chars"], filters=[("n_chars", ">", 120)])
+    assert any("n_chars" in f for f in pushed_filters(out))
+    schemas = scan_read_schemas(out)
+    assert schemas and all("extra" not in s for s in schemas)
+
+
+def test_scd2_asof_read_pushdown(spark, tmp_path):
+    """read_asof's validity-interval predicate must reach the scan as pushed
+    filters on valid_from/valid_to (partition- and footer-prunable at scale)."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "asof_plan"))
+    db.create_versioned(
+        [{"k": i, "v": float(i)} for i in range(20)], effective_ts="2024-01-01 00:00:00"
+    )
+    out = db.read_asof("2024-06-01 00:00:00")
+    fs = pushed_filters(out)
+    assert any("valid_from" in f for f in fs)
+    assert any("valid_to" in f for f in fs)
