@@ -667,6 +667,10 @@ def prefix_filter_pairs(
     construction, so the candidate equi-join fans out like an inverted index
     over RARE tokens (the same reason the containment op caps df); the only
     windows are per-document rank assignments riding the doc-keyed shuffle.
+    Candidates are further pruned — losslessly — by PPJoin's length and
+    positional filters before the exact verify (see inline comments), which
+    is what keeps the verify stage linear-ish when token document frequency
+    grows with corpus size.
     """
     hs = shingle_hashes(df, text_col, k, unit).select(
         F.col(id_col).alias("__id"), "hs"
@@ -694,13 +698,44 @@ def prefix_filter_pairs(
         <= F.col("__n")
         - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9)).cast("int")
         + 1
-    ).select("__id", "__h")
+    ).select("__id", "__h", "__rn", "__n")
+    # Candidate pruning beyond the prefix lemma — both filters are LOSSLESS
+    # (PPJoin, Xiao et al.), which matters because candidate fan-out is this
+    # operator's only superlinear term (on a fixed vocabulary, prefix-token
+    # document frequency grows with corpus size, so candidates grow ~df² —
+    # measured in SCALE.md's 30× probe):
+    #  1. LENGTH: J >= t forces t·max(|x|,|y|) <= min(|x|,|y|) — applied in
+    #     the join condition, before any candidate row shuffles.
+    #  2. POSITIONAL: a token shared at positions (i, j) bounds the overlap
+    #     O <= min(i-1, j-1) + 1 + min(|x|-i, |y|-j) (common tokens before w
+    #     occupy earlier positions in BOTH sets; after w, at most the
+    #     shorter tail). J >= t ⟺ O >= ceil(t(|x|+|y|)/(1+t)), so a pair
+    #     whose TIGHTEST shared-token bound misses that is no pair. Rounding
+    #     is biased the lax way (keep extras; the exact verify discards).
+    a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb = F.col("a.__n"), F.col("b.__n")
+    ubound = (
+        F.least(F.col("a.__rn") - 1, F.col("b.__rn") - 1)
+        + 1
+        + F.least(na - F.col("a.__rn"), nb - F.col("b.__rn"))
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (na + nb) - F.lit(1e-9)
+    ).cast("int")
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "__h")
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+        )
+        .agg(F.min(ubound).alias("__ub"), F.min(alpha).alias("__alpha"))
+        .filter(F.col("__ub") >= F.col("__alpha"))
+        .select("id_a", "id_b")
     )
     sa = hs.select(F.col("__id").alias("id_a"), F.col("hs").alias("__ha"))
     sb = hs.select(F.col("__id").alias("id_b"), F.col("hs").alias("__hb"))

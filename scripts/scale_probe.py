@@ -4,7 +4,9 @@ cardinalities scale too), run headline operators, and report wall-clock vs the
 sf0.1 baseline. Linear-ish growth = the plan survives scale-up; superlinear
 growth = a hidden quadratic/skew problem.
 
-Usage: python3 scripts/scale_probe.py [factor]   (default 10)
+Usage: python3 scripts/scale_probe.py [factor] [probe ...]   (default 10)
+Set SCALE_PROBE_REUSE_DIR=/tmp/scaleNx_... to skip replication and reuse an
+existing replica (replication dominates wall-clock for small probe subsets).
 """
 
 from __future__ import annotations
@@ -158,10 +160,15 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown probe names: {unknown}")
         PROBES = list(sys.argv[2:])
-    out_dir = tempfile.mkdtemp(prefix=f"scale{factor}x_")
-    spark = get_spark(app_name="scale_probe_gen")
-    print(f"replicating sf0.1 x{factor} into {out_dir} ...", flush=True)
-    replicate(spark, factor, out_dir)
+    reuse = os.environ.get("SCALE_PROBE_REUSE_DIR")
+    if reuse:
+        out_dir = reuse
+        print(f"reusing existing replica {out_dir}", flush=True)
+    else:
+        out_dir = tempfile.mkdtemp(prefix=f"scale{factor}x_")
+        spark = get_spark(app_name="scale_probe_gen")
+        print(f"replicating sf0.1 x{factor} into {out_dir} ...", flush=True)
+        replicate(spark, factor, out_dir)
 
     base = run(SRC, "base")
     big = run(out_dir, f"{factor}x")
