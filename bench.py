@@ -208,7 +208,12 @@ def main() -> None:
             shared_now = round(sum(times[n] for n in common), 4)
             prev_shared = round(sum(prev_warm[n] for n in common), 4)
     except (OSError, ValueError):
-        pass
+        # BENCH_DETAIL.json is per-machine state (gitignored): first full run
+        # on a machine has no baseline — say so rather than silently omitting
+        print(
+            "bench: no prior BENCH_DETAIL.json — shared_with_prev omitted",
+            file=sys.stderr,
+        )
 
     # The driver captures the tail of stdout and parses the FINAL line as the
     # headline JSON. Keep that line compact (contract keys only, value first);
@@ -221,7 +226,9 @@ def main() -> None:
         "methodology": "two passes at target sf in one process; value=2nd (steady-state) pass, cold_value=1st pass",
     }
     # Isolated probe runs must NOT clobber the full-suite detail file — it is
-    # the committed baseline the next full run's shared_with_prev reads.
+    # the baseline the next full run's shared_with_prev reads. (The file is
+    # deliberately NOT in git — it is per-machine state; on a machine with no
+    # prior full run the comparison is simply absent, noted on stderr above.)
     if not isolated:
         try:
             with open(detail_path, "w") as fh:

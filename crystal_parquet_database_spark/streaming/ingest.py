@@ -39,7 +39,17 @@ def stream_ingest_into_pqdb(
     (the backfill/test mode); ``False`` runs continuously.
     """
 
+    def _persistent_rdd_ids(sc) -> set:
+        jmap = sc._jsc.sc().getPersistentRDDs()
+        it = jmap.iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sc = batch_df.sparkSession.sparkContext
+        before = _persistent_rdd_ids(sc)
         batch = batch_df.dropDuplicates([key_col])
         if db.exists:
             existing = db.read(columns=[key_col])
@@ -52,11 +62,21 @@ def stream_ingest_into_pqdb(
             if batch.take(1):  # skip empty appends (fully-replayed batch)
                 db.create(batch)
         finally:
-            # release the checkpoint's RDD blocks NOW: in continuous mode
-            # (available_now=False) leaving them to Python's cycle GC lets
-            # block-manager memory grow across micro-batches — the same
-            # crowding pathology the bench GC fix diagnosed
-            batch.unpersist()
+            # Release the checkpoint's RDD blocks before the next micro-batch:
+            # in continuous mode (available_now=False) they otherwise linger
+            # until JVM GC + ContextCleaner get around to the dead reference,
+            # growing block-manager memory across batches. Neither
+            # DataFrame.unpersist() (query-cache only, never checkpoint RDDs)
+            # nor del+gc.collect() (the JVM side still holds the reference
+            # until ITS collector runs) frees them deterministically — both
+            # verified via getRDDStorageInfo — so unpersist exactly the RDDs
+            # this batch persisted, by id diff against the context's registry.
+            jmap = sc._jsc.sc().getPersistentRDDs()
+            it = jmap.iterator()
+            while it.hasNext():
+                entry = it.next()
+                if entry._1() not in before:
+                    entry._2().unpersist(False)
 
     writer = stream_df.writeStream.foreachBatch(upsert).option(
         "checkpointLocation", checkpoint_dir

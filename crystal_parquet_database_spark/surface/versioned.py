@@ -17,6 +17,8 @@ fixtures.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +26,19 @@ from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table
+
+
+def _fresh_dir(name: str) -> str:
+    """A per-process scratch dir for this query's on-disk PqDB, WIPED on each
+    invocation — repeated bench/probe/driver runs reuse one directory per
+    process instead of leaking a new mkdtemp per call. (Safe because every
+    caller of these queries executes the returned DataFrame before invoking
+    the query again; a later invocation invalidates the previous one's lazy
+    read, which no harness does.)"""
+    base = os.path.join(tempfile.gettempdir(), f"pqdb_gate_{os.getpid()}", name)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
 
 _E1 = "2024-01-01 00:00:00"
 _E2 = "2024-02-01 00:00:00"
@@ -62,7 +77,7 @@ def scd2_asof_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.col("c_acctbal").alias("balance"),
     )
-    db = PqDB(spark, tempfile.mkdtemp(prefix="scd2_dim_"))
+    db = PqDB(spark, _fresh_dir("scd2_dim"))
     db.create_versioned(cust.filter(F.col("key") < 50), effective_ts=_E1)
     updates = cust.filter(F.col("key") < 60).withColumn(
         "balance",
@@ -114,7 +129,7 @@ def pqdb_update_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crystal_parquet_database_spark.db import PqDB
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    db = PqDB(spark, tempfile.mkdtemp(prefix="pqdb_crud_"))
+    db = PqDB(spark, _fresh_dir("pqdb_crud"))
     db.create(docs.filter(F.col("doc_id") < 200))
     bumps = (
         docs.filter((F.col("doc_id") < 200) & (F.col("doc_id") % 5 == 0))

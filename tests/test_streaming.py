@@ -406,3 +406,34 @@ def test_stream_ingest_into_pqdb_exactly_once(spark, tmp_path):
     drain(str(tmp_path / "ckpt2"))    # replays [0, 50)
     ids2 = sorted(r["event_id"] for r in db.read(columns=["event_id"]).collect())
     assert ids2 == list(range(100))   # no dupes, nothing lost
+
+
+def test_stream_ingest_releases_checkpoint_blocks(spark, tmp_path):
+    """Long-running-ingest memory regression: each micro-batch eagerly
+    localCheckpoints its deduped frame; the sink must unpersist those RDD
+    blocks per batch (DataFrame.unpersist and del+gc both fail to —
+    only a targeted RDD unpersist is deterministic), or continuous-mode
+    block-manager memory grows without bound."""
+    from crystal_parquet_database_spark.db import PqDB
+    from crystal_parquet_database_spark.streaming.event_source import (
+        SyntheticEventsDataSource,
+    )
+    from crystal_parquet_database_spark.streaming.ingest import stream_ingest_into_pqdb
+
+    sc = spark.sparkContext
+    baseline = len(sc._jsc.sc().getRDDStorageInfo())
+    spark.dataSource.register(SyntheticEventsDataSource)
+    db = PqDB(spark, str(tmp_path / "events_db"))
+    for i in range(3):  # three drains = three checkpointed micro-batches
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 40)
+            .load()
+        )
+        q = stream_ingest_into_pqdb(stream, db, "event_id", str(tmp_path / "ckpt"))
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+    assert db.read(columns=["event_id"]).count() == 120
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= baseline  # nothing lingers
