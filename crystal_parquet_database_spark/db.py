@@ -41,6 +41,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from crystal_parquet_database_spark.runtime import release_local_checkpoint
 from crystal_parquet_database_spark.schema import cast_to_schema, leaf_types, unify_schemas
 
 ID_COL = "id"
@@ -385,7 +386,15 @@ class PqDB:
             F.lit(True).alias("__matched"),
             *[F.col(c).alias(f"__u_{c}") for c in tracked],
         )
-        j = current.join(F.broadcast(u), on, "left").localCheckpoint(eager=True)
+        # Same broadcast guard as update(): only plausibly-small update
+        # frames broadcast; a bulk merge (>~10M keys) takes the shuffle join
+        # rather than OOMing every executor on a forced broadcast.
+        try:
+            n_up = u.limit(10_000_001).count()
+        except Exception:  # pragma: no cover - defensive
+            n_up = None
+        u_side = F.broadcast(u) if n_up is not None and n_up <= 10_000_000 else u
+        j = current.join(u_side, on, "left").localCheckpoint(eager=True)
         matched = F.coalesce(F.col("__matched"), F.lit(False))
         same = F.lit(True)
         for c in tracked:
@@ -421,14 +430,23 @@ class PqDB:
         ).withColumn(self.VALID_TO, F.lit(None).cast("timestamp"))
         m = base.agg(F.max(ID_COL)).collect()[0][0]
         start = (m if m is not None else -1) + 1  # max id 0 is falsy but valid
-        inserts = assign_contiguous_ids(
-            inserts.select(*[c for c in base.columns if c != ID_COL]), start=start
-        )
+        id_src = inserts.select(*[c for c in base.columns if c != ID_COL])
+        inserts, _ = assign_contiguous_ids_with_count(id_src, start=start)
         out = closed_hist.unionByName(kept).unionByName(
             inserts.select(*base.columns)
         )
         n_unchanged = int(n_current) - n_changed
-        self._rewrite(out)
+        try:
+            self._rewrite(out)
+        finally:
+            # A long-running service merges repeatedly: release the per-call
+            # resources that would otherwise accumulate for the session
+            # lifetime — the id-assignment persist() is a strong CacheManager
+            # reference (create() releases its own the same way), and the
+            # eager localCheckpoint's RDD blocks are freed deterministically
+            # only by a targeted unpersist (see runtime.py).
+            id_src.unpersist()
+            release_local_checkpoint(j)
         return {
             "closed": n_changed,
             "inserted": n_changed + n_new,

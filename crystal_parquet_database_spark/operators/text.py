@@ -183,7 +183,9 @@ def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     t = F.col(text_col)
     df = _spread(df).withColumn("__toks", ws_tokens(t))
     toks = F.col("__toks")
-    n = F.size(toks)
+    # size(NULL) is -1 in Spark; a NULL-text doc must report NULL word count
+    # (what the SQL oracle's LEN(NULL) yields), not -1
+    n = F.when(toks.isNotNull(), F.size(toks))
 
     def dup_frac(k: int) -> Column:
         """1 - distinct/total over word k-grams; 0.0 when fewer than k words."""
@@ -220,7 +222,11 @@ def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ),
         )
     )
-    return base.join(top, id_col)
+    # LEFT join: a NULL/empty-text doc produces no exploded token rows, and a
+    # quality-filter stage must keep every document (an inner join would
+    # silently drop such docs from the corpus). top_word_frac stays NULL for
+    # them — there is no defined value over zero tokens.
+    return base.join(top, id_col, "left")
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
@@ -368,42 +374,7 @@ def pack_sequences(
     where the range boundaries land, so the op is deterministic even though
     range sampling isn't guaranteed to be.
     """
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    d = (
-        df.select(F.col(id_col), F.size(ws_tokens(F.col(text_col))).alias("n_tokens"))
-        .repartitionByRange(n_part, F.col(id_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin partitioning: 3 consumers below
-    )
-    within = F.sum("n_tokens").over(
-        W.partitionBy("__pid").orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
-    )
-    psums = (
-        d.groupBy("__pid")
-        .agg(F.sum("n_tokens").alias("__psum"))
-        .withColumn(
-            "__base",
-            F.coalesce(
-                F.sum("__psum").over(
-                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__pid", "__base")
-    )
-    cum = F.coalesce(F.col("__w"), F.lit(0)) + F.col("__base")
-    return (
-        d.withColumn("__w", within)
-        .join(F.broadcast(psums), "__pid")
-        .select(
-            F.col(id_col),
-            F.col("n_tokens"),
-            F.floor(cum / capacity).cast("int").alias("bin_id"),
-            (cum % capacity).cast("int").alias("bin_offset"),
-            ((cum % capacity) + F.col("n_tokens") > capacity).alias("spans_boundary"),
-        )
-    )
+    return _pack_and_chop(df, text_col, id_col, capacity, order_keys=[id_col])
 
 
 def pack_sequences_sorted(
@@ -420,17 +391,25 @@ def pack_sequences_sorted(
     sort key, per-partition window, broadcast per-partition base offsets —
     no single-partition global window anywhere.
     """
+    return _pack_and_chop(df, text_col, id_col, capacity, order_keys=["n_tokens", id_col])
+
+
+def _pack_and_chop(
+    df: DataFrame, text_col: str, id_col: str, capacity: int, order_keys: list[str]
+) -> DataFrame:
+    """Shared two-phase-prefix-sum body of the pack variants: range-partition
+    by ``order_keys``, per-partition running sum, broadcast per-partition
+    base offsets, then chop the global cumulative position into bins. The
+    variants differ ONLY in the global document order."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
     d = (
         df.select(F.col(id_col), F.size(ws_tokens(F.col(text_col))).alias("n_tokens"))
-        .repartitionByRange(n_part, F.col("n_tokens"), F.col(id_col))
+        .repartitionByRange(n_part, *[F.col(k) for k in order_keys])
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin partitioning: 3 consumers below
     )
     within = F.sum("n_tokens").over(
-        W.partitionBy("__pid")
-        .orderBy("n_tokens", id_col)
-        .rowsBetween(W.unboundedPreceding, -1)
+        W.partitionBy("__pid").orderBy(*order_keys).rowsBetween(W.unboundedPreceding, -1)
     )
     psums = (
         d.groupBy("__pid")
@@ -563,7 +542,13 @@ def chunk_dedup_stats(
     chunks = F.when(
         n_full >= 1, F.transform(F.sequence(F.lit(0), n_full - 1), chunk)
     ).otherwise(F.array().cast("array<bigint>"))
-    ch = d.select(F.col(id_col), F.explode(chunks).alias("chunk_hash"))
+    # materialize the tokenize→slice→hash→explode stream ONCE: both the df
+    # stage and the join probe consume it, and un-materialized it re-runs the
+    # most expensive stage twice (same pattern as ngram_decontaminate /
+    # bigram_fluency)
+    ch = d.select(F.col(id_col), F.explode(chunks).alias("chunk_hash")).localCheckpoint(
+        eager=True
+    )
     freq = ch.groupBy("chunk_hash").agg(
         F.count_distinct(F.col(id_col)).alias("__dwc")
     )
@@ -792,14 +777,26 @@ def quality_classifier_score(df: DataFrame, text_col: str, id_col: str) -> DataF
     quality-classifier pass has when the model is linear (hash + dot with a
     broadcast weight vector); only transformer scorers need the Pandas-UDF
     escape hatch (see quality_score_pandas_udf)."""
-    toks = ws_tokens(F.col(text_col))
+    # materialize tokens and the fold once — inlining them re-runs the regex
+    # split (3 consumers) and the md5 fold (3 consumers) per expression (see
+    # the module's materialize-once notes above)
     weight = lambda t: (  # noqa: E731 — shape mirrors the SQL oracle 1:1
         F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint") % CLF_DIM
     ) * CLF_MULT % CLF_MOD - CLF_OFF
-    score = F.aggregate(
-        F.transform(toks, weight), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    d = (
+        _spread(df)
+        .withColumn("__toks", ws_tokens(F.col(text_col)))
+        .withColumn(
+            "__score",
+            F.aggregate(
+                F.transform(F.col("__toks"), weight),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
     )
-    return _spread(df).select(
+    score, toks = F.col("__score"), F.col("__toks")
+    return d.select(
         F.col(id_col),
         F.size(toks).cast("int").alias("n_tokens"),
         score.alias("score_sum"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from crystal_parquet_database_spark.db import PqDB
+from crystal_parquet_database_spark.runtime import release_local_checkpoint
 
 
 def stream_ingest_into_pqdb(
@@ -39,17 +40,7 @@ def stream_ingest_into_pqdb(
     (the backfill/test mode); ``False`` runs continuously.
     """
 
-    def _persistent_rdd_ids(sc) -> set:
-        jmap = sc._jsc.sc().getPersistentRDDs()
-        it = jmap.iterator()
-        ids = set()
-        while it.hasNext():
-            ids.add(it.next()._1())
-        return ids
-
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        sc = batch_df.sparkSession.sparkContext
-        before = _persistent_rdd_ids(sc)
         batch = batch_df.dropDuplicates([key_col])
         if db.exists:
             existing = db.read(columns=[key_col])
@@ -62,21 +53,14 @@ def stream_ingest_into_pqdb(
             if batch.take(1):  # skip empty appends (fully-replayed batch)
                 db.create(batch)
         finally:
-            # Release the checkpoint's RDD blocks before the next micro-batch:
-            # in continuous mode (available_now=False) they otherwise linger
-            # until JVM GC + ContextCleaner get around to the dead reference,
-            # growing block-manager memory across batches. Neither
-            # DataFrame.unpersist() (query-cache only, never checkpoint RDDs)
-            # nor del+gc.collect() (the JVM side still holds the reference
-            # until ITS collector runs) frees them deterministically — both
-            # verified via getRDDStorageInfo — so unpersist exactly the RDDs
-            # this batch persisted, by id diff against the context's registry.
-            jmap = sc._jsc.sc().getPersistentRDDs()
-            it = jmap.iterator()
-            while it.hasNext():
-                entry = it.next()
-                if entry._1() not in before:
-                    entry._2().unpersist(False)
+            # Release THIS batch's checkpoint blocks before the next
+            # micro-batch — in continuous mode (available_now=False) they
+            # otherwise linger until JVM GC + ContextCleaner reap the dead
+            # reference, growing block-manager memory across batches. The
+            # helper unpersists exactly the RDD behind `batch`'s LogicalRDD
+            # plan (safe under concurrent queries, unlike a registry diff;
+            # rationale + verified non-alternatives in runtime.py).
+            release_local_checkpoint(batch)
 
     writer = stream_df.writeStream.foreachBatch(upsert).option(
         "checkpointLocation", checkpoint_dir

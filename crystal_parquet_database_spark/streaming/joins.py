@@ -83,6 +83,9 @@ def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
         F.col("c_name"),
         F.col("c_nationkey"),
     )
+    # LEFT join: enrichment must never DROP events — an id outside the
+    # dimension keeps its event row with null customer columns (an inner
+    # join would silently shrink the stream)
     return events.select("event_id", "user_id", "event_type", "ts").join(
-        F.broadcast(dim), "user_id"
+        F.broadcast(dim), "user_id", "left"
     )

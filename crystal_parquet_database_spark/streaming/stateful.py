@@ -21,11 +21,19 @@ _RUNNING_STATS_STATE = "n long, total double, mx double"
 def _running_stats_fn(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    # State sentinels are None until a non-null value arrives — SQL aggregate
+    # semantics (sum/max over all-NULL = NULL), matching the batch replay
+    # path. A -inf/0.0 seed would leak sentinels for a key whose values are
+    # all null (pandas max() over all-null is NaN; max(-inf, NaN) keeps -inf,
+    # and skipna sum yields 0.0 — neither is what F.max/F.sum produce).
+    n, total, mx = state.get if state.exists else (0, None, None)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-        mx = max(mx, float(pdf["value"].max()))
+        vals = pdf["value"].dropna()
+        if len(vals):
+            total = float(vals.sum()) + (total if total is not None else 0.0)
+            m = float(vals.max())
+            mx = m if mx is None else max(mx, m)
     state.update((n, total, mx))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_value": [mx]}

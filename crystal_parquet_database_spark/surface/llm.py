@@ -685,7 +685,7 @@ c AS (SELECT doc_id, w, COUNT(*) AS c FROM e GROUP BY doc_id, w),
 tp AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
        FROM c GROUP BY doc_id)
 SELECT base.doc_id, n_words, dup_word_frac, dup_bigram_frac, dup_trigram_frac, top_word_frac
-FROM base JOIN tp USING (doc_id)
+FROM base LEFT JOIN tp USING (doc_id)
 """
 
 

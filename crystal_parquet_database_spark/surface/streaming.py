@@ -189,7 +189,7 @@ def stream_view_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFram
 
 _ENRICH_ORACLE = """
 SELECT e.event_id, e.user_id, e.event_type, e.ts, c.c_name, c.c_nationkey
-FROM events e JOIN customer c ON e.user_id = c.c_custkey
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """
 
 

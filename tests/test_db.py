@@ -326,3 +326,29 @@ def test_append_after_single_row_keeps_ids_unique(spark, tmp_path):
     db.create([{"v": "second"}])
     ids = sorted(r["id"] for r in db.read(columns=["id"]).collect())
     assert ids == [0, 1]
+
+
+def test_scd2_upsert_releases_cache_and_checkpoint(spark, tmp_path):
+    """Repeated merges in a long-running service must not accumulate session
+    resources: the id-assignment persist() (a strong CacheManager reference)
+    and the merge join's eager localCheckpoint blocks are both released per
+    call (DataFrame.unpersist/del+gc do NOT free checkpoint RDDs — see
+    runtime.py)."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    storage_before = len(sc._jsc.sc().getRDDStorageInfo())
+    db = PqDB(spark, str(tmp_path / "dim"))
+    db.create_versioned(
+        [{"sku": f"S{i}", "price": float(i)} for i in range(20)],
+        effective_ts="2024-01-01 00:00:00",
+    )
+    for step in (1, 2, 3):
+        db.upsert_scd2(
+            [{"sku": f"S{i}", "price": float(i + step)} for i in range(20)],
+            on="sku",
+            effective_ts=f"2024-0{step + 1}-01 00:00:00",
+        )
+    assert db.read(columns=["id"]).count() == 20 + 3 * 20  # 3 closed epochs
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= storage_before

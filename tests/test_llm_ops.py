@@ -384,3 +384,21 @@ def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
         # single-hit in the candidate window
         for m in members:
             assert 0 < m["rrf_score"] <= 2 / 61
+
+
+def test_repetition_features_keeps_null_and_empty_docs(spark):
+    """Quality filters must KEEP every document: NULL-text and empty-text
+    docs get their feature row (top_word_frac NULL over zero tokens) instead
+    of silently vanishing through an inner join."""
+    from crystal_parquet_database_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_features(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["top_word_frac"] == 2.0 / 3.0
+    assert out[2]["n_words"] is None and out[2]["top_word_frac"] is None
+    assert out[2]["dup_word_frac"] == 0.0
+    # trim("") splits to [""] — one (empty) token, defined fractions
+    assert out[3]["n_words"] == 1 and out[3]["top_word_frac"] == 1.0
