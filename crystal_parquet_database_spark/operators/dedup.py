@@ -412,8 +412,11 @@ def connected_components(
     every node takes the min of its own label and its neighbors' labels — a
     union + one groupBy shuffle on id — and the loop stops when a round changes
     nothing. Rounds needed = graph diameter; near-dup components are small and
-    dense (diameter ≲ 3 in practice), and label propagation converges in
-    O(log n) rounds even on a path graph. Each round is localCheckpointed so
+    dense (diameter ≲ 3 in practice); this one-hop-per-round propagation
+    needs O(diameter) rounds, and RAISES rather than silently returning
+    split clusters if ``max_iter`` rounds don't converge (a ~100-version
+    edit chain would otherwise shear into multiple cluster_ids with no
+    error). Each round is localCheckpointed so
     lineage (and therefore plan size) stays constant. Convergence is detected
     from the total-label sum: labels only ever decrease (min of a set
     containing the old label), so an unchanged sum ⟺ an unchanged labeling —
@@ -444,6 +447,7 @@ def connected_components(
     )
     # decimal(38,0): exact and overflow-free for any realistic id domain
     prev_sum = lab.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr = e.join(lab, e.src == lab.id).select(F.col("dst").alias("id"), F.col("lab"))
         lab = (
@@ -454,8 +458,17 @@ def connected_components(
         )
         cur_sum = lab.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # an unconverged labeling is WRONG (one component reported as
+        # several) — fail loudly instead of quietly keeping duplicates
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (graph diameter exceeds it — e.g. a long chain of "
+            "incremental near-dup versions); raise max_iter"
+        )
     singletons = (
         nodes.select(F.col(id_col).alias("id"))
         .join(lab.select("id"), "id", "left_anti")

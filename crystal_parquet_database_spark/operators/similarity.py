@@ -39,8 +39,17 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _cos_div(dotv: Column, nprod: Column) -> Column:
+    """dot/(‖a‖·‖b‖) with NULL when a norm is zero — SQL division
+    semantics (DuckDB x/0.0 = NULL), NOT ANSI Spark's hard
+    SparkArithmeticException: one all-zero embedding (a failed/padded row,
+    routine in real pipelines) must NULL out of comparisons, not abort the
+    whole job."""
+    return F.when(nprod > 0, dotv / nprod)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return _cos_div(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -79,7 +88,7 @@ def cosine_topk(
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+            _cos_div(dot(F.col("qvec"), F.col("cvec")), F.col("qnorm") * F.col("cnorm")).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
@@ -184,7 +193,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+            _cos_div(dot(F.col("qvec"), F.col("cvec")), F.col("qnorm") * F.col("cnorm")).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
@@ -308,7 +317,7 @@ def ivf_topk(
         .select(
             "query_id",
             "match_id",
-            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+            _cos_div(dot(F.col("qvec"), F.col("cvec")), F.col("qnorm") * F.col("cnorm")).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
@@ -336,7 +345,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+            _cos_div(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -408,8 +417,9 @@ def embedding_near_dup_lsh(
 
     a = exploded.alias("a")
     b = exploded.alias("b")
-    cos = dot(F.col("a.__vec"), F.col("b.__vec")) / (
-        F.col("a.__norm") * F.col("b.__norm")
+    cos = _cos_div(
+        dot(F.col("a.__vec"), F.col("b.__vec")),
+        F.col("a.__norm") * F.col("b.__norm"),
     )
     return (
         a.join(
@@ -460,7 +470,7 @@ def decontaminate_by_similarity(
     scored = t.crossJoin(F.broadcast(e)).select(
         "eval_id",
         "train_id",
-        (dot(F.col("evec"), F.col("tvec")) / (F.col("enorm") * F.col("tnorm"))).alias("cos"),
+        _cos_div(dot(F.col("evec"), F.col("tvec")), F.col("enorm") * F.col("tnorm")).alias("cos"),
     )
     hits = scored.filter(F.col("cos") >= threshold)
     best = F.row_number().over(
@@ -610,7 +620,7 @@ def semdedup(
         "__vec",
         "__n",
         "__cell",
-        (dot(F.col("__vec"), F.col("__cvec")) / (F.col("__n") * F.col("__cn"))).alias(
+        _cos_div(dot(F.col("__vec"), F.col("__cvec")), F.col("__n") * F.col("__cn")).alias(
             "__cosc"
         ),
     )
@@ -681,7 +691,7 @@ def semdedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .repartition(n_part)
         .withColumn(
-            "__cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            "__cos", _cos_div(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
         )
         .filter(F.col("__cos") > threshold)
     )

@@ -26,7 +26,11 @@ from crystal_parquet_database_spark.functions.nested import (
 )
 from crystal_parquet_database_spark.sources.base import BaseLoader
 
-INDEX_FILE_PATTERN = re.compile(r"alexandria_.*\.json\.bz2")
+# Non-greedy over a single token: [^"<>\s] stops at the href's closing quote
+# or the anchor text boundary. A greedy `.*` would match ACROSS the quote on
+# a standard autoindex line (name appears in href AND anchor text), yielding
+# 'name">name' garbage URLs and swallowing sibling links on the same line.
+INDEX_FILE_PATTERN = re.compile(r"alexandria_[^\"<>\s]*\.json\.bz2")
 
 
 class AlexandriaLoader(BaseLoader):
@@ -48,16 +52,21 @@ class AlexandriaLoader(BaseLoader):
 
         with urllib.request.urlopen(self.index_url, timeout=self.config.timeout_seconds) as r:
             html = r.read().decode()
-        for name in INDEX_FILE_PATTERN.findall(html):
+        for name in dict.fromkeys(INDEX_FILE_PATTERN.findall(html)):
             url = self.index_url.rstrip("/") + "/" + name
             dest = os.path.join(raw_dir, name)
-            if os.path.exists(dest):  # idempotent skip (alexandria.py:35-36)
-                continue
+            if os.path.exists(dest) and not self.config.download_from_scratch:
+                continue  # idempotent skip (alexandria.py:35-36)
+            # fetch to a temp name and rename atomically: a run killed
+            # mid-download must not leave a truncated file that every later
+            # run (os.path.exists) treats as complete forever
+            tmp = dest + ".part"
             with urllib.request.urlopen(url, timeout=self.config.timeout_seconds) as r, open(
-                dest, "wb"
+                tmp, "wb"
             ) as f:
                 while chunk := r.read(1024 * 1024):
                     f.write(chunk)
+            os.replace(tmp, dest)
 
     def _read_raw(self, spark: SparkSession, raw_dir: str) -> DataFrame:
         """A4: one row per entry. Codec inferred from extension (.bz2 ok)."""

@@ -79,8 +79,16 @@ class BaseLoader:
         """Stages 2-3 — read raw files lazily, append into the interim PqDB
         (schema inference + evolution + id assignment happen in create)."""
         pqdb = PqDB(self.spark, self.interim_db_dir)
-        if pqdb.exists and not self.config.ingest_from_scratch:
-            return pqdb
+        if pqdb.exists:
+            if not self.config.ingest_from_scratch:
+                return pqdb
+            # from-scratch means REBUILD: create() appends, so ingesting over
+            # the existing interim DB would silently duplicate every row
+            # under fresh ids
+            import shutil
+
+            shutil.rmtree(self.interim_db_dir, ignore_errors=True)
+            pqdb = PqDB(self.spark, self.interim_db_dir)
         df = self._read_raw(self.spark, self.raw_dir)
         pqdb.create(df)
         return pqdb

@@ -56,6 +56,8 @@ def write_table(
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    if fmt == "csv":
+    if fmt == "csv" and "header" not in options:
+        # default only — a caller's explicit header=false must survive
+        # (read_table applies the same setdefault discipline)
         writer = writer.option("header", "true")
     writer.format(fmt).save(path)

@@ -52,6 +52,10 @@ def _lattice_matrix(a, b, c, alpha, beta, gamma):
 def parse_cif_minimal(text: str) -> dict | None:
     """Minimal CIF subset: cell parameters + _atom_site loop with type symbol
     and fractional coordinates."""
+    # normalize line endings: the loop regex matches literal \n, and a CRLF
+    # file (CIFs zipped on Windows are routine) would otherwise fail every
+    # parse and silently ingest an empty dataset
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
     cell = {}
     for key, name in _CELL_KEYS.items():
         m = re.search(rf"{key}\s+([-\d.]+)", text)

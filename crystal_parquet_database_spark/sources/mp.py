@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.functions.nested import (
@@ -83,6 +83,13 @@ class MPLoader(BaseLoader):
                 for src, dst in _MP_DATA_MAP
             ]
         )
+        # guard the top-level columns the same way as the data fields —
+        # partial summary dumps (the exact case the per-field fallback
+        # exists for) may lack symmetry/has_props and must null-pad, not
+        # raise UNRESOLVED_COLUMN
+        def opt(name: str) -> Column:
+            return F.col(name) if name in present else F.lit(None)
+
         return df.select(
             F.lit(self.source_database).alias("source_database"),
             F.lit(self.source_dataset).alias("source_dataset"),
@@ -93,6 +100,6 @@ class MPLoader(BaseLoader):
             F.col("structure.lattice").alias("lattice"),
             F.col("structure").alias("structure"),
             data.alias("data"),
-            F.col("symmetry").alias("symmetry"),
-            F.col("has_props").alias("has_props"),
+            opt("symmetry").alias("symmetry"),
+            opt("has_props").alias("has_props"),
         )

@@ -396,8 +396,6 @@ def events_trending_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_events"))
     )
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("bucket").orderBy(F.desc("n_events"), F.asc("event_type"))
     return (
         cells.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -559,8 +557,10 @@ s AS (
   FROM h GROUP BY event_type
 )
 SELECT h.event_type, h.hour_ts, h.n,
-       CAST(h.n * s.k - s.s AS DOUBLE)
-         / SQRT(CAST(s.q * s.k - s.s * s.s AS DOUBLE)) AS z,
+       CASE WHEN s.q * s.k - s.s * s.s > 0
+            THEN CAST(h.n * s.k - s.s AS DOUBLE)
+                 / SQRT(CAST(s.q * s.k - s.s * s.s AS DOUBLE))
+            END AS z,
        (h.n * s.k - s.s) * (h.n * s.k - s.s) > 4 * (s.q * s.k - s.s * s.s)
          AS is_anomaly
 FROM h JOIN s USING (event_type)
@@ -595,7 +595,13 @@ def events_anomaly_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour_ts",
         "n",
-        (dev.cast("double") / F.sqrt(var_num.cast("double"))).alias("z"),
+        # zero variance (constant hourly counts, or a single observed hour)
+        # → z undefined → NULL, NOT a division: under the session's default
+        # ANSI mode x/0.0 is a hard SparkArithmeticException that would
+        # abort the whole report over one degenerate event type
+        F.when(
+            var_num > 0, dev.cast("double") / F.sqrt(var_num.cast("double"))
+        ).alias("z"),
         (dev * dev > 4 * var_num).alias("is_anomaly"),
     )
 

@@ -77,3 +77,21 @@ def test_lsh_collapse_exact_keeps_near_dup_pairs(spark):
     ).collect()
     # one pair: representative (min id 0) vs the near-dup text
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 100_000)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Regression: a chain longer than max_iter hops must RAISE, not return
+    silently split clusters (duplicates kept with no error)."""
+    import pytest
+
+    from crystal_parquet_database_spark.operators.dedup import connected_components
+
+    n = 12  # path graph 0-1-2-...-11: min label walks one hop per round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, "doc_id", max_iter=3)
+    ok = connected_components(edges, nodes, "doc_id", max_iter=25)
+    assert {r["cluster_id"] for r in ok.collect()} == {0}

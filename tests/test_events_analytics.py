@@ -225,3 +225,32 @@ def test_session_transitions_matrix_properties(spark, sf_dir):
         sums[r["from_type"]] += r["p"]
     for s in sums.values():
         assert abs(s - 1.0) < 1e-9
+
+
+def test_anomaly_zscore_zero_variance_is_null_not_error(spark, tmp_path):
+    """Regression: an event type with constant hourly counts (variance 0)
+    must yield NULL z — under ANSI mode the unguarded division was a hard
+    SparkArithmeticException that killed the whole report."""
+    import datetime as dt
+
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    rows = []
+    eid = 0
+    for h in range(3):  # 'steady' fires exactly twice every hour → var 0
+        for i in range(2):
+            rows.append((eid, dt.datetime(2024, 1, 1, h, i), 1, "steady", 1.0))
+            eid += 1
+    for h in range(9):  # 9 quiet hours, then a 20-event spike hour
+        rows.append((eid, dt.datetime(2024, 1, 1, h, 30), 2, "spiky", 1.0)); eid += 1
+    for i in range(20):
+        rows.append((eid, dt.datetime(2024, 1, 1, 9, i), 2, "spiky", 1.0)); eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).write.parquet(d + "/events.parquet")
+    out = QUERIES["events_anomaly_hourly_zscore"](spark, d).collect()
+    steady = [r for r in out if r["event_type"] == "steady"]
+    spiky = [r for r in out if r["event_type"] == "spiky"]
+    assert steady and all(r["z"] is None and not r["is_anomaly"] for r in steady)
+    assert any(r["z"] is not None for r in spiky)
+    assert any(r["is_anomaly"] for r in spiky)

@@ -247,3 +247,65 @@ def test_alexandria_datasource_list_shaped_entries(spark, tmp_path):
     rows = {r["entry_id"]: _json.loads(r["payload"]) for r in df.collect()}
     assert set(rows) == {"agm-100", "agm-101", "2"}
     assert rows["agm-101"]["data"]["e_form"] == -2.0
+
+
+def test_ingest_from_scratch_rebuilds_not_appends(spark, data_dir):
+    """Regression: ingest_from_scratch must REBUILD the interim PqDB.
+    create() appends, so re-ingesting over the existing DB would silently
+    duplicate every row under fresh ids."""
+    raw = os.path.join(data_dir, "alex", "3d", "raw")
+    os.makedirs(raw)
+    entries = [
+        {
+            "data": {
+                "mat_id": f"agm-{i}",
+                "band_gap_ind": 1.1, "band_gap_dir": 1.5, "dos_ef": 0.3,
+                "energy_total": -1.0 * i, "energy_corrected": -1.0 * i,
+                "e_form": -1.0, "e_above_hull": 0.0,
+                "e_phase_separation": 0.2, "total_mag": 2.0,
+            },
+            "structure": _structure(2, i),
+        }
+        for i in range(4)
+    ]
+    with open(os.path.join(raw, "alexandria_000.json"), "w") as f:
+        json.dump({"entries": entries}, f)
+
+    loader = get_loader(spark, "alex", "3d", LoaderConfig(data_dir=data_dir))
+    assert loader.run().count() == 4
+    # re-run from scratch: same 4 rows, not 8
+    loader.config.ingest_from_scratch = True
+    assert loader.run().count() == 4
+    ids = sorted(r["id"] for r in loader.ingest().read(columns=["id"]).collect())
+    assert ids == [0, 1, 2, 3]
+
+
+def test_index_pattern_not_greedy():
+    """Regression: a standard autoindex line repeats the filename in href AND
+    anchor text; a greedy pattern matched across the closing quote."""
+    from crystal_parquet_database_spark.sources.alexandria import INDEX_FILE_PATTERN
+
+    html = (
+        '<a href="alexandria_000.json.bz2">alexandria_000.json.bz2</a> '
+        '<a href="alexandria_001.json.bz2">alexandria_001.json.bz2</a>'
+    )
+    names = INDEX_FILE_PATTERN.findall(html)
+    assert sorted(set(names)) == ["alexandria_000.json.bz2", "alexandria_001.json.bz2"]
+
+
+def test_cif_parser_accepts_crlf():
+    """Regression: CIFs zipped on Windows arrive with CRLF line endings; the
+    loop regex previously failed every parse (silent empty ingest)."""
+    from crystal_parquet_database_spark.sources.mc3d import parse_cif_minimal
+
+    cif = (
+        "data_x\n_cell_length_a 4\n_cell_length_b 5\n_cell_length_c 6\n"
+        "_cell_angle_alpha 90\n_cell_angle_beta 90\n_cell_angle_gamma 90\n"
+        "loop_\n_atom_site_type_symbol\n_atom_site_fract_x\n"
+        "_atom_site_fract_y\n_atom_site_fract_z\nSi 0.25 0.25 0.25\n"
+    )
+    unix = parse_cif_minimal(cif)
+    crlf = parse_cif_minimal(cif.replace("\n", "\r\n"))
+    assert unix is not None and crlf is not None
+    assert crlf["species"] == unix["species"] == ["Si"]
+    assert crlf["lattice"]["volume"] == unix["lattice"]["volume"]

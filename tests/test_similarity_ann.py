@@ -269,3 +269,24 @@ def test_pq_encode_and_adc_recall(spark, sf_dir):
     n = emb.count()
     avg_recall = sum(r["recall_pq"] for r in rec) / len(rec)
     assert avg_recall > 10.0 / n * 3  # comfortably above random top-10 overlap
+
+
+def test_zero_norm_vector_nulls_out_instead_of_crashing(spark):
+    """Regression: one all-zero embedding (failed/padded row) must NULL out
+    of cosine comparisons (SQL division semantics), not abort the job with
+    ANSI DIVIDE_BY_ZERO."""
+    from crystal_parquet_database_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 0.0]),  # 3 = zero norm
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(corpus, corpus, "vec_id", "embedding", k=2).collect()
+    assert {r["query_id"] for r in out} == {1, 2, 3}  # job completed
+    # every pairing that involves the zero vector has NULL cos (undefined),
+    # and NULL never outranks a real similarity
+    for r in out:
+        if r["match_id"] == 3 or r["query_id"] == 3:
+            assert r["cos"] is None
+    best_1 = min(out, key=lambda r: r["rank"] if r["query_id"] == 1 else 99)
+    assert best_1["match_id"] == 2 and best_1["cos"] is not None
