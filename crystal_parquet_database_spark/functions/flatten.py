@@ -32,7 +32,19 @@ def _leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
 
 
 def flatten_structs(df: DataFrame) -> DataFrame:
-    """Struct fields → top-level dotted columns (`lattice.a`, ...)."""
+    """Struct fields → top-level dotted columns (`lattice.a`, ...).
+
+    Input must be the NESTED layout: a top-level column whose name itself
+    contains ``.`` (i.e. already-flat data) would be mis-split into a struct
+    path, so that case raises instead of producing a wrong projection —
+    already-flat frames simply don't need this call.
+    """
+    dotted = [c for c in df.columns if SEP in c]
+    if dotted:
+        raise ValueError(
+            f"input already has dotted top-level columns {dotted[:3]} — it is "
+            "in the flat layout; flatten_structs expects the nested layout"
+        )
     cols = []
     for path in _leaf_paths(df.schema):
         parts = path.split(SEP)
@@ -56,6 +68,16 @@ def unflatten_structs(df: DataFrame) -> DataFrame:
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
+            if isinstance(node, str):  # 'a' exists alongside 'a.b'
+                raise ValueError(
+                    f"column {name!r} conflicts with plain column {node!r} — "
+                    "a name cannot be both a leaf and a struct prefix"
+                )
+        if isinstance(node.get(parts[-1]), dict):
+            raise ValueError(
+                f"column {name!r} conflicts with nested columns under the "
+                "same prefix — a name cannot be both a leaf and a struct"
+            )
         node[parts[-1]] = name
 
     def build(node, path: str):

@@ -61,10 +61,16 @@ def pack_struct(df: DataFrame, cols: list[str], name: str, drop: bool = True) ->
 
 
 def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
-    """A13: bulk column rename (source → canonical field names)."""
-    for old, new in mapping.items():
-        df = df.withColumnRenamed(old, new)
-    return df
+    """A13: bulk column rename (source → canonical field names).
+
+    All renames apply SIMULTANEOUSLY in one projection — sequential
+    withColumnRenamed would cascade (mapping {"a": "b", "b": "c"} renames a's
+    output again; a swap mapping collapses both columns to one name)."""
+    out_names = [mapping.get(c, c) for c in df.columns]
+    dup = {n for n in out_names if out_names.count(n) > 1}
+    if dup:
+        raise ValueError(f"rename produces duplicate column names {sorted(dup)}")
+    return df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
 
 
 def constant_column(df: DataFrame, name: str, value) -> DataFrame:

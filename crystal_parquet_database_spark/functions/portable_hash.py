@@ -58,6 +58,15 @@ def sql_shingles(expr: str, k: int = 5) -> str:
     )
 
 
+# Cross-engine whitespace, ONE definition: Java regex \s (Spark's split)
+# includes vertical tab \x0b; RE2 \s (DuckDB's string_split_regex) does
+# not — 'a\x0bb' would tokenize differently per engine and flip every
+# word-level oracle hash. The Spark side therefore uses this EXPLICIT class,
+# which is exactly RE2's \s set, so the '\s+' the generated SQL uses means
+# the same thing.
+WS_RE = "[ \t\n\f\r]+"
+
+
 def spark_word_shingles(c: Column, n: int = 3, toks: Column | None = None) -> Column:
     """Distinct word n-gram shingles — the right unit for document dedup:
     char k-grams over a shared vocabulary give every pair ~0.2 background
@@ -71,7 +80,7 @@ def spark_word_shingles(c: Column, n: int = 3, toks: Column | None = None) -> Co
     split into the transform lambda makes Catalyst re-split the text for every
     element_at — measured ~3× slower end-to-end on the fixture corpus."""
     if toks is None:
-        toks = F.split(F.trim(c), r"\s+")
+        toks = F.split(F.trim(c), WS_RE)
 
     def gram(i: Column) -> Column:
         parts: list[Column] = []
@@ -105,7 +114,7 @@ def spark_word_ngrams(c: Column, n: int = 2, toks: Column | None = None) -> Colu
     shorter than ``n`` tokens contribute nothing (empty array), so counts are
     pure occurrence counts. Matches ``sql_word_ngrams``."""
     if toks is None:
-        toks = F.split(F.trim(c), r"\s+")
+        toks = F.split(F.trim(c), WS_RE)
 
     def gram(i: Column) -> Column:
         parts: list[Column] = []

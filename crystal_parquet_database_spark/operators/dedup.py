@@ -27,6 +27,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.functions.portable_hash import (
+    WS_RE,
     minhash_coeffs,
     P,
     spark_hash64,
@@ -76,7 +77,7 @@ def shingle_hashes(
     c = F.col(text_col)
     if unit == "word":
         # tokens materialized once per row (see spark_word_shingles PERF note)
-        df = df.withColumn("__toks", F.split(F.trim(c), r"\s+"))
+        df = df.withColumn("__toks", F.split(F.trim(c), WS_RE))
         sh = spark_word_shingles(c, k, toks=F.col("__toks"))
     else:
         sh = spark_shingles(c, k)
@@ -255,7 +256,7 @@ def simhash(
     c = F.col(text_col)
     d = df.repartition(n)
     if unit == "word":
-        d = d.withColumn("__toks", F.split(F.trim(c), r"\s+"))
+        d = d.withColumn("__toks", F.split(F.trim(c), WS_RE))
         sh = spark_word_shingles(c, k, toks=F.col("__toks"))
     else:
         sh = spark_shingles(c, k)

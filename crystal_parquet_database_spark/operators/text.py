@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.functions.portable_hash import (
+    WS_RE,
     spark_hash64,
     spark_shingles,
     spark_word_ngrams,
@@ -29,10 +30,13 @@ PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
 # The same character class as PUNCT_PATTERN's complement, spelled out for
 # F.translate — counting punctuation by deleting alnum+whitespace and taking
 # the remaining length is a per-char table lookup, measured ~8× faster than
-# regexp_count on this corpus. \x0b included to match Java's \s.
+# regexp_count on this corpus.
 import string as _string
 
-_ALNUM_WS = _string.ascii_letters + _string.digits + " \t\n\x0b\f\r"
+# \x0b deliberately EXCLUDED: the cross-engine whitespace set is RE2's \s
+# (see functions/portable_hash.WS_RE) and RE2 counts vertical tab as
+# punctuation — _ALNUM_WS must agree or punct ratios diverge from the oracle
+_ALNUM_WS = _string.ascii_letters + _string.digits + " \t\n\f\r"
 
 # Marker-word sets for the n-gram/stopword language heuristic. (The fixture
 # corpus is synthetic; what matters is that the score is a pure function of
@@ -49,7 +53,7 @@ LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # tie-break preference
 
 def ws_tokens(text: Column) -> Column:
     """Whitespace tokens of trimmed text."""
-    return F.split(F.trim(text), r"\s+")
+    return F.split(F.trim(text), WS_RE)  # explicit cross-engine class
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -148,7 +152,7 @@ def quality_score_pandas_udf(df: DataFrame, text_col: str, stopwords: list[str])
     # re.ASCII: Java's \s in the expression version is ASCII-only; Python's
     # default Unicode \s would count NBSP etc. differently.
     punct_re = re.compile(PUNCT_PATTERN, re.ASCII)
-    ws_re = re.compile(r"\s+", re.ASCII)
+    ws_re = re.compile("[ \t\n\f\r]+")  # same set as WS_RE
 
     @F.pandas_udf("double")
     def score(texts: pd.Series) -> pd.Series:

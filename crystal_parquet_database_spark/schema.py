@@ -192,6 +192,15 @@ def promote_type(a: T.DataType, b: T.DataType) -> T.DataType:
         return a
     an, bn = a.typeName(), b.typeName()
     if an in _NUMERIC_RANK and bn in _NUMERIC_RANK:
+        # Mixing an INTEGER family with a FLOATING family promotes to DOUBLE
+        # (verified Arrow promote_options='permissive' behavior: int64+float32
+        # and int32+float32 both yield double). Rank order alone would pick
+        # float over long — and casting stored longs to float silently
+        # corrupts any integer above 2^24 during the evolution rewrite.
+        a_int = _NUMERIC_RANK[an] <= 3
+        b_int = _NUMERIC_RANK[bn] <= 3
+        if a_int != b_int:
+            return T.DoubleType()
         return a if _NUMERIC_RANK[an] >= _NUMERIC_RANK[bn] else b
     if isinstance(a, T.StructType) and isinstance(b, T.StructType):
         fields = []

@@ -480,6 +480,10 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = ["the", "a", "key", "value", "of", "and"]
 _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
+# NOTE the 0.4/0.3/0.3 quality formula appears in THREE oracles (here,
+# _QFILTER_ORACLE, _CC_REP_ORACLE's _QUAL_EXPR_SQL) — all bind to the ONE
+# Spark implementation T.quality_features, so any drift in a copy fails its
+# query's hash gate immediately; edit all three in lockstep.
 _QUALITY_ORACLE = rf"""
 WITH f AS (
   SELECT doc_id,
@@ -999,14 +1003,14 @@ def text_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from crystal_parquet_database_spark.functions.portable_hash import sql_word_ngrams
 
-_NGRAM_ORACLE = f"""
+_NGRAM_TOPK_ORACLE = f"""
 WITH g AS (SELECT unnest({sql_word_ngrams('text', 2)}) AS gram FROM documents)
 SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY gram
 ORDER BY n_occurrences DESC, gram LIMIT 20
 """
 
 
-@query("text_ngram_topk", _NGRAM_ORACLE)
+@query("text_ngram_topk", _NGRAM_TOPK_ORACLE)
 def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.ngram_topk(docs, "text", n=2, k=20)
@@ -1073,7 +1077,7 @@ _DECON_COS = (
 # not an artificial eval×train quadratic).
 _DECON_EVAL_CAP = 500
 
-_DECON_ORACLE = f"""
+_EMB_DECON_ORACLE = f"""
 WITH e AS (SELECT vec_id AS eval_id, embedding AS evec FROM embeddings
            WHERE label = 0 AND vec_id < {_DECON_EVAL_CAP}),
 t AS (SELECT vec_id AS train_id, embedding AS tvec FROM embeddings WHERE label <> 0),
@@ -1092,7 +1096,7 @@ FROM e LEFT JOIN a USING (eval_id)
 """
 
 
-@query("sim_decontaminate_embeddings", _DECON_ORACLE)
+@query("sim_decontaminate_embeddings", _EMB_DECON_ORACLE)
 def sim_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval set = label 0 (broadcast); train = everything else (streams)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2065,8 +2069,10 @@ _BM25_PIV = ",\n    ".join(
 )
 _BM25_SCORE_SQL = " + ".join(f"COALESCE(c{i}, 0.0)" for i in range(_BM25_MAXT))
 
-_BM25_ORACLE = rf"""
-WITH q(query_id, term, idx) AS (VALUES {_BM25_VALUES}),
+# The full BM25 scoring CTE chain — ONE definition shared by the standalone
+# BM25 oracle and the hybrid-RRF oracle, so a formula change can never make
+# text_bm25_topk and text_hybrid_rrf_search silently disagree.
+_BM25_CORE_CTES = rf"""q(query_id, term, idx) AS (VALUES {_BM25_VALUES}),
 base AS (
   SELECT doc_id,
          CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS dl
@@ -2104,7 +2110,10 @@ piv AS (
   FROM comp JOIN q USING (term)
   GROUP BY query_id, doc_id
 ),
-sc AS (SELECT query_id, doc_id, {_BM25_SCORE_SQL} AS score FROM piv)
+sc AS (SELECT query_id, doc_id, {_BM25_SCORE_SQL} AS score FROM piv)"""
+
+_BM25_ORACLE = rf"""
+WITH {_BM25_CORE_CTES}
 SELECT query_id, doc_id, score, rank FROM (
   SELECT query_id, doc_id, score,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2565,45 +2574,7 @@ _RRF_QVEC: list[tuple[str, int]] = [
 _RRF_QVEC_VALUES = ", ".join(f"('{q}', {v})" for q, v in _RRF_QVEC)
 
 _HYBRID_ORACLE = rf"""
-WITH q(query_id, term, idx) AS (VALUES {_BM25_VALUES}),
-base AS (
-  SELECT doc_id,
-         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS dl
-  FROM documents
-),
-stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
-  FROM base
-),
-tok AS (
-  SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS term
-  FROM documents
-),
-tf AS (
-  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM tok WHERE term IN ({_BM25_TERMS_IN})
-  GROUP BY doc_id, term
-),
-dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
-comp AS (
-  SELECT tf.doc_id, tf.term,
-         ((CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
-            / (CAST(df_t AS DOUBLE) + 0.5))
-         * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
-            / (CAST(tf AS DOUBLE)
-               + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r}
-                 * (CAST(dl AS DOUBLE)
-                    / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-         AS comp
-  FROM tf JOIN base USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
-),
-piv AS (
-  SELECT query_id, doc_id,
-    {_BM25_PIV}
-  FROM comp JOIN q USING (term)
-  GROUP BY query_id, doc_id
-),
-sc AS (SELECT query_id, doc_id, {_BM25_SCORE_SQL} AS score FROM piv),
+WITH {_BM25_CORE_CTES},
 bm AS (
   SELECT query_id, doc_id, rank_b FROM (
     SELECT query_id, doc_id,

@@ -70,3 +70,20 @@ def test_pqdb_tuple_filters(spark):
 
         with pytest.raises(ValueError, match="unsupported filter op"):
             db.read(filters=[("x", "like", "%")])
+
+
+def test_flatten_guards_against_wrong_layout(spark):
+    """Regression: already-flat input (dotted top-level names) raised an
+    opaque AnalysisException or mangled columns; now a clear ValueError."""
+    import pytest
+
+    from crystal_parquet_database_spark.functions.flatten import (
+        flatten_structs, unflatten_structs,
+    )
+
+    flat = spark.range(1).selectExpr("1 as `lattice.a`", "2 as b")
+    with pytest.raises(ValueError, match="already has dotted"):
+        flatten_structs(flat)
+    conflict = spark.range(1).selectExpr("1 as a", "2 as `a.b`")
+    with pytest.raises(ValueError, match="conflicts"):
+        unflatten_structs(conflict)

@@ -402,3 +402,20 @@ def test_repetition_features_keeps_null_and_empty_docs(spark):
     assert out[2]["dup_word_frac"] == 0.0
     # trim("") splits to [""] — one (empty) token, defined fractions
     assert out[3]["n_words"] == 1 and out[3]["top_word_frac"] == 1.0
+
+
+def test_vertical_tab_tokenization_matches_duckdb(spark):
+    """Regression: Java regex \\s includes vertical tab, RE2's (DuckDB) does
+    not — the Spark side must use the explicit RE2-equivalent class (WS_RE)
+    so 'a\\x0bb' tokenizes identically in both engines."""
+    import duckdb
+
+    from crystal_parquet_database_spark.operators.text import token_counts
+
+    text = "alpha\x0bbeta gamma"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = token_counts(df, "text").collect()[0]
+    duck = duckdb.connect().execute(
+        r"SELECT len(string_split_regex(trim(?), '\s+'))", [text]
+    ).fetchone()[0]
+    assert row["n_ws_tokens"] == duck == 2  # 'alpha\x0bbeta' is ONE token

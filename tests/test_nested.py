@@ -86,3 +86,22 @@ def test_pack_struct_roundtrip(spark):
     assert out.columns == ["s"]
     row = out.collect()[0]
     assert row["s"]["a"] == 1 and row["s"]["b"] == "x"
+
+
+def test_rename_columns_simultaneous_no_cascade(spark):
+    """Regression: sequential withColumnRenamed cascades ({'a':'b','b':'c'}
+    renamed a's output twice; swaps collapsed columns). Renames apply
+    simultaneously; collisions raise."""
+    import pytest
+
+    from crystal_parquet_database_spark.functions.nested import rename_columns
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    out = rename_columns(df, {"a": "b", "b": "c"})
+    assert out.columns == ["b", "c"]
+    assert out.collect()[0].asDict() == {"b": 1, "c": 2}
+    swapped = rename_columns(df, {"a": "b", "b": "a"})
+    assert swapped.columns == ["b", "a"]
+    assert swapped.collect()[0].asDict() == {"b": 1, "a": 2}
+    with pytest.raises(ValueError, match="duplicate"):
+        rename_columns(df, {"a": "b"})  # collides with existing b

@@ -105,8 +105,14 @@ def test_promote_total_and_null_absorbing(a, b):
 def test_promote_numeric_widens(ts):
     a, b = ts
     m = promote_type(a, b)
-    rank = {"integer": 0, "long": 1, "float": 2, "double": 3}
-    assert rank[m.typeName()] == max(rank[a.typeName()], rank[b.typeName()])
+    ints = {"integer", "long"}
+    if (a.typeName() in ints) != (b.typeName() in ints):
+        # int×float mixes promote to DOUBLE (Arrow-permissive): picking
+        # float over long by rank would corrupt integers above 2^24
+        assert m.typeName() == "double"
+    else:
+        rank = {"integer": 0, "long": 1, "float": 2, "double": 3}
+        assert rank[m.typeName()] == max(rank[a.typeName()], rank[b.typeName()])
 
 
 def _py_morton(xs: list[int], bits: int) -> int:

@@ -3,6 +3,7 @@ crystpqdb/db.py:112-124 schema; loaders/base.py:210-216 unify/cast)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crystal_parquet_database_spark.schema import (
@@ -145,3 +146,39 @@ def test_roundtrip_canonical_record(spark):
     row = out.collect()[0]
     assert row["structure"]["sites"][0]["species"][0]["element"] == "Si"
     assert row["data"] is None and row["symmetry"] is None and row["has_props"] is None
+
+
+def test_int_float_mix_promotes_to_double(spark, db=None):
+    """Regression: long+float resolved to FLOAT by rank, and the evolution
+    rewrite cast stored longs to float — silently corrupting integers above
+    2^24. Arrow's permissive promotion (which this module mirrors) yields
+    DOUBLE for any int/float mix."""
+    from pyspark.sql import types as T
+
+    from crystal_parquet_database_spark.schema import promote_type
+
+    assert promote_type(T.LongType(), T.FloatType()) == T.DoubleType()
+    assert promote_type(T.FloatType(), T.LongType()) == T.DoubleType()
+    assert promote_type(T.IntegerType(), T.FloatType()) == T.DoubleType()
+    # same-family promotions keep rank semantics
+    assert promote_type(T.IntegerType(), T.LongType()) == T.LongType()
+    assert promote_type(T.FloatType(), T.DoubleType()) == T.DoubleType()
+    assert promote_type(T.LongType(), T.DoubleType()) == T.DoubleType()
+
+
+def test_db_long_plus_float_keeps_precision(spark, tmp_path):
+    """End-to-end: appending a float batch to a long column widens to double
+    and the rewritten history keeps 2^24+1 exact."""
+    from pyspark.sql import types as T
+
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "widen"))
+    db.create(spark.createDataFrame([(16777217,)], "v long"))
+    f = spark.createDataFrame([(0.5,)], "v double").select(
+        F.col("v").cast(T.FloatType()).alias("v")
+    )
+    db.create(f)
+    assert dict(db.read().dtypes)["v"] == "double"
+    vals = sorted(r["v"] for r in db.read(columns=["v"]).collect())
+    assert vals == [0.5, 16777217.0]  # float would have rounded to 16777216
