@@ -48,11 +48,17 @@ def salted_join(
             f"salted_join supports {sorted(allowed)} join types; {how!r} would "
             "duplicate unmatched small-side rows across salt replicas"
         )
-    # salt from the row *position*, not row content: the skew case routinely
-    # contains byte-identical hot rows, which a content hash would send to
-    # the same reducer, defeating the whole point
+    # salt from a DETERMINISTIC content hash of the whole row — never from
+    # row position (monotonically_increasing_id): position is fetch-order
+    # dependent on post-shuffle inputs, and under a partial stage retry rows
+    # can re-salt differently than the copies completed reducers already
+    # consumed — the SPARK-23207 class of silent row loss/duplication. A hot
+    # KEY's rows still spread (their non-key columns differ); only rows that
+    # are byte-identical in EVERY column co-locate, and those are exact
+    # duplicates an upstream dedup removes.
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)),
     )
     salts = big.sparkSession.range(n_salts).select(F.col("id").cast("long").alias("__salt"))
     salted_small = small.crossJoin(salts)
@@ -66,7 +72,11 @@ def salted_agg_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     does map-side partials — explicit salting matters for aggregates without
     partial forms (e.g. exact collect/distinct per key) or extreme single-key
     skew. Shown here for count/sum shapes."""
-    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    # deterministic content-hash salt for the same retry-safety reason as
+    # salted_join (a partial map-stage retry must re-salt identically)
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").cast("long").alias("n"))
 
@@ -122,9 +132,22 @@ def zorder_key(
         bits_per_dim = 63 // len(cols)
         if bits_per_dim < 1:
             raise ValueError(f"too many z-order columns ({len(cols)}) for a 64-bit key")
+    # Normalize every dimension to a double BEFORE the min/max scan so
+    # date/timestamp columns (textbook ZORDER dimensions) work — float() on a
+    # datetime aggregate raises TypeError.
+    def as_num(c: str):
+        dt = dict(df.dtypes)[c]
+        col = F.col(c)
+        if dt == "date":
+            return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("double")
+        if dt.startswith("timestamp"):
+            return F.unix_micros(col).cast("double")
+        return col.cast("double")
+
+    nums = {c: as_num(c) for c in cols}
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        aggs += [F.min(nums[c]).alias(f"__mn_{c}"), F.max(nums[c]).alias(f"__mx_{c}")]
     stats = df.agg(*aggs).first()
     nbuckets = 1 << bits_per_dim
     scaled = []
@@ -138,13 +161,14 @@ def zorder_key(
         mn = float(mn_raw)
         mx = float(mx_raw)
         span = (mx - mn) or 1.0
+        bucket = F.floor((nums[c] - F.lit(mn)) / F.lit(span) * nbuckets).cast("bigint")
         scaled.append(
-            F.least(
-                F.lit(nbuckets - 1),
-                F.floor(
-                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * nbuckets
-                ).cast("bigint"),
-            )
+            # NULL values take bucket 0, NOT the top bucket: F.least skips
+            # nulls, so least(nbuckets-1, NULL) would sort every null row to
+            # the far corner and pollute that corner's row-group stats
+            F.when(
+                bucket.isNull(), F.lit(0).cast("bigint")
+            ).otherwise(F.least(F.lit(nbuckets - 1).cast("bigint"), bucket))
         )
     z = F.lit(0).cast("bigint")
     for bit in range(bits_per_dim - 1, -1, -1):  # MSB first

@@ -36,7 +36,7 @@ from crystal_parquet_database_spark.surface import parsers  # noqa: E402,F401
 #   3. the 8 queries whose newest row is still r2 — round 5's backlog was
 #      undercounted (27 listed vs 35 actual) and these fell past position 50;
 #   4. re-verification of queries whose newest row is r3, heaviest first
-#      (33 of the 46 oracle-paired r3 queries fit; the 13 lightest plus the
+#      (31 of the 46 oracle-paired r3 queries fit; the 15 lightest plus the
 #      2 no-oracle r3 rows wait below the line and head the r7 window).
 # Every query stays registered every round — only iteration order changes.
 # (Round row map: README "Verification rotation".)
@@ -52,6 +52,8 @@ _VERIFY_FIRST = [
     "dedup_prefix_filter_pairs",     # PPJoin filters + safe-side ceil
     "dedup_semantic_semdedup",       # loser-expression simplification
     "events_anomaly_hourly_zscore",  # zero-variance z → NULL (both sides)
+    "stream_session_windows",        # oracle sid prefix-sum tiebreak
+    "agg_argmax_customer_per_nation",  # collision-free argmax key (both sides)
     # — 3: newest row is r2 (the undercounted round-5 tail — all 8) —
     "sample_global_shuffle",
     "sample_upsample_by_weight",
@@ -93,20 +95,19 @@ _VERIFY_FIRST = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
-    "sql_api_revenue_by_nation",
-    "agg_cube_lineitem",
-    # ——— the 50-query verification window ends HERE (5 new + 4 changed +
-    # 8 r2 refreshes + 33 r3 refreshes = exactly 50). Entries below get NO
+    # ——— the 50-query verification window ends HERE (5 new + 6 changed +
+    # 8 r2 refreshes + 31 r3 refreshes = exactly 50). Entries below get NO
     # row this round: first the r3 remainder (heads the r7 window), then
     # queries holding green r4/r5 rows. (Other queries touched by the
     # round-6 review fixes — pure-plan changes whose fixture output is
     # bit-identical, e.g. the cosine zero-norm guard and the pack-body
     # refactor — are re-proven by the local full driver simulation.)
+    "sql_api_revenue_by_nation",
+    "agg_cube_lineitem",
     "agg_grouping_sets_explicit",
     "agg_rollup_order_stats",
     "agg_value_histogram",
     "agg_percentiles_by_flag",
-    "agg_argmax_customer_per_nation",
     "agg_distinct_counts",
     "agg_having_brands",
     "join_right_customer_orders",

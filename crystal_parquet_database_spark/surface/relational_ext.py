@@ -74,7 +74,11 @@ def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass (no distinct-values pre-query)."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count().na.fill(0)
+        # fill scoped to the pivoted count columns: an unscoped na.fill(0)
+        # would also rewrite a NULL group KEY (user_id) to 0, merging it with
+        # a legitimate user 0 while the oracle's GROUP BY keeps NULL apart
+        ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+        .na.fill(0, _EVENT_TYPES)
     )
 
 
@@ -184,7 +188,10 @@ def join_range_bucketized_event_pairs(spark: SparkSession, sf_dir: str) -> DataF
             & (F.col("us_b") - F.col("us_a") <= width)
         )
         .select("user_id", "id_a", "id_b", (F.col("us_b") - F.col("us_a")).alias("gap_us"))
-        .distinct()
+        # no .distinct(): each qualifying pair joins exactly once — the right
+        # side carries ONE bucket and the left row's two exploded buckets are
+        # distinct values, so at most one satisfies the equi-join; a dedup
+        # here would re-shuffle the whole O(pairs) output for nothing
     )
 
 
@@ -250,9 +257,14 @@ def agg_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# key uniqueness requires the custkey term to stay below the balance
+# multiplier: 10^10 covers TPC-H custkeys past sf1000 (a 100000 multiplier
+# collided once custkey reached 100000 — two keys one balance-cent apart
+# could produce the same bigint and make arg_max engine-defined).
+# bal_cents ≤ ~10^8, so the product stays far under 2^63.
 _ARGMAX_ORACLE = """
 SELECT c_nationkey,
-       arg_max(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000 + c_custkey)
+       arg_max(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey)
            AS top_customer,
        MAX(c_acctbal) AS top_balance
 FROM customer GROUP BY c_nationkey
@@ -262,9 +274,13 @@ FROM customer GROUP BY c_nationkey
 @query("agg_argmax_customer_per_nation", _ARGMAX_ORACLE)
 def agg_argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/arg_max with a tie-proof key: balances carry 2 decimals, so
-    (balance×100)·10⁵ + custkey is an exact bigint with a unique max."""
+    (balance×100)·10¹⁰ + custkey is an exact bigint with a unique max (the
+    multiplier bounds custkey — see comment above the oracle)."""
     c = load_table(spark, sf_dir, "customer")
-    key = F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(100000) + F.col("c_custkey")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(10_000_000_000)
+        + F.col("c_custkey")
+    )
     return c.groupBy("c_nationkey").agg(
         F.max_by("c_name", key).alias("top_customer"),
         F.max("c_acctbal").alias("top_balance"),

@@ -53,7 +53,7 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_ORACLE = """
 WITH o AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
@@ -62,7 +62,10 @@ WITH o AS (
 ),
 g AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         -- the prefix sum MUST order by the same (ts, event_id) tiebreak as
+         -- the window that computed new_s: ts alone leaves tied rows in
+         -- arbitrary order and can split one session across two sids
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 )
@@ -96,7 +99,10 @@ def stream_first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DISTINCT_KEYS_ORACLE = """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
        time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
-       CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type) AS BIGINT)
+       -- row-value distinct, NOT a string concat: '||' nulls out whenever a
+       -- component is NULL, silently dropping NULL-keyed events the Spark
+       -- side (dropDuplicates on raw columns) counts
+       CAST(COUNT(DISTINCT (user_id, event_type)) AS BIGINT)
          AS n_distinct_keys
 FROM events
 GROUP BY 1, 2

@@ -41,7 +41,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # empty tasks per exchange at fixture scale. Only the untouched default
     # is lowered — an explicit user/cluster setting always wins (at real
     # scale shuffle parallelism is a deliberate cluster choice, not ours).
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    # "Explicit" is detected from the SparkConf the session was built with
+    # (builder .config()/spark-defaults land there; the runtime default
+    # does not), so a deliberate 200 — indistinguishable from the default
+    # by value alone — survives. A runtime spark.conf.set("...", "200")
+    # after session start is the one case still lowered; set it in the
+    # builder (get_spark(shuffle_partitions=200)) to pin it.
+    explicitly_set = (
+        spark.sparkContext.getConf().get("spark.sql.shuffle.partitions", None)
+        is not None
+    )
+    if not explicitly_set and spark.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    ) == "200":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     if name == "events":
         # The events fixture stores ts as parquet TIMESTAMP(NANOS), which the

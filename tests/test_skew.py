@@ -127,3 +127,27 @@ def test_zorder_key_all_null_and_empty_columns(spark):
     # and an empty frame works end to end
     empty, ekey = zorder_key(df.filter("x < 0"), ["x", "y"], bits_per_dim=8)
     assert empty.count() == 0
+
+
+def test_zorder_key_handles_dates_and_nulls(spark):
+    """Regression: zorder_key raised TypeError on date/timestamp dimensions
+    (float() on a datetime aggregate), and NULL values landed in the TOP
+    bucket because F.least skips nulls — they belong in a neutral low bucket."""
+    import datetime as dt
+
+    from crystal_parquet_database_spark.operators.skew import zorder_key
+
+    rows = [
+        (dt.date(2024, 1, 1), 0),
+        (dt.date(2024, 6, 1), 500),
+        (dt.date(2024, 12, 31), 999),
+        (None, 250),
+    ]
+    df = spark.createDataFrame(rows, "d date, x int")
+    out, col = zorder_key(df, ["d", "x"], bits_per_dim=8)
+    got = {(r["d"], r["x"]): r[col] for r in out.collect()}
+    assert all(v is not None for v in got.values())
+    # z-order is monotone along the diagonal of this data
+    assert got[(dt.date(2024, 1, 1), 0)] < got[(dt.date(2024, 12, 31), 999)]
+    # the NULL-date row must NOT exceed keys whose date bucket is maximal
+    assert got[(None, 250)] < got[(dt.date(2024, 12, 31), 999)]
