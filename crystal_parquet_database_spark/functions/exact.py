@@ -28,6 +28,14 @@ def rate(c: Column | str) -> Column:
     return F.col(c).cast(RATE) if isinstance(c, str) else c.cast(RATE)
 
 
+def disc_price(price: Column | str = "l_extendedprice", disc: Column | str = "l_discount") -> Column:
+    """TPC-H discounted price with the EXACT decimal shape every oracle
+    mirrors: money(price) * (1::decimal(5,2) - rate(disc)). One definition —
+    the expression is precision-critical, and per-query copies could drift."""
+    one = F.lit(1).cast(RATE)
+    return money(price) * (one - rate(disc))
+
+
 def dsum(c: Column) -> Column:
     """Exact sum of a decimal column, emitted as double."""
     return F.sum(c).cast("double")

@@ -20,11 +20,34 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters entries across scans in the plan."""
+    """All PushedFilters entries across scans in the plan.
+
+    Filters are split on TOP-LEVEL commas with bracket/paren balancing —
+    an entry like ``In(p_size, [1,10,5])`` contains both inner brackets
+    (which would stop a naive ``[^\\]]*`` capture early, silently dropping
+    every filter after it) and commas (which a plain split would shred
+    into fragments)."""
     plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    for m in re.finditer(r"PushedFilters: \[", plan):
+        i = m.end()
+        depth = 1  # inside the outer [
+        start = i
+        while i < len(plan) and depth:
+            ch = plan[i]
+            if ch in "[(":
+                depth += 1
+            elif ch in "])":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                if plan[start:i].strip():
+                    out.append(plan[start:i].strip())
+                start = i + 1
+            i += 1
+        if plan[start:i].strip():
+            out.append(plan[start:i].strip())
     return out
 
 
@@ -62,5 +85,24 @@ def num_shuffles(df: DataFrame) -> int:
 
 
 def codegen_spans(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans (wider is better for row pipelines)."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+    """Number of WholeStageCodegen subtrees (wider is better for row
+    pipelines). Two fixes over the original formatted-mode scan, which
+    ALWAYS returned 0: (a) formatted mode never prints 'WholeStageCodegen
+    (N)' — the codegen explain mode does; (b) under AQE the pre-execution
+    plan is an AdaptiveSparkPlan shell that also reports 0 subtrees, so the
+    plan is re-derived with AQE off (a folded-away no-op filter forces a
+    fresh planning pass under the temporary conf)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        d2 = df.where(F.lit(True))
+        s = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            d2._jdf.queryExecution(), "codegen"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", s)
+    return int(m.group(1)) if m else 0

@@ -48,7 +48,17 @@ def _read_bytes(path: str) -> bytes:
 class _AlexandriaReader(DataSourceReader):
     def __init__(self, options: dict):
         files = options.get("files", "")
-        self._files = [f for f in files.split(",") if f]
+        # strip per-entry whitespace: a human-formatted "a.json, b.json"
+        # would otherwise produce an unopenable " b.json" path executor-side
+        self._files = [f.strip() for f in files.split(",") if f.strip()]
+        if not self._files:
+            # fail on the DRIVER with a usable message — an empty partition
+            # list makes the engine call read(None), a cryptic executor
+            # AttributeError
+            raise ValueError(
+                "alexandria_json requires .option('files', "
+                "'<comma-separated paths or http(s) urls>')"
+            )
 
     def partitions(self) -> list[InputPartition]:
         # one partition per file — ingestion parallelism = file count,
@@ -57,7 +67,11 @@ class _AlexandriaReader(DataSourceReader):
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         raw = _read_bytes(partition.path)
-        if partition.path.endswith(".bz2"):
+        # detect compression on the PATH component only — a presigned URL's
+        # query string ('...json.bz2?X-Amz-Signature=...') hides the suffix
+        from urllib.parse import urlparse
+
+        if urlparse(partition.path).path.endswith(".bz2"):
             raw = bz2.decompress(raw)
         doc = json.loads(raw)
         # Canonical Alexandria shape (reference crystpqdb/loaders/

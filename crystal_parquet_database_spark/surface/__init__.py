@@ -36,7 +36,7 @@ from crystal_parquet_database_spark.surface import parsers  # noqa: E402,F401
 #   3. the 8 queries whose newest row is still r2 — round 5's backlog was
 #      undercounted (27 listed vs 35 actual) and these fell past position 50;
 #   4. re-verification of queries whose newest row is r3, heaviest first
-#      (31 of the 46 oracle-paired r3 queries fit; the 15 lightest plus the
+#      (29 of the 46 oracle-paired r3 queries fit; the 17 lightest plus the
 #      2 no-oracle r3 rows wait below the line and head the r7 window).
 # Every query stays registered every round — only iteration order changes.
 # (Round row map: README "Verification rotation".)
@@ -54,6 +54,8 @@ _VERIFY_FIRST = [
     "events_anomaly_hourly_zscore",  # zero-variance z → NULL (both sides)
     "stream_session_windows",        # oracle sid prefix-sum tiebreak
     "agg_argmax_customer_per_nation",  # collision-free argmax key (both sides)
+    "scalar_date_functions",         # month_start cast TIMESTAMP in oracle
+    "scalar_string_functions",       # NULL-faithful concat (both sides)
     # — 3: newest row is r2 (the undercounted round-5 tail — all 8) —
     "sample_global_shuffle",
     "sample_upsample_by_weight",
@@ -88,20 +90,20 @@ _VERIFY_FIRST = [
     "stream_enrich_static_join",
     "text_pack_sequences_sorted",
     "text_token_rarity_score",
-    "text_chunk_windows",
-    "sample_token_budget_mixture",
     "quality_profile_orders",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
-    # ——— the 50-query verification window ends HERE (5 new + 6 changed +
-    # 8 r2 refreshes + 31 r3 refreshes = exactly 50). Entries below get NO
+    # ——— the 50-query verification window ends HERE (5 new + 8 changed +
+    # 8 r2 refreshes + 29 r3 refreshes = exactly 50). Entries below get NO
     # row this round: first the r3 remainder (heads the r7 window), then
     # queries holding green r4/r5 rows. (Other queries touched by the
     # round-6 review fixes — pure-plan changes whose fixture output is
     # bit-identical, e.g. the cosine zero-norm guard and the pack-body
     # refactor — are re-proven by the local full driver simulation.)
+    "text_chunk_windows",
+    "sample_token_budget_mixture",
     "sql_api_revenue_by_nation",
     "agg_cube_lineitem",
     "agg_grouping_sets_explicit",

@@ -42,7 +42,9 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_name").alias("name_lower"),
         F.upper("p_type").alias("type_upper"),
         F.length("p_name").alias("name_len"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        # F.concat (not concat_ws): the oracle's || propagates NULL, while
+        # concat_ws silently DROPS null arguments — NULL-faithful on both sides
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
         F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
         F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).alias("brand_num"),
         F.regexp_replace("p_name", " ", "_").alias("name_snake"),
@@ -56,7 +58,9 @@ SELECT o_orderkey,
        CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
        CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
        CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
-       DATE_TRUNC('month', o_orderdate) AS month_start,
+       -- explicit TIMESTAMP: DuckDB's DATE_TRUNC('month', ts) returns DATE,
+       -- and only pandas' DATE->datetime64 rendering made the compare pass
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
        CAST(DATEDIFF('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002,
        CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m,
        CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end

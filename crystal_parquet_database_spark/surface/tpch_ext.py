@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crystal_parquet_database_spark.functions.exact import dsum, money, rate
+from crystal_parquet_database_spark.functions.exact import dsum, money, rate, disc_price
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table
 
@@ -89,7 +89,6 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    one = F.lit(1).cast("decimal(5,2)")
     joined = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -106,7 +105,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
-            (money("l_extendedprice") * (one - rate("l_discount"))).alias("dp"),
+            disc_price().alias("dp"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(dsum(F.col("dp")).alias("revenue"))
@@ -132,8 +131,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    one = F.lit(1).cast("decimal(5,2)")
-    dp = money("l_extendedprice") * (one - rate("l_discount"))
+    dp = disc_price()
     promo = F.when(F.col("p_type") == "ECONOMY", dp).otherwise(
         F.lit(0).cast("decimal(18,2)")
     )
@@ -216,8 +214,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     both join sides (pushed as a post-join filter; each disjunct prunable)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    one = F.lit(1).cast("decimal(5,2)")
-    dp = money("l_extendedprice") * (one - rate("l_discount"))
+    dp = disc_price()
 
     def disjunct(brand: str, smin: int, smax: int, qmin: int, qmax: int):
         return (
@@ -322,8 +319,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
-    one = F.lit(1).cast("decimal(5,2)")
-    dp = money("l_extendedprice") * (one - rate("l_discount"))
+    dp = disc_price()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -356,8 +352,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    one = F.lit(1).cast("decimal(5,2)")
-    dp = money("l_extendedprice") * (one - rate("l_discount"))
+    dp = disc_price()
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(dp).alias("total_revenue")
     )
