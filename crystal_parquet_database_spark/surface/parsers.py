@@ -30,12 +30,18 @@ _ELS = ["Si", "O", "Fe", "Al"]
 # 1.0, so v = sqrt(1 - ...) evaluates to exactly 1.0 and volume = a*b*c with
 # no rounding — both engines compute the identical integer-valued double.
 
+# Array outputs are serialized to comma-joined strings on BOTH sides: the
+# driver's canonicalizer sorts pandas rows with raw cell values, and list
+# cells are unhashable/unorderable there (the round-1 lesson re-learned in
+# round 6 — see relational.py's agg_collect_sorted_list for the pattern).
+
 _CIF_ORACLE = f"""
 SELECT doc_id AS cif_id,
        CAST(1 + doc_id % 4 AS INTEGER) AS n_sites,
-       list_transform(range(0, CAST(1 + doc_id % 4 AS INTEGER)),
-                      i -> (['Si','O','Fe','Al'])[CAST((doc_id + i) % 4 AS INTEGER) + 1])
-         AS species,
+       array_to_string(
+         list_transform(range(0, CAST(1 + doc_id % 4 AS INTEGER)),
+                        i -> (['Si','O','Fe','Al'])[CAST((doc_id + i) % 4 AS INTEGER) + 1]),
+         ',') AS species,
        CAST(4 + doc_id % 7 AS DOUBLE) AS a,
        CAST(5 + doc_id % 5 AS DOUBLE) AS b,
        CAST(6 + doc_id % 3 AS DOUBLE) AS c,
@@ -49,7 +55,7 @@ _CIF_OUT = T.StructType(
     [
         T.StructField("cif_id", T.LongType()),
         T.StructField("n_sites", T.IntegerType()),
-        T.StructField("species", T.ArrayType(T.StringType())),
+        T.StructField("species", T.StringType()),
         T.StructField("a", T.DoubleType()),
         T.StructField("b", T.DoubleType()),
         T.StructField("c", T.DoubleType()),
@@ -81,7 +87,7 @@ def _parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 (
                     int(cif_id),
                     len(rec["species"]),
-                    rec["species"],
+                    ",".join(rec["species"]),
                     lat["a"],
                     lat["b"],
                     lat["c"],
@@ -148,18 +154,21 @@ def cif_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NESTED_ORACLE = """
 SELECT doc_id,
        CAST(1 + doc_id % 5 AS INTEGER) AS n_sites,
-       list_transform(range(0, CAST(1 + doc_id % 5 AS INTEGER)),
-                      i -> (['Si','O','Fe','Al'])[CAST((doc_id + i) % 4 AS INTEGER) + 1])
-         AS first_elements,
-       flatten(list_transform(range(0, CAST(1 + doc_id % 5 AS INTEGER)),
-                              i -> CASE WHEN i % 2 = 0
-                                   THEN [(['Si','O','Fe','Al'])[CAST((doc_id + i) % 4 AS INTEGER) + 1]]
-                                   ELSE [(['Si','O','Fe','Al'])[CAST((doc_id + i) % 4 AS INTEGER) + 1], 'X']
-                                   END))
-         AS flat_elements,
-       list_transform(range(0, CAST(1 + doc_id % 5 AS INTEGER)),
-                      i -> 'site_' || CAST(i AS VARCHAR))
-         AS labels,
+       array_to_string(
+         list_transform(range(0, CAST(1 + doc_id % 5 AS INTEGER)),
+                        i -> (['Si','O','Fe','Al'])[CAST((doc_id + i) % 4 AS INTEGER) + 1]),
+         ',') AS first_elements,
+       array_to_string(
+         flatten(list_transform(range(0, CAST(1 + doc_id % 5 AS INTEGER)),
+                                i -> CASE WHEN i % 2 = 0
+                                     THEN [(['Si','O','Fe','Al'])[CAST((doc_id + i) % 4 AS INTEGER) + 1]]
+                                     ELSE [(['Si','O','Fe','Al'])[CAST((doc_id + i) % 4 AS INTEGER) + 1], 'X']
+                                     END)),
+         ',') AS flat_elements,
+       array_to_string(
+         list_transform(range(0, CAST(1 + doc_id % 5 AS INTEGER)),
+                        i -> 'site_' || CAST(i AS VARCHAR)),
+         ',') AS labels,
        (['Si','O','Fe','Al'])[CAST(doc_id % 4 AS INTEGER) + 1] AS first_site_el
 FROM documents
 """
@@ -200,9 +209,9 @@ def nested_struct_ops_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shaped.select(
         "doc_id",
         F.size("sites").alias("n_sites"),
-        N.site_elements("sites").alias("first_elements"),
-        N.site_elements_flat("sites").alias("flat_elements"),
-        N.list_struct_field("sites", "label").alias("labels"),
+        F.array_join(N.site_elements("sites"), ",").alias("first_elements"),
+        F.array_join(N.site_elements_flat("sites"), ",").alias("flat_elements"),
+        F.array_join(N.list_struct_field("sites", "label"), ",").alias("labels"),
         N.struct_field(
             F.element_at(F.element_at(F.col("sites"), 1).getField("species"), 1),
             "element",

@@ -72,7 +72,13 @@ def compare_query(
     spark: SparkSession, name: str, sf_dir: str, con=None
 ) -> tuple[bool, str]:
     """Returns (ok, message). Message contains the first few diffs on failure."""
-    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    from crystal_parquet_database_spark.surface.registry import assert_driver_safe_schema
+
+    frame = QUERIES[name](spark, sf_dir)
+    # fail the way the real driver would: its canon sorts raw cell values,
+    # so complex-typed top-level columns crash it before any comparison
+    assert_driver_safe_schema(name, frame)
+    spark_pdf = frame.toPandas()
     own_con = con is None
     if own_con:
         con = duckdb_connection(sf_dir)

@@ -56,10 +56,22 @@ def canon(pdf):
     pdf = pdf[sorted(pdf.columns)]
     return sorted(tuple(canon_cell(v) for v in r) for r in pdf.itertuples(index=False, name=None))
 
+from crystal_parquet_database_spark.surface.registry import assert_driver_safe_schema
+
 qs, os_ = ep.queries(), ep.oracle_sql()
 fails = []
 for name in sorted(qs):
-    sdf = qs[name](spark, SF).toPandas()
+    frame = qs[name](spark, SF)
+    if name in os_:
+        # the real driver's canon sorts RAW cell values — complex-typed
+        # top-level columns crash it; fail here the way the driver would
+        try:
+            assert_driver_safe_schema(name, frame)
+        except TypeError as e:
+            fails.append(name)
+            print(f"{name:45s} SCHEMA-GUARD {e}")
+            continue
+    sdf = frame.toPandas()
     if name in os_:
         ddf = con.sql(os_[name]).df()
         a, b = canon(sdf), canon(ddf)

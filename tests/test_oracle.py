@@ -27,3 +27,32 @@ def test_rows_only(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_driver_safe_schema_guard_trips_on_complex_columns(spark):
+    """The guard that prevents the round-1/round-6 regression: any
+    driver-gated query returning a top-level Array/Map/Struct column must be
+    rejected before it reaches the driver (whose canon dies on list cells)."""
+    from pyspark.sql import functions as F
+
+    from crystal_parquet_database_spark.surface.registry import (
+        assert_driver_safe_schema,
+    )
+
+    bad = spark.range(3).select("id", F.array(F.lit("a"), F.lit("b")).alias("xs"))
+    with pytest.raises(TypeError, match="complex-typed"):
+        assert_driver_safe_schema("deliberate_array_query", bad)
+    ok = bad.select("id", F.array_join("xs", ",").alias("xs"))
+    assert_driver_safe_schema("serialized_query", ok)
+
+
+def test_all_oracle_paired_schemas_driver_safe(spark):
+    """Sweep: no oracle-paired query may declare a complex-typed top-level
+    output column (plan analysis only, sf0.001 — no execution)."""
+    from crystal_parquet_database_spark.surface.registry import (
+        assert_driver_safe_schema,
+    )
+
+    tiny = "/root/testdata/sf0.001"
+    for name in sorted(ORACLES):
+        assert_driver_safe_schema(name, QUERIES[name](spark, tiny))
