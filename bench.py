@@ -200,20 +200,26 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     shared_now = prev_shared = None
-    try:
-        with open(detail_path) as fh:
-            prev_warm = json.load(fh).get("warm_queries", {})
-        common = [n for n in times if n in prev_warm]
-        if common:
-            shared_now = round(sum(times[n] for n in common), 4)
-            prev_shared = round(sum(prev_warm[n] for n in common), 4)
-    except (OSError, ValueError):
-        # BENCH_DETAIL.json is per-machine state (gitignored): first full run
-        # on a machine has no baseline — say so rather than silently omitting
-        print(
-            "bench: no prior BENCH_DETAIL.json — shared_with_prev omitted",
-            file=sys.stderr,
-        )
+    if not isolated:
+        # isolated probes cover only a subset — a subset total under the
+        # suite-comparison keys would read as suite-level progress, so the
+        # comparison is computed (and emitted below) only for full runs,
+        # mirroring the detail-file write guard
+        try:
+            with open(detail_path) as fh:
+                prev_warm = json.load(fh).get("warm_queries", {})
+            common = [n for n in times if n in prev_warm]
+            if common:
+                shared_now = round(sum(times[n] for n in common), 4)
+                prev_shared = round(sum(prev_warm[n] for n in common), 4)
+        except (OSError, ValueError):
+            # BENCH_DETAIL.json is per-machine state (gitignored): first full
+            # run on a machine has no baseline — say so rather than silently
+            # omitting
+            print(
+                "bench: no prior BENCH_DETAIL.json — shared_with_prev omitted",
+                file=sys.stderr,
+            )
 
     # The driver captures the tail of stdout and parses the FINAL line as the
     # headline JSON. Keep that line compact (contract keys only, value first);

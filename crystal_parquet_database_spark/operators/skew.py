@@ -18,6 +18,7 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    entropy_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join where ``big``'s key distribution is skewed.
 
@@ -32,6 +33,14 @@ def salted_join(
     for join types that preserve at most the big side: inner, left,
     left_semi, left_anti. right/full outer are rejected — an unmatched small
     row would survive once per salt replica.
+
+    The salt hashes ``entropy_cols`` (default: every column of ``big``), so
+    the mitigation only spreads a hot key whose rows DIFFER in those
+    columns. A frame already projected down to just the key — or carrying
+    byte-identical hot-key rows — gets one salt per key and the hot key
+    lands back on a single reducer. When a stable unique column exists (an
+    id, an event timestamp), pass it via ``entropy_cols`` explicitly rather
+    than relying on full-row entropy.
     """
     allowed = {
         "inner",
@@ -58,7 +67,10 @@ def salted_join(
     # duplicates an upstream dedup removes.
     salted_big = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in (entropy_cols or big.columns)]),
+            F.lit(n_salts),
+        ),
     )
     salts = big.sparkSession.range(n_salts).select(F.col("id").cast("long").alias("__salt"))
     salted_small = small.crossJoin(salts)
@@ -66,16 +78,28 @@ def salted_join(
     return out.drop("__salt")
 
 
-def salted_agg_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+def salted_agg_count(
+    df: DataFrame, key: str, n_salts: int = 16, entropy_cols: list[str] | None = None
+) -> DataFrame:
     """Two-phase aggregation for a skewed groupBy key: partial aggregate on
     (key, salt), then final aggregate on key. Spark's hash aggregate already
     does map-side partials — explicit salting matters for aggregates without
     partial forms (e.g. exact collect/distinct per key) or extreme single-key
-    skew. Shown here for count/sum shapes."""
+    skew. Shown here for count/sum shapes.
+
+    The salt hashes ``entropy_cols`` (default: every column), so the input
+    must carry columns that DISTINGUISH a hot key's rows — a frame projected
+    down to the key column alone gets a constant salt per key and the whole
+    hot key stays on one reducer. Pass a stable unique column (an id) via
+    ``entropy_cols`` when one exists."""
     # deterministic content-hash salt for the same retry-safety reason as
     # salted_join (a partial map-stage retry must re-salt identically)
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in (entropy_cols or df.columns)]),
+            F.lit(n_salts),
+        ),
     )
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").cast("long").alias("n"))
@@ -87,14 +111,23 @@ def write_bucketed(
     key: str,
     n_buckets: int = 8,
     sort_by: str | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed (and optionally sorted) table: joins and
     aggregations on ``key`` between co-bucketed tables need NO shuffle —
     the write pre-pays the exchange once. This is the 100 TB answer for
-    fact⋈fact joins repeated across a workload."""
+    fact⋈fact joins repeated across a workload.
+
+    ``path`` makes the table external at that location (scratch-dir friendly
+    for harnesses running under a bare session whose default warehouse dir
+    may not be writable); the previous registration is dropped first so
+    repeated runs don't collide on a stale catalog entry."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort_by:
         writer = writer.sortBy(sort_by)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 
@@ -141,6 +174,10 @@ def zorder_key(
         if dt == "date":
             return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("double")
         if dt.startswith("timestamp"):
+            # unix_micros takes TIMESTAMP only; NTZ columns reinterpret in
+            # the (UTC-pinned) session zone first — same instant, no shift
+            if dt == "timestamp_ntz":
+                col = col.cast("timestamp")
             return F.unix_micros(col).cast("double")
         return col.cast("double")
 

@@ -91,18 +91,32 @@ def codegen_spans(df: DataFrame) -> int:
     (N)' — the codegen explain mode does; (b) under AQE the pre-execution
     plan is an AdaptiveSparkPlan shell that also reports 0 subtrees, so the
     plan is re-derived with AQE off (a folded-away no-op filter forces a
-    fresh planning pass under the temporary conf)."""
+    fresh planning pass under the temporary conf).
+
+    NOT thread-safe: the AQE toggle is session-wide, so queries planned in
+    other threads during the window run with AQE off. This is an
+    inspection-only utility for tests and plan audits — never call it from
+    concurrent production paths.
+    """
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    key = "spark.sql.adaptive.enabled"
+    # restore faithfully: an originally-UNSET conf is unset again afterwards
+    # (conf.get would report the runtime default, so probe the explicit
+    # settings map instead of pinning an explicit 'true' that wasn't there)
+    was_set = bool(spark._jsparkSession.sessionState().conf().contains(key))
+    prev = spark.conf.get(key) if was_set else None
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(key, "false")
         d2 = df.where(F.lit(True))
         s = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             d2._jdf.queryExecution(), "codegen"
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        if was_set:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", s)
     return int(m.group(1)) if m else 0

@@ -26,101 +26,94 @@ from crystal_parquet_database_spark.surface import streaming  # noqa: E402,F401
 from crystal_parquet_database_spark.surface import events_analytics  # noqa: E402,F401
 from crystal_parquet_database_spark.surface import versioned  # noqa: E402,F401
 from crystal_parquet_database_spark.surface import parsers  # noqa: E402,F401
+from crystal_parquet_database_spark.surface import layout  # noqa: E402,F401
 
 # External correctness harnesses may check only the first N registered
 # queries per run (50 per round, in registration order). Rotate verification
-# coverage across rounds — round-6 window, in priority order:
-#   1. queries NEW this round (no row can exist yet);
-#   2. queries whose CODE changed this round (their green r4/r5 rows predate
-#      the change);
-#   3. the 8 queries whose newest row is still r2 — round 5's backlog was
-#      undercounted (27 listed vs 35 actual) and these fell past position 50;
-#   4. re-verification of queries whose newest row is r3, heaviest first
-#      (29 of the 46 oracle-paired r3 queries fit; the 17 lightest plus the
-#      2 no-oracle r3 rows wait below the line and head the r7 window).
+# coverage across rounds — round-7 window, in priority order:
+#   1. queries NEW this round (no row can exist yet) + the two round-6 RED
+#      rows, re-fixed this round (array outputs serialized — the r1 lesson);
+#   2. queries whose CODE changed after the round-6 window froze, so their
+#      green rows predate their current code (the r6 verdict's process gap):
+#      the salt-derivation rewrite, the na.fill scoping, and the
+#      disc_price()-refactored TPC-H tail holding r4 rows;
+#   3. the 16 oracle-paired queries whose newest row is still r3;
+#   4. fill to 50 with r4-row queries, heaviest / most load-bearing first.
+# Process rule (adopted per the r6 verdict): re-check this window against
+# the round's FINAL diff before round end — anything whose code changed
+# after the freeze moves into next round's category 2.
 # Every query stays registered every round — only iteration order changes.
 # (Round row map: README "Verification rotation".)
 _VERIFY_FIRST = [
-    # — 1: new in round 6 —
-    "scd2_asof_dimension",
-    "pqdb_update_delete_read",
-    "cif_parse_real",
-    "nested_struct_ops_real",
-    "multimodal_video_header_real",
-    # — 2: code changed in round 6 —
-    "multimodal_image_header_real",  # SOF2 arm + parser-first _decode_meta
-    "dedup_prefix_filter_pairs",     # PPJoin filters + safe-side ceil
-    "dedup_semantic_semdedup",       # loser-expression simplification
-    "events_anomaly_hourly_zscore",  # zero-variance z → NULL (both sides)
-    "stream_session_windows",        # oracle sid prefix-sum tiebreak
-    "agg_argmax_customer_per_nation",  # collision-free argmax key (both sides)
-    "scalar_date_functions",         # month_start cast TIMESTAMP in oracle
-    "scalar_string_functions",       # NULL-faithful concat (both sides)
-    # — 3: newest row is r2 (the undercounted round-5 tail — all 8) —
-    "sample_global_shuffle",
-    "sample_upsample_by_weight",
-    "stream_running_user_stats",
-    "stream_windowed_distinct_keys",
-    "text_chunk_dedup_ratio",
-    "text_dedup_chunks_keep_first",
-    "text_ngram_topk",
-    "text_pii_redact",
-    # — 4: newest row is r3; heaviest / most load-bearing plans first —
-    "dedup_incremental_new_vs_index",
-    "sim_ann_recall_at_k",
-    "sim_ann_multiprobe_topk",
-    "sim_label_centroid_outliers",
-    "events_retention_cohorts",
-    "events_multires_rollup",
-    "events_funnel_conversion",
-    "events_dau_wau",
-    "events_trending_types_hourly",
-    "join_asof_purchase_attribution",
-    "join_range_bucketized_event_pairs",
-    "join_anti_customers_without_orders",
-    "join_semi_recent_customers",
-    "join_full_nation_accounts",
-    "window_sessionize_events",
-    "window_range_frame_spend_30d",
-    "window_running_spend",
-    "window_topk_orders_per_customer",
-    "window_distribution_functions",
-    "stream_sliding_window_counts",
-    "stream_view_purchase_join",
-    "stream_enrich_static_join",
-    "text_pack_sequences_sorted",
-    "text_token_rarity_score",
-    "quality_profile_orders",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    # ——— the 50-query verification window ends HERE (5 new + 8 changed +
-    # 8 r2 refreshes + 29 r3 refreshes = exactly 50). Entries below get NO
-    # row this round: first the r3 remainder (heads the r7 window), then
-    # queries holding green r4/r5 rows. (Other queries touched by the
-    # round-6 review fixes — pure-plan changes whose fixture output is
-    # bit-identical, e.g. the cosine zero-norm guard and the pack-body
-    # refactor — are re-proven by the local full driver simulation.)
-    "text_chunk_windows",
-    "sample_token_budget_mixture",
-    "sql_api_revenue_by_nation",
+    # — 1: new in round 7 / re-fixed round-6 reds —
+    "layout_zorder_bucketed_join",  # NEW: B3 layout ops under the gate
+    "cif_parse_real",               # r6 RED → species array_join'd both sides
+    "nested_struct_ops_real",       # r6 RED → 3 array outputs serialized
+    # — 2: code changed after the r6 window froze (rows predate code) —
+    "join_salted_skew_agg",         # r5 row; wave-4 content-hash salting
+    "pivot_event_type_counts",      # r3 row; wave-4 na.fill scoping
+    "q7_nation_volume",             # r4 rows; wave-5 disc_price() refactor…
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    # — 3: newest row is r3 (the remaining 15 oracle-paired) —
     "agg_cube_lineitem",
+    "agg_distinct_counts",
     "agg_grouping_sets_explicit",
+    "agg_having_brands",
+    "agg_percentiles_by_flag",
     "agg_rollup_order_stats",
     "agg_value_histogram",
-    "agg_percentiles_by_flag",
-    "agg_distinct_counts",
-    "agg_having_brands",
     "join_right_customer_orders",
-    "pivot_event_type_counts",
+    "sample_token_budget_mixture",
     "setop_nation_coverage",
+    "sql_api_revenue_by_nation",
     "subquery_above_avg_customers",
+    "text_chunk_windows",
     "unpivot_part_metrics",
     "window_positional_values",
+    # — 4: r4-row refreshes, heaviest first (23 of 30 fit) —
+    "dedup_cluster_components",
+    "dedup_simhash_near_pairs",
+    "dedup_simhash_fingerprint",
+    "sim_ann_lsh_topk",
+    "dedup_minhash_lsh",
+    "q21_suppliers_kept_waiting",
+    "q18_large_volume_orders",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q16_parts_supplier_count",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
+    "dedup_ngram_jaccard",
+    "agg_approx_percentiles",
+    "sim_cosine_topk_bruteforce",
+    "events_path_regex_match",
+    "sample_source_cap",
+    "dedup_exact_text",
+    "agg_approx_count_distinct",
+    # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
+    # 9 code-changed + 15 r3 refreshes + 23 r4 refreshes = exactly 50).
+    # Entries below get NO row this round: first the 7 lightest r4-row
+    # queries, then the 2 no-oracle rows, then queries holding green r5/r6
+    # rows (newest first waits longest).
+    "agg_stats_moments",
+    "explode_embedding_components",
+    "join_cross_region_priority",
+    "sample_deterministic_stratified",
+    "scalar_higher_order_functions",
+    "setop_union_distinct_nations",
+    "sort_multikey_limit",
     "sim_ivf_topk",            # no_oracle: exact companion sim_ivf_recall_at_k
     "agg_hll_sketch_distinct",  # no_oracle: exact companion agg_hll_error_bound
-    # green r4/r5 rows —
+    # green r5 rows —
     "text_bm25_topk",
     "dedup_minhash_incremental",
     "text_bigram_fluency",

@@ -352,3 +352,29 @@ def test_scd2_upsert_releases_cache_and_checkpoint(spark, tmp_path):
         )
     assert db.read(columns=["id"]).count() == 20 + 3 * 20  # 3 closed epochs
     assert len(sc._jsc.sc().getRDDStorageInfo()) <= storage_before
+
+
+def test_fresh_dir_interleaved_invocations_stay_readable(spark, sf_dir):
+    """_fresh_dir gives every invocation its own counter-suffixed subdir, so
+    a harness that builds two lazy frames of the same gate query and executes
+    them out of order (or re-executes the first after the second's build)
+    still reads intact data — no execute-before-reinvoke assumption."""
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    q = QUERIES["scd2_asof_dimension"]
+    f1 = q(spark, sf_dir)
+    f2 = q(spark, sf_dir)  # builds a NEW scratch dir; must not wipe f1's
+    n2 = f2.count()
+    n1 = f1.count()  # deferred past the second invocation
+    assert n1 == n2 > 0
+    assert f1.count() == n1  # and re-execution still works
+
+
+def test_fresh_dir_unique_per_invocation():
+    from crystal_parquet_database_spark.surface.versioned import _fresh_dir
+
+    a, b = _fresh_dir("unittest_probe"), _fresh_dir("unittest_probe")
+    assert a != b
+    import os
+
+    assert os.path.isdir(a) and os.path.isdir(b)
