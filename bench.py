@@ -131,6 +131,10 @@ HEADLINE = [
     "cif_parse_real",
     "nested_struct_ops_real",
     "multimodal_video_header_real",
+    # round 7: physical-layout ops (z-order rewrite + bucketed join) benched
+    # end to end — the write IS the operator here, so its cost belongs in
+    # the headline
+    "layout_zorder_bucketed_join",
 ]
 
 

@@ -37,7 +37,9 @@ from crystal_parquet_database_spark.surface import layout  # noqa: E402,F401
 #      green rows predate their current code (the r6 verdict's process gap):
 #      the salt-derivation rewrite, the na.fill scoping, and the
 #      disc_price()-refactored TPC-H tail holding r4 rows;
-#   3. the 16 oracle-paired queries whose newest row is still r3;
+#   3. the oracle-paired queries whose newest row is still r3 — 16 total,
+#      one of which (pivot_event_type_counts) is counted in category 2
+#      because its code ALSO changed post-freeze, leaving 15 here;
 #   4. fill to 50 with r4-row queries, heaviest / most load-bearing first.
 # Process rule (adopted per the r6 verdict): re-check this window against
 # the round's FINAL diff before round end — anything whose code changed

@@ -40,7 +40,7 @@ from crystal_parquet_database_spark.operators.skew import (
     zorder_key,
 )
 from crystal_parquet_database_spark.surface.registry import query
-from crystal_parquet_database_spark.surface.versioned import _fresh_dir
+from crystal_parquet_database_spark.surface.scratch import fresh_dir
 from crystal_parquet_database_spark.tables import load_table
 
 _BUCKETED_ORACLE = """
@@ -67,7 +67,14 @@ def layout_zorder_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        and aggregate spend per market segment with the decimal-exact shape
        the oracle mirrors.
     """
-    base = _fresh_dir("layout_gate")
+    base = fresh_dir("layout_gate")
+    # per-invocation catalog names too: the scratch DIR is invocation-unique,
+    # and the table registrations must match — a fixed name would let a
+    # second invocation DROP + re-register the first's tables out from under
+    # a still-unexecuted frame
+    tag = os.path.basename(base)
+    orders_tbl = f"gate_orders_bucketed_{tag}"
+    customer_tbl = f"gate_customer_bucketed_{tag}"
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_totalprice", "o_orderdate"
     )
@@ -84,7 +91,7 @@ def layout_zorder_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten = spark.read.parquet(zdir)
     write_bucketed(
         rewritten,
-        "gate_orders_bucketed",
+        orders_tbl,
         "custkey",
         n_buckets=8,
         sort_by="custkey",
@@ -92,16 +99,14 @@ def layout_zorder_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_bucketed(
         customer,
-        "gate_customer_bucketed",
+        customer_tbl,
         "custkey",
         n_buckets=8,
         sort_by="custkey",
         path=os.path.join(base, "customer_bucketed"),
     )
 
-    joined = bucketed_join(
-        spark, "gate_orders_bucketed", "gate_customer_bucketed", "custkey"
-    )
+    joined = bucketed_join(spark, orders_tbl, customer_tbl, "custkey")
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         dsum(money("o_totalprice")).alias("total_spend"),
         F.count("*").alias("n_orders"),

@@ -17,37 +17,12 @@ fixtures.
 
 from __future__ import annotations
 
-import itertools
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.surface.registry import query
+from crystal_parquet_database_spark.surface.scratch import fresh_dir as _fresh_dir
 from crystal_parquet_database_spark.tables import load_table
-
-_invocations = itertools.count()
-_wiped_roots: set[str] = set()
-
-
-def _fresh_dir(name: str) -> str:
-    """A scratch dir for this query's on-disk PqDB: one per-process root per
-    query name (wiped once, at first use in the process, to clear any stale
-    prior-process leftovers), with a distinct counter-suffixed subdir per
-    INVOCATION. Earlier invocations' directories stay on disk for the life
-    of the process, so a harness that holds two lazy reads of the same query
-    and executes them out of order still reads intact data — no
-    execute-before-reinvoke assumption. Growth is bounded by invocations per
-    process (these gate PqDBs are fixture-sized)."""
-    root = os.path.join(tempfile.gettempdir(), f"pqdb_gate_{os.getpid()}", name)
-    if root not in _wiped_roots:
-        shutil.rmtree(root, ignore_errors=True)
-        _wiped_roots.add(root)
-    base = os.path.join(root, str(next(_invocations)))
-    os.makedirs(base, exist_ok=True)
-    return base
 
 _E1 = "2024-01-01 00:00:00"
 _E2 = "2024-02-01 00:00:00"

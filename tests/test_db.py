@@ -371,7 +371,7 @@ def test_fresh_dir_interleaved_invocations_stay_readable(spark, sf_dir):
 
 
 def test_fresh_dir_unique_per_invocation():
-    from crystal_parquet_database_spark.surface.versioned import _fresh_dir
+    from crystal_parquet_database_spark.surface.scratch import fresh_dir as _fresh_dir
 
     a, b = _fresh_dir("unittest_probe"), _fresh_dir("unittest_probe")
     assert a != b
