@@ -38,6 +38,16 @@ image_meta_struct = T.StructType(
 )
 
 
+def _as_bytes(b) -> bytes | None:
+    """Arrow hands binary cells to pandas as bytes/bytearray, and a NULL cell
+    as None (or float NaN through object columns). ``bytes(None)`` raises —
+    and one failed-upload row must not abort the whole job — so every op
+    routes its cell through this: None in, None out, marked downstream."""
+    if b is None or isinstance(b, float):
+        return None
+    return bytes(b)
+
+
 def _md5_ints(data: bytes, n: int) -> list[int]:
     """Deterministic pseudo-values from content bytes (the FAKE decode)."""
     out: list[int] = []
@@ -163,9 +173,13 @@ def with_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     out_schema = T.StructType(df.schema.fields + [T.StructField("meta", image_meta_struct)])
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        missing = {"mime": "image/missing", "width": None, "height": None, "n_bytes": None}
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["meta"] = [_decode_meta(bytes(b)) for b in pdf[content_col]]
+            pdf["meta"] = [
+                _decode_meta(data) if (data := _as_bytes(b)) is not None else missing
+                for b in pdf[content_col]
+            ]
             yield pdf
 
     return df.mapInPandas(op, schema=out_schema)
@@ -190,8 +204,12 @@ def image_features(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # plain lists, not ndarrays: a column mixing ndarray cells with a
+            # None (NULL content → NULL features) breaks Arrow's converter
             feats = [
-                np.array(_md5_ints(bytes(b), dim), dtype=np.float32) / 256.0
+                [x / 256.0 for x in _md5_ints(data, dim)]
+                if (data := _as_bytes(b)) is not None
+                else None
                 for b in pdf[content_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})
@@ -212,7 +230,10 @@ def resize_images(
         for pdf in batches:
             pdf = pdf.copy()
             pdf[content_col] = [
-                bytes(_md5_ints(bytes(b), width * height)) for b in pdf[content_col]
+                bytes(_md5_ints(data, width * height))
+                if (data := _as_bytes(b)) is not None
+                else None  # NULL content stays NULL
+                for b in pdf[content_col]
             ]
             yield pdf
 
@@ -291,18 +312,22 @@ def with_video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     out_schema = T.StructType(df.schema.fields + [T.StructField("meta", video_meta_struct)])
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        missing = {"mime": "video/missing", "brand": None, "duration_s": None, "n_bytes": None}
+
+        def meta_of(b) -> dict:
+            data = _as_bytes(b)  # bind once: the payload can be megabytes
+            if data is None:
+                return missing
+            return _parse_mp4_meta(data) or {
+                "mime": "video/fake",
+                "brand": None,
+                "duration_s": float(len(data)) / 1e6,
+                "n_bytes": len(data),
+            }
+
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["meta"] = [
-                _parse_mp4_meta(bytes(b))
-                or {
-                    "mime": "video/fake",
-                    "brand": None,
-                    "duration_s": float(len(bytes(b))) / 1e6,
-                    "n_bytes": len(bytes(b)),
-                }
-                for b in pdf[content_col]
-            ]
+            pdf["meta"] = [meta_of(b) for b in pdf[content_col]]
             yield pdf
 
     return df.mapInPandas(op, schema=out_schema)
@@ -332,7 +357,10 @@ def sample_video_frames(
         for pdf in batches:
             ids, idxs, feats = [], [], []
             for vid, b in zip(pdf[id_col], pdf[content_col]):
-                raw = _md5_ints(bytes(b), n_frames * frame_dim)
+                data = _as_bytes(b)
+                if data is None:
+                    continue  # NULL content → no frames (explode-shaped op)
+                raw = _md5_ints(data, n_frames * frame_dim)
                 for i in range(n_frames):
                     ids.append(vid)
                     idxs.append(i)
@@ -340,7 +368,12 @@ def sample_video_frames(
                         np.array(raw[i * frame_dim : (i + 1) * frame_dim], dtype=np.float32)
                         / 256.0
                     )
-            yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame_features": feats})
+            if ids:  # an all-NULL batch yields nothing — an empty pandas
+                # frame's columns default to float64, which Arrow cannot
+                # convert to the declared list<float>/struct fields
+                yield pd.DataFrame(
+                    {id_col: ids, "frame_index": idxs, "frame_features": feats}
+                )
 
     return df.mapInPandas(op, schema=out_schema)
 
@@ -370,11 +403,15 @@ def _parse_wav_header(data: bytes) -> dict | None:
     ):
         n_channels = int.from_bytes(data[22:24], "little")
         sample_rate = int.from_bytes(data[24:28], "little")
+        block_align = int.from_bytes(data[32:34], "little")
         bits = int.from_bytes(data[34:36], "little")
         # clamp the declared data size to the bytes actually present so a
         # truncated file doesn't report inflated n_samples/duration_s
         data_size = min(int.from_bytes(data[40:44], "little"), len(data) - 44)
-        bytes_per_frame = max(1, n_channels * max(bits, 8) // 8)
+        # the fmt chunk's own block-align is the authoritative frame size
+        # (bits not divisible by 8 pad up to whole container bytes); fall
+        # back to the ceil-computed size when the field is zeroed out
+        bytes_per_frame = block_align or max(1, n_channels * ((max(bits, 8) + 7) // 8))
         n_samples = data_size // bytes_per_frame
         return {
             "mime": "audio/wav",
@@ -411,7 +448,9 @@ def audio_chunk_energy(
         for pdf in batches:
             ids, metas, idxs, energies = [], [], [], []
             for aid, b in zip(pdf[id_col], pdf[content_col]):
-                data = bytes(b)
+                data = _as_bytes(b)
+                if data is None:
+                    continue  # NULL content → no chunks (explode-shaped op)
                 meta = _parse_wav_header(data) or {
                     "mime": "audio/fake",
                     "sample_rate": 16000,
@@ -425,9 +464,10 @@ def audio_chunk_energy(
                     metas.append(meta)
                     idxs.append(i)
                     energies.append(float(sum(chunk)) / len(chunk))
-            yield pd.DataFrame(
-                {id_col: ids, "meta": metas, "chunk_index": idxs, "energy": energies}
-            )
+            if ids:  # see sample_video_frames: empty frames break Arrow
+                yield pd.DataFrame(
+                    {id_col: ids, "meta": metas, "chunk_index": idxs, "energy": energies}
+                )
 
     return df.mapInPandas(op, schema=out_schema)
 

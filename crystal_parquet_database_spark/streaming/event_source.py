@@ -43,13 +43,18 @@ _EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
 
 def _row(i: int) -> tuple:
-    # pure function of the index — replaying an offset range is exact
+    # pure function of the index — replaying an offset range is exact.
+    # event_type comes from a SECOND LCG draw: with one draw, user_id = h%150
+    # and type = h%5 are locked together (5 divides 150), so every user would
+    # emit exactly one event type forever and no cross-type behavior (funnels,
+    # view→purchase joins) could ever fire on this source.
     h = (1103515245 * i + 12345) % (1 << 31)
+    h2 = (1103515245 * h + 12345) % (1 << 31)
     return (
         i,
         _EPOCH + dt.timedelta(seconds=i * 7),
         h % 150,
-        _TYPES[h % len(_TYPES)],
+        _TYPES[h2 % len(_TYPES)],
         float(h % 10_000) / 100.0,
     )
 

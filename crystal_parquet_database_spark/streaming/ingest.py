@@ -20,6 +20,7 @@ cost stays flat as the dataset grows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.db import PqDB
 from crystal_parquet_database_spark.runtime import release_local_checkpoint
@@ -43,8 +44,18 @@ def stream_ingest_into_pqdb(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([key_col])
         if db.exists:
-            existing = db.read(columns=[key_col])
-            batch = batch.join(existing, key_col, "left_anti")
+            # NULL-SAFE anti-join: plain key equality never matches NULL, so
+            # a replayed batch's NULL-key row would be re-appended on every
+            # replay — breaking exactly-once for exactly one key. eqNullSafe
+            # still plans as a hash equi-join; left_anti keeps batch columns.
+            existing = db.read(columns=[key_col]).withColumnRenamed(
+                key_col, "__existing_key"
+            )
+            batch = batch.join(
+                existing,
+                F.col(key_col).eqNullSafe(F.col("__existing_key")),
+                "left_anti",
+            )
         # materialize the dedupe+anti-join ONCE: the emptiness probe and
         # create()'s write would otherwise each re-run the whole pipeline
         # (including the growing key-column scan)

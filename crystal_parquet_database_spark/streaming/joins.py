@@ -12,11 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _with_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
-    if df.isStreaming and delay is not None:
-        return df.withWatermark(ts_col, delay)
-    return df
+from crystal_parquet_database_spark.streaming import with_watermark
 
 
 def view_purchase_pairs(
@@ -37,14 +33,14 @@ def view_purchase_pairs(
     stream length. Batch semantics are the plain time-range join (the DuckDB
     oracle mirrors it exactly).
     """
-    v = _with_watermark(
+    v = with_watermark(
         df.filter(F.col("event_type") == "view"), ts_col, watermark
     ).select(
         F.col("event_id").alias("view_id"),
         F.col("user_id"),
         F.col(ts_col).alias("view_ts"),
     )
-    p = _with_watermark(
+    p = with_watermark(
         df.filter(F.col("event_type") == "purchase"), ts_col, watermark
     ).select(
         F.col("event_id").alias("purchase_id"),

@@ -46,6 +46,14 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     On a stream: incremental per-key state, one output row per key per batch
     (update mode). On a batch frame: falls back to a plain aggregation with
     identical output — the replay path.
+
+    NaN contract: a NaN ``value`` is treated as MISSING (like NULL) in both
+    paths. The streaming path cannot do otherwise — Arrow hands the pandas
+    UDF NULL and NaN as the same float NaN, so pandas ``dropna`` removes
+    both — and SQL's NaN propagation (sum→NaN, max→NaN-as-greatest) would
+    therefore silently diverge between the paths. The batch replay maps
+    NaN→NULL before aggregating so the declared equivalence holds on ANY
+    input, not just NaN-free fixtures.
     """
     if not events.isStreaming:
         from pyspark.sql import functions as F
@@ -55,7 +63,8 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         # decimal-routed sum: exact, order-independent, SQL-oracle-checkable
         # (the streaming path accumulates in float — equality within fp noise
         # is pinned in tests/test_stateful_streaming.py)
-        return events.groupBy("user_id").agg(
+        v = F.when(F.isnan("value"), F.lit(None)).otherwise(F.col("value"))
+        return events.withColumn("value", v).groupBy("user_id").agg(
             F.count("*").alias("n_events"),
             dsum_of_double("value", "decimal(18,6)").alias("total_value"),
             F.max("value").alias("max_value"),

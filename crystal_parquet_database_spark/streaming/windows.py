@@ -16,11 +16,7 @@ from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.functions.exact import dsum_of_double
 
-
-def _with_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
-    if df.isStreaming and delay is not None:
-        return df.withWatermark(ts_col, delay)
-    return df
+from crystal_parquet_database_spark.streaming import with_watermark
 
 
 def tumbling_counts(
@@ -31,7 +27,7 @@ def tumbling_counts(
     watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Tumbling-window counts + exact value sums per key."""
-    df = _with_watermark(df, ts_col, watermark)
+    df = with_watermark(df, ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, width).alias("w"), key_col)
         .agg(
@@ -56,7 +52,7 @@ def sliding_counts(
     watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Sliding-window event counts (each event lands in width/slide windows)."""
-    df = _with_watermark(df, ts_col, watermark)
+    df = with_watermark(df, ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, width, slide).alias("w"))
         .agg(F.count("*").alias("n_events"))
@@ -80,7 +76,7 @@ def session_windows(
     Spark's session_window end = last event + gap (the batch/SQL mirror is
     max(ts) + gap over gaps-and-islands groups).
     """
-    df = _with_watermark(df, ts_col, watermark)
+    df = with_watermark(df, ts_col, watermark)
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
         .agg(F.count("*").alias("n_events"))
@@ -110,7 +106,7 @@ def first_event_per_key(
     (ts, id) — the replay/backfill form.
     """
     if df.isStreaming:
-        dfw = _with_watermark(df, ts_col, watermark)
+        dfw = with_watermark(df, ts_col, watermark)
         if watermark is not None:
             return dfw.dropDuplicatesWithinWatermark(list(keys))
         return dfw.dropDuplicates(list(keys))
@@ -138,7 +134,7 @@ def windowed_distinct_keys(
     supported for append output with event-time watermarks. The identical
     plan runs in batch for replay/backfill.
     """
-    df = _with_watermark(df, ts_col, watermark)
+    df = with_watermark(df, ts_col, watermark)
     deduped = df.select(
         F.window(ts_col, width).alias("w"), *key_cols
     ).dropDuplicates(["w", *key_cols])
@@ -173,7 +169,7 @@ def windowed_approx_distinct(
     associatively (the same property that makes the batch sketch mergeable
     across days), watermark evicts window state, and the output row is one
     bigint per window."""
-    df = _with_watermark(df, ts_col, watermark)
+    df = with_watermark(df, ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, width).alias("w"))
         .agg(

@@ -61,6 +61,21 @@ _VERIFY_FIRST = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q19_disjunctive_revenue",
+    # — 2b: code changed IN round 7 (the review-wave fixes: NaN-as-missing
+    # contract in the stateful batch replay, NULL-key exact count in the
+    # approx-distinct check, shared sessionizer extraction, persist() swap
+    # in the rollup ladder, WAV block-align + NULL-content guards in the
+    # multimodal ops) — rows must postdate the code per the r6 process rule —
+    "stream_running_user_stats",
+    "stream_windowed_approx_distinct",
+    "window_sessionize_events",
+    "events_funnel_sessionized",
+    "events_session_transitions",
+    "events_multires_rollup",
+    "multimodal_audio_pipeline",
+    "multimodal_image_pipeline",
+    "multimodal_video_header_real",
+    "multimodal_image_header_real",
     # — 3: newest row is r3 (the remaining 15 oracle-paired) —
     "agg_cube_lineitem",
     "agg_distinct_counts",
@@ -77,7 +92,7 @@ _VERIFY_FIRST = [
     "text_chunk_windows",
     "unpivot_part_metrics",
     "window_positional_values",
-    # — 4: r4-row refreshes, heaviest first (23 of 30 fit) —
+    # — 4: r4-row refreshes, heaviest first (13 of 30 fit) —
     "dedup_cluster_components",
     "dedup_simhash_near_pairs",
     "dedup_simhash_fingerprint",
@@ -91,6 +106,15 @@ _VERIFY_FIRST = [
     "q12_priority_shipping",
     "q13_customer_distribution",
     "q16_parts_supplier_count",
+    # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
+    # 9 code-changed-post-r6-freeze + 10 code-changed-in-r7 + 15 r3
+    # refreshes + 13 r4 refreshes = exactly 50). Entries below get NO row
+    # this round: first the 17 lightest r4-row queries (their code is
+    # unchanged — a changed query always outranks a stale refresh), then
+    # the 2 no-oracle rows, then queries holding green r5/r6 rows.
+    # (Queries touched only by the behavior-identical with_watermark helper
+    # rename — the stream join/window families — are re-proven by the local
+    # full driver simulation; their green rows stand.)
     "q17_small_quantity_revenue",
     "q20_potential_promotion",
     "q22_global_sales_opportunity",
@@ -101,11 +125,6 @@ _VERIFY_FIRST = [
     "sample_source_cap",
     "dedup_exact_text",
     "agg_approx_count_distinct",
-    # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
-    # 9 code-changed + 15 r3 refreshes + 23 r4 refreshes = exactly 50).
-    # Entries below get NO row this round: first the 7 lightest r4-row
-    # queries, then the 2 no-oracle rows, then queries holding green r5/r6
-    # rows (newest first waits longest).
     "agg_stats_moments",
     "explode_embedding_components",
     "join_cross_region_priority",
@@ -120,18 +139,13 @@ _VERIFY_FIRST = [
     "dedup_minhash_incremental",
     "text_bigram_fluency",
     "agg_cms_heavy_hitters",
-    "stream_windowed_approx_distinct",
     "dedup_cluster_representatives",
     "sim_pq_recall_at_k",
     "text_hybrid_rrf_search",
-    "events_session_transitions",
     "dedup_containment_pairs",
     "sim_ivf_recall_at_k",
     "agg_hll_error_bound",
-    "events_funnel_sessionized",
     "llm_corpus_pipeline",
-    "multimodal_image_pipeline",
-    "multimodal_audio_pipeline",
     "stream_view_purchase_left_join",
     "stream_view_purchase_full_join",
     "agg_kll_quantile_bound",

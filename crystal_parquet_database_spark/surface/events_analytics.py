@@ -158,22 +158,18 @@ def events_funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three stage aggregations ride the same user_id-rooted shuffle
     family, and per-session state is bounded by one user's events — no
     corpus-wide window anywhere."""
+    from crystal_parquet_database_spark.operators.sessionize import with_session_seq
+
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap (sub-second parts are real in the fixture; a
-    # seconds cast could flip a gap within 1s of the session cut)
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     # visit granularity: an 8h inactivity gap opens a session. The fixture's
     # per-user event density makes 30-min product sessions almost never hold
     # a full 3-stage funnel (last stage = 0 rows — no evidence); 8h exercises
     # identical machinery with every stage populated.
-    new_s = F.when(gap.isNull() | (gap >= _SFUNNEL_GAP_MIN * 60 * 1_000_000), 1).otherwise(0)
-    sess = e.withColumn(
-        "session_seq",
-        F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    ).select("user_id", "session_seq", "event_type", "ts")
+    sess = with_session_seq(e, gap_minutes=_SFUNNEL_GAP_MIN).select(
+        "user_id", "session_seq", "event_type", "ts"
+    )
     key = ["user_id", "session_seq"]
     v = (
         sess.filter(F.col("event_type") == "view")
@@ -297,14 +293,21 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
         )
-        # 3 consumers (emit + hour + transitively day): materialize the
-        # narrow partial table once instead of re-scanning raw events
-        .localCheckpoint(eager=True)
+        # 3 consumers (emit + hour + transitively day): cache the narrow
+        # partial table so one execution computes it once instead of
+        # re-scanning raw events. persist(), NOT localCheckpoint: it is lazy
+        # (building this frame for plan inspection runs zero jobs), keeps
+        # lineage so the block manager may evict the blocks under pressure
+        # and recompute, and a released/evicted cache can never invalidate a
+        # still-held frame — the exact failure classes the eager-checkpoint
+        # form had (blocks pinned non-evictably until JVM GC, two jobs at
+        # build time).
+        .persist()
     )
     hour = (
         minute.groupBy(F.date_trunc("hour", F.col("bucket_start")).alias("bucket_start"))
         .agg(F.sum("n_events").alias("n_events"), F.sum("__s").alias("__s"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     day = hour.groupBy(
         F.date_trunc("day", F.col("bucket_start")).alias("bucket_start")
@@ -656,18 +659,12 @@ def events_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the sessionizer window, the LEAD, and the pair counting all
     ride one user_id-rooted shuffle family with map-side partials; no window
     wider than one user, output bounded at |event_type|² rows."""
+    from crystal_parquet_database_spark.operators.sessionize import with_session_seq
+
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    new_s = F.when(
-        gap.isNull() | (gap >= _TRANS_GAP_MIN * 60 * 1_000_000), 1
-    ).otherwise(0)
-    sess = e.withColumn(
-        "session_seq",
-        F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0)),
-    )
+    sess = with_session_seq(e, gap_minutes=_TRANS_GAP_MIN)
     w2 = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
     pairs = (
         sess.select(

@@ -607,15 +607,11 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the running sum of the new-session flag numbers sessions per user. Both
     windows share one (user_id) shuffle — per-user event counts are bounded,
     so no skew; the output feeds per-session feature generation downstream."""
+    from crystal_parquet_database_spark.operators.sessionize import with_session_seq
+
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap: the fixture timestamps carry sub-second parts, so
-    # a seconds-cast would truncate and could flip a gap within 1s of the cut
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    new_s = F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
-    return e.withColumn(
-        "session_seq",
-        F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+    return with_session_seq(e, gap_minutes=30).withColumn(
+        "session_seq", F.col("session_seq").cast("int")
     )
 
 

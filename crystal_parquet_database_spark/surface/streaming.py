@@ -263,7 +263,11 @@ def stream_windowed_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFra
         ev.select(F.window("ts", "5 minutes").alias("w"), "user_id")
         .dropDuplicates(["w", "user_id"])
         .groupBy(F.col("w.start").alias("window_start"))
-        .agg(F.count("*").cast("bigint").alias("exact_keys"))
+        # count(user_id), not count(*): dropDuplicates keeps one NULL-key row
+        # per window, but COUNT(DISTINCT user_id) — the oracle — and
+        # hll_sketch_agg both ignore NULL keys; count(*) would be off by one
+        # on any window containing a NULL user_id
+        .agg(F.count("user_id").cast("bigint").alias("exact_keys"))
     )
     return est.join(exact, "window_start").select(
         "window_start",

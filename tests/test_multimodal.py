@@ -335,3 +335,57 @@ def test_parse_mp4_moov_itself_largesize(spark=None):
     )
     meta = M._parse_mp4_meta(ftyp + large_moov)
     assert meta["duration_s"] == 3.0
+
+
+def test_null_content_marks_not_crashes(spark):
+    """A NULL binary cell (a failed-upload row) must not abort the job: the
+    per-row ops mark it (missing meta / NULL features / NULL content) and the
+    explode-shaped ops simply emit nothing for it."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, b"some real bytes"), (2, None)], schema)
+
+    metas = {r["image_id"]: r["meta"] for r in M.with_image_meta(df).collect()}
+    assert metas[2]["mime"] == "image/missing" and metas[2]["n_bytes"] is None
+    assert metas[1]["mime"] != "image/missing"
+
+    feats = {r["image_id"]: r["features"] for r in M.image_features(df).collect()}
+    assert feats[2] is None and feats[1] is not None
+
+    resized = {r["image_id"]: r["content"] for r in M.resize_images(df).collect()}
+    assert resized[2] is None and resized[1] is not None
+
+    vdf = df.withColumnRenamed("image_id", "video_id")
+    vmetas = {r["video_id"]: r["meta"] for r in M.with_video_meta(vdf).collect()}
+    assert vmetas[2]["mime"] == "video/missing"
+
+    frames = M.sample_video_frames(vdf).collect()
+    assert {r["video_id"] for r in frames} == {1}
+
+    adf = df.withColumnRenamed("image_id", "audio_id")
+    chunks = M.audio_chunk_energy(adf).collect()
+    assert {r["audio_id"] for r in chunks} == {1}
+
+
+def test_parse_wav_header_honors_block_align():
+    """Frame size comes from the fmt chunk's block-align field: 12-bit mono
+    PCM pads each sample to 2 container bytes, so n_samples must halve
+    relative to the naive bits//8 reading."""
+    import struct
+
+    def wav(bits: int, block_align: int, n_data: int) -> bytes:
+        hdr = b"RIFF" + struct.pack("<I", 36 + n_data) + b"WAVE"
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000 * block_align, block_align, bits)
+        return hdr + fmt + b"data" + struct.pack("<I", n_data) + b"\x00" * n_data
+
+    meta = M._parse_wav_header(wav(bits=12, block_align=2, n_data=64))
+    assert meta is not None and meta["n_samples"] == 32
+    # zeroed block-align falls back to the byte-ceil of the bit depth
+    meta2 = M._parse_wav_header(wav(bits=12, block_align=0, n_data=64))
+    assert meta2 is not None and meta2["n_samples"] == 32

@@ -85,3 +85,45 @@ def test_running_stats_all_null_values_match_batch(spark):
         assert pd.isna(final.loc[7, col]) and pd.isna(batch.loc[7, col])
     assert final.loc[8, "max_value"] == batch.loc[8, "max_value"] == 1.0
     assert final.loc[8, "total_value"] == batch.loc[8, "total_value"] == 1.0
+
+
+def test_running_stats_nan_treated_as_missing_both_paths(spark):
+    """NaN contract: Arrow hands the stateful UDF NULL and NaN as the same
+    float NaN, so NaN must mean MISSING in both paths — the batch replay maps
+    NaN->NULL before aggregating to keep the declared stream/batch
+    equivalence on NaN-bearing input."""
+    import math
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [(1, 5.0), (1, float("nan")), (2, float("nan"))]
+    batch = running_user_stats(spark.createDataFrame(rows, schema))
+    got = {r["user_id"]: r for r in batch.collect()}
+    assert got[1]["n_events"] == 2 and got[1]["total_value"] == 5.0
+    assert got[1]["max_value"] == 5.0  # NOT NaN-as-greatest
+    assert got[2]["total_value"] is None and got[2]["max_value"] is None
+
+    d = tempfile.mkdtemp(prefix="stateful_nan_")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state_nan")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        upd = {r["user_id"]: r for r in spark.sql("SELECT * FROM t_state_nan").collect()}
+    finally:
+        q.stop()
+    assert upd[1]["total_value"] == 5.0 and upd[1]["max_value"] == 5.0
+    assert upd[2]["total_value"] is None or math.isnan(upd[2]["total_value"]) is False
