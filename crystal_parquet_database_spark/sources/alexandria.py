@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.functions.nested import (
@@ -59,8 +59,11 @@ class AlexandriaLoader(BaseLoader):
                 continue  # idempotent skip (alexandria.py:35-36)
             # fetch to a temp name and rename atomically: a run killed
             # mid-download must not leave a truncated file that every later
-            # run (os.path.exists) treats as complete forever
-            tmp = dest + ".part"
+            # run (os.path.exists) treats as complete forever. The temp name
+            # is dot-PREFIXED (not suffixed): Spark readers skip hidden
+            # files, and a suffixed "x.json.bz2.part" would match the
+            # _read_raw glob "*.json*" and feed truncated bz2 to the job.
+            tmp = os.path.join(raw_dir, "." + name + ".part")
             with urllib.request.urlopen(url, timeout=self.config.timeout_seconds) as r, open(
                 tmp, "wb"
             ) as f:
@@ -75,24 +78,41 @@ class AlexandriaLoader(BaseLoader):
         return raw.select(F.explode("entries").alias("e")).select("e.data", "e.structure")
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
         sites = F.col("structure.sites")
+        # null-pad missing data.* fields instead of raising FIELD_NOT_FOUND —
+        # partial dumps (a 1d/2d drop lacking a property, a trimmed test
+        # fixture) infer a narrower JSON schema, and the canonical-schema
+        # cast null-fills downstream anyway; same guarantee the MP loader
+        # makes for its flat summary fields (mp.py)
+        data_type = dict(zip(df.columns, [f.dataType for f in df.schema.fields])).get("data")
+        present = (
+            {sf.name for sf in data_type.fields}
+            if isinstance(data_type, T.StructType)
+            else set()
+        )
+
+        def dcol(src: str) -> Column:
+            return F.col(f"data.{src}") if src in present else F.lit(None)
+
         data = F.struct(
-            F.col("data.band_gap_ind").alias("band_gap_ind"),
-            F.col("data.band_gap_dir").alias("band_gap_dir"),
-            F.col("data.dos_ef").alias("dos_ef"),
-            F.col("data.energy_total").alias("energy_total"),
+            dcol("band_gap_ind").alias("band_gap_ind"),
+            dcol("band_gap_dir").alias("band_gap_dir"),
+            dcol("dos_ef").alias("dos_ef"),
+            dcol("energy_total").alias("energy_total"),
             # deliberate reference alias (alexandria.py:170)
-            F.col("data.energy_total").alias("energy_uncorrected"),
-            F.col("data.energy_corrected").alias("energy_corrected"),
-            F.col("data.e_form").alias("energy_formation"),
-            F.col("data.e_above_hull").alias("energy_above_hull"),
-            F.col("data.e_phase_separation").alias("energy_phase_seperation"),
-            F.col("data.total_mag").alias("total_magnetization"),
+            dcol("energy_total").alias("energy_uncorrected"),
+            dcol("energy_corrected").alias("energy_corrected"),
+            dcol("e_form").alias("energy_formation"),
+            dcol("e_above_hull").alias("energy_above_hull"),
+            dcol("e_phase_separation").alias("energy_phase_seperation"),
+            dcol("total_mag").alias("total_magnetization"),
         )
         return df.select(
             F.lit(self.source_database).alias("source_database"),
             F.lit(self.source_dataset).alias("source_dataset"),
-            F.col("data.mat_id").alias("source_id"),
+            dcol("mat_id").alias("source_id"),
             site_elements(sites).alias("species"),
             list_struct_field(sites, "xyz").alias("cart_coords"),
             list_struct_field(sites, "abc").alias("frac_coords"),

@@ -35,11 +35,15 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
-def _read_bytes(path: str) -> bytes:
+def _read_bytes(path: str, timeout: float = 60.0) -> bytes:
     if path.startswith(("http://", "https://")):
         from urllib.request import urlopen  # executor-side fetch
 
-        with urlopen(path) as resp:  # noqa: S310 — caller supplies the index
+        # bounded: one stalled server must fail its task (and let Spark
+        # retry it), not hang the stage forever — the driver-side loader
+        # path has always passed a timeout (alexandria.py), this executor
+        # path dropped it
+        with urlopen(path, timeout=timeout) as resp:  # noqa: S310 — caller supplies the index
             return resp.read()
     with open(path, "rb") as fh:
         return fh.read()
@@ -47,6 +51,7 @@ def _read_bytes(path: str) -> bytes:
 
 class _AlexandriaReader(DataSourceReader):
     def __init__(self, options: dict):
+        self._timeout = float(options.get("timeout_seconds", 60.0))
         files = options.get("files", "")
         # strip per-entry whitespace: a human-formatted "a.json, b.json"
         # would otherwise produce an unopenable " b.json" path executor-side
@@ -66,7 +71,7 @@ class _AlexandriaReader(DataSourceReader):
         return [_FilePartition(f) for f in self._files]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        raw = _read_bytes(partition.path)
+        raw = _read_bytes(partition.path, timeout=self._timeout)
         # detect compression on the PATH component only — a presigned URL's
         # query string ('...json.bz2?X-Amz-Signature=...') hides the suffix
         from urllib.parse import urlparse

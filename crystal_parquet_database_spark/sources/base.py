@@ -67,12 +67,31 @@ class BaseLoader:
     # ------------------------------------------------------------------ stages
 
     def download(self) -> str:
-        """Stage 1 — fetch source files. Idempotent: skips when raw exists
-        (base.py:146-148)."""
-        if os.path.isdir(self.raw_dir) and os.listdir(self.raw_dir) and not self.config.download_from_scratch:
-            return self.raw_dir
+        """Stage 1 — fetch source files. Idempotent (reference parity:
+        skip-if-exists, base.py:146-148 — hardened): OUR OWN downloads leave
+        a STARTED sentinel that flips to COMPLETE at the end, so a run
+        killed mid-download is detected and re-entered — ``_download``'s
+        per-file skip-if-exists turns the re-entry into a RESUME of just the
+        missing files instead of a silent ingest of a partial corpus. A
+        non-empty raw_dir with NO sentinel is the offline contract (the user
+        pre-placed a complete corpus) and is honored as before. Sentinels
+        are ``_``-prefixed so Spark's readers ignore them."""
+        started = os.path.join(self.raw_dir, "_DOWNLOAD_STARTED")
+        complete = os.path.join(self.raw_dir, "_DOWNLOAD_COMPLETE")
+        if not self.config.download_from_scratch:
+            if os.path.exists(complete):
+                return self.raw_dir
+            if (
+                os.path.isdir(self.raw_dir)
+                and not os.path.exists(started)
+                and any(not f.startswith("_") for f in os.listdir(self.raw_dir))
+            ):
+                return self.raw_dir  # pre-placed files, not our partial run
         os.makedirs(self.raw_dir, exist_ok=True)
+        with open(started, "w") as fh:
+            fh.write("in-progress\n")
         self._download(self.raw_dir)
+        os.replace(started, complete)
         return self.raw_dir
 
     def ingest(self) -> PqDB:

@@ -132,6 +132,17 @@ def _parse_cif(text: str) -> dict | None:
     try:
         s = Structure.from_str(text, fmt="cif")
         d = s.as_dict()
+        # the canonical schema declares species occupancy int64 (reference
+        # parity: site_struct, /root/reference/crystpqdb/db.py:5-19), but
+        # pymatgen emits floats (0.5 for partial occupancy). Quantize HERE,
+        # explicitly and deterministically — otherwise Spark's unsafe Arrow
+        # conversion silently truncates 0.5 → 0 with no error. Partial
+        # occupancies are genuinely lossy under the reference's own schema;
+        # round-to-nearest is the least-wrong deterministic choice.
+        for site in d.get("sites", []):
+            for sp in site.get("species", []):
+                if "occu" in sp and sp["occu"] is not None:
+                    sp["occu"] = int(round(sp["occu"]))
         return {
             "species": [str(sp) for sp in s.species],
             "frac_coords": [list(map(float, fc)) for fc in s.frac_coords],
@@ -200,14 +211,24 @@ class MC3DLoader(BaseLoader):
                 f"no raw files in {raw_dir} and no archive_url configured; "
                 "place .cif files there or set archive_url"
             )
-        import io
+        import shutil
+        import tempfile
         import urllib.request
         import zipfile
 
-        with urllib.request.urlopen(self.archive_url, timeout=self.config.timeout_seconds) as r:
-            buf = io.BytesIO(r.read())
-        with zipfile.ZipFile(buf) as z:
-            z.extractall(raw_dir)
+        # stream to a spooled temp FILE, not an in-memory BytesIO of the
+        # whole archive — a multi-GB MC3D drop must not need driver heap of
+        # its own size. (Partial-extract protection comes from the stage
+        # completion marker in base.download(): a crash mid-extract leaves
+        # no marker, so the next run re-downloads and re-extracts.)
+        with tempfile.TemporaryFile(dir=raw_dir) as tmp:
+            with urllib.request.urlopen(
+                self.archive_url, timeout=self.config.timeout_seconds
+            ) as r:
+                shutil.copyfileobj(r, tmp, length=1024 * 1024)
+            tmp.seek(0)
+            with zipfile.ZipFile(tmp) as z:
+                z.extractall(raw_dir)
 
     def _read_raw(self, spark: SparkSession, raw_dir: str) -> DataFrame:
         binary = (

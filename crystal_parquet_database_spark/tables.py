@@ -71,6 +71,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
+            # `div` TRUNCATES toward zero — and that is deliberately the
+            # semantic here, adjudicated empirically (round 7): DuckDB's
+            # PARQUET READER converts TIMESTAMP(NANOS) to µs by truncation
+            # (-1500 ns reads as -1 µs), and the oracle reads these tables
+            # via read_parquet. (DuckDB's CAST from a timestamp_ns VALUE
+            # floors instead — -1500 ns → -2 µs — but that path never sees
+            # fixture data.) A floor here would diverge from the oracle on
+            # any pre-epoch nanosecond not on a µs boundary; pinned in
+            # tests/test_io.py::test_load_table_pre_epoch_nanos...
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             # Newer fixture copies store ts as parquet TIMESTAMP(MICROS)
@@ -84,6 +93,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
-    """Register each table as a temp view named after the table."""
-    for name in names or TABLE_NAMES:
+    """Register each table as a temp view named after the table. ``names=None``
+    means all tables; an explicit empty list is honored as a no-op."""
+    for name in TABLE_NAMES if names is None else names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

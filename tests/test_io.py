@@ -73,3 +73,47 @@ def test_orc_roundtrip(spark, sf_dir, tmp):
 def test_read_rejects_unknown_format(spark, tmp):
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, tmp, fmt="avro")
+
+
+def test_load_table_pre_epoch_nanos_truncation_matches_duckdb(spark, tmp_path):
+    """DuckDB's PARQUET READER converts TIMESTAMP(NANOS) to us by TRUNCATION
+    toward zero (-1500 ns reads as -1 us) -- unlike its CAST from a
+    timestamp_ns value, which floors. The oracle reads fixtures via
+    read_parquet, so Spark's `ts div 1000` truncation is the correct mirror;
+    this pins the equivalence across pre-epoch, boundary, and modern
+    values."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sfx"
+    d.mkdir()
+    ns_values = [-1500, -1, 0, 999, 1500, 1_700_000_000_123_456_789]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(ns_values)), pa.int64()),
+            "ts": pa.array(ns_values, pa.timestamp("ns")),
+            "user_id": pa.array([1] * len(ns_values), pa.int64()),
+            "event_type": pa.array(["click"] * len(ns_values)),
+            "value": pa.array([1.0] * len(ns_values)),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    from crystal_parquet_database_spark.tables import load_table
+
+    got = {
+        r["event_id"]: r["ts"]
+        for r in load_table(spark, str(d), "events").collect()
+    }
+    con = duckdb.connect()
+    want = {
+        eid: ts
+        for eid, ts in con.sql(
+            "SELECT event_id, ts FROM "
+            f"read_parquet('{d}/events.parquet')"
+        ).fetchall()
+    }
+    con.close()
+    for eid in got:
+        assert got[eid].replace(tzinfo=None) == want[eid], (eid, got[eid], want[eid])
