@@ -36,6 +36,18 @@ def disc_price(price: Column | str = "l_extendedprice", disc: Column | str = "l_
     return money(price) * (one - rate(disc))
 
 
+# The DuckDB mirror of disc_price() — interpolate this into oracle SQL
+# instead of re-typing the decimal shape: the Spark side was centralized
+# into disc_price() because the expression is precision-critical, and the
+# SQL side needs the same single definition for the same reason (editing
+# the decimal widths in one hand-copy would leave the others verifying a
+# different expression shape than the queries compute).
+ONE_SQL = "CAST(1 AS DECIMAL(5,2))"
+DISC_PRICE_SQL = (
+    f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({ONE_SQL} - CAST(l_discount AS DECIMAL(5,2)))"
+)
+
+
 def dsum(c: Column) -> Column:
     """Exact sum of a decimal column, emitted as double."""
     return F.sum(c).cast("double")

@@ -76,6 +76,12 @@ _VERIFY_FIRST = [
     "multimodal_image_pipeline",
     "multimodal_video_header_real",
     "multimodal_image_header_real",
+    # review wave 4 (relational surface): zero-variance guard branches added
+    # to the moments query — a REAL behavior change, so it takes a slot.
+    # (q1/q3/q5's disc_price() routing is expression-identical — same
+    # decimal tree, sim-proven — so their green r6 rows stand, same
+    # precedent as the with_watermark rename below.)
+    "agg_stats_moments",
     # — 3: newest row is r3 (the remaining 15 oracle-paired) —
     "agg_cube_lineitem",
     "agg_distinct_counts",
@@ -105,16 +111,16 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_priority_shipping",
     "q13_customer_distribution",
-    "q16_parts_supplier_count",
     # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
-    # 9 code-changed-post-r6-freeze + 10 code-changed-in-r7 + 15 r3
-    # refreshes + 13 r4 refreshes = exactly 50). Entries below get NO row
+    # 9 code-changed-post-r6-freeze + 11 code-changed-in-r7 + 15 r3
+    # refreshes + 12 r4 refreshes = exactly 50). Entries below get NO row
     # this round: first the 17 lightest r4-row queries (their code is
     # unchanged — a changed query always outranks a stale refresh), then
     # the 2 no-oracle rows, then queries holding green r5/r6 rows.
     # (Queries touched only by the behavior-identical with_watermark helper
     # rename — the stream join/window families — are re-proven by the local
     # full driver simulation; their green rows stand.)
+    "q16_parts_supplier_count",
     "q17_small_quantity_revenue",
     "q20_potential_promotion",
     "q22_global_sales_opportunity",
@@ -125,7 +131,6 @@ _VERIFY_FIRST = [
     "sample_source_cap",
     "dedup_exact_text",
     "agg_approx_count_distinct",
-    "agg_stats_moments",
     "explode_embedding_components",
     "join_cross_region_priority",
     "sample_deterministic_stratified",

@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from crystal_parquet_database_spark.functions.exact import dsum, money, rate
+from crystal_parquet_database_spark.functions.exact import (
+    DISC_PRICE_SQL,
+    ONE_SQL,
+    disc_price,
+    dsum,
+    money,
+    rate,
+)
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table
 
@@ -27,16 +34,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- TPC-H-style analytical queries -------------------------------------------------
 
-_Q1_ORACLE = """
+_Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+       CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)
            AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))
-                * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE)
+       CAST(SUM({DISC_PRICE_SQL}
+                * ({ONE_SQL} + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE)
            AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
@@ -58,14 +63,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     one = F.lit(1).cast("decimal(5,2)")
-    disc_price = money("l_extendedprice") * (one - rate("l_discount"))
-    charge = disc_price * (one + rate("l_tax"))
+    dp = disc_price()
+    charge = dp * (one + rate("l_tax"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(money("l_quantity")).alias("sum_qty"),
             dsum(money("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
+            dsum(dp).alias("sum_disc_price"),
             dsum(charge).alias("sum_charge"),
             (dsum(money("l_quantity")) / F.count("*")).alias("avg_qty"),
             (dsum(money("l_extendedprice")) / F.count("*")).alias("avg_price"),
@@ -76,10 +81,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q3_ORACLE = """
+_Q3_ORACLE = f"""
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+       CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)
            AS revenue,
        o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
@@ -108,8 +112,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    one = F.lit(1).cast("decimal(5,2)")
-    revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    revenue = disc_price()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -121,10 +124,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q5_ORACLE = """
+_Q5_ORACLE = f"""
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+       CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)
            AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -155,8 +157,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(5,2)")
-    revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    revenue = disc_price()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)

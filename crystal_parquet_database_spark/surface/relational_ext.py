@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from crystal_parquet_database_spark.functions.exact import dsum, money
+from crystal_parquet_database_spark.functions.exact import DISC_PRICE_SQL, dsum, money
 from crystal_parquet_database_spark.functions.portable_hash import spark_hash64, sql_hash64
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table, register_views
@@ -40,11 +40,10 @@ def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One query exercised through the SQL API itself (views + spark.sql): the
 # engine treats DataFrame and SQL text as the same logical-plan front end, so
 # the oracle string IS the Spark query.
-_SQL_API_TEXT = """
+_SQL_API_TEXT = f"""
 SELECT n_name,
        COUNT(DISTINCT o_orderkey) AS n_orders,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+       CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)
            AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -506,8 +505,12 @@ FROM lineitem GROUP BY l_returnflag
 _MOMENTS_ORACLE = f"""
 SELECT l_returnflag,
        (sxy - sx * sy / n) / n AS covar_pop,
-       SQRT((sxx - sx * sx / n) / n) AS stddev_qty,
-       (sxy - sx * sy / n) / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+       CASE WHEN sxx - sx * sx / n > 0
+            THEN SQRT((sxx - sx * sx / n) / n) ELSE 0.0 END AS stddev_qty,
+       CASE WHEN sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
+            THEN (sxy - sx * sy / n)
+                 / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n))
+            ELSE NULL END AS corr_qty_price
 FROM ({_MOM.strip()})
 """
 
@@ -534,13 +537,22 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # zero/negative-variance guard, mirrored as CASE WHEN in the oracle: a
+    # constant-valued group makes the centered sum exactly 0 (or, via double
+    # cancellation, a tiny negative — IDENTICAL on both engines because the
+    # operands and operation order are identical doubles). Unguarded, Spark
+    # emits NaN (0/0, sqrt(-ε)) where DuckDB returns NULL (x/0.0) or hard-
+    # errors (SQRT of a negative), so the guard must fire on both sides.
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
     return g.select(
         "l_returnflag",
         ((sxy - sx * sy / n) / n).alias("covar_pop"),
-        F.sqrt((sxx - sx * sx / n) / n).alias("stddev_qty"),
-        ((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).alias(
-            "corr_qty_price"
-        ),
+        F.when(varx > 0, F.sqrt(varx / n)).otherwise(F.lit(0.0)).alias("stddev_qty"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            (sxy - sx * sy / n) / F.sqrt(varx * vary),
+        ).alias("corr_qty_price"),
     )
 
 
@@ -567,12 +579,19 @@ def join_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the difference between a straggler-free run and one stuck reducer."""
     from crystal_parquet_database_spark.operators.skew import salted_join
 
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    # o_orderkey rides along solely as the salt's entropy column: the frame
+    # is otherwise projected to (key, totalprice), and two orders of a hot
+    # customer with byte-identical totalprice would hash to the same salt —
+    # re-collapsing the hot key onto one reducer, exactly what skew.py's
+    # docstring warns about. A unique id spreads them uniformly.
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey"
+    )
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
     )
     return (
-        salted_join(o, c, "o_custkey", n_salts=8)
+        salted_join(o, c, "o_custkey", n_salts=8, entropy_cols=["o_orderkey"])
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_orders"),

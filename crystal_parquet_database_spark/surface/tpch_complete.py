@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crystal_parquet_database_spark.functions.exact import dsum, money, rate
+from crystal_parquet_database_spark.functions.exact import (
+    DISC_PRICE_SQL,
+    ONE_SQL,
+    disc_price,
+    dsum,
+    money,
+)
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table
 
@@ -31,8 +37,9 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
-_ONE = "CAST(1 AS DECIMAL(5,2))"
-_DISC_PRICE = f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(5,2)))"
+# single definition in functions/exact.py, aliased for the f-string oracles
+_ONE = ONE_SQL
+_DISC_PRICE = DISC_PRICE_SQL
 _DEC0 = "CAST(0 AS DECIMAL(18,2))"
 
 
@@ -83,8 +90,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    one = F.lit(1).cast("decimal(5,2)")
-    volume = money("l_extendedprice") * (one - rate("l_discount"))
+    volume = disc_price()
     joined = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -136,10 +142,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    one = F.lit(1).cast("decimal(5,2)")
-    amount = money("l_extendedprice") * (one - rate("l_discount")) - money(
-        "p_retailprice"
-    ) * money("l_quantity")
+    amount = disc_price() - money("p_retailprice") * money("l_quantity")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)

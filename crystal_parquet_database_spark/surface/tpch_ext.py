@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crystal_parquet_database_spark.functions.exact import dsum, money, rate, disc_price
+from crystal_parquet_database_spark.functions.exact import (
+    DISC_PRICE_SQL,
+    ONE_SQL,
+    disc_price,
+    dsum,
+    money,
+    rate,
+)
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table
 
@@ -21,8 +28,9 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
-_ONE = "CAST(1 AS DECIMAL(5,2))"
-_DISC_PRICE = f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(5,2)))"
+# single definition in functions/exact.py, aliased for the f-string oracles
+_ONE = ONE_SQL
+_DISC_PRICE = DISC_PRICE_SQL
 
 
 _Q4_ORACLE = """
