@@ -198,6 +198,12 @@ def minhash_lsh_dedup(
             .drop("__canon")
         )
     rows_per_band = n_hashes // n_bands
+    if rows_per_band < 1:
+        raise ValueError(
+            f"n_bands={n_bands} exceeds n_hashes={n_hashes}: each band needs "
+            "at least one signature row (empty bands put every document in "
+            "one bucket and the candidate join turns all-pairs)"
+        )
     hs = shingle_hashes(df, text_col, k, unit)
     # Materialize the CPU-bound shingle/hash stage ONCE: three consumers hang
     # off it (signature→bands, both sides of the verify join) and would each
@@ -300,6 +306,12 @@ def minhash_lsh_ml(
     from pyspark.ml.linalg import VectorUDT
 
     hs = shingle_hashes(df, text_col, k).select(F.col(id_col), F.col("hs"))
+    # NULL text is in-contract (the native pipeline propagates it harmlessly
+    # as a no-match): its shingle fallback is [NULL], which would crash the
+    # Python worker at int(None) below — and an all-NULL set would become an
+    # empty vector, which MinHashLSH rejects outright. Rows with no real
+    # shingle hash cannot pair with anything, so drop them up front.
+    hs = hs.filter(F.exists("hs", lambda x: x.isNotNull()))
 
     # MinHashLSH requires dim < ~2.04e9 (its internal hash prime); fold the
     # 31-bit shingle hashes into 2^30 — collision odds are negligible for
@@ -313,7 +325,9 @@ def minhash_lsh_ml(
     def to_vec(arrs: pd.Series) -> pd.DataFrame:
         rows = []
         for arr in arrs:
-            idx = sorted({int(h) % dim for h in arr})
+            # skip NULL elements (mixed NULL/real shingles survive the
+            # row-level exists() filter above)
+            idx = sorted({int(h) % dim for h in arr if h is not None})
             rows.append((0, dim, idx, [1.0] * len(idx)))
         return pd.DataFrame(rows, columns=["type", "size", "indices", "values"])
 
@@ -579,6 +593,16 @@ def containment_pairs(
 def _band_explode(sig_df: DataFrame, id_col: str, n_bands: int, rows_per_band: int) -> DataFrame:
     """(id, band, key) rows — one per LSH band (same key construction as
     ``lsh_candidate_pairs``)."""
+    # A zero-length band silently degenerates the whole operator: slice(sig,
+    # i, 0) is [], every band key becomes "", every document lands in ONE
+    # bucket, and the band self-join becomes the all-pairs cross join LSH
+    # exists to avoid. That happens from innocuous-looking arguments
+    # (n_bands > n_hashes makes n_hashes // n_bands == 0), so fail loudly.
+    if n_bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"n_bands={n_bands} and rows_per_band={rows_per_band} must be >= 1 "
+            "(rows_per_band == 0 typically means n_bands > n_hashes)"
+        )
     bands = F.array(
         *[
             F.struct(
@@ -627,6 +651,11 @@ def minhash_lsh_incremental(
     Returns (id_new, id_old, jaccard) with jaccard >= threshold.
     """
     rows_per_band = n_hashes // n_bands
+    if rows_per_band < 1:
+        raise ValueError(
+            f"n_bands={n_bands} exceeds n_hashes={n_hashes}: each band needs "
+            "at least one signature row"
+        )
     hs_new = shingle_hashes(df_new, text_col, k, unit).localCheckpoint(eager=True)
     hs_old = shingle_hashes(df_old, text_col, k, unit).localCheckpoint(eager=True)
     bands_new = _band_explode(

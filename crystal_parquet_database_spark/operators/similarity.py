@@ -20,9 +20,14 @@ from pyspark.sql import functions as F
 
 # Deterministic "random" hyperplane component: w(j, k) for hyperplane j,
 # dimension k — an LCG step mapped to [-1000, 1000]. Integer-exact in both
-# engines; cast to double only at the multiply.
-def _w(j: int, k: int) -> int:
-    return (1103515245 * (j * 64 + k) + 12345) % 2001 - 1000
+# engines; cast to double only at the multiply. The index stride is DIM,
+# not a constant: with a fixed stride of 64, any dim > 64 would give
+# consecutive hyperplanes overlapping LCG windows (plane j reusing 64 of
+# plane j+1's weights at shifted positions) — correlated sign bits and
+# skewed buckets. Stride=dim keeps every plane's window disjoint for every
+# dimension, and is unchanged for the default dim=64.
+def _w(j: int, k: int, dim: int = 64) -> int:
+    return (1103515245 * (j * dim + k) + 12345) % 2001 - 1000
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -102,7 +107,7 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """LSH bucket id: sign bits of the vector against n fixed hyperplanes."""
     bucket = F.lit(0).cast("bigint")
     for j in range(n_planes):
-        w_arr = F.array(*[F.lit(float(_w(j, kk))) for kk in range(dim)])
+        w_arr = F.array(*[F.lit(float(_w(j, kk, dim))) for kk in range(dim)])
         d = F.aggregate(
             F.zip_with(vec, w_arr, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -391,7 +396,7 @@ def embedding_near_dup_lsh(
     )
 
     def plane_bit(j: int) -> Column:
-        w_arr = F.array(*[F.lit(float(_w(j, kk))) for kk in range(dim)])
+        w_arr = F.array(*[F.lit(float(_w(j, kk, dim))) for kk in range(dim)])
         d = F.aggregate(
             F.zip_with(F.col("__vec"), w_arr, lambda x, y: x.cast("double") * y),
             F.lit(0.0),

@@ -21,11 +21,17 @@ from crystal_parquet_database_spark.functions.portable_hash import (
 )
 
 # BPE-ish tokenizer: letter runs, digit runs, single non-space symbols.
-BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# The whitespace class is SPELLED OUT, never \s: the pattern runs under
+# Java regex (Spark regexp_count), RE2 (the DuckDB oracle interpolates this
+# exact string, llm.py), and Python re (the pandas_udf scorer), and their
+# \s sets disagree on vertical tab (\x0b: Java/Python-ASCII include it, RE2
+# does not). The explicit class makes \x0b a symbol/punct char everywhere,
+# matching _ALNUM_WS below and functions/portable_hash.WS_RE.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 
 # Shared by the expression scorer, the pandas_udf scorer, and BPE_PATTERN's
 # symbol branch — must stay byte-identical or the pinned equivalence breaks.
-PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[^A-Za-z0-9 \t\n\f\r]"
 
 # The same character class as PUNCT_PATTERN's complement, spelled out for
 # F.translate — counting punctuation by deleting alnum+whitespace and taking
@@ -149,9 +155,10 @@ def quality_score_pandas_udf(df: DataFrame, text_col: str, stopwords: list[str])
     import re
 
     sw = set(stopwords)
-    # re.ASCII: Java's \s in the expression version is ASCII-only; Python's
-    # default Unicode \s would count NBSP etc. differently.
-    punct_re = re.compile(PUNCT_PATTERN, re.ASCII)
+    # PUNCT_PATTERN spells its whitespace class out (no \s), so Python's
+    # Unicode-vs-ASCII \s question never arises and \x0b counts as
+    # punctuation exactly as in the expression scorer's _ALNUM_WS.
+    punct_re = re.compile(PUNCT_PATTERN)
     ws_re = re.compile("[ \t\n\f\r]+")  # same set as WS_RE
 
     @F.pandas_udf("double")

@@ -82,6 +82,15 @@ _VERIFY_FIRST = [
     # decimal tree, sim-proven — so their green r6 rows stand, same
     # precedent as the with_watermark rename below.)
     "agg_stats_moments",
+    # review wave 5 (LLM operators): BPE_PATTERN's whitespace class spelled
+    # out (\x0b becomes a symbol on both engines — a real cross-engine
+    # semantic fix) and the anomaly z-score products moved from BIGINT to
+    # DECIMAL(19,0)→(38,0) so s² cannot overflow int64 at scale. Both are
+    # behavior changes in driver-gated queries, so both take slots. (The
+    # hyperplane stride fix is value-identical at the fixture's dim=64 —
+    # sim-proven, rows stand.)
+    "text_token_counts",
+    "events_anomaly_hourly_zscore",
     # — 3: newest row is r3 (the remaining 15 oracle-paired) —
     "agg_cube_lineitem",
     "agg_distinct_counts",
@@ -109,17 +118,17 @@ _VERIFY_FIRST = [
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
     # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
-    # 9 code-changed-post-r6-freeze + 11 code-changed-in-r7 + 15 r3
-    # refreshes + 12 r4 refreshes = exactly 50). Entries below get NO row
+    # 9 code-changed-post-r6-freeze + 13 code-changed-in-r7 + 15 r3
+    # refreshes + 10 r4 refreshes = exactly 50). Entries below get NO row
     # this round: first the 17 lightest r4-row queries (their code is
     # unchanged — a changed query always outranks a stale refresh), then
     # the 2 no-oracle rows, then queries holding green r5/r6 rows.
     # (Queries touched only by the behavior-identical with_watermark helper
     # rename — the stream join/window families — are re-proven by the local
     # full driver simulation; their green rows stand.)
+    "q12_priority_shipping",
+    "q13_customer_distribution",
     "q16_parts_supplier_count",
     "q17_small_quantity_revenue",
     "q20_potential_promotion",

@@ -301,7 +301,12 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and recompute, and a released/evicted cache can never invalidate a
         # still-held frame — the exact failure classes the eager-checkpoint
         # form had (blocks pinned non-evictably until JVM GC, two jobs at
-        # build time).
+        # build time). Deliberately NOT paired with unpersist(): the caller
+        # holds a lazy result whose execution needs these blocks, so an
+        # eager release would defeat the cache. The cost of leaving them is
+        # bounded — MEMORY_AND_DISK blocks are LRU-evictable and lineage
+        # recomputes on a miss, so repeated invocations degrade to
+        # recompute, never to wrong results or unbounded growth.
         .persist()
     )
     hour = (
@@ -555,18 +560,23 @@ WITH h AS (
   FROM events GROUP BY 1, 2
 ),
 s AS (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
-         CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q
+  SELECT event_type, CAST(COUNT(*) AS DECIMAL(19,0)) AS k,
+         CAST(SUM(n) AS DECIMAL(19,0)) AS s,
+         SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS q
   FROM h GROUP BY event_type
+),
+e AS (
+  SELECT h.event_type, h.hour_ts, h.n,
+         CAST(h.n AS DECIMAL(19,0)) * s.k - s.s AS dev,
+         s.q * s.k - s.s * s.s AS var_num
+  FROM h JOIN s USING (event_type)
 )
-SELECT h.event_type, h.hour_ts, h.n,
-       CASE WHEN s.q * s.k - s.s * s.s > 0
-            THEN CAST(h.n * s.k - s.s AS DOUBLE)
-                 / SQRT(CAST(s.q * s.k - s.s * s.s AS DOUBLE))
+SELECT event_type, hour_ts, n,
+       CASE WHEN var_num > 0
+            THEN CAST(dev AS DOUBLE) / SQRT(CAST(var_num AS DOUBLE))
             END AS z,
-       (h.n * s.k - s.s) * (h.n * s.k - s.s) > 4 * (s.q * s.k - s.s * s.s)
-         AS is_anomaly
-FROM h JOIN s USING (event_type)
+       dev * dev > 4 * var_num AS is_anomaly
+FROM e
 """
 
 
@@ -587,12 +597,20 @@ def events_anomaly_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
     ).agg(F.count("*").cast("bigint").alias("n"))
+    # The products run in DECIMAL, not BIGINT: s*s overflows int64 once an
+    # event type totals ~3e9 events — i.e. exactly at the 100 TB scale this
+    # query targets, where ANSI mode aborts the whole report. DECIMAL(19,0)
+    # operands give DECIMAL(38,0) products on BOTH engines (Spark caps
+    # 19+19+1→38, DuckDB caps 19+19→38, verified), exact to 1e38: s ≤ int64
+    # max ⇒ s² ≤ 8.5e37 always fits; q·k and dev² fit for every realistic
+    # regime (1e12 events/type over 1e5 hours ⇒ dev² ~ 1e34).
+    d19 = "decimal(19,0)"
     s = h.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("k"),
-        F.sum("n").cast("bigint").alias("s"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
+        F.count("*").cast(d19).alias("k"),
+        F.sum("n").cast(d19).alias("s"),
+        F.sum(F.col("n").cast(d19) * F.col("n").cast(d19)).alias("q"),
     )
-    dev = F.col("n") * F.col("k") - F.col("s")
+    dev = F.col("n").cast(d19) * F.col("k") - F.col("s")
     var_num = F.col("q") * F.col("k") - F.col("s") * F.col("s")
     return h.join(F.broadcast(s), "event_type").select(
         "event_type",

@@ -222,7 +222,7 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_bucket(vec: str, n_planes: int = 8) -> str:
     terms = []
     for j in range(n_planes):
-        w_list = "[" + ", ".join(f"{float(S._w(j, kk))}" for kk in range(_DIM)) + "]"
+        w_list = "[" + ", ".join(f"{float(S._w(j, kk, _DIM))}" for kk in range(_DIM)) + "]"
         d = (
             f"list_aggregate(list_transform(generate_series(1, {_DIM}), "
             f"i -> CAST({vec}[i] AS DOUBLE) * ({w_list})[i]), 'sum')"
@@ -416,7 +416,7 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_band_key(vec: str, band: int, band_size: int = 6) -> str:
     terms = []
     for off, j in enumerate(range(band * band_size, (band + 1) * band_size)):
-        w_list = "[" + ", ".join(f"{float(S._w(j, kk))}" for kk in range(_DIM)) + "]"
+        w_list = "[" + ", ".join(f"{float(S._w(j, kk, _DIM))}" for kk in range(_DIM)) + "]"
         d = (
             f"list_aggregate(list_transform(generate_series(1, {_DIM}), "
             f"i -> CAST({vec}[i] AS DOUBLE) * ({w_list})[i]), 'sum')"

@@ -95,3 +95,20 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(edges, nodes, "doc_id", max_iter=3)
     ok = connected_components(edges, nodes, "doc_id", max_iter=25)
     assert {r["cluster_id"] for r in ok.collect()} == {0}
+
+
+def test_lsh_zero_row_bands_rejected(spark):
+    """Regression guard: n_bands > n_hashes makes rows_per_band 0, every
+    band key '' and the candidate join all-pairs — must raise, not
+    silently degenerate to the quadratic join LSH exists to avoid."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="n_bands"):
+        D.minhash_lsh_dedup(docs, "text", "doc_id", n_hashes=16, n_bands=32)
+    sig = D.minhash_signature(D.shingle_hashes(docs, "text", 3, "word"), 8)
+    with pytest.raises(ValueError, match="rows_per_band"):
+        D.lsh_candidate_pairs(sig, "doc_id", n_bands=4, rows_per_band=0)

@@ -151,3 +151,24 @@ def test_prefix_filter_ceil_rounding_boundary(spark):
     assert len(got) == 1
     assert (got[0]["id_a"], got[0]["id_b"]) == (0, 1)
     assert got[0]["jaccard"] == 0.07
+
+
+def test_ml_lsh_null_text_rows_skipped(spark):
+    """NULL text is in-contract: its shingle fallback is [NULL], which used
+    to crash the vectorizing UDF at int(None) (and an empty vector would be
+    rejected by MinHashLSH). NULL-text rows must drop out of the pair
+    search, exactly as they no-match through the native pipeline."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_ml(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)

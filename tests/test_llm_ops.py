@@ -24,6 +24,10 @@ def test_pandas_udf_matches_expression_scorer(spark, sf_dir):
             (100003, "   "),
             (100004, "a b the c"),
             (100005, "!!! ??? ... a"),
+            # vertical tab: Java \s and Python-ASCII \s include it, RE2
+            # excludes it — the spelled-out class in PUNCT_PATTERN makes it
+            # punctuation in BOTH scorers (and the DuckDB oracle)
+            (100007, "a\x0bb"),
             (100006, "a b the\tc"),  # NBSP (non-ASCII ws) + tab
         ],
         schema="doc_id long, text string",
@@ -419,3 +423,29 @@ def test_vertical_tab_tokenization_matches_duckdb(spark):
         r"SELECT len(string_split_regex(trim(?), '\s+'))", [text]
     ).fetchone()[0]
     assert row["n_ws_tokens"] == duck == 2  # 'alpha\x0bbeta' is ONE token
+
+
+def test_bpe_pattern_vertical_tab_cross_engine(spark):
+    """BPE_PATTERN runs under Java regex (Spark) and RE2 (DuckDB oracle),
+    whose \\s classes disagree on vertical tab. The spelled-out whitespace
+    class makes \\x0b a symbol token on BOTH engines; this pins the count
+    equality on the exact character that used to diverge."""
+    import duckdb
+
+    from crystal_parquet_database_spark.operators.text import BPE_PATTERN, token_counts
+
+    rows = [(1, "a\x0bb"), (2, "one two 3"), (3, "x,y;z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in token_counts(df, "text").select("doc_id", "n_bpe_tokens").collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    for doc_id, text in rows:
+        want[doc_id] = con.execute(
+            "SELECT LEN(REGEXP_EXTRACT_ALL(?, ?))", [text, BPE_PATTERN]
+        ).fetchone()[0]
+    con.close()
+    assert got == want
+    assert got[1] == 3  # 'a', the \x0b symbol, 'b'
