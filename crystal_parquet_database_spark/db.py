@@ -123,6 +123,32 @@ class PqDB:
             )
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
+    def _check_unique_keys(self, up: DataFrame, on: str) -> None:
+        """One definition of the duplicate-update-key guard (update and
+        upsert_scd2 both corrupt the dataset if a key repeats)."""
+        dup = up.groupBy(on).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"updates contain duplicate key {on}={dup[0][on]!r}; "
+                "update keys must be unique"
+            )
+
+    @staticmethod
+    def _small_side(u: DataFrame) -> DataFrame | Column:
+        """Broadcast only plausibly-small update frames; a bulk update (more
+        than ~10M keys or an unknown-size plan) goes through the normal
+        shuffle join — forcing a huge broadcast would OOM every executor."""
+        try:
+            n_up = u.limit(10_000_001).count()
+        except Exception:  # pragma: no cover - defensive
+            n_up = None
+        return F.broadcast(u) if n_up is not None and n_up <= 10_000_000 else u
+
+    @staticmethod
+    def _next_id_start(existing: DataFrame) -> int:
+        m = existing.agg(F.max(ID_COL)).collect()[0][0]
+        return (m if m is not None else -1) + 1  # max id 0 is falsy but valid
+
     def _to_df(self, data: Any, schema: T.StructType | None = None) -> DataFrame:
         if isinstance(data, DataFrame):
             return data
@@ -147,6 +173,20 @@ class PqDB:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
+        if self.partition_by and not any(
+            f.endswith(".parquet")
+            for _root, _dirs, files in os.walk(tmp)
+            for f in files
+        ):
+            # A dynamic-partition write of an EMPTY frame emits only
+            # _SUCCESS — no schema-bearing parquet file — so swapping it in
+            # would destroy the dataset (exists→False, schema lost,
+            # FileNotFoundError on every later call). delete() matching all
+            # rows is a legitimate operation: re-write the empty frame
+            # unpartitioned, which produces the schema-only file an empty
+            # non-partitioned dataset gets (partition dirs carry no data to
+            # prune anyway when there are zero rows).
+            df.limit(0).write.mode("overwrite").parquet(tmp)
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(self.path, old)
         os.rename(tmp, self.path)
@@ -168,8 +208,7 @@ class PqDB:
         start = 0
         if self.exists:
             existing = self._df()
-            m = existing.agg(F.max(ID_COL)).collect()[0][0]
-            start = (m if m is not None else -1) + 1  # max id 0 is falsy but valid
+            start = self._next_id_start(existing)
             old_schema = T.StructType([f for f in existing.schema.fields if f.name != ID_COL])
             merged = unify_schemas([old_schema, df.schema])
             if merged != old_schema:
@@ -187,8 +226,12 @@ class PqDB:
                     self._rewrite(base)
             df = cast_to_schema(df, merged, keep_extra=False)
         source = df
-        df, n = assign_contiguous_ids_with_count(df, start=start)
+        # the try opens BEFORE id assignment: assign_contiguous_ids_with_count
+        # persists its input, so a failure inside it (or between it and the
+        # write) must still release the blocks — unpersist on a never-
+        # persisted frame is a harmless no-op
         try:
+            df, n = assign_contiguous_ids_with_count(df, start=start)
             writer = df.write.mode("append")
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
@@ -279,45 +322,37 @@ class PqDB:
         merge below) — a deliberate partial-update semantic, since row-dict
         inputs cannot distinguish absent from explicitly-null. To null a
         field, rewrite via read→transform→create."""
-        up = self._to_df(updates)
-        base = self._df()
-        upd_cols = [c for c in up.columns if c != on]
-        unknown = [c for c in upd_cols if c not in base.columns]
-        if unknown:
-            raise ValueError(
-                f"update columns {unknown} do not exist in the dataset "
-                f"(schema changes go through create()'s evolution path)"
-            )
-        dup = up.groupBy(on).count().filter(F.col("count") > 1).limit(1).collect()
-        if dup:
-            raise ValueError(
-                f"updates contain duplicate key {on}={dup[0][on]!r}; "
-                "update keys must be unique"
-            )
-        u = up.select(on, *[F.col(c).alias(f"__u_{c}") for c in upd_cols])
-        # Broadcast only plausibly-small update frames; a bulk update (more
-        # than ~10M keys or an unknown-size plan) goes through the normal
-        # shuffle join — forcing a huge broadcast would OOM every executor.
+        # persist the update frame: the dup-key guard, the broadcast-size
+        # probe, and the join each execute it — unpersisted, those are
+        # three separate evaluations of a possibly-expensive (or worse,
+        # nondeterministic — sample/rand) lineage, so the guard would not
+        # certify the materialization the join actually consumes
+        up = self._to_df(updates).persist()
         try:
-            n_up = u.limit(10_000_001).count()
-        except Exception:  # pragma: no cover - defensive
-            n_up = None
-        joined = base.join(
-            F.broadcast(u) if n_up is not None and n_up <= 10_000_000 else u,
-            on,
-            "left",
-        )
-        out = joined.select(
-            *[
-                (
-                    F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c)
-                    if c in upd_cols
-                    else F.col(c)
+            base = self._df()
+            upd_cols = [c for c in up.columns if c != on]
+            unknown = [c for c in upd_cols if c not in base.columns]
+            if unknown:
+                raise ValueError(
+                    f"update columns {unknown} do not exist in the dataset "
+                    f"(schema changes go through create()'s evolution path)"
                 )
-                for c in base.columns
-            ]
-        )
-        self._rewrite(out)
+            self._check_unique_keys(up, on)
+            u = up.select(on, *[F.col(c).alias(f"__u_{c}") for c in upd_cols])
+            joined = base.join(self._small_side(u), on, "left")
+            out = joined.select(
+                *[
+                    (
+                        F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c)
+                        if c in upd_cols
+                        else F.col(c)
+                    )
+                    for c in base.columns
+                ]
+            )
+            self._rewrite(out)
+        finally:
+            up.unpersist()
 
     def delete(self, ids: list | None = None, where: str | Column | None = None) -> None:
         """Delete rows where the predicate is TRUE (SQL DELETE semantics:
@@ -366,77 +401,91 @@ class PqDB:
         {"closed": n, "inserted": n, "unchanged": n}.
         """
         base = self._df()
-        up = self._to_df(updates)
-        meta = {ID_COL, self.VALID_FROM, self.VALID_TO}
-        tracked = [c for c in base.columns if c not in meta and c != on]
-        missing = [c for c in tracked if c not in up.columns]
-        if missing:
-            raise ValueError(f"SCD2 updates must carry all tracked columns; missing {missing}")
-        dup = up.groupBy(on).count().filter(F.col("count") > 1).limit(1).collect()
-        if dup:
-            raise ValueError(f"updates contain duplicate key {on}={dup[0][on]!r}")
-
-        current = base.filter(F.col(self.VALID_TO).isNull())
-        closed_hist = base.filter(F.col(self.VALID_TO).isNotNull())
-        # explicit match marker: testing a data column for null would misread
-        # an update row whose first tracked value is legitimately NULL as
-        # "unmatched" and fork a duplicate current version for the key
-        u = up.select(
-            on,
-            F.lit(True).alias("__matched"),
-            *[F.col(c).alias(f"__u_{c}") for c in tracked],
-        )
-        # Same broadcast guard as update(): only plausibly-small update
-        # frames broadcast; a bulk merge (>~10M keys) takes the shuffle join
-        # rather than OOMing every executor on a forced broadcast.
+        # persisted: the missing/dup guards, the size probe, the join, and
+        # the fresh anti-join all consume this frame — one materialization
+        # certifies them all (and stops a nondeterministic update lineage
+        # from passing the dup guard on one realization yet presenting a
+        # duplicate key to the join). Released in the finally below.
+        up = self._to_df(updates).persist()
+        j = None
+        id_src = None
         try:
-            n_up = u.limit(10_000_001).count()
-        except Exception:  # pragma: no cover - defensive
-            n_up = None
-        u_side = F.broadcast(u) if n_up is not None and n_up <= 10_000_000 else u
-        j = current.join(u_side, on, "left").localCheckpoint(eager=True)
-        matched = F.coalesce(F.col("__matched"), F.lit(False))
-        same = F.lit(True)
-        for c in tracked:
-            same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
-        changed = matched & ~same
-        # current rows: close the changed ones, keep the rest as-is
-        kept = j.select(
-            *[
-                (
-                    F.when(changed, F.lit(effective_ts).cast("timestamp")).alias(
-                        self.VALID_TO
-                    )
-                    if c == self.VALID_TO
-                    else F.col(c)
+            meta = {ID_COL, self.VALID_FROM, self.VALID_TO}
+            tracked = [c for c in base.columns if c not in meta and c != on]
+            missing = [c for c in tracked if c not in up.columns]
+            if missing:
+                raise ValueError(
+                    f"SCD2 updates must carry all tracked columns; missing {missing}"
                 )
-                for c in base.columns
-            ]
-        )
-        # one aggregation pass over the (checkpointed) join for both counts
-        n_changed, n_current = j.agg(
-            F.sum(changed.cast("long")), F.count(F.lit(1))
-        ).collect()[0]
-        n_changed = int(n_changed or 0)
-        matched_keys = j.filter(matched).select(on)
-        fresh = self._to_df(updates).join(matched_keys, on, "left_anti")
-        n_new = fresh.count()
-        changed_new = (
-            j.filter(changed)
-            .select(on, *[F.col(f"__u_{c}").alias(c) for c in tracked])
-        )
-        inserts = changed_new.unionByName(fresh.select(on, *tracked)).withColumn(
-            self.VALID_FROM, F.lit(effective_ts).cast("timestamp")
-        ).withColumn(self.VALID_TO, F.lit(None).cast("timestamp"))
-        m = base.agg(F.max(ID_COL)).collect()[0][0]
-        start = (m if m is not None else -1) + 1  # max id 0 is falsy but valid
-        id_src = inserts.select(*[c for c in base.columns if c != ID_COL])
-        inserts, _ = assign_contiguous_ids_with_count(id_src, start=start)
-        out = closed_hist.unionByName(kept).unionByName(
-            inserts.select(*base.columns)
-        )
-        n_unchanged = int(n_current) - n_changed
-        try:
+            self._check_unique_keys(up, on)
+
+            current = base.filter(F.col(self.VALID_TO).isNull())
+            closed_hist = base.filter(F.col(self.VALID_TO).isNotNull())
+            # explicit match marker: testing a data column for null would
+            # misread an update row whose first tracked value is
+            # legitimately NULL as "unmatched" and fork a duplicate current
+            # version for the key
+            u = up.select(
+                F.col(on).alias("__u_key"),
+                F.lit(True).alias("__matched"),
+                *[F.col(c).alias(f"__u_{c}") for c in tracked],
+            )
+            u_side = self._small_side(u)
+            # NULL-SAFE key match: a NULL-keyed dimension row is unusual but
+            # legal, and plain `on` equality never matches NULL=NULL — so an
+            # identical replay would re-insert the NULL-key row as a new
+            # current version on EVERY merge, breaking both the no-op-replay
+            # contract and the one-current-row invariant (the same class
+            # streaming/ingest.py guards with eqNullSafe).
+            j = (
+                current.join(u_side, F.col(on).eqNullSafe(F.col("__u_key")), "left")
+                .drop("__u_key")
+                .localCheckpoint(eager=True)
+            )
+            matched = F.coalesce(F.col("__matched"), F.lit(False))
+            same = F.lit(True)
+            for c in tracked:
+                same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+            changed = matched & ~same
+            # current rows: close the changed ones, keep the rest as-is
+            kept = j.select(
+                *[
+                    (
+                        F.when(changed, F.lit(effective_ts).cast("timestamp")).alias(
+                            self.VALID_TO
+                        )
+                        if c == self.VALID_TO
+                        else F.col(c)
+                    )
+                    for c in base.columns
+                ]
+            )
+            # one aggregation pass over the (checkpointed) join for both counts
+            n_changed, n_current = j.agg(
+                F.sum(changed.cast("long")), F.count(F.lit(1))
+            ).collect()[0]
+            n_changed = int(n_changed or 0)
+            matched_keys = j.filter(matched).select(F.col(on).alias("__mk"))
+            # reuse the persisted `up` (not a second _to_df conversion), and
+            # match NULL-safely for the same replay-safety reason as above
+            fresh = up.join(
+                matched_keys, F.col(on).eqNullSafe(F.col("__mk")), "left_anti"
+            )
+            n_new = fresh.count()
+            changed_new = (
+                j.filter(changed)
+                .select(on, *[F.col(f"__u_{c}").alias(c) for c in tracked])
+            )
+            inserts = changed_new.unionByName(fresh.select(on, *tracked)).withColumn(
+                self.VALID_FROM, F.lit(effective_ts).cast("timestamp")
+            ).withColumn(self.VALID_TO, F.lit(None).cast("timestamp"))
+            start = self._next_id_start(base)
+            id_src = inserts.select(*[c for c in base.columns if c != ID_COL])
+            inserts, _ = assign_contiguous_ids_with_count(id_src, start=start)
+            out = closed_hist.unionByName(kept).unionByName(
+                inserts.select(*base.columns)
+            )
+            n_unchanged = int(n_current) - n_changed
             self._rewrite(out)
         finally:
             # A long-running service merges repeatedly: release the per-call
@@ -444,9 +493,14 @@ class PqDB:
             # lifetime — the id-assignment persist() is a strong CacheManager
             # reference (create() releases its own the same way), and the
             # eager localCheckpoint's RDD blocks are freed deterministically
-            # only by a targeted unpersist (see runtime.py).
-            id_src.unpersist()
-            release_local_checkpoint(j)
+            # only by a targeted unpersist (see runtime.py). The finally
+            # covers the WHOLE body after the persist/checkpoint, so a
+            # failure while building the output plan cannot leak blocks.
+            up.unpersist()
+            if id_src is not None:
+                id_src.unpersist()
+            if j is not None:
+                release_local_checkpoint(j)
         return {
             "closed": n_changed,
             "inserted": n_changed + n_new,

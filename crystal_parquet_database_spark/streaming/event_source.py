@@ -20,7 +20,9 @@ Usage::
               .option("rows_per_batch", 100).load())
 
 Fields mirror tables.load_table(..., "events"): (event_id long, ts timestamp,
-user_id long, event_type string, value double).
+user_id long, event_type string, value double, props string) — the full
+fixture schema, so any batch recipe's column list also resolves against the
+stream.
 """
 
 from __future__ import annotations
@@ -56,6 +58,9 @@ def _row(i: int) -> tuple:
         h % 150,
         _TYPES[h2 % len(_TYPES)],
         float(h % 10_000) / 100.0,
+        # fixture parity: events.parquet carries a JSON-ish props string; a
+        # deterministic one keeps offset replay exact
+        '{"session": %d}' % (h2 % 97),
     )
 
 
@@ -92,6 +97,7 @@ class SyntheticEventsDataSource(DataSource):
                 StructField("user_id", LongType()),
                 StructField("event_type", StringType()),
                 StructField("value", DoubleType()),
+                StructField("props", StringType()),
             ]
         )
 

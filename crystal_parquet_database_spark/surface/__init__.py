@@ -91,6 +91,15 @@ _VERIFY_FIRST = [
     # sim-proven, rows stand.)
     "text_token_counts",
     "events_anomaly_hourly_zscore",
+    # review wave 6 (storage/streaming): upsert_scd2's merge joins are now
+    # NULL-safe (replay idempotence for NULL-keyed rows), update/upsert
+    # persist the update frame so the dup-key guard certifies the
+    # materialization the join consumes, and delete-all on a partitioned
+    # dataset keeps its schema. stream_windowed_approx_distinct gained the
+    # zero-key-window division guard. The two PqDB gate queries and the
+    # stream query (already above) must outrun their changed code.
+    "scd2_asof_dimension",
+    "pqdb_update_delete_read",
     # — 3: newest row is r3 (the remaining 15 oracle-paired) —
     "agg_cube_lineitem",
     "agg_distinct_counts",
@@ -116,17 +125,17 @@ _VERIFY_FIRST = [
     "q21_suppliers_kept_waiting",
     "q18_large_volume_orders",
     "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q11_important_stock",
     # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
-    # 9 code-changed-post-r6-freeze + 13 code-changed-in-r7 + 15 r3
-    # refreshes + 10 r4 refreshes = exactly 50). Entries below get NO row
+    # 9 code-changed-post-r6-freeze + 15 code-changed-in-r7 + 15 r3
+    # refreshes + 8 r4 refreshes = exactly 50). Entries below get NO row
     # this round: first the 17 lightest r4-row queries (their code is
     # unchanged — a changed query always outranks a stale refresh), then
     # the 2 no-oracle rows, then queries holding green r5/r6 rows.
     # (Queries touched only by the behavior-identical with_watermark helper
     # rename — the stream join/window families — are re-proven by the local
     # full driver simulation; their green rows stand.)
+    "q4_order_priority",
+    "q11_important_stock",
     "q12_priority_shipping",
     "q13_customer_distribution",
     "q16_parts_supplier_count",

@@ -272,9 +272,18 @@ def stream_windowed_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFra
     return est.join(exact, "window_start").select(
         "window_start",
         "exact_keys",
-        (
+        # exact_keys == 0 (a window whose events all carry NULL user_id)
+        # must not divide: under ANSI (the bare driver session's default)
+        # x/0 is a hard SparkArithmeticException that would abort the whole
+        # query over one degenerate window. A zero-key window is "within
+        # 5%" iff the sketch also says zero — which HLL over zero added
+        # keys always does, so the oracle's pinned TRUE still matches.
+        F.when(
+            F.col("exact_keys") > 0,
             F.abs(F.col("approx_keys").cast("double") - F.col("exact_keys").cast("double"))
             / F.col("exact_keys").cast("double")
-            <= F.lit(0.05)
-        ).alias("within_5pct"),
+            <= F.lit(0.05),
+        )
+        .otherwise(F.col("approx_keys") == F.lit(0))
+        .alias("within_5pct"),
     )

@@ -378,3 +378,55 @@ def test_fresh_dir_unique_per_invocation():
     import os
 
     assert os.path.isdir(a) and os.path.isdir(b)
+
+
+def test_scd2_null_key_replay_is_noop(spark, tmp_path):
+    """Regression: a NULL-keyed dimension row used to miss the plain-equality
+    merge join every time, so replaying the identical merge appended a fresh
+    duplicate current version per run. With NULL-safe matching, the replay is
+    the no-op the docstring promises and the one-current-row-per-key
+    invariant holds."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "dimnull"))
+    db.create_versioned(
+        [{"sku": None, "price": 1.0}, {"sku": "A", "price": 2.0}],
+        effective_ts="2024-01-01 00:00:00",
+    )
+    up = spark.createDataFrame(
+        [(None, 1.0), ("A", 2.0)], "sku string, price double"
+    )
+    for _ in range(2):  # identical replays
+        stats = db.upsert_scd2(up, on="sku", effective_ts="2024-02-01 00:00:00")
+        assert stats == {"closed": 0, "inserted": 0, "unchanged": 2}, stats
+        cur = db.read(load_format="dataset").filter("valid_to IS NULL").collect()
+        assert len(cur) == 2  # one current row per key, incl. the NULL key
+    # and a REAL change to the NULL-keyed row closes + reinserts exactly once
+    up2 = spark.createDataFrame([(None, 9.0)], "sku string, price double")
+    stats = db.upsert_scd2(up2, on="sku", effective_ts="2024-03-01 00:00:00")
+    assert stats == {"closed": 1, "inserted": 1, "unchanged": 1}
+    cur = {
+        r["sku"]: r["price"]
+        for r in db.read(load_format="dataset").filter("valid_to IS NULL").collect()
+    }
+    assert cur == {None: 9.0, "A": 2.0}
+
+
+def test_delete_all_rows_partitioned_dataset_survives(spark, tmp_path):
+    """Regression: on a partition_by dataset, deleting every row wrote only
+    _SUCCESS (dynamic-partition empty writes emit no schema file), so the
+    dataset was destroyed — exists flipped False and every later call raised
+    FileNotFoundError. The empty state must keep the schema and accept new
+    rows."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "part"), partition_by=["grp"])
+    db.create([{"grp": "a", "x": 1}, {"grp": "b", "x": 2}])
+    db.delete(where="x < 100")  # matches every row
+    assert db.exists
+    empty = db.read(load_format="dataset")
+    assert empty.count() == 0
+    assert {"grp", "x", "id"} <= set(empty.columns)
+    db.create([{"grp": "c", "x": 3}])
+    rows = db.read(load_format="dataset").collect()
+    assert [(r["grp"], r["x"]) for r in rows] == [("c", 3)]

@@ -348,7 +348,7 @@ def test_synthetic_events_checkpoint_restart_exactly_once(spark, tmp_path):
     }
     want: dict[tuple, int] = {}
     for i in range(100):
-        _, ts, _, etype, _ = _row(i)
+        _, ts, _, etype, _, _props = _row(i)
         start = ts.replace(tzinfo=None) - datetime.timedelta(
             seconds=(ts.minute % 5) * 60 + ts.second
         )
@@ -437,3 +437,42 @@ def test_stream_ingest_releases_checkpoint_blocks(spark, tmp_path):
             q.stop()
     assert db.read(columns=["event_id"]).count() == 120
     assert len(sc._jsc.sc().getRDDStorageInfo()) <= baseline  # nothing lingers
+
+
+def test_windowed_approx_distinct_all_null_key_window(spark, tmp_path):
+    """Regression: a 5-minute window whose events all carry NULL user_id has
+    exact_keys=0 — the 5%% check used to divide by it (ANSI: hard
+    DIVIDE_BY_ZERO abort). The zero-key window must instead report
+    within_5pct=TRUE iff the sketch also says zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    d = tmp_path / "sfx"
+    d.mkdir()
+    base = 1_700_000_000_000_000_000  # ns epoch
+    rows = [
+        # window 1: two NULL-key events only
+        (1, base, None, "click", 1.0, "{}"),
+        (2, base + 60_000_000_000, None, "view", 1.0, "{}"),
+        # window 2 (ts + 10 min): real keys
+        (3, base + 600_000_000_000, 7, "click", 1.0, "{}"),
+        (4, base + 660_000_000_000, 8, "view", 1.0, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows]),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    out = {
+        r["exact_keys"]: r["within_5pct"]
+        for r in QUERIES["stream_windowed_approx_distinct"](spark, str(d)).collect()
+    }
+    assert out == {0: True, 2: True}
