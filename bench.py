@@ -178,11 +178,17 @@ def main() -> None:
     # SCALE.md's crowding notes).
     import gc
 
+    from crystal_parquet_database_spark.runtime import release_all_session_blocks
+
     cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 4)
+        # deterministic release (gc.collect alone leaves the JVM-side RDD
+        # references alive until ITS collector runs — see runtime.py); safe
+        # here because the query's action has completed and its frame is dead
+        release_all_session_blocks(spark)
         gc.collect()
 
     times: dict[str, float] = {}
@@ -193,6 +199,7 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 4)
+        release_all_session_blocks(spark)
         gc.collect()
 
     # Round-over-round comparison on the SHARED query set: the headline total

@@ -79,6 +79,13 @@ def _parse_png_ihdr(data: bytes) -> dict | None:
     if len(data) >= 24 and data[:8] == _PNG_SIG and data[12:16] == b"IHDR":
         width = int.from_bytes(data[16:20], "big")
         height = int.from_bytes(data[20:24], "big")
+        # spec-faithful validation doubling as schema safety: PNG (§11.2.2)
+        # caps dimensions at 2^31-1 and zero is invalid, so any out-of-range
+        # u32 is a corrupt/adversarial header — and would also overflow the
+        # IntegerType meta column (Arrow either aborts the batch or silently
+        # wraps negative). Treat it as not-a-PNG → undecodable downstream.
+        if not (0 < width <= 0x7FFFFFFF and 0 < height <= 0x7FFFFFFF):
+            return None
         return {"mime": "image/png", "width": width, "height": height, "n_bytes": len(data)}
     return None
 
@@ -141,7 +148,21 @@ def _parse_image_header(data: bytes) -> dict | None:
     return _parse_png_ihdr(data) or _parse_jpeg_sof(data) or _parse_gif_header(data)
 
 
-def _decode_meta(data: bytes) -> dict:
+# Probed ONCE, on the DRIVER, at import time. The flag is captured into the
+# mapInPandas closure so every executor takes the branch the driver decided —
+# on a deployment where driver and executor images differ, a per-executor
+# re-probe would let the runtime branch diverge from the oracle the driver
+# registered against this same flag (surface/llm.py), silently degrading or
+# falsely failing the gate.
+try:
+    import PIL  # noqa: F401
+
+    DRIVER_HAS_PIL = True
+except ImportError:
+    DRIVER_HAS_PIL = False
+
+
+def _decode_meta(data: bytes, use_pil: bool = DRIVER_HAS_PIL) -> dict:
     # Vendored header parsers FIRST: they are REAL (fixed-offset spec reads),
     # deterministic across environments, and accept header-only fixtures
     # (e.g. a PNG with IHDR but no IDAT) that a full decoder would reject —
@@ -149,9 +170,14 @@ def _decode_meta(data: bytes) -> dict:
     parsed = _parse_image_header(data)
     if parsed is not None:
         return parsed
+    if not use_pil:
+        return _fake_decode_meta(data)
     try:  # full-decode path for formats outside PNG/JPEG/GIF, when available
         from PIL import Image  # type: ignore
     except ImportError:
+        # driver probed PIL but this executor lacks it (image skew): fall
+        # back to the fake — the oracle is rows-only in the has-PIL case,
+        # so the degradation is graceful, never a spurious hash failure
         return _fake_decode_meta(data)
     import io
 
@@ -172,12 +198,14 @@ def with_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Append a typed ``meta`` struct decoded from the binary column."""
     out_schema = T.StructType(df.schema.fields + [T.StructField("meta", image_meta_struct)])
 
+    use_pil = DRIVER_HAS_PIL  # driver-side decision, serialized into the closure
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         missing = {"mime": "image/missing", "width": None, "height": None, "n_bytes": None}
         for pdf in batches:
             pdf = pdf.copy()
             pdf["meta"] = [
-                _decode_meta(data) if (data := _as_bytes(b)) is not None else missing
+                _decode_meta(data, use_pil) if (data := _as_bytes(b)) is not None else missing
                 for b in pdf[content_col]
             ]
             yield pdf
@@ -286,9 +314,28 @@ def _parse_mp4_meta(data: bytes) -> dict | None:
             end = min(pos + size, len(data))
             while cpos + 8 <= end:
                 csize = int.from_bytes(data[cpos : cpos + 4], "big")
-                if csize < 8:
+                chdr = 8
+                # mirror the top-level walk's size encodings: a child using
+                # a 64-bit largesize header (csize==1 — legal ISO-BMFF, the
+                # same >4GiB case the top-level branch handles) or
+                # to-end-of-parent (csize==0) must be SKIPPED correctly, not
+                # abort the scan before a later spec-valid mvhd is reached
+                if csize == 1:
+                    if cpos + 16 > end:
+                        break
+                    csize = int.from_bytes(data[cpos + 8 : cpos + 16], "big")
+                    chdr = 16
+                    if csize < 16:
+                        break
+                elif csize == 0:
+                    csize = end - cpos
+                elif csize < 8:
                     break
-                if data[cpos + 4 : cpos + 8] == b"mvhd" and cpos + 28 <= end:
+                if (
+                    chdr == 8  # mvhd is a fixed small box; fields sit after an 8-byte header
+                    and data[cpos + 4 : cpos + 8] == b"mvhd"
+                    and cpos + 28 <= end
+                ):
                     version = data[cpos + 8]
                     if version == 0:
                         timescale = int.from_bytes(data[cpos + 20 : cpos + 24], "big")
@@ -403,6 +450,11 @@ def _parse_wav_header(data: bytes) -> dict | None:
     ):
         n_channels = int.from_bytes(data[22:24], "little")
         sample_rate = int.from_bytes(data[24:28], "little")
+        # a u32 sample rate beyond int32 is not a real audio format (spec
+        # rates top out in the hundreds of kHz) — and it would overflow the
+        # IntegerType meta column; reject the header as undecodable
+        if sample_rate > 0x7FFFFFFF:
+            return None
         block_align = int.from_bytes(data[32:34], "little")
         bits = int.from_bytes(data[34:36], "little")
         # clamp the declared data size to the bytes actually present so a

@@ -37,3 +37,32 @@ def release_local_checkpoint(df: DataFrame) -> bool:
     except Exception:
         pass
     return False
+
+
+def release_all_session_blocks(spark) -> int:
+    """Between-queries hygiene for HARNESSES (bench.py, driver_sim): release
+    every persistent RDD in the session — including the eager-localCheckpoint
+    blocks the query surface and operators create per invocation, which no
+    call site can release itself (the returned frame's execution still needs
+    them; only the harness knows when the collect has happened) — and clear
+    the DataFrame cache.
+
+    Call ONLY at a point where no previously returned frame will be read
+    again: a released localCheckpoint has truncated lineage and cannot be
+    recomputed (a released persist()/cache() merely recomputes). Returns the
+    number of RDDs unpersisted; best-effort, never raises — block release is
+    hygiene, not correctness.
+    """
+    n = 0
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+            n += 1
+    except Exception:
+        pass
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    return n

@@ -219,16 +219,26 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=10)
 
 
-def _sql_bucket(vec: str, n_planes: int = 8) -> str:
+def _sql_sign_bits(vec: str, planes: list[tuple[int, int]]) -> str:
+    """ONE generator for the hyperplane dot-product + sign-bit SQL —
+    ``_sql_bucket`` (ANN buckets) and ``_sql_band_key`` (near-dup LSH bands)
+    are the same expression under different (plane index → bit offset) maps.
+    Two hand-kept copies already forced one lockstep fix (the ``S._w`` dim
+    stride had to be patched in both); a single generator makes the next
+    such fix impossible to half-apply."""
     terms = []
-    for j in range(n_planes):
+    for j, off in planes:
         w_list = "[" + ", ".join(f"{float(S._w(j, kk, _DIM))}" for kk in range(_DIM)) + "]"
         d = (
             f"list_aggregate(list_transform(generate_series(1, {_DIM}), "
             f"i -> CAST({vec}[i] AS DOUBLE) * ({w_list})[i]), 'sum')"
         )
-        terms.append(f"CASE WHEN {d} >= 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        terms.append(f"CASE WHEN {d} >= 0 THEN CAST({2**off} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     return "(" + " + ".join(terms) + ")"
+
+
+def _sql_bucket(vec: str, n_planes: int = 8) -> str:
+    return _sql_sign_bits(vec, [(j, j) for j in range(n_planes)])
 
 
 _ANN_ORACLE = f"""
@@ -414,15 +424,11 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_band_key(vec: str, band: int, band_size: int = 6) -> str:
-    terms = []
-    for off, j in enumerate(range(band * band_size, (band + 1) * band_size)):
-        w_list = "[" + ", ".join(f"{float(S._w(j, kk, _DIM))}" for kk in range(_DIM)) + "]"
-        d = (
-            f"list_aggregate(list_transform(generate_series(1, {_DIM}), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * ({w_list})[i]), 'sum')"
-        )
-        terms.append(f"CASE WHEN {d} >= 0 THEN CAST({2**off} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-    return "(" + " + ".join(terms) + ")"
+    # shares _sql_sign_bits with _sql_bucket — see its docstring
+    return _sql_sign_bits(
+        vec,
+        [(j, off) for off, j in enumerate(range(band * band_size, (band + 1) * band_size))],
+    )
 
 
 _NEARDUP_LSH_ORACLE = f"""
@@ -547,12 +553,13 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-try:  # decides which decode branch multimodal takes (and thus the oracle)
-    import PIL  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+# ONE probe decides both the oracle registration here and the decode branch
+# every executor takes (the flag is captured into the mapInPandas closure,
+# operators/multimodal.py) — a separate per-side probe would let
+# driver/executor image skew desynchronize the gate from the runtime.
+from crystal_parquet_database_spark.operators.multimodal import (  # noqa: E402
+    DRIVER_HAS_PIL as _HAS_PIL,
+)
 
 # The documented deterministic fake (operators/multimodal.py:_fake_decode_meta)
 # IS md5 arithmetic — width/height are bytes 0/1 of md5(content) — so DuckDB
@@ -2017,9 +2024,7 @@ cand AS (
 )
 SELECT * FROM (
   SELECT id_new, id_old,
-         CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
-           / CAST(len(a.hs) + len(b.hs)
-                  - len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
+         {_JACC}
            AS jaccard
   FROM cand JOIN hs a ON cand.id_new = a.doc_id JOIN hs b ON cand.id_old = b.doc_id
 ) WHERE jaccard >= {_THRESH}

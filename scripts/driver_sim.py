@@ -82,6 +82,12 @@ for name in sorted(qs):
         print(f"{name:45s} {status} rows={len(a)}/{len(b)} hash={ha}/{hb}")
     else:
         print(f"{name:45s} rows-only rows={len(sdf)}")
+    # between-queries hygiene, mirroring bench.py: release each query's
+    # eager-localCheckpoint blocks deterministically so a 150-query sweep
+    # doesn't accumulate session-lifetime block-manager pressure
+    from crystal_parquet_database_spark.runtime import release_all_session_blocks
+
+    release_all_session_blocks(spark)
 
 # 3) probes
 # re-run a query twice on the same session (idempotence)

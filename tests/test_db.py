@@ -430,3 +430,21 @@ def test_delete_all_rows_partitioned_dataset_survives(spark, tmp_path):
     db.create([{"grp": "c", "x": 3}])
     rows = db.read(load_format="dataset").collect()
     assert [(r["grp"], r["x"]) for r in rows] == [("c", 3)]
+
+
+def test_release_all_session_blocks(spark):
+    """Harness hygiene: the between-queries release must free BOTH
+    localCheckpoint blocks and plain persists, and be safe to call twice."""
+    from crystal_parquet_database_spark.runtime import release_all_session_blocks
+
+    ck = spark.range(100).localCheckpoint(eager=True)
+    pe = spark.range(50).persist()
+    pe.count()
+    assert ck.count() == 100
+    n = release_all_session_blocks(spark)
+    assert n >= 2
+    size = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert size == 0
+    # a released persist() recomputes through lineage — still correct
+    assert pe.count() == 50
+    assert release_all_session_blocks(spark) >= 0  # idempotent / never raises

@@ -389,3 +389,48 @@ def test_parse_wav_header_honors_block_align():
     # zeroed block-align falls back to the byte-ceil of the bit depth
     meta2 = M._parse_wav_header(wav(bits=12, block_align=0, n_data=64))
     assert meta2 is not None and meta2["n_samples"] == 32
+
+
+def test_parse_png_rejects_out_of_int32_dimensions():
+    """Regression: a corrupt/adversarial IHDR declaring a u32 dimension past
+    2^31-1 (invalid per PNG spec anyway) used to flow into the IntegerType
+    meta column, where Arrow either aborts the batch or wraps negative.
+    It must read as not-a-PNG instead."""
+    good = _tiny_png(5, 7)
+    bad_w = good[:16] + (0x90000000).to_bytes(4, "big") + good[20:]
+    bad_h = good[:20] + (0x90000000).to_bytes(4, "big") + good[24:]
+    zero_w = good[:16] + (0).to_bytes(4, "big") + good[20:]
+    assert M._parse_png_ihdr(bad_w) is None
+    assert M._parse_png_ihdr(bad_h) is None
+    assert M._parse_png_ihdr(zero_w) is None
+    assert M._parse_png_ihdr(good)["width"] == 5  # sanity: fix didn't overtighten
+
+
+def test_parse_wav_rejects_out_of_int32_sample_rate():
+    wav = bytearray(_tiny_wav(8000, 16))
+    wav[24:28] = (3_000_000_000).to_bytes(4, "little")
+    assert M._parse_wav_header(bytes(wav)) is None
+    assert M._parse_wav_header(_tiny_wav(8000, 16))["sample_rate"] == 8000
+
+
+def test_parse_mp4_moov_child_largesize_before_mvhd():
+    """Regression: a moov CHILD with a 64-bit largesize header (legal
+    ISO-BMFF) used to abort the child walk — `csize==1 < 8` — before a
+    later spec-valid mvhd, silently dropping duration."""
+    mp4 = _tiny_mp4(b"isom", 1000, 5000)
+    ftyp, moov = mp4[:20], mp4[20:]
+    assert moov[4:8] == b"moov"
+    mvhd_payload = moov[8:]  # the original mvhd child box
+    big_child = (
+        (1).to_bytes(4, "big") + b"udta" + (24).to_bytes(8, "big") + b"\x00" * 8
+    )  # 16-byte header + 8 payload = declared largesize 24
+    children = big_child + mvhd_payload
+    moov2 = (8 + len(children)).to_bytes(4, "big") + b"moov" + children
+    meta = M._parse_mp4_meta(ftyp + moov2)
+    assert meta["duration_s"] == 5.0
+    # and a size==0 (to-end-of-parent) child before mvhd hides it — but
+    # must terminate cleanly, not loop or crash
+    zero_child = (0).to_bytes(4, "big") + b"free" + b"\x00" * 4
+    moov3 = (8 + len(zero_child) + len(mvhd_payload)).to_bytes(4, "big") + b"moov" + zero_child + mvhd_payload
+    meta3 = M._parse_mp4_meta(ftyp + moov3)
+    assert meta3["duration_s"] is None  # swallowed by the to-end child, by spec
