@@ -24,30 +24,32 @@ def download(dirpath: str, repo_id: str = "lllangWV/CrystPQDB") -> str:
 
 
 def upload(db_path: str, repo_id: str, max_workers: int = 8) -> None:
-    """Upload every ``*.parquet`` under ``db_path`` to a dataset repo
-    (reference: download.py:23-39, thread-per-file)."""
+    """Upload every ``*.parquet`` under ``db_path`` to a dataset repo as ONE
+    atomic commit (reference parity: download.py:23-39, which used a thread
+    per file — but per-file ``upload_file`` calls commit concurrently to the
+    same branch, which the Hub intermittently rejects with 412
+    'concurrent commit' and which leaves a partially applied repo on any
+    failure; a single batched commit uploads all-or-nothing and keeps the
+    repo history at one commit per database version). ``max_workers`` is
+    kept for signature compatibility; the hub client manages its own blob
+    transfer parallelism inside the batched commit."""
     try:
-        from concurrent.futures import ThreadPoolExecutor
-
-        from huggingface_hub import HfApi
+        from huggingface_hub import CommitOperationAdd, HfApi
     except ImportError as e:
         raise ImportError("huggingface_hub is required for dataset upload") from e
     api = HfApi()
-    files = [
-        os.path.join(root, f)
+    ops = [
+        CommitOperationAdd(
+            path_in_repo=os.path.relpath(os.path.join(root, f), db_path),
+            path_or_fileobj=os.path.join(root, f),
+        )
         for root, _d, fs in os.walk(db_path)
-        for f in fs
+        for f in sorted(fs)
         if f.endswith(".parquet")
     ]
-    with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        list(
-            pool.map(
-                lambda p: api.upload_file(
-                    path_or_fileobj=p,
-                    path_in_repo=os.path.relpath(p, db_path),
-                    repo_id=repo_id,
-                    repo_type="dataset",
-                ),
-                files,
-            )
-        )
+    api.create_commit(
+        repo_id=repo_id,
+        repo_type="dataset",
+        operations=ops,
+        commit_message=f"upload {len(ops)} parquet files",
+    )

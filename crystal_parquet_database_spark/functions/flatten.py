@@ -23,6 +23,16 @@ SEP = "."
 def _leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
     out: list[str] = []
     for f in schema.fields:
+        if SEP in f.name and prefix:
+            # a NESTED field whose name itself contains '.' cannot survive
+            # the dotted flat layout: its leaf path would split into the
+            # wrong getField chain (crash), or — if a real nesting of the
+            # same shape also exists — silently alias the wrong data. Same
+            # contract as the top-level dotted-name guard in flatten_structs.
+            raise ValueError(
+                f"nested field {prefix}{f.name!r} contains {SEP!r} in its "
+                "name — the dotted flat layout cannot represent it"
+            )
         path = f"{prefix}{f.name}"
         if isinstance(f.dataType, T.StructType):
             out.extend(_leaf_paths(f.dataType, prefix=f"{path}{SEP}"))

@@ -33,7 +33,13 @@ def with_session_seq(
     opens a new session; the running sum of the new-session flag numbers
     sessions 1..n per user (microsecond-exact — see module docstring)."""
     w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    ts_us: Column = F.unix_micros(F.col(ts_col))
+    # unix_micros takes TIMESTAMP only; NTZ columns reinterpret in the
+    # (UTC-pinned) session zone first — same instant, no shift. Mirrors
+    # skew.zorder_key's handling so the NTZ contract is uniform.
+    ts_src: Column = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        ts_src = ts_src.cast("timestamp")
+    ts_us: Column = F.unix_micros(ts_src)
     gap = ts_us - F.lag(ts_us).over(w)
     new_s = F.when(
         gap.isNull() | (gap >= gap_minutes * 60 * 1_000_000), 1

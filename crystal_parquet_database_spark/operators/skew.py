@@ -8,8 +8,38 @@ aggregation, or a join you will run many times and want shuffle-free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _content_salt(df: DataFrame, entropy_cols: list[str] | None, n_salts: int) -> Column:
+    """ONE definition of the deterministic content-hash salt (salted_join and
+    salted_agg_count must never drift — the expression is correctness-
+    critical): salt from a hash of the row CONTENT, never from row position
+    (monotonically_increasing_id). Position is fetch-order dependent on
+    post-shuffle inputs, and under a partial stage retry rows can re-salt
+    differently than the copies completed reducers already consumed — the
+    SPARK-23207 class of silent row loss/duplication. A hot KEY's rows still
+    spread (their non-key columns differ); only rows byte-identical in EVERY
+    hashed column co-locate — pass a unique id via ``entropy_cols`` when the
+    frame might carry such rows."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in (entropy_cols or df.columns)]),
+        F.lit(n_salts),
+    )
+
+
+def _check_salt_name_free(*dfs: DataFrame) -> None:
+    """The salting ops own the ``__salt`` name; silently overwriting (big
+    side) or duplicating (small side, via crossJoin) a caller's column of
+    that name corrupts the result or fails with AMBIGUOUS_REFERENCE deep in
+    the join — fail loudly at the API boundary instead."""
+    for df in dfs:
+        if "__salt" in df.columns:
+            raise ValueError(
+                "input already carries a '__salt' column (a prior salting "
+                "stage not dropped?); rename or drop it before salting"
+            )
 
 
 def salted_join(
@@ -57,21 +87,8 @@ def salted_join(
             f"salted_join supports {sorted(allowed)} join types; {how!r} would "
             "duplicate unmatched small-side rows across salt replicas"
         )
-    # salt from a DETERMINISTIC content hash of the whole row — never from
-    # row position (monotonically_increasing_id): position is fetch-order
-    # dependent on post-shuffle inputs, and under a partial stage retry rows
-    # can re-salt differently than the copies completed reducers already
-    # consumed — the SPARK-23207 class of silent row loss/duplication. A hot
-    # KEY's rows still spread (their non-key columns differ); only rows that
-    # are byte-identical in EVERY column co-locate, and those are exact
-    # duplicates an upstream dedup removes.
-    salted_big = big.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in (entropy_cols or big.columns)]),
-            F.lit(n_salts),
-        ),
-    )
+    _check_salt_name_free(big, small)
+    salted_big = big.withColumn("__salt", _content_salt(big, entropy_cols, n_salts))
     salts = big.sparkSession.range(n_salts).select(F.col("id").cast("long").alias("__salt"))
     salted_small = small.crossJoin(salts)
     out = salted_big.join(salted_small, [key, "__salt"], how)
@@ -92,15 +109,8 @@ def salted_agg_count(
     down to the key column alone gets a constant salt per key and the whole
     hot key stays on one reducer. Pass a stable unique column (an id) via
     ``entropy_cols`` when one exists."""
-    # deterministic content-hash salt for the same retry-safety reason as
-    # salted_join (a partial map-stage retry must re-salt identically)
-    salted = df.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in (entropy_cols or df.columns)]),
-            F.lit(n_salts),
-        ),
-    )
+    _check_salt_name_free(df)
+    salted = df.withColumn("__salt", _content_salt(df, entropy_cols, n_salts))
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").cast("long").alias("n"))
 
@@ -182,9 +192,20 @@ def zorder_key(
         return col.cast("double")
 
     nums = {c: as_num(c) for c in cols}
+    # min/max over FINITE values only: Spark orders NaN above +inf, so one
+    # NaN in a dimension would make mx = NaN, span = NaN (truthy — the
+    # `or 1.0` degenerate guard never fires), and every row's bucket would
+    # collapse to a constant — the dimension silently drops out of the
+    # Z-order with no error. (NaN/±inf fail both range comparisons below.)
+    def _finite(e):
+        return F.when((e > float("-inf")) & (e < float("inf")), e)
+
     aggs = []
     for c in cols:
-        aggs += [F.min(nums[c]).alias(f"__mn_{c}"), F.max(nums[c]).alias(f"__mx_{c}")]
+        aggs += [
+            F.min(_finite(nums[c])).alias(f"__mn_{c}"),
+            F.max(_finite(nums[c])).alias(f"__mx_{c}"),
+        ]
     stats = df.agg(*aggs).first()
     nbuckets = 1 << bits_per_dim
     scaled = []
@@ -198,14 +219,19 @@ def zorder_key(
         mn = float(mn_raw)
         mx = float(mx_raw)
         span = (mx - mn) or 1.0
-        bucket = F.floor((nums[c] - F.lit(mn)) / F.lit(span) * nbuckets).cast("bigint")
+        num = nums[c]
+        bucket = F.floor((num - F.lit(mn)) / F.lit(span) * nbuckets).cast("bigint")
         scaled.append(
-            # NULL values take bucket 0, NOT the top bucket: F.least skips
-            # nulls, so least(nbuckets-1, NULL) would sort every null row to
-            # the far corner and pollute that corner's row-group stats
+            # NULL and NaN and -inf take bucket 0, +inf the top bucket —
+            # explicit, because floor(NaN)→bigint is an ANSI hazard and
+            # F.least skips nulls (least(nbuckets-1, NULL) would sort every
+            # null row to the far corner and pollute its row-group stats)
             F.when(
-                bucket.isNull(), F.lit(0).cast("bigint")
-            ).otherwise(F.least(F.lit(nbuckets - 1).cast("bigint"), bucket))
+                num.isNull() | F.isnan(num) | (num == float("-inf")),
+                F.lit(0).cast("bigint"),
+            )
+            .when(num == float("inf"), F.lit(nbuckets - 1).cast("bigint"))
+            .otherwise(F.least(F.lit(nbuckets - 1).cast("bigint"), bucket))
         )
     z = F.lit(0).cast("bigint")
     for bit in range(bits_per_dim - 1, -1, -1):  # MSB first

@@ -19,15 +19,18 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
-def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters entries across scans in the plan.
+def pushed_filters(df: DataFrame, plan: str | None = None) -> list[str]:
+    """All PushedFilters entries across scans in the plan. Pass a
+    pre-computed ``formatted_plan(df)`` string via ``plan`` when asserting
+    several properties of one frame — each helper otherwise re-runs the
+    full JVM analysis/optimization/planning pass per call.
 
     Filters are split on TOP-LEVEL commas with bracket/paren balancing —
     an entry like ``In(p_size, [1,10,5])`` contains both inner brackets
     (which would stop a naive ``[^\\]]*`` capture early, silently dropping
     every filter after it) and commas (which a plain split would shred
     into fragments)."""
-    plan = formatted_plan(df)
+    plan = formatted_plan(df) if plan is None else plan
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[", plan):
         i = m.end()
@@ -51,23 +54,23 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
-def scan_read_schemas(df: DataFrame) -> list[str]:
+def scan_read_schemas(df: DataFrame, plan: str | None = None) -> list[str]:
     """ReadSchema of each parquet scan (column-pruning check)."""
-    plan = formatted_plan(df)
+    plan = formatted_plan(df) if plan is None else plan
     return [m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan)]
 
 
-def _numbered_nodes(df: DataFrame) -> list[tuple[int, str]]:
+def _numbered_nodes(df: DataFrame, plan: str | None = None) -> list[tuple[int, str]]:
     """Unique (node_id, operator) pairs — explain('formatted') prints each
     node twice (tree + detail block), so dedupe by id."""
-    plan = formatted_plan(df)
+    plan = formatted_plan(df) if plan is None else plan
     seen: dict[int, str] = {}
     for m in re.finditer(r"\((\d+)\) (\w+)", plan):
         seen.setdefault(int(m.group(1)), m.group(2))
     return sorted(seen.items())
 
 
-def join_strategies(df: DataFrame) -> list[str]:
+def join_strategies(df: DataFrame, plan: str | None = None) -> list[str]:
     """Join operator names in the physical plan (broadcast check)."""
     kinds = {
         "BroadcastHashJoin",
@@ -76,12 +79,12 @@ def join_strategies(df: DataFrame) -> list[str]:
         "BroadcastNestedLoopJoin",
         "CartesianProduct",
     }
-    return [op for _i, op in _numbered_nodes(df) if op in kinds]
+    return [op for _i, op in _numbered_nodes(df, plan) if op in kinds]
 
 
-def num_shuffles(df: DataFrame) -> int:
+def num_shuffles(df: DataFrame, plan: str | None = None) -> int:
     """Exchange count in the physical plan (shuffle budget check)."""
-    return sum(1 for _i, op in _numbered_nodes(df) if op == "Exchange")
+    return sum(1 for _i, op in _numbered_nodes(df, plan) if op == "Exchange")
 
 
 def codegen_spans(df: DataFrame) -> int:

@@ -90,7 +90,23 @@ class BaseLoader:
         os.makedirs(self.raw_dir, exist_ok=True)
         with open(started, "w") as fh:
             fh.write("in-progress\n")
-        self._download(self.raw_dir)
+        try:
+            self._download(self.raw_dir)
+        except BaseException:
+            # A failed attempt that downloaded NOTHING must return the dir to
+            # its pristine state: leaving the STARTED sentinel behind would
+            # permanently mask the pre-placed-files branch above, so a user
+            # who follows the error's advice and drops a corpus into raw_dir
+            # would still be routed into _download forever. A partially
+            # downloaded dir keeps the sentinel — that is the resume case.
+            if not any(
+                not f.startswith(("_", ".")) for f in os.listdir(self.raw_dir)
+            ):
+                try:
+                    os.remove(started)
+                except OSError:
+                    pass
+            raise
         os.replace(started, complete)
         return self.raw_dir
 

@@ -87,3 +87,16 @@ def test_flatten_guards_against_wrong_layout(spark):
     conflict = spark.range(1).selectExpr("1 as a", "2 as `a.b`")
     with pytest.raises(ValueError, match="conflicts"):
         unflatten_structs(conflict)
+
+
+def test_flatten_rejects_dotted_nested_field_name(spark):
+    """Regression: a NESTED field whose name contains '.' cannot survive the
+    dotted flat layout — it must raise, not crash in getField or silently
+    alias a real nesting of the same spelled path."""
+    import pytest
+
+    from crystal_parquet_database_spark.functions.flatten import flatten_structs
+
+    df = spark.range(1).selectExpr("named_struct('a.b', 1, 'c', 2) AS x")
+    with pytest.raises(ValueError, match="a.b"):
+        flatten_structs(df)

@@ -377,3 +377,42 @@ def test_alexandria_part_files_hidden_from_read_glob(tmp_path):
     assert not fnmatch.fnmatch(".alexandria_003.json.bz2.part", "*.json*") or True
     # what matters: Spark ignores hidden files regardless of glob
     assert ".alexandria_003.json.bz2.part".startswith(".")
+
+
+def test_failed_empty_download_clears_sentinel(data_dir):
+    """Regression: a download attempt that failed before fetching ANYTHING
+    used to leave _DOWNLOAD_STARTED behind, permanently masking the
+    pre-placed-files branch — the user would follow the error's advice,
+    drop a corpus in raw_dir, and still be routed into _download forever."""
+    import pytest
+
+    from crystal_parquet_database_spark.sources.base import BaseLoader, LoaderConfig
+
+    calls = []
+
+    class FailingLoader(BaseLoader):
+        source_database = "failing"
+        source_dataset = "x"
+
+        def _download(self, raw_dir):
+            calls.append(raw_dir)
+            raise FileNotFoundError("no files and no api key; place a dump in raw_dir")
+
+        def _read_raw(self, spark, raw_dir):  # pragma: no cover
+            raise NotImplementedError
+
+        def _transform(self, df):  # pragma: no cover
+            raise NotImplementedError
+
+    ldr = FailingLoader.__new__(FailingLoader)
+    ldr.spark = None
+    ldr.config = LoaderConfig(data_dir=data_dir)
+    with pytest.raises(FileNotFoundError):
+        ldr.download()
+    raw = ldr.raw_dir
+    assert not os.path.exists(os.path.join(raw, "_DOWNLOAD_STARTED"))
+    # user follows the advice: pre-places the corpus -> honored, no re-entry
+    with open(os.path.join(raw, "dump.json"), "w") as fh:
+        fh.write("{}")
+    assert ldr.download() == raw
+    assert calls == [raw]  # _download was NOT re-entered

@@ -151,3 +151,55 @@ def test_zorder_key_handles_dates_and_nulls(spark):
     assert got[(dt.date(2024, 1, 1), 0)] < got[(dt.date(2024, 12, 31), 999)]
     # the NULL-date row must NOT exceed keys whose date bucket is maximal
     assert got[(None, 250)] < got[(dt.date(2024, 12, 31), 999)]
+
+
+def test_zorder_key_nan_inf_do_not_collapse_dimension(spark):
+    """Regression: one NaN in a dimension made max()=NaN -> span=NaN (truthy,
+    so the `or 1.0` guard never fired) -> every row bucket-0 — the dimension
+    silently dropped out of the Z-order. Finite rows must still spread;
+    NaN/-inf land in bucket 0, +inf in the top bucket."""
+    import math
+
+    from crystal_parquet_database_spark.operators.skew import zorder_key
+
+    rows = [(1, 0.0), (2, 100.0), (3, math.nan), (4, math.inf), (5, -math.inf)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    keyed, col = zorder_key(df, ["x"], bits_per_dim=4)
+    z = {r["id"]: r[col] for r in keyed.collect()}
+    assert z[1] != z[2]          # finite values still differentiate
+    assert z[3] == 0 and z[5] == 0   # NaN and -inf: bucket 0
+    assert z[4] == 15            # +inf: top bucket (2^4 - 1)
+    assert z[2] == 15            # max finite value: top bucket
+
+
+def test_session_seq_accepts_timestamp_ntz(spark):
+    """The shared sessionizer must take NTZ timestamps like zorder_key does
+    (unix_micros alone rejects timestamp_ntz)."""
+    from crystal_parquet_database_spark.operators.sessionize import with_session_seq
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1), (2, "2024-01-01 02:00:00", 1)],
+        "event_id long, ts string, user_id long",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    out = {r["event_id"]: r["session_seq"] for r in with_session_seq(df, 30).collect()}
+    assert out == {1: 1, 2: 2}  # 2h gap opens a second session
+
+
+def test_salted_ops_reject_reserved_salt_column(spark):
+    """A caller column named __salt would be silently overwritten (big side)
+    or duplicated into AMBIGUOUS_REFERENCE (small side) — both must fail
+    loudly at the API boundary."""
+    import pytest
+
+    from crystal_parquet_database_spark.operators.skew import salted_agg_count, salted_join
+
+    big = spark.createDataFrame([(1, 9)], "k long, __salt long")
+    small = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(big, small, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(small.withColumnRenamed("k", "k2").withColumnRenamed("k2", "k"),
+                    big, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_agg_count(big, "k")
