@@ -33,6 +33,14 @@ from crystal_parquet_database_spark.sources.base import BaseLoader
 INDEX_FILE_PATTERN = re.compile(r"alexandria_[^\"<>\s]*\.json\.bz2")
 
 
+def _tmp_name(name: str) -> str:
+    """In-flight download temp name: dot-PREFIXED so Spark/Hadoop readers
+    (which skip hidden files) and BaseLoader's pre-placed-corpus check (which
+    ignores '.'-prefixed entries) never mistake a partial fetch for content;
+    a suffixed 'x.json.bz2.part' would match the _read_raw glob '*.json*'."""
+    return "." + name + ".part"
+
+
 class AlexandriaLoader(BaseLoader):
     source_database = "alex"
     source_dataset = "3d"
@@ -63,7 +71,7 @@ class AlexandriaLoader(BaseLoader):
             # is dot-PREFIXED (not suffixed): Spark readers skip hidden
             # files, and a suffixed "x.json.bz2.part" would match the
             # _read_raw glob "*.json*" and feed truncated bz2 to the job.
-            tmp = os.path.join(raw_dir, "." + name + ".part")
+            tmp = os.path.join(raw_dir, _tmp_name(name))
             with urllib.request.urlopen(url, timeout=self.config.timeout_seconds) as r, open(
                 tmp, "wb"
             ) as f:

@@ -84,7 +84,13 @@ class BaseLoader:
             if (
                 os.path.isdir(self.raw_dir)
                 and not os.path.exists(started)
-                and any(not f.startswith("_") for f in os.listdir(self.raw_dir))
+                # same visibility rule as the failure cleanup below: dot-files
+                # are in-flight download temps (alexandria's ".name.part"),
+                # not corpus content — a dir holding only those must retry,
+                # not masquerade as a user pre-placed corpus
+                and any(
+                    not f.startswith(("_", ".")) for f in os.listdir(self.raw_dir)
+                )
             ):
                 return self.raw_dir  # pre-placed files, not our partial run
         os.makedirs(self.raw_dir, exist_ok=True)

@@ -38,6 +38,14 @@ _CELL_KEYS = {
 }
 
 
+def _quantize_occu(occu: float) -> int:
+    """Quantize a float occupancy to the canonical int64 schema, half-UP:
+    floor(x+0.5), not Python round()'s half-to-even — banker's rounding
+    would send the canonical 0.5 partial occupancy to 0, silently erasing
+    the species from the site."""
+    return int(math.floor(occu + 0.5))
+
+
 def _lattice_matrix(a, b, c, alpha, beta, gamma):
     ar, br, gr = math.radians(alpha), math.radians(beta), math.radians(gamma)
     ca, cb, cg, sg = math.cos(ar), math.cos(br), math.cos(gr), math.sin(gr)
@@ -138,11 +146,14 @@ def _parse_cif(text: str) -> dict | None:
         # explicitly and deterministically — otherwise Spark's unsafe Arrow
         # conversion silently truncates 0.5 → 0 with no error. Partial
         # occupancies are genuinely lossy under the reference's own schema;
-        # round-to-nearest is the least-wrong deterministic choice.
+        # round-to-nearest is the least-wrong deterministic choice
+        # (half-UP via floor(x+0.5), not Python round()'s half-to-even —
+        # banker's rounding would quantize the canonical 0.5 partial
+        # occupancy to 0, erasing the species from the site entirely).
         for site in d.get("sites", []):
             for sp in site.get("species", []):
                 if "occu" in sp and sp["occu"] is not None:
-                    sp["occu"] = int(round(sp["occu"]))
+                    sp["occu"] = _quantize_occu(sp["occu"])
         return {
             "species": [str(sp) for sp in s.species],
             "frac_coords": [list(map(float, fc)) for fc in s.frac_coords],

@@ -116,7 +116,9 @@ _VERIFY_FIRST = [
     "text_chunk_windows",
     "unpivot_part_metrics",
     "window_positional_values",
-    # — 4: r4-row refreshes, heaviest first (13 of 30 fit) —
+    # — 4: r4-row refreshes, heaviest first (8 of the 29 unchanged-code
+    # candidates fit; 37 queries hold r4-newest rows, 8 of which are
+    # already above as code-changed entries) —
     "dedup_cluster_components",
     "dedup_simhash_near_pairs",
     "dedup_simhash_fingerprint",
@@ -128,7 +130,7 @@ _VERIFY_FIRST = [
     # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
     # 9 code-changed-post-r6-freeze + 15 code-changed-in-r7 + 15 r3
     # refreshes + 8 r4 refreshes = exactly 50). Entries below get NO row
-    # this round: first the 17 lightest r4-row queries (their code is
+    # this round: first the 21 lightest r4-row queries (their code is
     # unchanged — a changed query always outranks a stale refresh), then
     # the 2 no-oracle rows, then queries holding green r5/r6 rows.
     # (Queries touched only by the behavior-identical with_watermark helper

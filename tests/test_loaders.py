@@ -311,6 +311,19 @@ def test_cif_parser_accepts_crlf():
     assert crlf["lattice"]["volume"] == unix["lattice"]["volume"]
 
 
+def test_occupancy_quantizes_half_up():
+    """Regression (round-7 review): Python round() is half-to-even, which
+    sent the canonical 0.5 partial occupancy to 0 — the species vanished
+    from the site. The quantizer must round halves UP consistently."""
+    from crystal_parquet_database_spark.sources.mc3d import _quantize_occu
+
+    assert _quantize_occu(0.5) == 1
+    assert _quantize_occu(1.5) == 2
+    assert _quantize_occu(2.5) == 3
+    assert _quantize_occu(0.49) == 0
+    assert _quantize_occu(1.0) == 1
+
+
 def test_download_resumes_interrupted_run(data_dir):
     """A run killed mid-download leaves the STARTED sentinel; the next run
     must re-enter _download (resuming missing files) instead of ingesting the
@@ -374,9 +387,47 @@ def test_alexandria_part_files_hidden_from_read_glob(tmp_path):
     import fnmatch
 
     assert fnmatch.fnmatch("alexandria_003.json.bz2.part", "*.json*")  # the trap
-    assert not fnmatch.fnmatch(".alexandria_003.json.bz2.part", "*.json*") or True
-    # what matters: Spark ignores hidden files regardless of glob
-    assert ".alexandria_003.json.bz2.part".startswith(".")
+    # what matters: Spark/Hadoop readers skip hidden files (leading '.' or
+    # '_') regardless of glob, so the temp name must be DOT-PREFIXED — pin
+    # the actual naming scheme the downloader uses
+    from crystal_parquet_database_spark.sources.alexandria import _tmp_name
+
+    tmp = _tmp_name("alexandria_003.json.bz2")
+    assert tmp.startswith(".")
+    assert tmp.endswith(".part")
+
+
+def test_dot_temp_only_dir_retries_download(data_dir):
+    """Regression (round-7 review): a first fetch that died mid-file leaves
+    only a dot-prefixed '.x.part' temp; the failure cleanup removes the
+    STARTED sentinel (nothing real was downloaded), and the pre-placed
+    check must NOT count the hidden temp as corpus content — otherwise
+    download() never retries and the read glob sees an empty corpus."""
+    from crystal_parquet_database_spark.sources.base import BaseLoader, LoaderConfig
+
+    calls = []
+
+    class Ldr(BaseLoader):
+        source_database = "dotretry"
+        source_dataset = "x"
+
+        def _download(self, raw_dir):
+            calls.append(raw_dir)
+            with open(os.path.join(raw_dir, "real.json"), "w") as fh:
+                fh.write("{}")
+
+        def _read_raw(self, spark, raw_dir):  # pragma: no cover
+            raise NotImplementedError
+
+        def _transform(self, df):  # pragma: no cover
+            return df
+
+    ldr = Ldr(None, LoaderConfig(data_dir=str(data_dir)))
+    os.makedirs(ldr.raw_dir, exist_ok=True)
+    with open(os.path.join(ldr.raw_dir, ".alexandria_000.json.bz2.part"), "w") as fh:
+        fh.write("partial")
+    ldr.download()
+    assert calls == [ldr.raw_dir]  # retried despite the leftover temp
 
 
 def test_failed_empty_download_clears_sentinel(data_dir):
