@@ -338,8 +338,18 @@ class PqDB:
                     f"(schema changes go through create()'s evolution path)"
                 )
             self._check_unique_keys(up, on)
-            u = up.select(on, *[F.col(c).alias(f"__u_{c}") for c in upd_cols])
-            joined = base.join(self._small_side(u), on, "left")
+            # NULL-safe key match (eqNullSafe), same contract as upsert_scd2
+            # and the stream-ingest anti-join: a NULL-keyed base row IS
+            # addressable by a NULL-keyed update row — plain `on` equality
+            # would silently no-op it (NULL = NULL is NULL, never matches),
+            # and the dup-key guard above already treats NULL as one key.
+            u = up.select(
+                F.col(on).alias("__u_key"),
+                *[F.col(c).alias(f"__u_{c}") for c in upd_cols],
+            )
+            joined = base.join(
+                self._small_side(u), F.col(on).eqNullSafe(F.col("__u_key")), "left"
+            )
             out = joined.select(
                 *[
                     (

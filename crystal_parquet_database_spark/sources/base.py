@@ -66,6 +66,15 @@ class BaseLoader:
 
     # ------------------------------------------------------------------ stages
 
+    @staticmethod
+    def _has_corpus_files(raw_dir: str) -> bool:
+        """One definition of "this dir holds corpus content": `_`-prefixed
+        entries are our sentinels, dot-prefixed entries are in-flight download
+        temps (alexandria's ".name.part") — neither counts. The pre-placed
+        check and the failure cleanup in download() MUST agree on this, or a
+        dir holding only temps masquerades as a user corpus (masked retry)."""
+        return any(not f.startswith(("_", ".")) for f in os.listdir(raw_dir))
+
     def download(self) -> str:
         """Stage 1 — fetch source files. Idempotent (reference parity:
         skip-if-exists, base.py:146-148 — hardened): OUR OWN downloads leave
@@ -84,16 +93,19 @@ class BaseLoader:
             if (
                 os.path.isdir(self.raw_dir)
                 and not os.path.exists(started)
-                # same visibility rule as the failure cleanup below: dot-files
-                # are in-flight download temps (alexandria's ".name.part"),
-                # not corpus content — a dir holding only those must retry,
-                # not masquerade as a user pre-placed corpus
-                and any(
-                    not f.startswith(("_", ".")) for f in os.listdir(self.raw_dir)
-                )
+                and self._has_corpus_files(self.raw_dir)
             ):
                 return self.raw_dir  # pre-placed files, not our partial run
         os.makedirs(self.raw_dir, exist_ok=True)
+        # A new attempt invalidates any prior COMPLETE sentinel BEFORE the
+        # STARTED marker goes down: a from-scratch refresh killed mid-run
+        # would otherwise leave the old COMPLETE behind, and every later
+        # default run would return early above and silently ingest the
+        # half-refreshed mixed corpus.
+        try:
+            os.remove(complete)
+        except OSError:
+            pass
         with open(started, "w") as fh:
             fh.write("in-progress\n")
         try:
@@ -105,9 +117,7 @@ class BaseLoader:
             # who follows the error's advice and drops a corpus into raw_dir
             # would still be routed into _download forever. A partially
             # downloaded dir keeps the sentinel — that is the resume case.
-            if not any(
-                not f.startswith(("_", ".")) for f in os.listdir(self.raw_dir)
-            ):
+            if not self._has_corpus_files(self.raw_dir):
                 try:
                     os.remove(started)
                 except OSError:

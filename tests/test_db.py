@@ -74,6 +74,32 @@ def test_update(spark, db):
     assert rows == {0: "old", 1: "old", 2: "new", 3: "old", 4: "new"}
 
 
+def test_update_null_key_matches_null_row(spark, db):
+    """Regression (round-7 review): the update join used plain `on` equality,
+    so a NULL-keyed update row matched nothing (NULL = NULL is NULL) and the
+    call silently no-opped — while upsert_scd2 and stream ingest were made
+    NULL-safe in the same changeset. update() must honor the same contract:
+    NULL is one addressable key."""
+    db.create(
+        spark.createDataFrame(
+            [("a", 1.0), (None, 2.0), ("b", 3.0)], "sku string, price double"
+        )
+    )
+    db.update(
+        spark.createDataFrame([(None, 9.0)], "sku string, price double"), on="sku"
+    )
+    rows = {r["sku"]: r["price"] for r in db.read().collect()}
+    assert rows == {"a": 1.0, None: 9.0, "b": 3.0}
+    # and the dup guard treats two NULL keys as the same (ambiguous) key
+    with pytest.raises(ValueError, match="duplicate key"):
+        db.update(
+            spark.createDataFrame(
+                [(None, 1.0), (None, 2.0)], "sku string, price double"
+            ),
+            on="sku",
+        )
+
+
 def test_update_rejects_duplicate_keys_and_unknown_columns(spark, db):
     db.create([{"x": i, "tag": "old"} for i in range(3)])
     with pytest.raises(ValueError, match="duplicate key"):

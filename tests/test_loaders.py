@@ -324,6 +324,60 @@ def test_occupancy_quantizes_half_up():
     assert _quantize_occu(1.0) == 1
 
 
+def test_interrupted_from_scratch_refresh_invalidates_complete(data_dir):
+    """Regression (round-7 review): a download_from_scratch refresh killed
+    mid-run used to leave the PREVIOUS run's COMPLETE sentinel behind, so
+    every later default run returned early on it and silently ingested the
+    half-refreshed mixed corpus. A new attempt must invalidate COMPLETE
+    before it starts, making the interrupted state a resumable STARTED."""
+    from crystal_parquet_database_spark.sources.base import BaseLoader, LoaderConfig
+
+    calls = []
+
+    class Ldr(BaseLoader):
+        source_database = "scratchkill"
+        source_dataset = "x"
+
+        def _download(self, raw_dir):
+            calls.append(raw_dir)
+            if len(calls) == 1:  # first (full) run
+                with open(os.path.join(raw_dir, "old.json"), "w") as fh:
+                    fh.write("{}")
+                return
+            if len(calls) == 2:  # the refresh: dies mid-run
+                with open(os.path.join(raw_dir, "new.json"), "w") as fh:
+                    fh.write("{}")
+                raise RuntimeError("killed mid-refresh")
+            with open(os.path.join(raw_dir, "new2.json"), "w") as fh:
+                fh.write("{}")
+
+        def _read_raw(self, spark, raw_dir):  # pragma: no cover
+            raise NotImplementedError
+
+        def _transform(self, df):  # pragma: no cover
+            return df
+
+    ldr = Ldr(None, LoaderConfig(data_dir=str(data_dir)))
+    ldr.download()  # full run → COMPLETE
+    complete = os.path.join(ldr.raw_dir, "_DOWNLOAD_COMPLETE")
+    started = os.path.join(ldr.raw_dir, "_DOWNLOAD_STARTED")
+    assert os.path.exists(complete)
+
+    ldr.config = LoaderConfig(data_dir=str(data_dir), download_from_scratch=True)
+    with pytest.raises(RuntimeError, match="killed mid-refresh"):
+        ldr.download()
+    # the stale COMPLETE is gone; the partial refresh is a resumable STARTED
+    assert not os.path.exists(complete)
+    assert os.path.exists(started)
+
+    # a later DEFAULT run must re-enter _download (resume), not early-return
+    ldr.config = LoaderConfig(data_dir=str(data_dir))
+    ldr.download()
+    assert len(calls) == 3
+    assert os.path.exists(complete)
+    assert not os.path.exists(started)
+
+
 def test_download_resumes_interrupted_run(data_dir):
     """A run killed mid-download leaves the STARTED sentinel; the next run
     must re-enter _download (resuming missing files) instead of ingesting the
