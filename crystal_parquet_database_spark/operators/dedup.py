@@ -81,7 +81,20 @@ def shingle_hashes(
         sh = spark_word_shingles(c, k, toks=F.col("__toks"))
     else:
         sh = spark_shingles(c, k)
-    return df.withColumn("hs", F.transform(sh, lambda s: spark_hash64(s))).drop("__toks")
+    # SET semantics on the hashed VALUES, not just the shingle strings:
+    # distinct strings can collide under the 31-bit mod-P hash, and a
+    # duplicate-bearing array breaks the |A|+|B|-|A∩B| union identity every
+    # jaccard consumer relies on (array_intersect dedupes; a multiset count
+    # would not match it). NULL hashes (NULL text's [NULL] shingle fallback)
+    # are dropped too: hs=[NULL] gave every NULL-text doc the SAME MinHash
+    # signature — one LSH bucket holding all of them, a quadratic pair
+    # explosion at corpus scale, each pair "jaccard 1.0" — where an empty
+    # set correctly pairs with nothing. DuckDB's list_distinct has exactly
+    # this dedupe+NULL-drop behavior, so oracles mirror with one call.
+    hashed = F.transform(sh, lambda s: spark_hash64(s))
+    return df.withColumn(
+        "hs", F.array_distinct(F.filter(hashed, lambda x: x.isNotNull()))
+    ).drop("__toks")
 
 
 def minhash_signature(df: DataFrame, n_hashes: int = 32) -> DataFrame:
@@ -157,7 +170,12 @@ def jaccard(a: Column, b: Column) -> Column:
     """
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
-    return inter.cast("double") / union.cast("double")
+    # two empty sets (NULL-text docs) have union 0: NULL, not an ANSI
+    # divide-by-zero crash — DuckDB's 0/0 is NULL, and a NULL jaccard
+    # correctly fails every >= threshold filter on both engines
+    return F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    )
 
 
 def minhash_lsh_dedup(
@@ -204,7 +222,11 @@ def minhash_lsh_dedup(
             "at least one signature row (empty bands put every document in "
             "one bucket and the candidate join turns all-pairs)"
         )
-    hs = shingle_hashes(df, text_col, k, unit)
+    # Empty shingle sets (NULL text) leave the pipeline HERE: they cannot
+    # reach threshold jaccard with anything, and left in they all share the
+    # identical all-NULL MinHash signature — one LSH bucket holding every
+    # NULL-text doc in the corpus, a quadratic candidate explosion at scale.
+    hs = shingle_hashes(df, text_col, k, unit).filter(F.size("hs") > 0)
     # Materialize the CPU-bound shingle/hash stage ONCE: three consumers hang
     # off it (signature→bands, both sides of the verify join) and would each
     # recompute it (AQE does not reliably reuse the exchange here — measured
@@ -656,8 +678,18 @@ def minhash_lsh_incremental(
             f"n_bands={n_bands} exceeds n_hashes={n_hashes}: each band needs "
             "at least one signature row"
         )
-    hs_new = shingle_hashes(df_new, text_col, k, unit).localCheckpoint(eager=True)
-    hs_old = shingle_hashes(df_old, text_col, k, unit).localCheckpoint(eager=True)
+    # drop empty shingle sets (NULL text) before banding — all-NULL
+    # signatures would co-bucket every NULL-text doc (see minhash_lsh_dedup)
+    hs_new = (
+        shingle_hashes(df_new, text_col, k, unit)
+        .filter(F.size("hs") > 0)
+        .localCheckpoint(eager=True)
+    )
+    hs_old = (
+        shingle_hashes(df_old, text_col, k, unit)
+        .filter(F.size("hs") > 0)
+        .localCheckpoint(eager=True)
+    )
     bands_new = _band_explode(
         minhash_signature(hs_new, n_hashes), id_col, n_bands, rows_per_band
     ).select(F.col(id_col).alias("id_new"), "band", "key")

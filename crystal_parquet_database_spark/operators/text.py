@@ -73,10 +73,13 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count + char count."""
     df = _spread(df)
     t = F.col(text_col)
+    # size(split(NULL)) is -1 in Spark while LEN(NULL) is NULL in ANSI SQL
+    # (the documented size(NULL) trap, guarded in repetition_features) — a
+    # NULL text must count NULL tokens, not -1
     return df.withColumns(
         {
             "n_chars": F.length(t).cast("int"),
-            "n_ws_tokens": F.size(ws_tokens(t)),
+            "n_ws_tokens": F.when(t.isNotNull(), F.size(ws_tokens(t))),
             "n_bpe_tokens": F.regexp_count(t, F.lit(BPE_PATTERN)).cast("int"),
         }
     )
@@ -93,11 +96,15 @@ def quality_features(df: DataFrame, text_col: str, stopwords: list[str]) -> Data
     # re-splits the text per expression (see functions/portable_hash PERF note)
     df = _spread(df).withColumn("__toks", ws_tokens(t))
     toks = F.col("__toks")
-    n_words = F.size(toks)
+    # NULL text → NULL counts/ratios (size(NULL) would give -1 and a
+    # nonsense -1.0 stopword_ratio; the oracle's LEN(NULL) is NULL)
+    n_words = F.when(t.isNotNull(), F.size(toks))
     # membership via array_contains on a literal array — Column.isin is not
     # supported on lambda variables inside higher-order functions
     sw_arr = F.array(*[F.lit(w) for w in stopwords])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw_arr, x)))
+    n_stop = F.when(
+        t.isNotNull(), F.size(F.filter(toks, lambda x: F.array_contains(sw_arr, x)))
+    )
     n_punct = F.length(F.translate(t, _ALNUM_WS, "")).cast("int")
     punct_ratio = n_punct.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
     stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")

@@ -37,10 +37,10 @@ from crystal_parquet_database_spark.surface import layout  # noqa: E402,F401
 #      green rows predate their current code (the r6 verdict's process gap):
 #      the salt-derivation rewrite, the na.fill scoping, and the
 #      disc_price()-refactored TPC-H tail holding r4 rows;
-#   3. the oracle-paired queries whose newest row is still r3 — 16 total,
-#      one of which (pivot_event_type_counts) is counted in category 2
-#      because its code ALSO changed post-freeze, leaving 15 here;
-#   4. fill to 50 with r4-row queries, heaviest / most load-bearing first.
+#   3. the oracle-paired queries whose newest row is still r3 — 16 total;
+#      pivot_event_type_counts is counted in category 2 (code changed
+#      post-freeze) and the 2 lightest were displaced below the line by the
+#      final-sweep code changes (2c), leaving 13 here.
 # Process rule (adopted per the r6 verdict): re-check this window against
 # the round's FINAL diff before round end — anything whose code changed
 # after the freeze moves into next round's category 2.
@@ -100,39 +100,56 @@ _VERIFY_FIRST = [
     # stream query (already above) must outrun their changed code.
     "scd2_asof_dimension",
     "pqdb_update_delete_read",
-    # — 3: newest row is r3 (the remaining 15 oracle-paired) —
+    # — 2c: code changed in the round-7 FINAL sweep (the process rule in
+    # action: these displace the stale refreshes below). shingle_hashes now
+    # emits a distinct, NULL-free hash set (hash-collision multiset fix +
+    # the NULL-text one-LSH-bucket pair explosion) with list_distinct
+    # mirrored in the oracles; jaccard() NULL-guards the union-0 division;
+    # llm_corpus_pipeline's first-doc join became a NULL-safe window; and
+    # token_counts/quality_features guard the size(NULL) = -1 trap
+    # (text_token_counts already holds a slot in 2b above) —
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_incremental",
+    "dedup_prefix_filter_pairs",
+    "dedup_containment_pairs",
+    "text_decontaminate_overlap",
+    "llm_corpus_pipeline",
+    "text_quality_scores",
+    "text_quality_quantile_filter",
+    "dedup_cluster_representatives",
+    # — 3: newest row is r3 (13 of the remaining 15 oracle-paired fit; the
+    # two lightest — agg_value_histogram, text_chunk_windows — wait below
+    # the line, displaced by the final-sweep code changes) —
     "agg_cube_lineitem",
     "agg_distinct_counts",
     "agg_grouping_sets_explicit",
     "agg_having_brands",
     "agg_percentiles_by_flag",
     "agg_rollup_order_stats",
-    "agg_value_histogram",
     "join_right_customer_orders",
     "sample_token_budget_mixture",
     "setop_nation_coverage",
     "sql_api_revenue_by_nation",
     "subquery_above_avg_customers",
-    "text_chunk_windows",
     "unpivot_part_metrics",
     "window_positional_values",
-    # — 4: r4-row refreshes, heaviest first (8 of the 29 unchanged-code
-    # candidates fit; 37 queries hold r4-newest rows, 8 of which are
-    # already above as code-changed entries) —
+    # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
+    # 9 code-changed-post-r6-freeze + 15 code-changed-in-r7 + 10 final-sweep
+    # code-changed + 13 r3 refreshes = exactly 50). Entries below get NO row
+    # this round: the 2 displaced r3 refreshes, then the r4-row queries
+    # (their code is unchanged — a changed query always outranks a stale
+    # refresh), then the 2 no-oracle rows, then queries holding green r5/r6
+    # rows.
+    "agg_value_histogram",
+    "text_chunk_windows",
     "dedup_cluster_components",
     "dedup_simhash_near_pairs",
     "dedup_simhash_fingerprint",
     "sim_ann_lsh_topk",
-    "dedup_minhash_lsh",
     "q21_suppliers_kept_waiting",
     "q18_large_volume_orders",
     "q2_min_cost_supplier",
-    # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
-    # 9 code-changed-post-r6-freeze + 15 code-changed-in-r7 + 15 r3
-    # refreshes + 8 r4 refreshes = exactly 50). Entries below get NO row
-    # this round: first the 21 lightest r4-row queries (their code is
-    # unchanged — a changed query always outranks a stale refresh), then
-    # the 2 no-oracle rows, then queries holding green r5/r6 rows.
     # (Queries touched only by the behavior-identical with_watermark helper
     # rename — the stream join/window families — are re-proven by the local
     # full driver simulation; their green rows stand.)
@@ -144,7 +161,6 @@ _VERIFY_FIRST = [
     "q17_small_quantity_revenue",
     "q20_potential_promotion",
     "q22_global_sales_opportunity",
-    "dedup_ngram_jaccard",
     "agg_approx_percentiles",
     "sim_cosine_topk_bruteforce",
     "events_path_regex_match",
@@ -159,18 +175,14 @@ _VERIFY_FIRST = [
     "sort_multikey_limit",
     "sim_ivf_topk",            # no_oracle: exact companion sim_ivf_recall_at_k
     "agg_hll_sketch_distinct",  # no_oracle: exact companion agg_hll_error_bound
-    # green r5 rows —
+    # green r5 rows (entries promoted into 2c above are not repeated) —
     "text_bm25_topk",
-    "dedup_minhash_incremental",
     "text_bigram_fluency",
     "agg_cms_heavy_hitters",
-    "dedup_cluster_representatives",
     "sim_pq_recall_at_k",
     "text_hybrid_rrf_search",
-    "dedup_containment_pairs",
     "sim_ivf_recall_at_k",
     "agg_hll_error_bound",
-    "llm_corpus_pipeline",
     "stream_view_purchase_left_join",
     "stream_view_purchase_full_join",
     "agg_kll_quantile_bound",

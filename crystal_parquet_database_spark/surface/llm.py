@@ -57,8 +57,11 @@ _ROWS = N_MINHASH // _BANDS
 _THRESH = 0.8
 
 _HS_CTE = (
+    # list_distinct = dedupe + NULL-drop, mirroring shingle_hashes' set
+    # semantics on hashed values (hash collisions between distinct shingle
+    # strings, NULL-text [NULL] fallback — see operators/dedup.py)
     f"hs AS (SELECT doc_id, "
-    f"list_transform({sql_word_shingles('text', _K)}, s -> {sql_hash64('s')}) AS hs "
+    f"list_distinct(list_transform({sql_word_shingles('text', _K)}, s -> {sql_hash64('s')})) AS hs "
     f"FROM documents)"
 )
 
@@ -198,7 +201,20 @@ def _sql_dot(a: str, b: str) -> str:
     )
 
 
-_COS = f"{_sql_dot('qvec', 'cvec')} / (SQRT({_sql_dot('qvec', 'qvec')}) * SQRT({_sql_dot('cvec', 'cvec')}))"
+def _sql_cos(a: str, b: str) -> str:
+    """ONE definition of the cosine-similarity SQL shape. Every oracle that
+    scores cosine must route through this (six sites before the fold) so a
+    future change — a zero-norm guard, a different fold order — cannot be
+    half-applied and silently desynchronize one oracle from the single
+    Spark implementation (operators/similarity._cos_div); the same
+    half-applied-lockstep risk that motivated _sql_sign_bits."""
+    return (
+        f"{_sql_dot(a, b)} / "
+        f"(SQRT({_sql_dot(a, a)}) * SQRT({_sql_dot(b, b)}))"
+    )
+
+
+_COS = _sql_cos("qvec", "cvec")
 
 _TOPK_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -409,9 +425,7 @@ _NEARDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
 SELECT * FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         {_sql_dot('a.embedding', 'b.embedding')}
-           / (SQRT({_sql_dot('a.embedding', 'a.embedding')})
-              * SQRT({_sql_dot('b.embedding', 'b.embedding')})) AS cos
+         {_sql_cos('a.embedding', 'b.embedding')} AS cos
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 ) WHERE cos >= 0.4
 """
@@ -439,9 +453,7 @@ WITH x AS (
 )
 SELECT DISTINCT id_a, id_b, cos FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         {_sql_dot('a.embedding', 'b.embedding')}
-           / (SQRT({_sql_dot('a.embedding', 'a.embedding')})
-              * SQRT({_sql_dot('b.embedding', 'b.embedding')})) AS cos
+         {_sql_cos('a.embedding', 'b.embedding')} AS cos
   FROM x a JOIN x b
     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
 ) WHERE cos >= 0.4
@@ -578,6 +590,7 @@ SELECT doc_id AS image_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(16 AS INTEGER) AS feat_dim
 FROM documents
+WHERE text IS NULL OR substr(text, 1, 6) NOT IN ('GIF87a', 'GIF89a')
 """
 )
 
@@ -592,6 +605,16 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crystal_parquet_database_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")
+    # GIF magic ('GIF87a'/'GIF89a') is pure ASCII, so a document whose TEXT
+    # happens to start with it would hit the REAL gif header parser
+    # (parser-first routing in _decode_meta) while the no-PIL oracle below
+    # models only the fake branch. Exclude such docs on BOTH sides — the
+    # only image magic reachable from valid UTF-8 text (PNG's \x89 and
+    # JPEG's \xff cannot lead a UTF-8 string). Fixture-empty today; this
+    # keeps the oracle exact under corpus regeneration.
+    docs = docs.filter(
+        F.col("text").isNull() | ~F.substring("text", 1, 6).isin("GIF87a", "GIF89a")
+    )
     binary = M.documents_as_binary(docs)
     meta = M.with_image_meta(binary).select(
         "image_id",
@@ -790,7 +813,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_ORACLE = f"""
 WITH hs AS (SELECT doc_id,
-                   list_transform({sql_word_shingles('text', _K)}, s -> {sql_hash64('s')}) AS hs
+                   list_distinct(list_transform({sql_word_shingles('text', _K)}, s -> {sql_hash64('s')})) AS hs
             FROM documents),
 ev AS (SELECT DISTINCT unnest(hs) AS g FROM hs WHERE doc_id % 97 = 0),
 corp AS (SELECT doc_id, hs FROM hs WHERE doc_id % 97 <> 0),
@@ -1073,10 +1096,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_THRESH = 0.3
 
-_DECON_COS = (
-    f"{_sql_dot('evec', 'tvec')} / "
-    f"(SQRT({_sql_dot('evec', 'evec')}) * SQRT({_sql_dot('tvec', 'tvec')}))"
-)
+_DECON_COS = _sql_cos("evec", "tvec")
 
 # Eval side bounded by a fixed id cut: benchmark/eval sets are fixed-size —
 # they do NOT grow with the training corpus — so the broadcast side stays
@@ -1277,7 +1297,8 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. All four stages are deterministic and content/hash-keyed, so the
     whole chain is one exact SQL oracle.
 
-    100 TB shape, stage by stage: digest groupBy (uniform md5 key); map-side
+    100 TB shape, stage by stage: digest window (uniform md5 key, NULL-safe
+    — NULL digests form one small group); map-side
     length filter; per-source rank among survivors (skew refinement as in
     sample_source_cap); two-phase distributed prefix sum for the budget
     (operators/text.token_budget_per_group — never a single-task global
@@ -1289,11 +1310,21 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "text",
-        F.size(T.ws_tokens(F.col("text"))).alias("n_tokens"),
+        # guard the size(NULL) = -1 trap: NULL text counts NULL tokens (the
+        # oracle's LEN(NULL)), so is_short is NULL and falls through the
+        # status CASE identically on both engines
+        F.when(
+            F.col("text").isNotNull(), F.size(T.ws_tokens(F.col("text")))
+        ).alias("n_tokens"),
         F.md5("text").alias("__dg"),
     )
-    first = base.groupBy("__dg").agg(F.min("doc_id").alias("__first"))
-    s2 = base.join(first, "__dg").select(
+    # first-doc-per-digest via a window, NOT a groupBy + re-join: a plain
+    # equality join on __dg silently drops NULL-digest rows (md5(NULL) =
+    # NULL never matches), losing NULL-text documents from the audit trail
+    # entirely — while the window partitions NULL digests into one group,
+    # exactly matching the oracle's PARTITION BY dg. Same single shuffle.
+    wdg = W.partitionBy("__dg")
+    s2 = base.withColumn("__first", F.min("doc_id").over(wdg)).select(
         "doc_id",
         "source",
         "text",
@@ -1845,14 +1876,8 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_SEED_LO, _SEM_K, _SEM_TAU = 200, 8, 0.4
 
-_SEM_COSC = (
-    f"{_sql_dot('e.embedding', 's.cvec')} / "
-    f"(SQRT({_sql_dot('e.embedding', 'e.embedding')}) * SQRT({_sql_dot('s.cvec', 's.cvec')}))"
-)
-_SEM_COSP = (
-    f"{_sql_dot('a.embedding', 'b.embedding')} / "
-    f"(SQRT({_sql_dot('a.embedding', 'a.embedding')}) * SQRT({_sql_dot('b.embedding', 'b.embedding')}))"
-)
+_SEM_COSC = _sql_cos("e.embedding", "s.cvec")
+_SEM_COSP = _sql_cos("a.embedding", "b.embedding")
 
 _SEMDEDUP_ORACLE = f"""
 WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
@@ -2449,6 +2474,12 @@ _PQ_ADC_SUM = " + ".join(
 _PQ_SEED_JOINS = "\n  ".join(
     f"JOIN seeds s{j} ON s{j}.code = c.k{j}" for j in range(_PQ_M)
 )
+# generated from _PQ_M like its sibling fragments — a hardcoded k0..k3 list
+# would silently desynchronize from _PQ_SEED_JOINS if _PQ_M ever changed
+_PQ_CODE_COLS = ", ".join(f"k{j}" for j in range(_PQ_M))
+_PQ_CODE_JOIN = " ".join(
+    f"JOIN kk{j} USING (vec_id)" for j in range(1, _PQ_M)
+)
 
 _PQ_RECALL_ORACLE = f"""
 WITH seeds AS (
@@ -2458,8 +2489,8 @@ WITH seeds AS (
 ),
 {_PQ_CODE_CTES},
 codes AS (
-  SELECT kk0.vec_id, k0, k1, k2, k3
-  FROM kk0 JOIN kk1 USING (vec_id) JOIN kk2 USING (vec_id) JOIN kk3 USING (vec_id)
+  SELECT kk0.vec_id, {_PQ_CODE_COLS}
+  FROM kk0 {_PQ_CODE_JOIN}
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
 adc AS (

@@ -112,3 +112,35 @@ def test_lsh_zero_row_bands_rejected(spark):
     sig = D.minhash_signature(D.shingle_hashes(docs, "text", 3, "word"), 8)
     with pytest.raises(ValueError, match="rows_per_band"):
         D.lsh_candidate_pairs(sig, "doc_id", n_bands=4, rows_per_band=0)
+
+
+def test_null_text_docs_never_pair(spark):
+    """Regression (round-7 final sweep): NULL text's shingle fallback was
+    [NULL], so every NULL-text doc got the SAME all-NULL MinHash signature —
+    one LSH bucket holding all of them (quadratic pair explosion at corpus
+    scale), each pair scoring "jaccard 1.0". An empty shingle-hash set is
+    the correct value: NULL docs pair with nothing, on either engine
+    (DuckDB's list_distinct drops NULLs the same way)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    hs = D.shingle_hashes(docs, "text", 3, "word")
+    by_id = {r["doc_id"]: r["hs"] for r in hs.collect()}
+    assert by_id[1] == [] and by_id[2] == [] and by_id[3] == []
+    assert len(by_id[4]) > 0
+    pairs = D.minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.5)
+    assert pairs.count() == 0
+
+
+def test_shingle_hashes_distinct_values(spark):
+    """The hs array must be a SET of hash values: distinct shingle strings
+    colliding under the 31-bit mod-P hash would otherwise break the
+    |A|+|B|-|A∩B| union identity the jaccard consumers rely on (and diverge
+    from the multiset-free DuckDB oracle)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c d")], "doc_id long, text string"
+    )
+    arr = D.shingle_hashes(docs, "text", 3, "word").collect()[0]["hs"]
+    assert len(arr) == len(set(arr))
+    assert None not in arr

@@ -449,3 +449,32 @@ def test_bpe_pattern_vertical_tab_cross_engine(spark):
     con.close()
     assert got == want
     assert got[1] == 3  # 'a', the \x0b symbol, 'b'
+
+
+def test_null_text_counts_are_null_not_minus_one(spark):
+    """Regression (round-7 final sweep): size(split(NULL)) is -1 in Spark
+    while LEN(NULL) is NULL in ANSI SQL — NULL text must yield NULL counts
+    and ratios, not -1 / -1.0 (the documented size(NULL) trap, previously
+    guarded only in repetition_features)."""
+    from crystal_parquet_database_spark.operators.text import (
+        quality_features,
+        token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox")], "doc_id long, text string"
+    )
+    tc = {r["doc_id"]: r for r in token_counts(docs, "text").collect()}
+    assert tc[1]["n_ws_tokens"] is None
+    assert tc[1]["n_chars"] is None
+    assert tc[1]["n_bpe_tokens"] is None
+    assert tc[2]["n_ws_tokens"] == 4
+
+    qf = {
+        r["doc_id"]: r
+        for r in quality_features(docs, "text", ["the", "a"]).collect()
+    }
+    assert qf[1]["n_words"] is None
+    assert qf[1]["stopword_ratio"] is None
+    assert qf[1]["quality_score"] is None
+    assert qf[2]["n_words"] == 4
