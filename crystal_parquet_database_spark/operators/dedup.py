@@ -170,12 +170,15 @@ def jaccard(a: Column, b: Column) -> Column:
     """
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
-    # two empty sets (NULL-text docs) have union 0: NULL, not an ANSI
-    # divide-by-zero crash — DuckDB's 0/0 is NULL, and a NULL jaccard
-    # correctly fails every >= threshold filter on both engines
-    return F.when(
-        union > 0, inter.cast("double") / union.cast("double")
-    )
+    # try_divide, not a when(union > 0, ...) guard: two empty sets
+    # (NULL-text docs) have union 0, and DuckDB's 0/0 is NULL — try_divide
+    # is exactly that semantic (identical quotient otherwise), while a
+    # conditional would re-evaluate the array_intersect in both the
+    # condition and the lazily-evaluated branch (codegen cannot hoist a
+    # common subexpression out of an If branch — measured 6.5× on the
+    # minhash verify join at sf0.1). A NULL jaccard correctly fails every
+    # >= threshold filter on both engines.
+    return F.try_divide(inter.cast("double"), union.cast("double"))
 
 
 def minhash_lsh_dedup(
@@ -222,18 +225,22 @@ def minhash_lsh_dedup(
             "at least one signature row (empty bands put every document in "
             "one bucket and the candidate join turns all-pairs)"
         )
-    # Empty shingle sets (NULL text) leave the pipeline HERE: they cannot
-    # reach threshold jaccard with anything, and left in they all share the
-    # identical all-NULL MinHash signature — one LSH bucket holding every
-    # NULL-text doc in the corpus, a quadratic candidate explosion at scale.
-    hs = shingle_hashes(df, text_col, k, unit).filter(F.size("hs") > 0)
     # Materialize the CPU-bound shingle/hash stage ONCE: three consumers hang
     # off it (signature→bands, both sides of the verify join) and would each
     # recompute it (AQE does not reliably reuse the exchange here — measured
     # 1.7× slower). Eager localCheckpoint runs it a single time and lets the
     # blocks be GC-cleaned once the result frame is dereferenced, unlike a
     # session-lifetime cache.
-    hs = hs.localCheckpoint(eager=True)
+    hs = shingle_hashes(df, text_col, k, unit).localCheckpoint(eager=True)
+    # Empty shingle sets (NULL text) leave the pipeline HERE: they cannot
+    # reach threshold jaccard with anything, and left in they all share the
+    # identical all-NULL MinHash signature — one LSH bucket holding every
+    # NULL-text doc in the corpus, a quadratic candidate explosion at scale.
+    # The filter sits AFTER the checkpoint: placed before it, Catalyst
+    # substitutes the whole shingle+hash expression into the pushed-down
+    # predicate and evaluates the pipeline twice per row (measured 5×
+    # on this query at sf0.1); on checkpointed arrays it is a free scan.
+    hs = hs.filter(F.size("hs") > 0)
     sig = minhash_signature(hs, n_hashes)
     cand = lsh_candidate_pairs(sig, id_col, n_bands, rows_per_band, max_bucket_size)
     sets_ = hs.select(F.col(id_col), F.col("hs").alias("shset"))
@@ -679,16 +686,18 @@ def minhash_lsh_incremental(
             "at least one signature row"
         )
     # drop empty shingle sets (NULL text) before banding — all-NULL
-    # signatures would co-bucket every NULL-text doc (see minhash_lsh_dedup)
+    # signatures would co-bucket every NULL-text doc (see minhash_lsh_dedup).
+    # Filter AFTER the checkpoint: pushed below it, the predicate re-runs
+    # the whole shingle+hash expression per row (see minhash_lsh_dedup).
     hs_new = (
         shingle_hashes(df_new, text_col, k, unit)
-        .filter(F.size("hs") > 0)
         .localCheckpoint(eager=True)
+        .filter(F.size("hs") > 0)
     )
     hs_old = (
         shingle_hashes(df_old, text_col, k, unit)
-        .filter(F.size("hs") > 0)
         .localCheckpoint(eager=True)
+        .filter(F.size("hs") > 0)
     )
     bands_new = _band_explode(
         minhash_signature(hs_new, n_hashes), id_col, n_bands, rows_per_band
