@@ -5,8 +5,20 @@ DuckDB's scan order — so two correct engines produce different low bits.
 These helpers route sums through decimal: the cast double→decimal rounds the
 *same* double to the *same* decimal in both engines (a representable tie at
 scale 2-6 cannot occur for ordinary data), decimal addition is exact and
-order-independent, and the final decimal→double cast is correctly rounded in
-both. Result: bit-identical aggregates with no tolerance windows.
+order-independent, and the final decimal→double cast emits the same double
+on both sides. Result: bit-identical aggregates with no tolerance windows.
+
+One cast caveat (found by a confirmed 1-ulp divergence at sf0.001): the
+final decimal→double cast is correctly rounded in Spark
+(BigDecimal.doubleValue) but DuckDB's direct DECIMAL→DOUBLE double-rounds —
+int128 significand → double FIRST, then ÷10^scale — which differs from the
+correctly-rounded result once the SCALED significand (value × 10^scale)
+exceeds 2^53 ≈ 9.0e15. Scale-2 money sums stay far below that at every
+gate scale (sum < 9e13), so the plain `CAST(... AS DOUBLE)` oracle spelling
+is safe there; scale-4 PRODUCT sums (price², price×qty, disc_price) cross
+the line as low as sf0.001 and their oracles must route through
+``DSUM_DOUBLE_SQL`` below (VARCHAR round-trip: DuckDB's string parse is
+correctly rounded, matching Spark exactly).
 """
 
 from __future__ import annotations
@@ -51,6 +63,16 @@ DISC_PRICE_SQL = (
 def dsum(c: Column) -> Column:
     """Exact sum of a decimal column, emitted as double."""
     return F.sum(c).cast("double")
+
+
+def DSUM_DOUBLE_SQL(expr: str) -> str:
+    """DuckDB mirror of ``dsum`` that is correctly rounded at ANY magnitude:
+    the VARCHAR round-trip forces DuckDB through its (correctly-rounded)
+    string parser instead of the double-rounding int128→double-then-÷10^scale
+    path of a direct DECIMAL→DOUBLE cast. Required for sums whose scaled
+    significand can exceed 2^53 (scale-4 product sums); value-identical to
+    the plain cast below that line (see module docstring)."""
+    return f"CAST(CAST(SUM({expr}) AS VARCHAR) AS DOUBLE)"
 
 
 def dsum_of_double(c: Column | str, cast_to: str = HI) -> Column:

@@ -47,3 +47,32 @@ def with_session_seq(
     return df.withColumn(
         out_col, F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
     )
+
+
+def sql_session_cte(
+    gap_minutes: int,
+    cols: str = "user_id, event_type, ts",
+    out_col: str = "session_seq",
+) -> str:
+    """DuckDB mirror of ``with_session_seq`` over the ``events`` table — the
+    ONE definition of the SQL side, for the same reason the Spark side was
+    centralized: the ``>=`` gap comparison and the ``(ts, event_id)``
+    tiebreak on BOTH windows are precision-critical, and the four per-query
+    hand copies this replaces could silently drift (one edited copy would
+    verify a different sessionization than ``with_session_seq`` computes).
+
+    Returns a parenthesized subquery projecting ``cols`` plus ``out_col``;
+    interpolate as ``WITH sess AS {sql_session_cte(...)}`` or ``FROM {...}``.
+    """
+    return f"""(
+  SELECT {cols},
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS {out_col}
+  FROM (
+    SELECT event_id, user_id, event_type, ts,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= INTERVAL '{gap_minutes} minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events)
+)"""

@@ -107,7 +107,14 @@ _VERIFY_FIRST = [
     # mirrored in the oracles; jaccard() NULL-guards the union-0 division;
     # llm_corpus_pipeline's first-doc join became a NULL-safe window; and
     # token_counts/quality_features guard the size(NULL) = -1 trap
-    # (text_token_counts already holds a slot in 2b above) —
+    # (text_token_counts already holds a slot in 2b above). The sessionizer
+    # SQL fold (operators/sessionize.py::sql_session_cte — four hand-copied
+    # oracle CTEs → one definition) rewrote stream_session_windows' oracle
+    # text, so its green r6 row predates the oracle per the process rule;
+    # the other three folded queries already hold slots in 2b. It displaces
+    # join_right_customer_orders (0.54 s — the lightest remaining r3
+    # refresh, same displacement precedent as 2c's first two) —
+    "stream_session_windows",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_minhash_incremental",
@@ -118,16 +125,16 @@ _VERIFY_FIRST = [
     "text_quality_scores",
     "text_quality_quantile_filter",
     "dedup_cluster_representatives",
-    # — 3: newest row is r3 (13 of the remaining 15 oracle-paired fit; the
+    # — 3: newest row is r3 (12 of the remaining 15 oracle-paired fit; the
     # two lightest — agg_value_histogram, text_chunk_windows — wait below
-    # the line, displaced by the final-sweep code changes) —
+    # the line, displaced by the final-sweep code changes, and
+    # join_right_customer_orders by the sessionizer-fold promotion above) —
     "agg_cube_lineitem",
     "agg_distinct_counts",
     "agg_grouping_sets_explicit",
     "agg_having_brands",
     "agg_percentiles_by_flag",
     "agg_rollup_order_stats",
-    "join_right_customer_orders",
     "sample_token_budget_mixture",
     "setop_nation_coverage",
     "sql_api_revenue_by_nation",
@@ -135,14 +142,15 @@ _VERIFY_FIRST = [
     "unpivot_part_metrics",
     "window_positional_values",
     # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
-    # 9 code-changed-post-r6-freeze + 15 code-changed-in-r7 + 10 final-sweep
-    # code-changed + 13 r3 refreshes = exactly 50). Entries below get NO row
-    # this round: the 2 displaced r3 refreshes, then the r4-row queries
+    # 9 code-changed-post-r6-freeze + 15 code-changed-in-r7 + 11 final-sweep
+    # code-changed + 12 r3 refreshes = exactly 50). Entries below get NO row
+    # this round: the 3 displaced r3 refreshes, then the r4-row queries
     # (their code is unchanged — a changed query always outranks a stale
     # refresh), then the 2 no-oracle rows, then queries holding green r5/r6
     # rows.
     "agg_value_histogram",
     "text_chunk_windows",
+    "join_right_customer_orders",
     "dedup_cluster_components",
     "dedup_simhash_near_pairs",
     "dedup_simhash_fingerprint",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from crystal_parquet_database_spark.operators.sessionize import sql_session_cte
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table
 
@@ -116,18 +117,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SFUNNEL_GAP_MIN = 480  # visit-granularity sessions (see docstring)
 
 _SFUNNEL_ORACLE = f"""
-WITH sess AS (
-  SELECT user_id, event_type, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_seq
-  FROM (
-    SELECT event_id, user_id, event_type, ts,
-           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                        >= INTERVAL '{_SFUNNEL_GAP_MIN} minutes'
-                THEN 1 ELSE 0 END AS new_s
-    FROM events)
-),
+WITH sess AS {sql_session_cte(_SFUNNEL_GAP_MIN)},
 v AS (SELECT user_id, session_seq, MIN(ts) AS tv FROM sess
       WHERE event_type = 'view' GROUP BY user_id, session_seq),
 c AS (SELECT s.user_id, s.session_seq, MIN(s.ts) AS tc
@@ -634,18 +624,7 @@ def events_anomaly_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRANS_GAP_MIN = 30
 
 _TRANS_ORACLE = f"""
-WITH sess AS (
-  SELECT user_id, event_type, ts, event_id,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_seq
-  FROM (
-    SELECT event_id, user_id, event_type, ts,
-           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                     OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                        >= INTERVAL '{_TRANS_GAP_MIN} minutes'
-                THEN 1 ELSE 0 END AS new_s
-    FROM events)
-),
+WITH sess AS {sql_session_cte(_TRANS_GAP_MIN, cols="user_id, event_type, ts, event_id")},
 pairs AS (
   SELECT event_type AS from_type,
          LEAD(event_type) OVER (PARTITION BY user_id, session_seq

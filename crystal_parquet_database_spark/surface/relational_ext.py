@@ -13,8 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from crystal_parquet_database_spark.functions.exact import DISC_PRICE_SQL, dsum, money
+from crystal_parquet_database_spark.functions.exact import (
+    DISC_PRICE_SQL,
+    DSUM_DOUBLE_SQL,
+    dsum,
+    money,
+)
 from crystal_parquet_database_spark.functions.portable_hash import spark_hash64, sql_hash64
+from crystal_parquet_database_spark.operators.sessionize import sql_session_cte
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table, register_views
 
@@ -488,17 +494,27 @@ def sample_deterministic_stratified(spark: SparkSession, sf_dir: str) -> DataFra
 # statistical moments: corr / covar_pop / stddev_pop from exact power sums
 # ----------------------------------------------------------------------------
 
-_MOM = """
+# The scale-4 PRODUCT sums (x², y², xy) can exceed the 2^53 scaled-
+# significand line as low as sf0.001, where DuckDB's direct DECIMAL→DOUBLE
+# cast double-rounds 1 ulp away from Spark's correctly-rounded cast
+# (confirmed: syy for flag A at sf0.001 is exactly ...835.8685, which
+# DuckDB cast to ...835.869 and Spark to ...835.868) — every sum here
+# routes through DSUM_DOUBLE_SQL's VARCHAR round-trip, which is
+# correctly rounded at any magnitude (functions/exact.py).
+_MOM = f"""
 SELECT l_returnflag,
        CAST(COUNT(*) AS DOUBLE) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
-            AS DOUBLE) AS sxx,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
-            AS DOUBLE) AS syy,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
-            AS DOUBLE) AS sxy
+       {DSUM_DOUBLE_SQL("CAST(l_quantity AS DECIMAL(18,2))")} AS sx,
+       {DSUM_DOUBLE_SQL("CAST(l_extendedprice AS DECIMAL(18,2))")} AS sy,
+       {DSUM_DOUBLE_SQL(
+           "CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))"
+       )} AS sxx,
+       {DSUM_DOUBLE_SQL(
+           "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"
+       )} AS syy,
+       {DSUM_DOUBLE_SQL(
+           "CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))"
+       )} AS sxy
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -595,7 +611,7 @@ def join_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_orders"),
-            dsum(money("o_totalprice")).cast("double").alias("sum_price"),
+            dsum(money("o_totalprice")).alias("sum_price"),
         )
     )
 
@@ -604,18 +620,9 @@ def join_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sessionization: per-event session ids (gaps-and-islands)
 # ----------------------------------------------------------------------------
 
-_SESSIONIZE_ORACLE = """
-SELECT event_id, user_id, ts,
-       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
-FROM (
-  SELECT event_id, user_id, ts,
-         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                      >= INTERVAL '30 minutes'
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-)
+_SESSIONIZE_ORACLE = f"""
+SELECT event_id, user_id, ts, CAST(session_seq AS INTEGER) AS session_seq
+FROM {sql_session_cte(30, cols="event_id, user_id, ts")}
 """
 
 

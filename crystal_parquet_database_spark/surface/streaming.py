@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crystal_parquet_database_spark.operators.sessionize import sql_session_cte
 from crystal_parquet_database_spark.streaming import windows as SW
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table
@@ -51,24 +52,8 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SW.sliding_counts(load_table(spark, sf_dir, "events"))
 
 
-_SESSION_ORACLE = """
-WITH o AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN LAG(ts) OVER w IS NULL
-                   OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-g AS (
-  SELECT user_id, ts,
-         -- the prefix sum MUST order by the same (ts, event_id) tiebreak as
-         -- the window that computed new_s: ts alone leaves tied rows in
-         -- arbitrary order and can split one session across two sids
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM o
-)
+_SESSION_ORACLE = f"""
+WITH g AS {sql_session_cte(30, cols="user_id, ts", out_col="sid")}
 SELECT user_id, MIN(ts) AS session_start,
        MAX(ts) + INTERVAL '30 minutes' AS session_end,
        COUNT(*) AS n_events
