@@ -147,13 +147,18 @@ def main() -> None:
     global HEADLINE
     isolated = len(sys.argv) > 1
     if isolated:
-        unknown = [n for n in sys.argv[1:] if n not in QUERIES]
-        if unknown:
-            raise SystemExit(f"unknown query names: {unknown}")
         HEADLINE = list(sys.argv[1:])
+    # Validate names in BOTH modes, before any Spark work: a stale/renamed
+    # HEADLINE entry in a full run would otherwise KeyError mid-sequence,
+    # minutes into the measurement, losing the whole run.
+    unknown = [n for n in HEADLINE if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown query names: {unknown}")
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "1")))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([\d.]+)", sf_dir)
+    # \d+(\.\d+)? not [\d.]+ — the greedy class would match "0.1." out of a
+    # dir like sf0.1.bak and crash float() before any benching
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
     # Bench inputs are single small files; shrink split size so scans use all
     # cores. (Deliberately NOT an engine default — at real scale the 128MB
@@ -218,7 +223,17 @@ def main() -> None:
         # mirroring the detail-file write guard
         try:
             with open(detail_path) as fh:
-                prev_warm = json.load(fh).get("warm_queries", {})
+                prev_detail = json.load(fh)
+            # valid JSON with a non-object root (truncated/hand-edited file)
+            # must fall into the no-baseline path, not AttributeError after
+            # both timed passes have already been paid for
+            prev_warm = (
+                prev_detail.get("warm_queries", {})
+                if isinstance(prev_detail, dict)
+                else {}
+            )
+            if not isinstance(prev_warm, dict):
+                prev_warm = {}
             common = [n for n in times if n in prev_warm]
             if common:
                 shared_now = round(sum(times[n] for n in common), 4)

@@ -25,7 +25,12 @@ NULL = "∅"
 
 
 def canon_cell(x) -> str:
-    if x is None:
+    # NaT FIRST: NaTType subclasses datetime, so the datetime branch below
+    # would otherwise render it via isoformat() as the string 'NaT' — which
+    # falsely mismatches an engine that yields None for the same NULL
+    # (Spark toPandas gives None in object columns; DuckDB .df() gives NaT
+    # in datetime64 columns).
+    if x is None or x is pd.NaT:
         return NULL
     if isinstance(x, (np.ndarray, list, tuple)):
         return "[" + ",".join(canon_cell(v) for v in x) + "]"
@@ -38,16 +43,10 @@ def canon_cell(x) -> str:
         return repr(d)
     if isinstance(x, (int, np.integer)):
         return str(int(x))
-    if isinstance(x, pd.Timestamp):
-        if pd.isna(x):
-            return NULL
-        return x.isoformat()
-    if isinstance(x, (_dt.datetime, _dt.date)):
+    if isinstance(x, (pd.Timestamp, _dt.datetime, _dt.date)):
         return x.isoformat()
     if isinstance(x, bytes):
         return x.hex()
-    if x is pd.NaT:
-        return NULL
     return str(x)
 
 

@@ -30,31 +30,16 @@ assert len(rows) > 0
 
 # 2) full contract at sf0.01 vs duckdb
 import duckdb
-import pandas as pd
-import numpy as np
-import math, datetime as dt
 
 SF = "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
-def canon_cell(x):
-    if x is None: return "N"
-    if isinstance(x, (np.ndarray, list, tuple)):
-        return "[" + ",".join(canon_cell(v) for v in x) + "]"
-    if isinstance(x, (bool, np.bool_)): return "T" if x else "F"
-    if isinstance(x, (float, np.floating)):
-        d = float(x)
-        return "N" if math.isnan(d) else repr(d)
-    if isinstance(x, (int, np.integer)): return str(int(x))
-    if isinstance(x, pd.Timestamp): return "N" if pd.isna(x) else x.isoformat()
-    if isinstance(x, (dt.datetime, dt.date)): return x.isoformat()
-    return str(x)
-
-def canon(pdf):
-    pdf = pdf[sorted(pdf.columns)]
-    return sorted(tuple(canon_cell(v) for v in r) for r in pdf.itertuples(index=False, name=None))
+# ONE canonicalizer, shared with the in-package harness (testing.py) — a
+# second hand copy here drifted once (no bytes→hex branch, no NaT-as-NULL)
+# and could pass what the package harness fails, or vice versa
+from crystal_parquet_database_spark.testing import canon_frame as canon
 
 from crystal_parquet_database_spark.surface.registry import assert_driver_safe_schema
 
@@ -74,6 +59,15 @@ for name in sorted(qs):
     sdf = frame.toPandas()
     if name in os_:
         ddf = con.sql(os_[name]).df()
+        # the real driver checks SCHEMA as well as values — a query whose
+        # values match under the wrong column names must fail here too
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            fails.append(name)
+            print(
+                f"{name:45s} COL-MISMATCH spark={sorted(sdf.columns)} "
+                f"duckdb={sorted(ddf.columns)}"
+            )
+            continue
         a, b = canon(sdf), canon(ddf)
         ha = hashlib.sha256(str(a).encode()).hexdigest()[:12]
         hb = hashlib.sha256(str(b).encode()).hexdigest()[:12]

@@ -29,6 +29,26 @@ def test_rows_only(name, spark, sf_dir):
     assert len(df.schema.fields) > 0
 
 
+def test_canon_null_timestamps_match_across_engine_dtypes():
+    """Spark toPandas renders an all-NULL timestamp column as object-dtype
+    None; DuckDB .df() renders it as datetime64 NaT. Both must canonicalize
+    to the NULL sentinel — NaTType subclasses datetime, so an isoformat()
+    branch reached first would render the string 'NaT' and falsely mismatch
+    (a real bug: canon_cell's NaT check used to sit below the datetime one)."""
+    import pandas as pd
+
+    from crystal_parquet_database_spark.testing import NULL, canon_cell, canon_frame
+
+    assert canon_cell(pd.NaT) == NULL
+    assert canon_cell(None) == NULL
+    spark_side = pd.DataFrame({"ts": pd.Series([None], dtype=object)})
+    duck_side = pd.DataFrame({"ts": pd.Series([pd.NaT], dtype="datetime64[us]")})
+    assert canon_frame(spark_side) == canon_frame(duck_side)
+    # non-null timestamps still isoformat
+    t = pd.Timestamp("2026-01-02T03:04:05")
+    assert canon_cell(t) == "2026-01-02T03:04:05"
+
+
 def test_driver_safe_schema_guard_trips_on_complex_columns(spark):
     """The guard that prevents the round-1/round-6 regression: any
     driver-gated query returning a top-level Array/Map/Struct column must be
