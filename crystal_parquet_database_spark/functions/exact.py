@@ -65,14 +65,21 @@ def dsum(c: Column) -> Column:
     return F.sum(c).cast("double")
 
 
+def DCAST_DOUBLE_SQL(expr: str) -> str:
+    """DuckDB DECIMAL→DOUBLE cast that is correctly rounded at ANY magnitude
+    (per-value form): the VARCHAR round-trip forces DuckDB through its
+    (correctly-rounded) string parser instead of the double-rounding
+    int128→double-then-÷10^scale path of a direct cast. Value-identical to
+    the plain cast while the scaled significand stays below 2^53 (see module
+    docstring)."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def DSUM_DOUBLE_SQL(expr: str) -> str:
-    """DuckDB mirror of ``dsum`` that is correctly rounded at ANY magnitude:
-    the VARCHAR round-trip forces DuckDB through its (correctly-rounded)
-    string parser instead of the double-rounding int128→double-then-÷10^scale
-    path of a direct DECIMAL→DOUBLE cast. Required for sums whose scaled
-    significand can exceed 2^53 (scale-4 product sums); value-identical to
-    the plain cast below that line (see module docstring)."""
-    return f"CAST(CAST(SUM({expr}) AS VARCHAR) AS DOUBLE)"
+    """DuckDB mirror of ``dsum`` that is correctly rounded at ANY magnitude —
+    ``DCAST_DOUBLE_SQL`` applied to the exact decimal SUM. Required for sums
+    whose scaled significand can exceed 2^53 (scale-4 product sums)."""
+    return DCAST_DOUBLE_SQL(f"SUM({expr})")
 
 
 def dsum_of_double(c: Column | str, cast_to: str = HI) -> Column:

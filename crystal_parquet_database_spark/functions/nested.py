@@ -39,9 +39,16 @@ def site_elements(sites_col: Column | str) -> Column:
     directly; divergence for ragged species lists is deliberate and
     documented (SURVEY.md §7). See ``site_elements_flat`` for the full
     flatten.
+
+    try_element_at, not element_at: under Spark 4's default ANSI mode a
+    site with an EMPTY species list makes element_at throw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT and abort the whole loader job —
+    the documented graceful divergence is a NULL element for that site.
     """
     c = F.col(sites_col) if isinstance(sites_col, str) else sites_col
-    return F.transform(c, lambda s: F.element_at(s.getField("species"), 1).getField("element"))
+    return F.transform(
+        c, lambda s: F.try_element_at(s.getField("species"), F.lit(1)).getField("element")
+    )
 
 
 def site_elements_flat(sites_col: Column | str) -> Column:

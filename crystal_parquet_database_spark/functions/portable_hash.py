@@ -42,16 +42,26 @@ def sql_hash64(expr: str) -> str:
 
 
 def spark_shingles(c: Column, k: int = 5) -> Column:
-    """Distinct character k-gram shingles (order-insensitive downstream)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))),
-            lambda i: c.substr(i, F.lit(k)),
+    """Distinct character k-gram shingles (order-insensitive downstream).
+    NULL text yields [] — array_compact drops the NULL element the transform
+    produces, because the SQL mirror's list_distinct drops NULLs while
+    Spark's array_distinct KEEPS them: without the compact the two sides
+    return [NULL] vs [] for the same NULL document, and any direct consumer
+    of the pair diverges (current consumers only masked it by re-filtering
+    NULL hashes downstream)."""
+    return F.array_compact(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))),
+                lambda i: c.substr(i, F.lit(k)),
+            )
         )
     )
 
 
 def sql_shingles(expr: str, k: int = 5) -> str:
+    """DuckDB expression equal to ``spark_shingles`` — including for NULL
+    input, where list_distinct's NULL-dropping matches the array_compact."""
     return (
         f"list_distinct([substring({expr}, i, {k}) "
         f"for i in generate_series(1, greatest(len({expr}) - {k - 1}, 1))])"
@@ -65,6 +75,29 @@ def sql_shingles(expr: str, k: int = 5) -> str:
 # which is exactly RE2's \s set, so the '\s+' the generated SQL uses means
 # the same thing.
 WS_RE = "[ \t\n\f\r]+"
+
+
+def _gram(toks: Column, n: int):
+    """The word n-gram concatenation shape, ONE definition: space-joined
+    element_at chain over 1-based token index i. Shared by
+    ``spark_word_shingles`` and ``spark_word_ngrams`` — the shape must stay
+    byte-equivalent to ``_sql_gram`` below for every word-level oracle hash
+    to keep matching, so it must not exist as per-function hand copies."""
+
+    def gram(i: Column) -> Column:
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + F.lit(j)))
+        return F.concat(*parts)
+
+    return gram
+
+
+def _sql_gram(n: int) -> str:
+    """DuckDB expression equal to ``_gram`` over a token list aliased ``w``."""
+    return " || ' ' || ".join(f"w[i + {j}]" if j else "w[i]" for j in range(n))
 
 
 def spark_word_shingles(c: Column, n: int = 3, toks: Column | None = None) -> Column:
@@ -82,24 +115,18 @@ def spark_word_shingles(c: Column, n: int = 3, toks: Column | None = None) -> Co
     if toks is None:
         toks = F.split(F.trim(c), WS_RE)
 
-    def gram(i: Column) -> Column:
-        parts: list[Column] = []
-        for j in range(n):
-            if j:
-                parts.append(F.lit(" "))
-            parts.append(F.element_at(toks, i + F.lit(j)))
-        return F.concat(*parts)
-
     return F.when(
         F.size(toks) >= n,
-        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)), gram)),
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)), _gram(toks, n))
+        ),
     ).otherwise(F.array(F.trim(c)))
 
 
 def sql_word_shingles(expr: str, n: int = 3) -> str:
     """DuckDB expression equal to ``spark_word_shingles``."""
     w = rf"string_split_regex(trim({expr}), '\s+')"
-    gram = " || ' ' || ".join(f"w[i + {j}]" if j else "w[i]" for j in range(n))
+    gram = _sql_gram(n)
     return (
         f"(SELECT CASE WHEN len(w) >= {n} THEN "
         f"list_distinct([{gram} for i in generate_series(1, len(w) - {n - 1})]) "
@@ -116,24 +143,16 @@ def spark_word_ngrams(c: Column, n: int = 2, toks: Column | None = None) -> Colu
     if toks is None:
         toks = F.split(F.trim(c), WS_RE)
 
-    def gram(i: Column) -> Column:
-        parts: list[Column] = []
-        for j in range(n):
-            if j:
-                parts.append(F.lit(" "))
-            parts.append(F.element_at(toks, i + F.lit(j)))
-        return F.concat(*parts)
-
     return F.when(
         F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)), gram),
+        F.transform(F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)), _gram(toks, n)),
     ).otherwise(F.array().cast("array<string>"))
 
 
 def sql_word_ngrams(expr: str, n: int = 2) -> str:
     """DuckDB expression equal to ``spark_word_ngrams``."""
     w = rf"string_split_regex(trim({expr}), '\s+')"
-    gram = " || ' ' || ".join(f"w[i + {j}]" if j else "w[i]" for j in range(n))
+    gram = _sql_gram(n)
     return (
         f"(SELECT CASE WHEN len(w) >= {n} THEN "
         f"[{gram} for i in generate_series(1, len(w) - {n - 1})] "

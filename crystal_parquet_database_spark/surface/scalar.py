@@ -147,21 +147,33 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = """
 SELECT event_id, event_type,
        JSON_EXTRACT_STRING(props, '$.k') AS k_str,
-       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_int
+       CAST(FLOOR(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS DOUBLE)) AS INTEGER)
+         AS k_int
 FROM events
 WHERE JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL
-  AND CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) > 50
+  AND CAST(FLOOR(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS DOUBLE)) AS INTEGER) > 50
 """
 
 
 @query("scalar_json_extraction", _JSON_ORACLE)
 def scalar_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction from the events.props string column."""
+    """JSON path extraction from the events.props string column.
+
+    The integer conversion is FLOOR(TRY_CAST(... AS DOUBLE)) on BOTH sides
+    — the only spelling with identical semantics for every input: a direct
+    string→int cast aborts the whole Spark job on '12.5' under ANSI mode
+    while DuckDB rounds it to 13 (and Spark's double→int truncates where
+    DuckDB's rounds, so routing through double alone diverges too);
+    floor-of-double is engine-identical, and non-numeric strings NULL out
+    on both. Integral values (all the fixture produces) are unaffected.
+    (Contract: values beyond 2^53 would lose precision in the double hop —
+    event props are small counters, far below that.)"""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
+    k_int = F.floor(k.try_cast("double")).cast("int")
     return (
         ev.withColumn("k_str", k)
-        .withColumn("k_int", k.cast("int"))
+        .withColumn("k_int", k_int)
         .filter(F.col("k_str").isNotNull() & (F.col("k_int") > 50))
         .select("event_id", "event_type", "k_str", "k_int")
     )
@@ -169,7 +181,8 @@ def scalar_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAP_ORACLE = """
 SELECT event_id, k.key AS key,
-       CAST(json_extract_string(props, '$.' || k.key) AS INTEGER) AS value
+       CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.' || k.key) AS DOUBLE))
+            AS INTEGER) AS value
 FROM events, unnest(json_keys(props)) k(key)
 WHERE event_id < 100
 """
@@ -177,10 +190,21 @@ WHERE event_id < 100
 
 @query("scalar_map_functions", _MAP_ORACLE)
 def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON string → MapType → exploded (key, value) rows."""
+    """JSON string → MapType → exploded (key, value) rows.
+
+    Parsed as map<string,string> with the same FLOOR(TRY_CAST(... AS
+    DOUBLE)) integer conversion as ``scalar_json_extraction`` (and for the
+    same reason): from_json with map<string,int> NULLs the ENTIRE map when
+    any one value is non-integral (dropping all that event's rows) while
+    the oracle's direct int cast rounds — per-value floor-of-double is
+    engine-identical and degrades one value, not the whole event."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
-    m = F.from_json("props", "map<string,int>")
-    return ev.select("event_id", F.explode(m).alias("key", "value"))
+    m = F.from_json("props", "map<string,string>")
+    return ev.select("event_id", F.explode(m).alias("key", "__v")).select(
+        "event_id",
+        "key",
+        F.floor(F.col("__v").try_cast("double")).cast("int").alias("value"),
+    )
 
 
 _CASE_ORACLE = """

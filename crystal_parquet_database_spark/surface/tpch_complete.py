@@ -23,8 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.functions.exact import (
+    DCAST_DOUBLE_SQL,
     DISC_PRICE_SQL,
-    ONE_SQL,
+    DSUM_DOUBLE_SQL,
     disc_price,
     dsum,
     money,
@@ -38,15 +39,19 @@ def _t(spark, sf_dir, name):
 
 
 # single definition in functions/exact.py, aliased for the f-string oracles
-_ONE = ONE_SQL
 _DISC_PRICE = DISC_PRICE_SQL
 _DEC0 = "CAST(0 AS DECIMAL(18,2))"
 
+# Q8/Q9/Q11 sums are scale-4 PRODUCT decimals (disc_price, price*qty) —
+# their oracles route every decimal→double cast through the VARCHAR
+# round-trip (DSUM_DOUBLE_SQL / DCAST_DOUBLE_SQL) so DuckDB's direct-cast
+# double-rounding above 2^53 scaled significand can never diverge from
+# Spark's correctly-rounded cast at a larger fixture (functions/exact.py).
 
 _Q8_ORACLE = f"""
 SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE {_DEC0} END) AS DOUBLE)
-       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       {DSUM_DOUBLE_SQL(f"CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE {_DEC0} END")}
+       / {DSUM_DOUBLE_SQL("volume")} AS mkt_share
 FROM (
   SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
          {_DISC_PRICE} AS volume,
@@ -119,9 +124,10 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9_ORACLE = f"""
 SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
-       CAST(SUM({_DISC_PRICE}
-                - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
-            AS DOUBLE) AS sum_profit
+       {DSUM_DOUBLE_SQL(
+           f"{_DISC_PRICE}"
+           " - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))"
+       )} AS sum_profit
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -158,7 +164,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q11_ORACLE = """
+_Q11_ORACLE = f"""
 WITH supp_part AS (
   SELECT l_partkey,
          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
@@ -168,23 +174,36 @@ WITH supp_part AS (
   WHERE n_name = 'NATION_5'
   GROUP BY l_partkey
 )
-SELECT l_partkey AS p_partkey, CAST(pv_dec AS DOUBLE) AS part_value
+SELECT l_partkey AS p_partkey, {DCAST_DOUBLE_SQL("pv_dec")} AS part_value
 FROM supp_part
-WHERE CAST(pv_dec AS DOUBLE) > (SELECT CAST(SUM(pv_dec) AS DOUBLE) * 0.001 FROM supp_part)
+WHERE {DCAST_DOUBLE_SQL("pv_dec")}
+      > (SELECT {DSUM_DOUBLE_SQL("pv_dec")} / CAST(COUNT(*) AS DOUBLE) * 2.0
+         FROM supp_part)
 """
 
 
 @query("q11_important_stock", _Q11_ORACLE)
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part value within one nation's suppliers, kept if
-    above a fraction of the total — group-then-scalar-subquery over the SAME
-    aggregate (computed once, broadcast as a 1-row DF; no second fact scan).
-    (extendedprice*quantity stands in for supplycost*availqty.)
+    above a threshold derived from the whole relation — group-then-
+    scalar-subquery over the SAME aggregate (computed once, broadcast as a
+    1-row DF; no second fact scan). (extendedprice*quantity stands in for
+    supplycost*availqty.)
+
+    Threshold: 2× the MEAN per-part value — deliberately scale-FREE where
+    the spec's fixed fraction is scale-DEPENDENT (TPC-H sets it to
+    0.0001/SF precisely because total value grows with the corpus while
+    per-part values don't: a fixed fraction of the total empties the result
+    as SF grows — measured here: a 0.001 fraction returned 385 parts at
+    sf0.01 and ZERO at sf0.1, so every larger-scale probe was comparing
+    empty frames and verified nothing). A multiple-of-mean cut selects a
+    stable above-average fraction of parts at every scale.
 
     The threshold is derived from the exact DECIMAL per-part sums (summed
-    exactly, cast to double once, then *0.001 in identical IEEE ops both
-    sides) — summing the per-part doubles instead would be partition-order
-    dependent and could flip membership of a part within ~1 ulp of the cut."""
+    exactly, cast to double once, then ÷count ×2.0 in identical IEEE ops
+    both sides) — summing the per-part doubles instead would be
+    partition-order dependent and could flip membership of a part within
+    ~1 ulp of the cut."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
@@ -196,9 +215,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(value).alias("pv_dec"))
     )
     # Threshold over the already-reduced per-part relation (tiny), summed in
-    # exact decimal, mirroring the oracle's scalar subquery expression shape.
+    # exact decimal, mirroring the oracle's scalar subquery expression shape
+    # (sum→double, ÷count, ×2.0 — same op order, identical IEEE results).
     total = per_part.agg(
-        (F.sum(F.col("pv_dec")).cast("double") * F.lit(0.001)).alias("__cut")
+        (
+            F.sum(F.col("pv_dec")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * F.lit(2.0)
+        ).alias("__cut")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -275,12 +299,18 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(qty).alias("total_qty"),
         )
         .filter(F.col("year_qty") > F.lit(0.5) * F.col("total_qty"))
+        # distinct BEFORE broadcast: the post-HAVING relation is bounded by
+        # #(part,supplier) pairs — fact-proportional (10,962 rows vs 1,000
+        # suppliers at sf0.1), so broadcasting it as-is would ship a
+        # fact-scaled table at 100 TB. The projected-and-distinct supplier
+        # key set IS bounded by |supplier|; the semi join is unaffected.
         .select("l_suppkey")
+        .distinct()
     )
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     s = _t(spark, sf_dir, "supplier")
-    # heavy_pairs is post-HAVING output, bounded by |supplier| — broadcast it
-    # so the semi probe needs no supplier-side shuffle.
+    # heavy_pairs is now a distinct supplier-key set, bounded by |supplier| —
+    # broadcast it so the semi probe needs no supplier-side shuffle.
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(heavy_pairs), s.s_suppkey == heavy_pairs.l_suppkey, "left_semi")

@@ -14,11 +14,9 @@ from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.functions.exact import (
     DISC_PRICE_SQL,
-    ONE_SQL,
     disc_price,
     dsum,
     money,
-    rate,
 )
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table
@@ -29,7 +27,6 @@ def _t(spark, sf_dir, name):
 
 
 # single definition in functions/exact.py, aliased for the f-string oracles
-_ONE = ONE_SQL
 _DISC_PRICE = DISC_PRICE_SQL
 
 
