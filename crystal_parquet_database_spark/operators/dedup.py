@@ -281,7 +281,9 @@ def simhash(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32, k: int = 3, unit: str = "word"
 ) -> DataFrame:
     """Per-document SimHash fingerprint: bitwise majority vote over shingle
-    hashes. Explode + one aggregation (shuffle on id only).
+    hashes. Explode + one aggregation (shuffle on id only). NULL-text docs
+    get NO fingerprint row (no content to fingerprint — see the NULL filter
+    below), mirroring the MinHash pipeline's empty-set semantics.
 
     PERF: shingles are exploded BEFORE hashing — md5 inside an array lambda
     that is then exploded gets re-evaluated per emitted element (measured
@@ -297,8 +299,19 @@ def simhash(
         sh = spark_shingles(c, k)
     # full-width hash: a mod-P (31-bit) hash would zero every vote above
     # bit 30, collapsing wide fingerprints (see spark_hash_raw60)
-    exploded = d.select(F.col(id_col), F.explode(sh).alias("__s")).select(
-        F.col(id_col), spark_hash_raw60(F.col("__s")).alias("h")
+    exploded = (
+        d.select(F.col(id_col), F.explode(sh).alias("__s"))
+        .select(F.col(id_col), spark_hash_raw60(F.col("__s")).alias("h"))
+        # NULL-text docs leave the pipeline HERE, exactly like the MinHash
+        # path (shingle_hashes): their [NULL] shingle fallback hashes to one
+        # NULL row (md5(NULL) = NULL on both engines), which an all-votes
+        # take the otherwise(-1) branch would otherwise turn into the SAME
+        # fingerprint 0 for every such doc — one hamming-0 LSH clique over
+        # all NULL docs at corpus scale (C(m,2) pairs), and downstream
+        # cluster_representatives would fold them into one "near-dup"
+        # cluster. No real shingle hash is NULL, so only no-content docs
+        # drop; they get NO fingerprint and pair with nothing.
+        .filter(F.col("h").isNotNull())
     )
     votes = [
         F.sum(
@@ -335,12 +348,11 @@ def minhash_lsh_ml(
     from pyspark.ml.linalg import VectorUDT
 
     hs = shingle_hashes(df, text_col, k).select(F.col(id_col), F.col("hs"))
-    # NULL text is in-contract (the native pipeline propagates it harmlessly
-    # as a no-match): its shingle fallback is [NULL], which would crash the
-    # Python worker at int(None) below — and an all-NULL set would become an
-    # empty vector, which MinHashLSH rejects outright. Rows with no real
-    # shingle hash cannot pair with anything, so drop them up front.
-    hs = hs.filter(F.exists("hs", lambda x: x.isNotNull()))
+    # shingle_hashes emits a NULL-free DISTINCT hash set; NULL text arrives
+    # as hs=[] — an empty set would become an empty vector, which MinHashLSH
+    # rejects outright. Rows with no shingle hash cannot pair with anything,
+    # so drop them up front (same filter as the native LSH entry points).
+    hs = hs.filter(F.size("hs") > 0)
 
     # MinHashLSH requires dim < ~2.04e9 (its internal hash prime); fold the
     # 31-bit shingle hashes into 2^30 — collision odds are negligible for
@@ -354,9 +366,9 @@ def minhash_lsh_ml(
     def to_vec(arrs: pd.Series) -> pd.DataFrame:
         rows = []
         for arr in arrs:
-            # skip NULL elements (mixed NULL/real shingles survive the
-            # row-level exists() filter above)
-            idx = sorted({int(h) % dim for h in arr if h is not None})
+            # hs is NULL-free by shingle_hashes' contract; the mod just
+            # folds 31-bit hashes into the LSH dimension
+            idx = sorted({int(h) % dim for h in arr})
             rows.append((0, dim, idx, [1.0] * len(idx)))
         return pd.DataFrame(rows, columns=["type", "size", "indices", "values"])
 

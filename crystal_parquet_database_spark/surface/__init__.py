@@ -140,26 +140,37 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "scalar_json_extraction",
     "scalar_map_functions",
-    # — 3: newest row is r3 (9 of the remaining 15 oracle-paired fit; the
+    # — 2e: the second post-sweep review wave closed the SimHash arm of the
+    # NULL-text clique (operators/dedup.py::simhash now drops NULL hash
+    # rows before voting, so no-content docs get NO fingerprint instead of
+    # all sharing fingerprint 0 — a hamming-0 C(m,2) clique at corpus
+    # scale; the e-CTE in both simhash oracles gained the mirroring
+    # h IS NOT NULL). Value-identical at every fixture (zero NULL-text
+    # docs), but both the Spark semantics and the oracle TEXT changed, so
+    # per the process rule both queries outrank stale refreshes —
+    "dedup_simhash_fingerprint",
+    "dedup_simhash_near_pairs",
+    # — 3: newest row is r3 (7 of the remaining 15 oracle-paired fit; the
     # two lightest — agg_value_histogram, text_chunk_windows — wait below
     # the line, displaced by the final-sweep code changes,
     # join_right_customer_orders by the sessionizer-fold promotion above,
-    # and the three lightest remaining — setop_nation_coverage 0.61 s,
+    # the three lightest remaining — setop_nation_coverage 0.61 s,
     # sample_token_budget_mixture 0.80 s, agg_distinct_counts 0.87 s — by
-    # the 2d promotions, same precedent) —
+    # the 2d promotions, and the two lightest after that —
+    # unpivot_part_metrics 0.15 s, agg_having_brands 0.23 s — by the 2e
+    # promotions, same precedent) —
     "agg_cube_lineitem",
     "agg_grouping_sets_explicit",
-    "agg_having_brands",
     "agg_percentiles_by_flag",
     "agg_rollup_order_stats",
     "sql_api_revenue_by_nation",
     "subquery_above_avg_customers",
-    "unpivot_part_metrics",
     "window_positional_values",
     # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
     # 9 code-changed-post-r6-freeze + 15 code-changed-in-r7 + 11 final-sweep
-    # code-changed + 3 post-sweep-changed + 9 r3 refreshes = exactly 50).
-    # Entries below get NO row this round: the 6 displaced r3 refreshes,
+    # code-changed + 3 post-sweep-changed + 2 simhash-NULL-fix + 7 r3
+    # refreshes = exactly 50).
+    # Entries below get NO row this round: the 8 displaced r3 refreshes,
     # then the r4-row queries (their code is unchanged — a changed query
     # always outranks a stale refresh), then the 2 no-oracle rows, then
     # queries holding green r5/r6 rows.
@@ -169,9 +180,9 @@ _VERIFY_FIRST = [
     "setop_nation_coverage",
     "sample_token_budget_mixture",
     "agg_distinct_counts",
+    "unpivot_part_metrics",
+    "agg_having_brands",
     "dedup_cluster_components",
-    "dedup_simhash_near_pairs",
-    "dedup_simhash_fingerprint",
     "sim_ann_lsh_topk",
     "q21_suppliers_kept_waiting",
     "q18_large_volume_orders",

@@ -154,7 +154,8 @@ _SIMHASH_HS_CTE = (
 
 _SIMHASH_CTES = f"""
 {_SIMHASH_HS_CTE},
-e AS (SELECT doc_id, unnest(hs) AS h FROM shs),
+e AS (SELECT doc_id, h FROM (SELECT doc_id, unnest(hs) AS h FROM shs)
+      WHERE h IS NOT NULL),
 v AS (SELECT doc_id, {_VOTES} FROM e GROUP BY doc_id),
 fp AS (SELECT doc_id, {_FP} AS simhash FROM v)
 """

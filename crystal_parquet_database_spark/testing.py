@@ -68,21 +68,36 @@ def duckdb_connection(sf_dir: str):
 
 
 def compare_query(
-    spark: SparkSession, name: str, sf_dir: str, con=None
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    con=None,
+    query_fn=None,
+    oracle: str | None = None,
 ) -> tuple[bool, str]:
-    """Returns (ok, message). Message contains the first few diffs on failure."""
+    """Returns (ok, message). Message contains the first few diffs on failure.
+
+    ``query_fn``/``oracle`` default to the package registries; the driver
+    simulation injects the entries it read from ``__spark_entry__`` instead,
+    so the sim exercises the real contract module while the comparison
+    protocol itself (schema guard, column check, canon, equality) has ONE
+    definition — a second hand copy of it drifted once (scripts/driver_sim).
+    """
     from crystal_parquet_database_spark.surface.registry import assert_driver_safe_schema
 
-    frame = QUERIES[name](spark, sf_dir)
+    frame = (query_fn or QUERIES[name])(spark, sf_dir)
     # fail the way the real driver would: its canon sorts raw cell values,
     # so complex-typed top-level columns crash it before any comparison
-    assert_driver_safe_schema(name, frame)
+    try:
+        assert_driver_safe_schema(name, frame)
+    except TypeError as e:
+        return False, f"{name}: SCHEMA-GUARD {e}"
     spark_pdf = frame.toPandas()
     own_con = con is None
     if own_con:
         con = duckdb_connection(sf_dir)
     try:
-        duck_pdf = con.sql(ORACLES[name]).df()
+        duck_pdf = con.sql(oracle if oracle is not None else ORACLES[name]).df()
     finally:
         if own_con:
             con.close()

@@ -5,7 +5,6 @@ order-insensitive value compare."""
 
 import os
 import sys
-import hashlib
 
 sys.path.insert(0, "/root/repo")
 
@@ -36,46 +35,29 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
-# ONE canonicalizer, shared with the in-package harness (testing.py) — a
-# second hand copy here drifted once (no bytes→hex branch, no NaT-as-NULL)
-# and could pass what the package harness fails, or vice versa
+# ONE comparison protocol, shared with the in-package harness: schema
+# guard, column check, canon, and equality all live in
+# testing.compare_query — a hand copy of the canon here drifted once (no
+# bytes→hex branch, no NaT-as-NULL), and a hand copy of the surrounding
+# protocol could drift the same way. The sim still exercises the REAL
+# contract module by injecting __spark_entry__'s entries as
+# query_fn/oracle rather than letting compare_query hit the registries.
 from crystal_parquet_database_spark.testing import canon_frame as canon
-
-from crystal_parquet_database_spark.surface.registry import assert_driver_safe_schema
+from crystal_parquet_database_spark.testing import compare_query
 
 qs, os_ = ep.queries(), ep.oracle_sql()
 fails = []
 for name in sorted(qs):
-    frame = qs[name](spark, SF)
     if name in os_:
-        # the real driver's canon sorts RAW cell values — complex-typed
-        # top-level columns crash it; fail here the way the driver would
-        try:
-            assert_driver_safe_schema(name, frame)
-        except TypeError as e:
+        ok, msg = compare_query(
+            spark, name, SF, con=con, query_fn=qs[name], oracle=os_[name]
+        )
+        if not ok:
             fails.append(name)
-            print(f"{name:45s} SCHEMA-GUARD {e}")
-            continue
-    sdf = frame.toPandas()
-    if name in os_:
-        ddf = con.sql(os_[name]).df()
-        # the real driver checks SCHEMA as well as values — a query whose
-        # values match under the wrong column names must fail here too
-        if sorted(sdf.columns) != sorted(ddf.columns):
-            fails.append(name)
-            print(
-                f"{name:45s} COL-MISMATCH spark={sorted(sdf.columns)} "
-                f"duckdb={sorted(ddf.columns)}"
-            )
-            continue
-        a, b = canon(sdf), canon(ddf)
-        ha = hashlib.sha256(str(a).encode()).hexdigest()[:12]
-        hb = hashlib.sha256(str(b).encode()).hexdigest()[:12]
-        status = "MATCH" if a == b else "MISMATCH"
-        if a != b: fails.append(name)
-        print(f"{name:45s} {status} rows={len(a)}/{len(b)} hash={ha}/{hb}")
+        print(f"{'MATCH' if ok else 'FAIL ':5s} {msg}")
     else:
-        print(f"{name:45s} rows-only rows={len(sdf)}")
+        sdf = qs[name](spark, SF).toPandas()
+        print(f"rows-only {name} rows={len(sdf)}")
     # between-queries hygiene, mirroring bench.py: release each query's
     # eager-localCheckpoint blocks deterministically so a 150-query sweep
     # doesn't accumulate session-lifetime block-manager pressure

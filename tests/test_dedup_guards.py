@@ -133,6 +133,25 @@ def test_null_text_docs_never_pair(spark):
     assert pairs.count() == 0
 
 
+def test_simhash_null_text_docs_get_no_fingerprint(spark):
+    """Regression (round-7 post-sweep review): the SimHash family had the
+    NULL-text clique through a different door — the [NULL] fallback shingle
+    hashes to one NULL row, every vote takes the otherwise(-1) branch, and
+    every NULL-text doc got the IDENTICAL fingerprint 0: a hamming-0 LSH
+    clique over all of them (C(m,2) pairs at corpus scale), consistent on
+    both engines so no oracle caught it. No-content docs must get NO
+    fingerprint and pair with nothing."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    fp = D.simhash(docs, "text", "doc_id", bits=32, k=3)
+    rows = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert set(rows) == {4}, "NULL-text docs must be absent from the fingerprint frame"
+    pairs = D.simhash_near_pairs(fp, "doc_id", max_hamming=4, bits=32)
+    assert pairs.count() == 0
+
+
 def test_shingle_hashes_distinct_values(spark):
     """The hs array must be a SET of hash values: distinct shingle strings
     colliding under the 31-bit mod-P hash would otherwise break the
