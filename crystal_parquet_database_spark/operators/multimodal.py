@@ -118,7 +118,13 @@ def _parse_jpeg_sof(data: bytes) -> dict | None:
         seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
         if seg_len < 2:
             return None
-        if marker in _JPEG_SOF_MARKERS and pos + 9 <= len(data):
+        if marker in _JPEG_SOF_MARKERS:
+            # the declared segment must COVER the dimension fields
+            # (len u16 + precision u8 + height u16 + width u16 = 7): with
+            # seg_len in [2,6] the bytes at pos+5..9 belong to the NEXT
+            # segment — garbage dimensions, not authoritative metadata
+            if seg_len < 7 or pos + 9 > len(data):
+                return None  # truncated/corrupt frame header
             height = int.from_bytes(data[pos + 5 : pos + 7], "big")
             width = int.from_bytes(data[pos + 7 : pos + 9], "big")
             return {
@@ -436,42 +442,59 @@ audio_meta_struct = T.StructType(
 
 
 def _parse_wav_header(data: bytes) -> dict | None:
-    """REAL (pure-python) WAV metadata: a canonical RIFF/PCM header puts the
-    fmt chunk first, so channel count / sample rate / bits-per-sample sit at
-    fixed offsets 22/24/34 (little-endian) and the data chunk at 36 — no
-    audio library needed for header fields (the audio analogue of
-    ``_parse_png_ihdr``)."""
-    if (
-        len(data) >= 44
-        and data[:4] == b"RIFF"
-        and data[8:12] == b"WAVE"
-        and data[12:16] == b"fmt "
-        and data[36:40] == b"data"
-    ):
-        n_channels = int.from_bytes(data[22:24], "little")
-        sample_rate = int.from_bytes(data[24:28], "little")
-        # a u32 sample rate beyond int32 is not a real audio format (spec
-        # rates top out in the hundreds of kHz) — and it would overflow the
-        # IntegerType meta column; reject the header as undecodable
-        if sample_rate > 0x7FFFFFFF:
-            return None
-        block_align = int.from_bytes(data[32:34], "little")
-        bits = int.from_bytes(data[34:36], "little")
-        # clamp the declared data size to the bytes actually present so a
-        # truncated file doesn't report inflated n_samples/duration_s
-        data_size = min(int.from_bytes(data[40:44], "little"), len(data) - 44)
-        # the fmt chunk's own block-align is the authoritative frame size
-        # (bits not divisible by 8 pad up to whole container bytes); fall
-        # back to the ceil-computed size when the field is zeroed out
-        bytes_per_frame = block_align or max(1, n_channels * ((max(bits, 8) + 7) // 8))
-        n_samples = data_size // bytes_per_frame
-        return {
-            "mime": "audio/wav",
-            "sample_rate": sample_rate,
-            "n_samples": n_samples,
-            "duration_s": n_samples / sample_rate if sample_rate else 0.0,
-        }
-    return None
+    """REAL (pure-python) WAV metadata via a RIFF chunk walk: after the
+    12-byte RIFF/WAVE preamble, chunks are [ckId 4][ckSize u32 LE][payload,
+    padded to even]. Real recordings routinely carry LIST/INFO, fact, or
+    extensible-fmt chunks between fmt and data — a fixed-offset read (fmt at
+    12, data at exactly 36) silently rejected those and handed a perfectly
+    parseable file fabricated fallback metadata; the walk finds fmt and data
+    wherever they sit (the audio analogue of ``_parse_jpeg_sof``'s marker
+    walk)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt = 12, None
+    while pos + 8 <= len(data):
+        ck_id = data[pos : pos + 4]
+        ck_size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if ck_id == b"fmt " and ck_size >= 16 and body + 16 <= len(data):
+            fmt = {
+                # fmt payload: format u16 | channels u16 | rate u32 |
+                # byte_rate u32 | block_align u16 | bits u16
+                "n_channels": int.from_bytes(data[body + 2 : body + 4], "little"),
+                "sample_rate": int.from_bytes(data[body + 4 : body + 8], "little"),
+                "block_align": int.from_bytes(data[body + 12 : body + 14], "little"),
+                "bits": int.from_bytes(data[body + 14 : body + 16], "little"),
+            }
+        elif ck_id == b"data" and fmt is not None:
+            break
+        # chunk payloads pad to even length (RIFF spec); ckSize excludes pad
+        pos = body + ck_size + (ck_size & 1)
+    else:
+        return None  # no (fmt, data) pair found
+    n_channels = fmt["n_channels"]
+    sample_rate = fmt["sample_rate"]
+    # a u32 sample rate beyond int32 is not a real audio format (spec
+    # rates top out in the hundreds of kHz) — and it would overflow the
+    # IntegerType meta column; reject the header as undecodable
+    if sample_rate > 0x7FFFFFFF:
+        return None
+    block_align = fmt["block_align"]
+    bits = fmt["bits"]
+    # clamp the declared data size to the bytes actually present so a
+    # truncated file doesn't report inflated n_samples/duration_s
+    data_size = min(ck_size, max(0, len(data) - body))
+    # the fmt chunk's own block-align is the authoritative frame size
+    # (bits not divisible by 8 pad up to whole container bytes); fall
+    # back to the ceil-computed size when the field is zeroed out
+    bytes_per_frame = block_align or max(1, n_channels * ((max(bits, 8) + 7) // 8))
+    n_samples = data_size // bytes_per_frame
+    return {
+        "mime": "audio/wav",
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+        "duration_s": n_samples / sample_rate if sample_rate else 0.0,
+    }
 
 
 def audio_chunk_energy(

@@ -57,6 +57,19 @@ def cosine(a: Column, b: Column) -> Column:
     return _cos_div(dot(a, b), norm(a) * norm(b))
 
 
+def _topk(scored: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """The per-query top-k tail shared by every ANN entry point: rank =
+    row_number over (query_id, order_cols), keep rank ≤ k. ONE definition —
+    four hand copies of this 4-line epilogue had already diverged once: the
+    PQ copy ranked approx_d2 plain-ascending (NULLS FIRST in Spark), so a
+    NULL-distance row (a NULL-coded corpus vector) won rank 1 for EVERY
+    query. Callers pass explicit NULLS-LAST orderings."""
+    w = W.partitionBy("query_id").orderBy(*order_cols)
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -96,11 +109,8 @@ def cosine_topk(
             _cos_div(dot(F.col("qvec"), F.col("cvec")), F.col("qnorm") * F.col("cnorm")).alias("cos"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    # desc = NULLS LAST in Spark: a zero-norm embedding's NULL cos sinks
+    return _topk(scored, [F.desc("cos"), F.asc("match_id")], k)
 
 
 def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
@@ -201,11 +211,7 @@ def ann_lsh_topk(
             _cos_div(dot(F.col("qvec"), F.col("cvec")), F.col("qnorm") * F.col("cnorm")).alias("cos"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk(scored, [F.desc("cos"), F.asc("match_id")], k)
 
 
 def ivf_topk(
@@ -251,6 +257,18 @@ def ivf_topk(
     else:
         train_src = train_hint if train_hint is not None else corpus
         sample = train_src.select(vec_col).limit(256 * n_cells).collect()
+        if not sample:
+            if train_hint is not None:
+                raise ValueError(
+                    "ivf_topk: train_hint has no rows to train the quantizer on"
+                )
+            # empty corpus: no quantizer to train and nothing to search —
+            # return the same empty result the exact siblings produce
+            # (np indexing below would otherwise IndexError on a 1-D (0,)
+            # array instead of returning an empty frame)
+            return cosine_topk(
+                queries, corpus, id_col, vec_col, k=k, exclude_self=exclude_self
+            )
         x = np.asarray([r[0] for r in sample], dtype=np.float64)
 
         rng = np.random.default_rng(seed)
@@ -272,15 +290,11 @@ def ivf_topk(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
     )
 
+    # squared-L2-to-every-centroid is the SAME precision-critical fold the
+    # PQ half uses — one definition (_subspace_dists/_sub_l2), not a local
+    # re-implementation that could drift from it
     def dists(vec: Column) -> Column:
-        return F.transform(
-            centers_arr,
-            lambda c: F.aggregate(
-                F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
+        return _subspace_dists(vec, centers_arr)
 
     def cell_of(vec: Column) -> Column:
         """argmin over inlined centroids; first-min tie-break (deterministic)."""
@@ -325,10 +339,7 @@ def ivf_topk(
             _cos_div(dot(F.col("qvec"), F.col("cvec")), F.col("qnorm") * F.col("cnorm")).alias("cos"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
-        F.col("rank") <= k
-    )
+    return _topk(scored, [F.desc("cos"), F.asc("match_id")], k)
 
 
 def embedding_near_dup_pairs(
@@ -798,8 +809,8 @@ def pq_adc_topk(
     scored = joined.select("query_id", "match_id", approx.alias("approx_d2"))
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
-    w = W.partitionBy("query_id").orderBy(F.col("approx_d2"), F.col("match_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    # asc_nulls_last: a NULL-coded corpus row (NULL embedding → NULL codes →
+    # NULL approx_d2) must sink, not win rank 1 for every query — Spark's
+    # plain ascending is NULLS FIRST, unlike the desc orderings of the
+    # cosine-ranked siblings where NULLs already landed last.
+    return _topk(scored, [F.asc_nulls_last("approx_d2"), F.asc("match_id")], k)

@@ -8,13 +8,19 @@ is deduped on the key, anti-joined against the keys already in the dataset,
 and only genuinely-new rows are appended — a replayed batch finds its rows
 already present and appends nothing. No sink-side transaction log needed.
 
-100 TB shape: the anti-join probes the existing dataset with the BATCH as
-the small side (key column only — parquet scan prunes to one column), so
-per-batch cost is one column scan + a batch-sized join, and appends never
-rewrite history. This is the same history-never-rescanned contract as
-``dedup_incremental_new_vs_index``; with a ``partition_by`` on the target
-(e.g. event date) the key scan prunes to recent partitions and per-batch
-cost stays flat as the dataset grows.
+100 TB shape: the BATCH is the build side of BOTH dedup joins. Spark can
+only broadcast the RIGHT side of a left_anti join, and the right side of
+the obvious one-hop ``batch ANTI existing`` is the ever-growing history
+keyset — below the broadcast threshold every micro-batch re-broadcasts the
+whole keyset, above it every micro-batch SHUFFLES the entire history key
+column (sort-merge), so per-batch latency grows O(dataset) either way. The
+two-hop shape keeps the big side streaming: (1) semi-join history keys ×
+broadcast(batch keys) → the collided subset, bounded by the batch size;
+(2) anti-join batch × broadcast(collided). History is only ever SCANNED
+(key column only — parquet prunes to one column), never shuffled or
+broadcast; with a ``partition_by`` on the target (e.g. event date) that
+scan prunes to recent partitions and per-batch cost stays flat as the
+dataset grows.
 """
 
 from __future__ import annotations
@@ -24,6 +30,31 @@ from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.db import PqDB
 from crystal_parquet_database_spark.runtime import release_local_checkpoint
+
+
+def new_rows_vs_existing(batch: DataFrame, existing: DataFrame, key_col: str) -> DataFrame:
+    """Rows of ``batch`` whose key is not in ``existing`` — with the BATCH as
+    the build side of both joins (module docstring: a one-hop left_anti can
+    only build/broadcast the history side, whose cost grows every batch).
+
+    NULL-SAFE throughout: plain key equality never matches NULL, so a
+    replayed batch's NULL-key row would be re-appended on every replay —
+    breaking exactly-once for exactly one key. eqNullSafe still plans as a
+    hash equi-join.
+
+    ``existing`` must expose the key as ``__existing_key`` (one column).
+    """
+    batch_keys = batch.select(F.col(key_col).alias("__batch_key")).dropDuplicates()
+    collided = existing.join(
+        F.broadcast(batch_keys),
+        F.col("__existing_key").eqNullSafe(F.col("__batch_key")),
+        "left_semi",
+    )
+    return batch.join(
+        F.broadcast(collided),
+        F.col(key_col).eqNullSafe(F.col("__existing_key")),
+        "left_anti",
+    )
 
 
 def stream_ingest_into_pqdb(
@@ -44,18 +75,10 @@ def stream_ingest_into_pqdb(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([key_col])
         if db.exists:
-            # NULL-SAFE anti-join: plain key equality never matches NULL, so
-            # a replayed batch's NULL-key row would be re-appended on every
-            # replay — breaking exactly-once for exactly one key. eqNullSafe
-            # still plans as a hash equi-join; left_anti keeps batch columns.
             existing = db.read(columns=[key_col]).withColumnRenamed(
                 key_col, "__existing_key"
             )
-            batch = batch.join(
-                existing,
-                F.col(key_col).eqNullSafe(F.col("__existing_key")),
-                "left_anti",
-            )
+            batch = new_rows_vs_existing(batch, existing, key_col)
         # materialize the dedupe+anti-join ONCE: the emptiness probe and
         # create()'s write would otherwise each re-run the whole pipeline
         # (including the growing key-column scan)

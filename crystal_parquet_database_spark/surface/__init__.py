@@ -150,15 +150,44 @@ _VERIFY_FIRST = [
     # per the process rule both queries outrank stale refreshes —
     "dedup_simhash_fingerprint",
     "dedup_simhash_near_pairs",
-    # — 3: newest row is r3 (7 of the remaining 15 oracle-paired fit; the
-    # two lightest — agg_value_histogram, text_chunk_windows — wait below
-    # the line, displaced by the final-sweep code changes,
-    # join_right_customer_orders by the sessionizer-fold promotion above,
-    # the three lightest remaining — setop_nation_coverage 0.61 s,
-    # sample_token_budget_mixture 0.80 s, agg_distinct_counts 0.87 s — by
-    # the 2d promotions, and the two lightest after that —
-    # unpivot_part_metrics 0.15 s, agg_having_brands 0.23 s — by the 2e
-    # promotions, same precedent) —
+    # — 2f: the third post-sweep review wave (ANN/multimodal/events): the
+    # shared _topk epilogue replaced four hand copies that had already
+    # diverged in NULL ordering — sim_pq_recall_at_k carries the BEHAVIOR
+    # fix (approx_d2 now asc_nulls_last; plain asc was NULLS FIRST, so a
+    # NULL-coded row won rank 1 for every query); events_path_regex_match's
+    # oracle gained the NULL-row FILTER + COALESCE('') (all-NULL users
+    # diverged '' vs NULL, NULL ts ordered differently per engine);
+    # the same wave's WAV RIFF-chunk walk and JPEG SOF-length guard land in
+    # multimodal_audio_pipeline / multimodal_image_header_real /
+    # multimodal_image_pipeline, which ALREADY hold 2b slots above;
+    # sim_ivf_recall_at_k's centroid distances now route through
+    # _subspace_dists + the empty-corpus guard; the remaining slots take
+    # the fold-only consumers (sim_cosine_topk_bruteforce, sim_ann_lsh_topk,
+    # sim_ann_recall_at_k, sim_ann_multiprobe_topk). All value-identical at
+    # the fixtures (zero NULL embeddings / canonical headers / zero NULL
+    # events) — promoted because semantics or oracle text changed, per the
+    # process rule. The one fold-only consumer beyond window capacity
+    # (text_hybrid_rrf_search) holds a green r5 row, is sim-re-proven, and
+    # heads round 8's priority-2 set — changed code beyond capacity defers
+    # exactly the way r6's post-freeze changes deferred into r7.
+    "sim_pq_recall_at_k",
+    "events_path_regex_match",
+    "sim_ivf_recall_at_k",
+    "sim_cosine_topk_bruteforce",
+    "sim_ann_lsh_topk",
+    "sim_ann_recall_at_k",
+    "sim_ann_multiprobe_topk",
+    # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
+    # 9 code-changed-post-r6-freeze + 15 code-changed-in-r7 + 11 final-sweep
+    # code-changed + 3 post-sweep-changed + 2 simhash-NULL-fix + 7
+    # ANN/multimodal/events-wave = exactly 50).
+    # Entries below get NO row this round, in round-8 priority order: the 1
+    # deferred changed query (above), then the 15 displaced r3 refreshes
+    # (all of category 3 this time — changed code filled the window), then
+    # the r4-row queries (their code is unchanged — a changed query always
+    # outranks a stale refresh), then the 2 no-oracle rows, then queries
+    # holding green r5/r6 rows.
+    "text_hybrid_rrf_search",
     "agg_cube_lineitem",
     "agg_grouping_sets_explicit",
     "agg_percentiles_by_flag",
@@ -166,14 +195,6 @@ _VERIFY_FIRST = [
     "sql_api_revenue_by_nation",
     "subquery_above_avg_customers",
     "window_positional_values",
-    # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
-    # 9 code-changed-post-r6-freeze + 15 code-changed-in-r7 + 11 final-sweep
-    # code-changed + 3 post-sweep-changed + 2 simhash-NULL-fix + 7 r3
-    # refreshes = exactly 50).
-    # Entries below get NO row this round: the 8 displaced r3 refreshes,
-    # then the r4-row queries (their code is unchanged — a changed query
-    # always outranks a stale refresh), then the 2 no-oracle rows, then
-    # queries holding green r5/r6 rows.
     "agg_value_histogram",
     "text_chunk_windows",
     "join_right_customer_orders",
@@ -183,7 +204,6 @@ _VERIFY_FIRST = [
     "unpivot_part_metrics",
     "agg_having_brands",
     "dedup_cluster_components",
-    "sim_ann_lsh_topk",
     "q21_suppliers_kept_waiting",
     "q18_large_volume_orders",
     "q2_min_cost_supplier",
@@ -198,8 +218,6 @@ _VERIFY_FIRST = [
     "q20_potential_promotion",
     "q22_global_sales_opportunity",
     "agg_approx_percentiles",
-    "sim_cosine_topk_bruteforce",
-    "events_path_regex_match",
     "sample_source_cap",
     "dedup_exact_text",
     "agg_approx_count_distinct",
@@ -215,9 +233,6 @@ _VERIFY_FIRST = [
     "text_bm25_topk",
     "text_bigram_fluency",
     "agg_cms_heavy_hitters",
-    "sim_pq_recall_at_k",
-    "text_hybrid_rrf_search",
-    "sim_ivf_recall_at_k",
     "agg_hll_error_bound",
     "stream_view_purchase_left_join",
     "stream_view_purchase_full_join",

@@ -494,7 +494,9 @@ _PATH_ORACLE = """
 WITH p AS (
   SELECT user_id,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         STRING_AGG(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+         COALESCE(STRING_AGG(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                  FILTER (WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+                  '') AS path
   FROM events GROUP BY user_id
 )
 SELECT user_id, n_events, path,
@@ -517,16 +519,26 @@ def events_path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; the per-user path is bounded by that user's
     event count (order by (ts, event_id) makes the string deterministic).
     For unbounded histories at 100 TB, bound the path per (user, month) —
-    same plan with a composite key."""
+    same plan with a composite key.
+
+    NULL hygiene (engine-identical by construction): rows with NULL
+    event_type or NULL ts contribute to n_events but NOT to the path —
+    collect_list drops the NULL struct Spark-side, the FILTER clause drops
+    the same rows oracle-side. Without this, an all-NULL-event_type user
+    diverged ('' vs STRING_AGG's NULL → rlike false vs regexp NULL), and a
+    NULL ts sorted FIRST in Spark's struct ordering but LAST under DuckDB's
+    default ORDER BY — both sides now order only non-NULL (ts, event_id),
+    and a user with no qualifying events gets path '' on both."""
     ev = load_table(spark, sf_dir, "events")
     c = F.substring("event_type", 1, 1)
+    entry = F.when(
+        F.col("ts").isNotNull() & c.isNotNull(),
+        F.struct("ts", "event_id", c.alias("c")),
+    )
     paths = ev.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", c.alias("c")))),
-                lambda x: x["c"],
-            ),
+            F.transform(F.array_sort(F.collect_list(entry)), lambda x: x["c"]),
             "",
         ).alias("path"),
     )

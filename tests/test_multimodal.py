@@ -410,6 +410,61 @@ def test_parse_wav_rejects_out_of_int32_sample_rate():
     wav = bytearray(_tiny_wav(8000, 16))
     wav[24:28] = (3_000_000_000).to_bytes(4, "little")
     assert M._parse_wav_header(bytes(wav)) is None
+
+
+def test_parse_wav_walks_non_canonical_chunk_layouts():
+    """Regression (round-7 review): real recordings routinely carry
+    LIST/INFO, fact, or extensible-fmt chunks between fmt and data; the old
+    fixed-offset parse (fmt at 12, data at exactly 36) rejected them and the
+    caller fabricated fake metadata (sample_rate 16000) for a perfectly
+    parseable file. The RIFF chunk walk must find fmt/data wherever they
+    sit, honor the even-byte chunk padding, and still reject files with no
+    (fmt, data) pair."""
+    import struct
+
+    def riff(chunks: list[bytes]) -> bytes:
+        body = b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def fmt_chunk(rate=16000, ch=1, ba=2, bits=16, extra=b"") -> bytes:
+        payload = struct.pack("<HHIIHH", 1, ch, rate, rate * ba, ba, bits) + extra
+        return b"fmt " + struct.pack("<I", len(payload)) + payload
+
+    def data_chunk(n: int) -> bytes:
+        return b"data" + struct.pack("<I", n) + b"\x00" * n
+
+    lst = b"LIST" + struct.pack("<I", 10) + b"INFOabcdef"
+    meta = M._parse_wav_header(riff([fmt_chunk(), lst, data_chunk(320)]))
+    assert meta is not None and meta["sample_rate"] == 16000
+    assert meta["n_samples"] == 160 and meta["mime"] == "audio/wav"
+    # extensible fmt: cbSize tail past the 16 core payload bytes
+    ext = fmt_chunk(48000, 2, 4, 16, extra=b"\x16\x00" + b"\x00" * 22)
+    meta = M._parse_wav_header(riff([ext, data_chunk(48)]))
+    assert meta is not None and meta["sample_rate"] == 48000 and meta["n_samples"] == 12
+    # odd-sized chunk pads to even (RIFF spec) — the walk must not derail
+    odd = b"fact" + struct.pack("<I", 3) + b"abc\x00"
+    meta = M._parse_wav_header(riff([fmt_chunk(8000), odd, data_chunk(8)]))
+    assert meta is not None and meta["n_samples"] == 4
+    # fmt but no data chunk → undecodable, not fabricated
+    assert M._parse_wav_header(riff([fmt_chunk()])) is None
+
+
+def test_parse_jpeg_rejects_sof_with_undersized_segment():
+    """Regression (round-7 review): an SOF marker declaring seg_len in [2,6]
+    does not cover the dimension fields — the old guard only checked
+    pos+9 <= len(data), so width/height were read from the NEXT segment's
+    bytes and returned as authoritative metadata."""
+    import struct
+
+    bad = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">H", 4)  # declared segment ends before height/width
+        + b"\x08\x01"
+        + b"\xff\xda"
+        + b"\x00" * 8
+    )
+    assert M._parse_jpeg_sof(bad) is None
     assert M._parse_wav_header(_tiny_wav(8000, 16))["sample_rate"] == 8000
 
 

@@ -271,6 +271,54 @@ def test_pq_encode_and_adc_recall(spark, sf_dir):
     assert avg_recall > 10.0 / n * 3  # comfortably above random top-10 overlap
 
 
+def test_pq_adc_null_coded_row_sinks_not_rank1(spark):
+    """Regression (round-7 review): a NULL-embedding corpus row flows
+    through pq_encode to NULL codes → NULL approx_d2; the PQ ranking used
+    plain-ascending order (NULLS FIRST in Spark), so that row won rank 1
+    for EVERY query, eating a top-k slot. NULL distances must sink below
+    every real match — the shared _topk epilogue now takes explicit
+    NULLS-LAST orderings on all four ANN entry points."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        pq_adc_topk, pq_encode,
+    )
+
+    dim, m = 8, 2
+    base = [
+        (1, [1.0] * dim), (2, [0.9] * dim), (3, [0.5] * dim),
+        (4, None),  # failed/padded row — routine in real pipelines
+    ]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    codebooks = [
+        [[0.0] * (dim // m), [1.0] * (dim // m)] for _ in range(m)
+    ]
+    codes = pq_encode(emb, "vec_id", "embedding", codebooks)
+    assert {r["vec_id"]: r["code0"] for r in codes.collect()}[4] is None
+    out = pq_adc_topk(
+        emb.filter("vec_id = 1"), codes, "vec_id", "embedding", codebooks, k=2
+    ).collect()
+    got = {r["rank"]: (r["match_id"], r["approx_d2"]) for r in out}
+    assert got[1][1] is not None, "rank 1 must be a real distance, not NULL"
+    assert all(v[0] != 4 for v in got.values()), "NULL-coded row must sink below k"
+
+
+def test_ivf_empty_corpus_returns_empty_not_crash(spark):
+    """Regression (round-7 review): an empty corpus used to IndexError on
+    the driver (1-D (0,) numpy array indexed as 2-D in the Lloyd step)
+    instead of returning the empty frame the exact siblings produce; an
+    empty train_hint over a non-empty corpus is a caller error and raises."""
+    import pytest
+
+    from crystal_parquet_database_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    out = ivf_topk(q, empty, "vec_id", "embedding", k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "match_id", "cos", "rank"}
+    with pytest.raises(ValueError, match="train_hint"):
+        ivf_topk(q, q, "vec_id", "embedding", k=3, train_hint=empty)
+
+
 def test_zero_norm_vector_nulls_out_instead_of_crashing(spark):
     """Regression: one all-zero embedding (failed/padded row) must NULL out
     of cosine comparisons (SQL division semantics), not abort the job with

@@ -408,6 +408,37 @@ def test_stream_ingest_into_pqdb_exactly_once(spark, tmp_path):
     assert ids2 == list(range(100))   # no dupes, nothing lost
 
 
+def test_ingest_new_rows_batch_is_build_side(spark, tmp_path):
+    """Scale-shape regression (round-7 review): Spark can only broadcast the
+    RIGHT side of a left_anti join, so the one-hop ``batch ANTI existing``
+    made the ever-growing history keyset the build side — re-broadcast (or
+    sort-merge-shuffled) in full on EVERY micro-batch. The two-hop shape
+    (semi-join history × broadcast(batch), anti-join batch ×
+    broadcast(collided)) must plan as two BroadcastHashJoins with no
+    SortMergeJoin, and still be exactly-once correct incl. the NULL key."""
+    from pyspark.sql import functions as F
+
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+    from crystal_parquet_database_spark.streaming.ingest import new_rows_vs_existing
+
+    existing = spark.createDataFrame(
+        [(1,), (2,), (None,)], "`__existing_key` long"
+    )
+    batch = spark.createDataFrame(
+        [(2, "dup"), (3, "new"), (None, "null-dup")], "k long, v string"
+    )
+    out = new_rows_vs_existing(batch, existing, "k")
+    assert [(r["k"], r["v"]) for r in out.collect()] == [(3, "new")]
+    plan = formatted_plan(out)
+    # both joins broadcast the batch-derived side: nothing sort-merge/
+    # shuffle-joins, so the history relation is never exchanged
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # an all-new batch (no collisions) passes through untouched
+    fresh = spark.createDataFrame([(7, "a"), (8, "b")], "k long, v string")
+    assert new_rows_vs_existing(fresh, existing, "k").count() == 2
+
+
 def test_stream_ingest_releases_checkpoint_blocks(spark, tmp_path):
     """Long-running-ingest memory regression: each micro-batch eagerly
     localCheckpoints its deduped frame; the sink must unpersist those RDD
