@@ -86,7 +86,17 @@ def assign_contiguous_ids_with_count(
 
 
 def assign_contiguous_ids(df: DataFrame, start: int = 0, id_col: str = ID_COL) -> DataFrame:
-    return assign_contiguous_ids_with_count(df, start, id_col)[0]
+    """Standalone wrapper: materializes the ids eagerly and releases the
+    helper's input cache before returning, so the caller holds a
+    self-contained frame (the _with_count variant leaves its input persisted
+    under a trigger-then-unpersist contract only PqDB.create honors; an
+    external caller looping on this API would otherwise leak one cached
+    input per call). Release the returned frame's checkpoint blocks with
+    ``runtime.release_local_checkpoint`` when done."""
+    out, _ = assign_contiguous_ids_with_count(df, start, id_col)
+    out = out.localCheckpoint(eager=True)
+    df.unpersist()
+    return out
 
 
 class PqDB:
@@ -166,7 +176,19 @@ class PqDB:
     ) -> None:
         """Materialize ``df`` to a temp dir, then atomically swap it in."""
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
-        writer = (df.repartition(n_files) if n_files else df).write.mode("overwrite")
+        if n_files:
+            if self.partition_by:
+                # hash-cluster on the hive partition columns so every
+                # partition VALUE lands in ONE task → one file per value
+                # (maxRecordsPerFile splits oversized values). A plain
+                # round-robin repartition(n) spreads every value across all
+                # n tasks, and the partitioned writer then emits one file
+                # per (task, value) pair — up to n × n_values tiny files,
+                # the opposite of the compaction normalize() promises.
+                df = df.repartition(n_files, *[F.col(c) for c in self.partition_by])
+            else:
+                df = df.repartition(n_files)
+        writer = df.write.mode("overwrite")
         if max_records_per_file:
             # per-write option — never mutate the shared session conf
             writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
@@ -232,13 +254,34 @@ class PqDB:
         # persisted frame is a harmless no-op
         try:
             df, n = assign_contiguous_ids_with_count(df, start=start)
-            writer = df.write.mode("append")
-            if self.partition_by:
-                writer = writer.partitionBy(*self.partition_by)
-            writer.parquet(self.path)
+            if self.partition_by and self._has_root_data_files():
+                # The dataset is the empty-rewrite marker: a delete() that
+                # matched every row left ONE unpartitioned schema-only file
+                # at the root (_rewrite's empty-frame fallback). Appending
+                # hive dirs NEXT to it would mix leaf depths and make Spark
+                # partition discovery fail on every later read — replace the
+                # zero-row dataset wholesale instead.
+                self._rewrite(df)
+            else:
+                writer = df.write.mode("append")
+                if self.partition_by:
+                    writer = writer.partitionBy(*self.partition_by)
+                writer.parquet(self.path)
         finally:
             source.unpersist()
         return n
+
+    def _has_root_data_files(self) -> bool:
+        """True when .parquet files sit directly in the dataset root — for a
+        hive-partitioned dataset that only happens via _rewrite's empty-frame
+        fallback (all data lives under partition dirs otherwise)."""
+        if not self.exists:
+            return False
+        return any(
+            f.endswith(".parquet")
+            and os.path.isfile(os.path.join(self.path, f))
+            for f in os.listdir(self.path)
+        )
 
     @staticmethod
     def _filters_to_column(filters) -> Column | str:
@@ -343,9 +386,17 @@ class PqDB:
             # addressable by a NULL-keyed update row — plain `on` equality
             # would silently no-op it (NULL = NULL is NULL, never matches),
             # and the dup-key guard above already treats NULL as one key.
+            # Cast every update column to the BASE column's type before the
+            # merge: coalesce type-coerces to the common type, so an update
+            # frame whose column arrived wider (Python ints → long vs stored
+            # int; double vs stored float) would silently rewrite the stored
+            # column type for the WHOLE dataset, bypassing create()'s
+            # evolution gate. Widenings go through create(); a genuinely
+            # lossy update value fails the ANSI cast loudly instead.
+            base_types = {f.name: f.dataType for f in base.schema.fields}
             u = up.select(
                 F.col(on).alias("__u_key"),
-                *[F.col(c).alias(f"__u_{c}") for c in upd_cols],
+                *[F.col(c).cast(base_types[c]).alias(f"__u_{c}") for c in upd_cols],
             )
             joined = base.join(
                 self._small_side(u), F.col(on).eqNullSafe(F.col("__u_key")), "left"

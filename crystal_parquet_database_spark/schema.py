@@ -182,8 +182,14 @@ _NUMERIC_RANK = {
 def promote_type(a: T.DataType, b: T.DataType) -> T.DataType:
     """Permissive promotion of two types (Arrow promote_options='permissive'
     equivalent): null yields the other side, numerics widen, structs merge
-    field-wise (union of fields), arrays promote element types. Incompatible
-    branches fall back to the left (canonical) side."""
+    field-wise (union of fields), arrays promote element types. Two SCALAR
+    types with no numeric promotion fall back to the left (canonical) side —
+    scalars are mutually castable, so the evolution cast succeeds. SHAPE
+    conflicts (struct vs scalar, array vs scalar, map vs anything else)
+    raise immediately with the offending field path: falling back to the
+    left used to send create() into an invalid cast (e.g. string→struct)
+    that died deep inside Spark with no hint of which input column
+    conflicted."""
     if isinstance(a, T.NullType):
         return b
     if isinstance(b, T.NullType):
@@ -207,16 +213,39 @@ def promote_type(a: T.DataType, b: T.DataType) -> T.DataType:
         b_by_name = {f.name: f for f in b.fields}
         for f in a.fields:
             if f.name in b_by_name:
-                fields.append(
-                    T.StructField(f.name, promote_type(f.dataType, b_by_name[f.name].dataType))
-                )
+                try:
+                    promoted = promote_type(f.dataType, b_by_name[f.name].dataType)
+                except ValueError as e:
+                    # prepend the field name so nested conflicts surface as
+                    # a dotted path to the offending column
+                    raise ValueError(f"{f.name}: {e}") from None
+                fields.append(T.StructField(f.name, promoted))
             else:
                 fields.append(f)
         a_names = {f.name for f in a.fields}
         fields.extend(f for f in b.fields if f.name not in a_names)
         return T.StructType(fields)
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
-        return T.ArrayType(promote_type(a.elementType, b.elementType))
+        try:
+            return T.ArrayType(promote_type(a.elementType, b.elementType))
+        except ValueError as e:
+            raise ValueError(f"[]: {e}") from None
+
+    def _shape(t: T.DataType) -> str:
+        if isinstance(t, T.StructType):
+            return "struct"
+        if isinstance(t, T.ArrayType):
+            return "array"
+        if isinstance(t, T.MapType):
+            return "map"
+        return "scalar"
+
+    if _shape(a) != _shape(b):
+        raise ValueError(
+            f"cannot unify {a.simpleString()} with {b.simpleString()} — "
+            "incompatible shapes; fix the input batch (schema evolution "
+            "widens types, it does not restructure columns)"
+        )
     return a
 
 

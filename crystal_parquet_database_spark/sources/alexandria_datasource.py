@@ -85,8 +85,19 @@ class _AlexandriaReader(DataSourceReader):
         # also exists in the wild. Handle both; a bare top-level list/dict
         # (no "entries" wrapper) gets the same treatment.
         entries = doc.get("entries", doc) if isinstance(doc, dict) else doc
-        if isinstance(entries, dict):
-            items: Iterator[tuple] = iter(entries.items())
+        if isinstance(entries, dict) and ("data" in entries or "structure" in entries):
+            # a BARE top-level entry (no "entries" wrapper): without this
+            # check the id→entry branch below iterates its items() and emits
+            # garbage rows keyed 'data'/'structure' whose payloads are entry
+            # FRAGMENTS — downstream from_json null-pads them into corrupt
+            # records. An id→entry map never uses these reserved field names
+            # as ids (Alexandria ids are mat_ids like 'agm001...').
+            eid = (entries.get("data") or {}).get("mat_id", 0) if isinstance(
+                entries.get("data"), dict
+            ) else 0
+            items: Iterator[tuple] = iter([(eid, entries)])
+        elif isinstance(entries, dict):
+            items = iter(entries.items())
         elif isinstance(entries, list):
             items = (
                 (

@@ -106,18 +106,29 @@ class BaseLoader:
             os.remove(complete)
         except OSError:
             pass
+        pre_started = os.path.exists(started)
+
+        def corpus_snapshot() -> set[str]:
+            return {f for f in os.listdir(self.raw_dir) if not f.startswith(("_", "."))}
+
+        before = corpus_snapshot()
         with open(started, "w") as fh:
             fh.write("in-progress\n")
         try:
             self._download(self.raw_dir)
         except BaseException:
             # A failed attempt that downloaded NOTHING must return the dir to
-            # its pristine state: leaving the STARTED sentinel behind would
+            # its prior state: leaving OUR STARTED sentinel behind would
             # permanently mask the pre-placed-files branch above, so a user
             # who follows the error's advice and drops a corpus into raw_dir
-            # would still be routed into _download forever. A partially
-            # downloaded dir keeps the sentinel — that is the resume case.
-            if not self._has_corpus_files(self.raw_dir):
+            # (or already HAD one and ran a doomed from-scratch refresh)
+            # would still be routed into _download forever. "Downloaded
+            # nothing" = the corpus file set is unchanged by this attempt
+            # and no earlier partial run owns the sentinel; an attempt that
+            # added files keeps it — that is the resume case. An empty dir
+            # always reverts (nothing to resume).
+            added_nothing = not pre_started and corpus_snapshot() == before
+            if added_nothing or not self._has_corpus_files(self.raw_dir):
                 try:
                     os.remove(started)
                 except OSError:

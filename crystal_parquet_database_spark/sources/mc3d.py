@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from crystal_parquet_database_spark.schema import lattice_struct, site_struct
+from crystal_parquet_database_spark.schema import lattice_struct, structure_struct
 from crystal_parquet_database_spark.sources.base import BaseLoader
 
 _CELL_KEYS = {
@@ -70,8 +70,12 @@ def parse_cif_minimal(text: str) -> dict | None:
         if not m:
             return None
         cell[name] = float(m.group(1))
+    # [^\S\n]* after each header tag: trailing spaces/tabs on a header line
+    # (routine in hand-edited CIFs) must not unmatch the whole loop — \S*
+    # stops at the space, and requiring \n directly after it silently made
+    # the entire file unparseable (dropped from ingest with no error)
     loop = re.search(
-        r"loop_\s*((?:\s*_atom_site\S*\n)+)((?:[^_\n][^\n]*\n?)+)", text
+        r"loop_\s*((?:\s*_atom_site\S*[^\S\n]*\n)+)((?:[^_\n][^\n]*\n?)+)", text
     )
     if not loop:
         return None
@@ -154,8 +158,20 @@ def _parse_cif(text: str) -> dict | None:
             for sp in site.get("species", []):
                 if "occu" in sp and sp["occu"] is not None:
                     sp["occu"] = _quantize_occu(sp["occu"])
+        # per-site dominant species, disordered-safe: s.species (one specie
+        # per site) raises AttributeError for ANY disordered site, which the
+        # blanket except below turned into a silent drop of every
+        # partial-occupancy structure — the exact files the occupancy
+        # quantization above exists for (and the minimal parser ingests the
+        # same file, so results differed by environment). site.species is a
+        # Composition for ordered and disordered sites alike; take the
+        # max-occupancy species, ties broken by symbol (deterministic).
+        def _site_symbol(site) -> str:
+            items = sorted(site.species.items(), key=lambda kv: (-kv[1], str(kv[0])))
+            return str(items[0][0])
+
         return {
-            "species": [str(sp) for sp in s.species],
+            "species": [_site_symbol(site) for site in s.sites],
             "frac_coords": [list(map(float, fc)) for fc in s.frac_coords],
             "cart_coords": [list(map(float, cc)) for cc in s.cart_coords],
             "lattice": d["lattice"],
@@ -174,18 +190,10 @@ _OUT_SCHEMA = T.StructType(
         T.StructField("cart_coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
         T.StructField("frac_coords", T.ArrayType(T.ArrayType(T.DoubleType()))),
         T.StructField("lattice", lattice_struct),
-        T.StructField(
-            "structure",
-            T.StructType(
-                [
-                    T.StructField("@module", T.StringType()),
-                    T.StructField("@class", T.StringType()),
-                    T.StructField("lattice", lattice_struct),
-                    T.StructField("sites", T.ArrayType(site_struct)),
-                    T.StructField("charge", T.DoubleType()),
-                ]
-            ),
-        ),
+        # the canonical structure schema, ONE definition (schema.py) — a
+        # field-by-field copy here silently diverged from it as soon as
+        # structure_struct changed, and MC3D rows stopped unifying cleanly
+        T.StructField("structure", structure_struct),
     ]
 )
 

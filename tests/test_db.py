@@ -456,6 +456,67 @@ def test_delete_all_rows_partitioned_dataset_survives(spark, tmp_path):
     db.create([{"grp": "c", "x": 3}])
     rows = db.read(load_format="dataset").collect()
     assert [(r["grp"], r["x"]) for r in rows] == [("c", 3)]
+    # the re-create must also RETIRE the unpartitioned schema-only marker
+    # file the empty rewrite left at the root: appending hive dirs next to
+    # it leaves a mixed-depth layout whose readability depends on Spark
+    # partition-discovery internals (round-7 review) — the recovery path
+    # replaces the zero-row dataset wholesale, so only partition dirs remain
+    import os as _os
+
+    root_parquet = [
+        f
+        for f in _os.listdir(db.path)
+        if f.endswith(".parquet") and _os.path.isfile(_os.path.join(db.path, f))
+    ]
+    assert root_parquet == []
+    assert any("grp=c" in p for p in db.get_file_sizes())
+
+
+def test_normalize_partitioned_compacts_not_explodes(spark, tmp_path):
+    """Regression (round-7 review): normalize() on a hive-partitioned
+    dataset used a round-robin repartition(n_files), spreading every
+    partition VALUE across all n tasks — the partitioned writer then emitted
+    one file per (task, value) pair, up to n_files × n_values tiny files:
+    the opposite of compaction. Hash-clustering on the partition columns
+    puts each value in one task → one file per value."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "npart"), partition_by=["grp"])
+    for batch in range(4):  # several appends → several files per value
+        db.create([{"grp": f"g{i % 5}", "x": batch * 100 + i} for i in range(50)])
+    assert len(db.get_file_sizes()) > 5
+    db.normalize(max_rows_per_file=1_000)
+    assert db.n_rows == 200
+    # one file per partition value (5 values), not n_files × 5
+    assert len(db.get_file_sizes()) == 5
+    df = db.read(load_format="dataset")
+    assert df.groupBy("grp").count().count() == 5
+
+
+def test_update_preserves_base_column_type(spark, tmp_path):
+    """Regression (round-7 review): the update merge's coalesce type-coerces
+    to the common type, so an update column that arrived WIDER (double vs
+    stored float, long vs stored int) silently rewrote the stored column
+    type for the whole dataset, bypassing create()'s evolution gate. Update
+    columns are now cast to the base type before the merge."""
+    from pyspark.sql import types as T
+
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "upd_types"))
+    base = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "k long, cnt int, score float"
+    )
+    db.create(base)
+    # update frame arrives with the WIDER natural Python/Spark types
+    up = spark.createDataFrame([(1, 99, 9.25)], "k long, cnt long, score double")
+    db.update(up, on="k")
+    schema = {f.name: f.dataType for f in db.get_schema().fields}
+    assert schema["cnt"] == T.IntegerType()
+    assert schema["score"] == T.FloatType()
+    rows = {r["k"]: r for r in db.read(load_format="dataset").collect()}
+    assert rows[1]["cnt"] == 99 and abs(rows[1]["score"] - 9.25) < 1e-6
+    assert rows[2]["cnt"] == 20
 
 
 def test_release_all_session_blocks(spark):

@@ -249,6 +249,87 @@ def test_alexandria_datasource_list_shaped_entries(spark, tmp_path):
     assert rows["agm-101"]["data"]["e_form"] == -2.0
 
 
+def test_failed_refresh_over_preplaced_corpus_clears_sentinel(data_dir):
+    """Regression (round-7 review): with a PRE-PLACED corpus in raw_dir, a
+    failed download_from_scratch attempt kept _DOWNLOAD_STARTED (the old
+    cleanup only reverted when the dir held NO corpus files), so every later
+    default run skipped the pre-placed branch and re-raised the download
+    error forever. An attempt that ADDED nothing must revert its own
+    sentinel; one that added files keeps it (the resume case)."""
+    import pytest
+
+    from crystal_parquet_database_spark.sources.base import BaseLoader, LoaderConfig
+
+    calls = []
+
+    class FailingLoader(BaseLoader):
+        source_database = "failing_preplaced"
+        source_dataset = "x"
+
+        def _download(self, raw_dir):
+            calls.append(raw_dir)
+            raise FileNotFoundError("no index; place dump files in raw_dir")
+
+        def _read_raw(self, spark, raw_dir):  # pragma: no cover
+            raise NotImplementedError
+
+        def _transform(self, df):  # pragma: no cover
+            raise NotImplementedError
+
+    ldr = FailingLoader.__new__(FailingLoader)
+    ldr.spark = None
+    ldr.config = LoaderConfig(data_dir=data_dir, download_from_scratch=True)
+    os.makedirs(ldr.raw_dir, exist_ok=True)
+    with open(os.path.join(ldr.raw_dir, "dump.json"), "w") as fh:
+        fh.write("{}")  # the user's pre-placed corpus
+    with pytest.raises(FileNotFoundError):
+        ldr.download()
+    assert not os.path.exists(os.path.join(ldr.raw_dir, "_DOWNLOAD_STARTED"))
+    # default run now honors the pre-placed corpus without re-entering
+    ldr.config = LoaderConfig(data_dir=data_dir)
+    assert ldr.download() == ldr.raw_dir
+    assert len(calls) == 1
+
+    # contrast: an attempt that DID add a file keeps the sentinel (resume)
+    class PartialLoader(FailingLoader):
+        source_database = "failing_partial"
+
+        def _download(self, raw_dir):
+            with open(os.path.join(raw_dir, "part_0.json"), "w") as fh:
+                fh.write("{}")
+            raise ConnectionError("died mid-corpus")
+
+    p = PartialLoader.__new__(PartialLoader)
+    p.spark = None
+    p.config = LoaderConfig(data_dir=data_dir)
+    with pytest.raises(ConnectionError):
+        p.download()
+    assert os.path.exists(os.path.join(p.raw_dir, "_DOWNLOAD_STARTED"))
+
+
+def test_alexandria_datasource_bare_entry_dict(spark, tmp_path):
+    """Regression (round-7 review): a file holding ONE unwrapped entry
+    {'data': ..., 'structure': ...} was misread as an id→entry map, yielding
+    two garbage rows keyed 'data'/'structure' whose payloads were entry
+    FRAGMENTS. It must yield one row keyed by data.mat_id."""
+    import json as _json
+
+    from crystal_parquet_database_spark.sources.alexandria_datasource import (
+        AlexandriaJsonDataSource,
+    )
+
+    doc = {"data": {"mat_id": "agm-777", "e_form": -3.0}, "structure": {"sites": []}}
+    p = tmp_path / "alex_bare.json"
+    p.write_text(_json.dumps(doc))
+
+    spark.dataSource.register(AlexandriaJsonDataSource)
+    df = spark.read.format("alexandria_json").option("files", str(p)).load()
+    rows = {r["entry_id"]: _json.loads(r["payload"]) for r in df.collect()}
+    assert set(rows) == {"agm-777"}
+    assert rows["agm-777"]["data"]["e_form"] == -3.0
+    assert rows["agm-777"]["structure"] == {"sites": []}
+
+
 def test_ingest_from_scratch_rebuilds_not_appends(spark, data_dir):
     """Regression: ingest_from_scratch must REBUILD the interim PqDB.
     create() appends, so re-ingesting over the existing DB would silently
@@ -309,6 +390,23 @@ def test_cif_parser_accepts_crlf():
     assert unix is not None and crlf is not None
     assert crlf["species"] == unix["species"] == ["Si"]
     assert crlf["lattice"]["volume"] == unix["lattice"]["volume"]
+
+
+def test_cif_parser_accepts_trailing_whitespace_on_headers():
+    """Regression (round-7 review): '_atom_site_fract_x  \\n' (trailing
+    spaces after a header tag — routine in hand-edited CIFs) failed the
+    loop regex because \\S* stops at the space and \\n had to follow
+    directly — the whole file silently dropped from ingest."""
+    from crystal_parquet_database_spark.sources.mc3d import parse_cif_minimal
+
+    cif = (
+        "data_x\n_cell_length_a 4\n_cell_length_b 5\n_cell_length_c 6\n"
+        "_cell_angle_alpha 90\n_cell_angle_beta 90\n_cell_angle_gamma 90\n"
+        "loop_\n_atom_site_type_symbol  \n_atom_site_fract_x \t\n"
+        "_atom_site_fract_y\n_atom_site_fract_z\nSi 0.25 0.25 0.25\n"
+    )
+    out = parse_cif_minimal(cif)
+    assert out is not None and out["species"] == ["Si"]
 
 
 def test_occupancy_quantizes_half_up():

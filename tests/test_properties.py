@@ -89,6 +89,35 @@ def test_promote_idempotent(t):
 @settings(max_examples=200, deadline=None)
 @given(struct_types(), struct_types())
 def test_promote_total_and_null_absorbing(a, b):
+    """Total except SHAPE conflicts, which must raise a clear ValueError
+    (round-7 review: falling back to the left used to send create() into an
+    invalid Spark cast that died deep inside AnalysisException) — raising is
+    part of the contract, so the property asserts exactly when it happens."""
+    import pytest
+
+    def shape(t):
+        if isinstance(t, T.StructType):
+            return "struct"
+        if isinstance(t, T.ArrayType):
+            return "array"
+        return "scalar"
+
+    def has_conflict(x, y) -> bool:
+        if isinstance(x, T.NullType) or isinstance(y, T.NullType) or x == y:
+            return False
+        if isinstance(x, T.StructType) and isinstance(y, T.StructType):
+            y_by = {f.name: f.dataType for f in y.fields}
+            return any(
+                has_conflict(f.dataType, y_by[f.name]) for f in x.fields if f.name in y_by
+            )
+        if isinstance(x, T.ArrayType) and isinstance(y, T.ArrayType):
+            return has_conflict(x.elementType, y.elementType)
+        return shape(x) != shape(y)
+
+    if has_conflict(a, b):
+        with pytest.raises(ValueError, match="cannot unify"):
+            promote_type(a, b)
+        return
     m = promote_type(a, b)
     assert m is not None
     assert promote_type(T.NullType(), a) == a

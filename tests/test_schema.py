@@ -48,6 +48,33 @@ def test_promote_numeric_and_null():
     assert promote_type(T.NullType(), T.StringType()) == T.StringType()
 
 
+def test_promote_shape_conflict_raises_with_field_path():
+    """Regression (round-7 review): a shape conflict (struct vs scalar,
+    array vs scalar) used to fall back to the left side, sending create()
+    into an invalid Spark cast (e.g. string→struct) that died deep inside
+    AnalysisException with no hint of WHICH column conflicted. It must
+    raise immediately, naming the offending (possibly nested) field."""
+    import pytest
+
+    good = T.StructType([T.StructField("x", T.StructType([T.StructField("a", T.LongType())]))])
+    bad = T.StructType([T.StructField("x", T.StringType())])
+    with pytest.raises(ValueError, match=r"x: cannot unify"):
+        promote_type(good, bad)
+    nested = T.StructType(
+        [T.StructField("outer", T.StructType([T.StructField("xs", T.ArrayType(T.LongType()))]))]
+    )
+    nested_bad = T.StructType(
+        [T.StructField("outer", T.StructType([T.StructField("xs", T.LongType())]))]
+    )
+    with pytest.raises(ValueError, match=r"outer: xs: cannot unify"):
+        promote_type(nested, nested_bad)
+    # scalar-vs-scalar stays permissive (mutually castable): left wins
+    assert promote_type(T.StringType(), T.LongType()) == T.StringType()
+    # array element conflicts carry the [] marker
+    with pytest.raises(ValueError, match=r"\[\]: cannot unify"):
+        promote_type(T.ArrayType(T.StructType([])), T.ArrayType(T.StringType()))
+
+
 def test_promote_struct_union():
     a = T.StructType([T.StructField("x", T.IntegerType())])
     b = T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.StringType())])
