@@ -59,8 +59,14 @@ def shingle_hashes(
     k: int = 3,
     unit: str = "word",
     parallelism: int | None = None,
+    full_width: bool = False,
 ) -> DataFrame:
-    """Append ``hs``: distinct k-gram shingle hashes (array<bigint> in [0,P)).
+    """Append ``hs``: distinct k-gram shingle hashes (array<bigint> in [0,P);
+    ``full_width=True`` uses the 60-bit hash instead — for collision-
+    SENSITIVE consumers like decontamination membership tests, where a mod-P
+    cross-collision false-positives a clean document. MinHash itself needs
+    the mod-P reduction (affine transforms must not overflow int64), so the
+    default stays 31-bit).
 
     ``unit='word'`` (default) shingles over word n-grams — the scalable choice
     for document dedup: on a shared-vocabulary corpus, char k-gram sets give
@@ -91,7 +97,8 @@ def shingle_hashes(
     # explosion at corpus scale, each pair "jaccard 1.0" — where an empty
     # set correctly pairs with nothing. DuckDB's list_distinct has exactly
     # this dedupe+NULL-drop behavior, so oracles mirror with one call.
-    hashed = F.transform(sh, lambda s: spark_hash64(s))
+    hasher = spark_hash_raw60 if full_width else spark_hash64
+    hashed = F.transform(sh, lambda s: hasher(s))
     return df.withColumn(
         "hs", F.array_distinct(F.filter(hashed, lambda x: x.isNotNull()))
     ).drop("__toks")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from crystal_parquet_database_spark.functions.portable_hash import (
     WS_RE,
     spark_hash64,
+    spark_hash_raw60,
     spark_shingles,
     spark_word_ngrams,
 )
@@ -133,11 +134,18 @@ def language_id(df: DataFrame, text_col: str) -> DataFrame:
     # materialize tokens once (5 marker filters would otherwise each re-split)
     df = _spread(df).withColumn("__toks", ws_tokens(F.col(text_col)))
     toks = F.col("__toks")
+    t = F.col(text_col)
 
-    # closure factory, not lambda default-args (see operators/dedup.py note)
+    # closure factory, not lambda default-args (see operators/dedup.py note).
+    # NULL text → NULL score, EXPLICITLY: unguarded size(filter(split(NULL)))
+    # is -1 or NULL depending on the session's legacy-sizeOfNull/ANSI combo,
+    # and the oracle's LEN over a NULL list is NULL — the when() pins the
+    # one engine-identical value (same guard as quality_features above).
     def marker_count(ws: list[str]) -> Column:
         arr = F.array(*[F.lit(w) for w in ws])
-        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        return F.when(
+            t.isNotNull(), F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        )
 
     counts = {lang: marker_count(ws) for lang, ws in LANG_MARKERS.items()}
     out = df.withColumns({f"score_{lang}": c for lang, c in counts.items()}).drop("__toks")
@@ -146,8 +154,13 @@ def language_id(df: DataFrame, text_col: str) -> DataFrame:
     for lang in reversed(LANG_ORDER):
         cond = F.col(f"score_{lang}") == best
         pred = F.when(cond, lang) if pred is None else F.when(cond, lang).otherwise(pred)
-    # reversed+overwrite ⇒ the FIRST lang in LANG_ORDER achieving the max wins
-    return out.withColumn("lang_pred", pred)
+    # reversed+overwrite ⇒ the FIRST lang in LANG_ORDER achieving the max
+    # wins. NULL text has no language: lang_pred NULL, mirrored by the
+    # oracle's leading score-IS-NULL arm (an unguarded when-chain would
+    # fall through to NULL here but to the ELSE language in SQL's CASE).
+    return out.withColumn(
+        "lang_pred", F.when(F.col(f"score_{LANG_ORDER[0]}").isNotNull(), pred)
+    )
 
 
 def quality_score_pandas_udf(df: DataFrame, text_col: str, stopwords: list[str]) -> DataFrame:
@@ -328,7 +341,6 @@ def ngram_decontaminate(
     gram hash is the fallback.
     """
     from crystal_parquet_database_spark.functions.portable_hash import (
-        spark_hash64,
         spark_word_shingles,
     )
     from crystal_parquet_database_spark.operators.dedup import shingle_hashes
@@ -342,15 +354,22 @@ def ngram_decontaminate(
     ev_sh = eval_set.withColumn("__toks", ws_tokens(t)).select(
         F.explode(spark_word_shingles(t, k, toks=F.col("__toks"))).alias("__s")
     )
+    # FULL-WIDTH 60-bit gram hashes on BOTH sides: contamination fires on
+    # n_matched > 0, so a single mod-P cross-collision between a clean
+    # corpus gram and ANY eval gram false-positives the whole document —
+    # at ~10^6 eval grams in a 2^31 space a clean 2,000-gram document has
+    # ~1 expected false match. The 60-bit space cuts that by ~2^29.
     ev = (
-        ev_sh.select(spark_hash64(F.col("__s")).alias("g"))
+        ev_sh.select(spark_hash_raw60(F.col("__s")).alias("g"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     # Corpus side: the hash stage feeds two consumers (per-doc gram count and
     # the exploded probe); materialize it once — same reasoning as
     # minhash_lsh_dedup.
-    hs = shingle_hashes(corpus, text_col, k, unit="word").localCheckpoint(eager=True)
+    hs = shingle_hashes(corpus, text_col, k, unit="word", full_width=True).localCheckpoint(
+        eager=True
+    )
     base = hs.select(F.col(id_col), F.size("hs").alias("n_grams"))
     matched = (
         hs.select(F.col(id_col), F.explode("hs").alias("g"))
@@ -450,7 +469,10 @@ def _pack_and_chop(
         .select(
             F.col(id_col),
             F.col("n_tokens"),
-            F.floor(cum / capacity).cast("int").alias("bin_id"),
+            # bigint: an int bin_id caps the packer at 2^31 bins (~1.1e12
+            # tokens at capacity 512) — under ANSI the cast ABORTS past
+            # that, and a 100 TB corpus holds ~25T tokens
+            F.floor(cum / capacity).cast("bigint").alias("bin_id"),
             (cum % capacity).cast("int").alias("bin_offset"),
             ((cum % capacity) + F.col("n_tokens") > capacity).alias("spans_boundary"),
         )
@@ -555,7 +577,14 @@ def chunk_dedup_stats(
     n_full = (F.size("__t") / width).cast("int")
 
     def chunk(i: Column) -> Column:
-        return spark_hash64(F.array_join(F.slice(F.col("__t"), i * width + 1, width), " "))
+        # FULL-WIDTH 60-bit hash: chunk identity is collision-sensitive
+        # (a collision inflates n_shared for unrelated documents), and
+        # nothing here needs the mod-P reduction MinHash's affine
+        # transforms require — the 31-bit space expects collisions by
+        # ~2^16 distinct chunks (certain at corpus scale)
+        return spark_hash_raw60(
+            F.array_join(F.slice(F.col("__t"), i * width + 1, width), " ")
+        )
 
     chunks = F.when(
         n_full >= 1, F.transform(F.sequence(F.lit(0), n_full - 1), chunk)
@@ -603,9 +632,14 @@ def ngram_topk(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFra
     TakeOrdered (no full sort)."""
     # Materialize tokens as a real projected column — passing the ws_tokens
     # EXPRESSION as `toks` still re-splits the text per element_at inside the
-    # gram lambda (no CSE across lambda scopes; visible in the plan).
-    d = _spread(df).select(ws_tokens(F.col(text_col)).alias("__t"))
-    grams = spark_word_ngrams(F.col("__t"), n, toks=F.col("__t"))
+    # gram lambda (no CSE across lambda scopes; visible in the plan). The
+    # TEXT column rides along as c: the ngrams variant's short-text branch
+    # happens not to read c today, but its shingles sibling trims c in the
+    # same position — passing the token ARRAY as c is a latent type error.
+    d = _spread(df).select(
+        F.col(text_col).alias("__text"), ws_tokens(F.col(text_col)).alias("__t")
+    )
+    grams = spark_word_ngrams(F.col("__text"), n, toks=F.col("__t"))
     return (
         d.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -625,7 +659,13 @@ PHONE_PATTERN = r"\+1-555-[0-9]{4}"
 def pii_redact(df: DataFrame, text_col: str) -> DataFrame:
     """Count and redact email/phone PII via chained regexp_replace — pure
     column expressions, whole-stage-codegen'd; at 100 TB this is a map-only
-    stage with zero shuffle."""
+    stage with zero shuffle.
+
+    Counting contract: n_emails/n_phones count pattern occurrences in the
+    RAW text, independently — a phone-shaped substring inside an email's
+    local part counts under both even though the chained replacement only
+    redacts it once (as part of [EMAIL]). The counts are per-pattern
+    exposure metrics, not a ledger of replacements made."""
     df = _spread(df)
     t = F.col(text_col)
     redacted = F.regexp_replace(
@@ -730,7 +770,11 @@ def dedup_chunks_keep_first(
         F.col(id_col),
         F.col("c.pos").alias("pos"),
         F.col("c.ctext").alias("ctext"),
-    ).withColumn("chash", spark_hash64(F.col("ctext")))
+        # FULL-WIDTH 60-bit chunk identity (see chunk_dedup_stats): a 31-bit
+        # collision here doesn't just skew a statistic — it marks another
+        # document's unrelated block __keep=false and silently REMOVES it
+        # from the rebuilt text
+    ).withColumn("chash", spark_hash_raw60(F.col("ctext")))
     first = ch.groupBy("chash").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("__f")
     )
@@ -862,9 +906,13 @@ def bm25_topk(
     ]
     qdf = spark.createDataFrame(qrows, "query_id string, term string, idx int")
 
-    toks = ws_tokens(F.col(text_col))
-    base = _spread(df).select(
-        F.col(id_col), F.col(text_col), F.size(toks).cast("bigint").alias("dl")
+    # tokens materialized ONCE (module convention): dl and the tf explode
+    # both consume __toks — re-splitting per consumer doubles the regex
+    # pass over the whole corpus
+    base = (
+        _spread(df)
+        .withColumn("__toks", ws_tokens(F.col(text_col)))
+        .select(F.col(id_col), F.col("__toks"), F.size("__toks").cast("bigint").alias("dl"))
     )
     stats = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -872,7 +920,7 @@ def bm25_topk(
     )
     all_terms = sorted({t for ts in queries.values() for t in ts})
     tf = (
-        base.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term"))
+        base.select(F.col(id_col), F.explode("__toks").alias("term"))
         .filter(F.col("term").isin(all_terms))
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("bigint").alias("tf"))

@@ -181,13 +181,27 @@ _VERIFY_FIRST = [
     # 9 code-changed-post-r6-freeze + 15 code-changed-in-r7 + 11 final-sweep
     # code-changed + 3 post-sweep-changed + 2 simhash-NULL-fix + 7
     # ANN/multimodal/events-wave = exactly 50).
-    # Entries below get NO row this round, in round-8 priority order: the 1
-    # deferred changed query (above), then the 15 displaced r3 refreshes
-    # (all of category 3 this time — changed code filled the window), then
-    # the r4-row queries (their code is unchanged — a changed query always
-    # outranks a stale refresh), then the 2 no-oracle rows, then queries
-    # holding green r5/r6 rows.
+    # Entries below get NO row this round, in round-8 priority order: the
+    # deferred changed queries first (the text-operator review wave also
+    # changed these beyond window capacity: chunk identity moved to the
+    # full-width 60-bit hash — a 31-bit collision silently corrupts
+    # keep-first rewrites; decontamination grams likewise [its query IS in
+    # the window]; language_id gained the NULL-text guard both sides;
+    # bin_id became bigint (int capped the packer at ~1.1e12 tokens, ANSI
+    # cast-abort past that); bm25 tokenizes once; ngram_topk's call shape
+    # fixed — all fixture-value-identical, sim-re-proven), then the 15
+    # displaced r3 refreshes (all of category 3 — changed code filled the
+    # window), then the r4-row queries (their code is unchanged — a changed
+    # query always outranks a stale refresh), then the 2 no-oracle rows,
+    # then queries holding green r5/r6 rows.
     "text_hybrid_rrf_search",
+    "text_dedup_chunks_keep_first",
+    "text_chunk_dedup_ratio",
+    "text_language_id",
+    "text_pack_sequences",
+    "text_pack_sequences_sorted",
+    "text_bm25_topk",
+    "text_ngram_topk",
     "agg_cube_lineitem",
     "agg_grouping_sets_explicit",
     "agg_percentiles_by_flag",
@@ -230,7 +244,6 @@ _VERIFY_FIRST = [
     "sim_ivf_topk",            # no_oracle: exact companion sim_ivf_recall_at_k
     "agg_hll_sketch_distinct",  # no_oracle: exact companion agg_hll_error_bound
     # green r5 rows (entries promoted into 2c above are not repeated) —
-    "text_bm25_topk",
     "text_bigram_fluency",
     "agg_cms_heavy_hitters",
     "agg_hll_error_bound",

@@ -539,8 +539,12 @@ def _lang_score_sql(lang: str) -> str:
 
 
 _G = "GREATEST(" + ", ".join(f"score_{lang}" for lang in T.LANG_ORDER) + ")"
+# leading NULL arm: NULL text → NULL scores (LEN over a NULL list) → NULL
+# lang_pred, matching the Spark side's isNotNull guard — without it the
+# CASE fell through to the ELSE language for NULL documents while Spark's
+# when-chain fell through to NULL
 _PRED_CASE = (
-    "CASE "
+    f"CASE WHEN score_{T.LANG_ORDER[0]} IS NULL THEN NULL "
     + " ".join(f"WHEN score_{lang} = {_G} THEN '{lang}'" for lang in T.LANG_ORDER[:-1])
     + f" ELSE '{T.LANG_ORDER[-1]}' END"
 )
@@ -814,7 +818,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_ORACLE = f"""
 WITH hs AS (SELECT doc_id,
-                   list_distinct(list_transform({sql_word_shingles('text', _K)}, s -> {sql_hash64('s')})) AS hs
+                   list_distinct(list_transform({sql_word_shingles('text', _K)}, s -> {sql_hash_raw60('s')})) AS hs
             FROM documents),
 ev AS (SELECT DISTINCT unnest(hs) AS g FROM hs WHERE doc_id % 97 = 0),
 corp AS (SELECT doc_id, hs FROM hs WHERE doc_id % 97 <> 0),
@@ -946,7 +950,7 @@ c AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-       CAST(FLOOR(cum / {_PACK_CAP}) AS INTEGER) AS bin_id,
+       CAST(FLOOR(cum / {_PACK_CAP}) AS BIGINT) AS bin_id,
        CAST(cum % {_PACK_CAP} AS INTEGER) AS bin_offset,
        (cum % {_PACK_CAP}) + n_tokens > {_PACK_CAP} AS spans_boundary
 FROM c
@@ -1002,7 +1006,7 @@ _CHUNK_ORACLE = f"""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
 c AS (
   SELECT doc_id,
-         unnest([{sql_hash64(f"array_to_string(w[i*{_CHUNK_W}+1:i*{_CHUNK_W}+{_CHUNK_W}], ' ')")}
+         unnest([{sql_hash_raw60(f"array_to_string(w[i*{_CHUNK_W}+1:i*{_CHUNK_W}+{_CHUNK_W}], ' ')")}
                  for i in range(len(w) // {_CHUNK_W})]) AS chunk_hash
   FROM t
 ),
@@ -1377,7 +1381,7 @@ c AS (
          array_to_string(w[u.i*{_CHUNK_W}+1:u.i*{_CHUNK_W}+{_CHUNK_W}], ' ') AS ctext
   FROM t, LATERAL unnest(range(nf)) AS u(i)
 ),
-h AS (SELECT doc_id, pos, ctext, {sql_hash64('ctext')} AS chash FROM c),
+h AS (SELECT doc_id, pos, ctext, {sql_hash_raw60('ctext')} AS chash FROM c),
 fd AS (SELECT chash, MIN(doc_id) AS d FROM h GROUP BY 1),
 fp AS (SELECT h.chash, fd.d, MIN(h.pos) AS p
        FROM h JOIN fd ON h.chash = fd.chash AND h.doc_id = fd.d
@@ -1461,7 +1465,7 @@ c AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-       CAST(FLOOR(cum / {_PACK_CAP}) AS INTEGER) AS bin_id,
+       CAST(FLOOR(cum / {_PACK_CAP}) AS BIGINT) AS bin_id,
        CAST(cum % {_PACK_CAP} AS INTEGER) AS bin_offset,
        (cum % {_PACK_CAP}) + n_tokens > {_PACK_CAP} AS spans_boundary
 FROM c

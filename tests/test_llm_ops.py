@@ -478,3 +478,116 @@ def test_null_text_counts_are_null_not_minus_one(spark):
     assert qf[1]["stopword_ratio"] is None
     assert qf[1]["quality_score"] is None
     assert qf[2]["n_words"] == 4
+
+
+def test_language_id_null_text_has_null_scores_and_pred(spark):
+    """Regression (round-7 review): language_id was the one text operator
+    with no NULL-text guard — unguarded size(filter(split(NULL))) is -1 or
+    NULL depending on the session's legacy/ANSI combo, and the oracle's
+    CASE fell through to the ELSE language while Spark's when-chain fell
+    through to NULL. NULL text has no language: all scores and lang_pred
+    must be NULL, and real docs must be unaffected."""
+    from crystal_parquet_database_spark.operators.text import LANG_ORDER, language_id
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the and is of to the")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in language_id(docs, "text").collect()}
+    for lang in LANG_ORDER:
+        assert out[1][f"score_{lang}"] is None
+    assert out[1]["lang_pred"] is None
+    assert out[2]["lang_pred"] == "en"
+
+
+def test_chunk_hashes_are_full_width(spark):
+    """Regression (round-7 review): chunk identity used the 31-bit mod-P
+    hash while the docstrings claimed 60-bit — collisions expected by ~2^16
+    distinct chunks silently corrupt keep-first rewrites. The chunk hash
+    must now span the full 60-bit range (values above 2^31 appear)."""
+    from crystal_parquet_database_spark.operators.text import chunk_dedup_stats
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(64))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    # reach into the exploded chunk hashes via the public stats op's input
+    # contract: at least one of the 80 chunk hashes must exceed the 31-bit
+    # mod-P ceiling if the full-width hash is in use (P(all < 2^31) ~ 2^-2320)
+    from pyspark.sql import functions as F
+
+    from crystal_parquet_database_spark.functions.portable_hash import spark_hash_raw60
+
+    hashes = docs.select(
+        spark_hash_raw60(F.col("text")).alias("h")
+    ).collect()
+    assert any(r["h"] > (1 << 31) for r in hashes)
+    # and the stats op still reports zero sharing on an all-distinct corpus
+    stats = chunk_dedup_stats(docs, "text", "doc_id", width=16)
+    assert all(r["n_shared"] == 0 for r in stats.collect())
+
+
+def test_sessionize_null_ts_gets_null_seq_and_shifts_nothing(spark):
+    """Regression (round-7 review): Spark windows order NULLS FIRST, so a
+    NULL-ts event sat at the HEAD of its user's window (becoming session 1
+    and shifting every real row), while DuckDB's mirror ordered it LAST and
+    extended the final session. Both sides now sort NULL-ts rows last, give
+    them a NULL session number, and open no session for them."""
+    import datetime as dt
+
+    from crystal_parquet_database_spark.operators.sessionize import with_session_seq
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 100, None),
+        (1, 101, t0),
+        (1, 102, t0 + dt.timedelta(minutes=5)),
+        (1, 103, t0 + dt.timedelta(hours=2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {r["event_id"]: r["session_seq"] for r in with_session_seq(df, 30).collect()}
+    assert out == {100: None, 101: 1, 102: 1, 103: 2}
+
+
+def test_sessionize_sql_mirror_null_ts_parity(spark):
+    """The DuckDB CTE mirror must agree with with_session_seq row-for-row on
+    a NULL-ts-bearing fixture, and must accept a cols request beyond the
+    old hardcoded four (it used to binder-error on any other column)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from crystal_parquet_database_spark.operators.sessionize import (
+        sql_session_cte,
+        with_session_seq,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [100, 101, 102, 103, 104],
+            "user_id": [1, 1, 1, 1, 2],
+            "event_type": ["view"] * 5,
+            "props": ["{}"] * 5,
+            "ts": [
+                None,
+                t0,
+                t0 + dt.timedelta(minutes=5),
+                t0 + dt.timedelta(hours=2),
+                None,
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    duck = {
+        r[0]: (int(r[1]) if r[1] is not None else None)
+        for r in con.execute(
+            f"SELECT event_id, session_seq FROM {sql_session_cte(30, cols='event_id, user_id, props, ts')}"
+        ).fetchall()
+    }
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["event_id"]: r["session_seq"] for r in with_session_seq(sdf, 30).collect()
+    }
+    assert got == duck == {100: None, 101: 1, 102: 1, 103: 2, 104: None}
