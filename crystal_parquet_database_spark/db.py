@@ -486,10 +486,17 @@ class PqDB:
             # misread an update row whose first tracked value is
             # legitimately NULL as "unmatched" and fork a duplicate current
             # version for the key
+            # Cast update columns (and the key) to the BASE types, same
+            # contract as update(): a wider-typed update frame (Python ints
+            # → long vs stored int) would otherwise rewrite the stored
+            # column type dataset-wide through the insert-side unionByName
+            # coercion — even on a no-op replay, breaking both the
+            # replay-idempotence contract and create()'s evolution gate.
+            base_types = {f.name: f.dataType for f in base.schema.fields}
             u = up.select(
-                F.col(on).alias("__u_key"),
+                F.col(on).cast(base_types[on]).alias("__u_key"),
                 F.lit(True).alias("__matched"),
-                *[F.col(c).alias(f"__u_{c}") for c in tracked],
+                *[F.col(c).cast(base_types[c]).alias(f"__u_{c}") for c in tracked],
             )
             u_side = self._small_side(u)
             # NULL-SAFE key match: a NULL-keyed dimension row is unusual but
@@ -537,7 +544,11 @@ class PqDB:
                 j.filter(changed)
                 .select(on, *[F.col(f"__u_{c}").alias(c) for c in tracked])
             )
-            inserts = changed_new.unionByName(fresh.select(on, *tracked)).withColumn(
+            fresh_cast = fresh.select(
+                F.col(on).cast(base_types[on]).alias(on),
+                *[F.col(c).cast(base_types[c]).alias(c) for c in tracked],
+            )
+            inserts = changed_new.unionByName(fresh_cast).withColumn(
                 self.VALID_FROM, F.lit(effective_ts).cast("timestamp")
             ).withColumn(self.VALID_TO, F.lit(None).cast("timestamp"))
             start = self._next_id_start(base)

@@ -13,10 +13,17 @@ import re
 from pyspark.sql import DataFrame
 
 
-def formatted_plan(df: DataFrame) -> str:
+def _explain(df: DataFrame, mode: str) -> str:
+    """ONE touchpoint for the private PythonSQLUtils.explainString API —
+    formatted_plan and codegen_spans both route through it, so a pyspark
+    internals change is a one-line fix."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "formatted"
+        df._jdf.queryExecution(), mode
     )
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return _explain(df, "formatted")
 
 
 def pushed_filters(df: DataFrame, plan: str | None = None) -> list[str]:
@@ -34,17 +41,28 @@ def pushed_filters(df: DataFrame, plan: str | None = None) -> list[str]:
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[", plan):
         i = m.end()
-        depth = 1  # inside the outer [
+        # a STACK of opener types, not a flat depth counter: filter VALUES
+        # are printed unquoted, so a stray ')' inside a string value used
+        # to decrement the shared depth to 0 and silently drop every later
+        # filter — closers now only pop their MATCHING opener, and a
+        # mismatched ')' in a value is ignored. (A stray top-level ']' in a
+        # value is indistinguishable from the real list closer and still
+        # ends the list early — unavoidable without quoting.)
+        stack = ["["]
         start = i
-        while i < len(plan) and depth:
+        while i < len(plan) and stack:
             ch = plan[i]
             if ch in "[(":
-                depth += 1
-            elif ch in "])":
-                depth -= 1
-                if depth == 0:
-                    break
-            elif ch == "," and depth == 1:
+                stack.append(ch)
+            elif ch == "]":
+                if stack[-1] == "[":
+                    stack.pop()
+                    if not stack:
+                        break
+            elif ch == ")":
+                if stack[-1] == "(":
+                    stack.pop()
+            elif ch == "," and len(stack) == 1:
                 if plan[start:i].strip():
                     out.append(plan[start:i].strip())
                 start = i + 1
@@ -55,9 +73,23 @@ def pushed_filters(df: DataFrame, plan: str | None = None) -> list[str]:
 
 
 def scan_read_schemas(df: DataFrame, plan: str | None = None) -> list[str]:
-    """ReadSchema of each parquet scan (column-pruning check)."""
+    """ReadSchema of each parquet scan (column-pruning check).
+
+    Raises on a TRUNCATED schema string: Spark clips scan metadata at
+    spark.sql.maxMetadataStringLength (default 100 chars), and a clipped
+    schema makes 'unwanted_col not in schema' assertions pass because the
+    column was CUT OFF, not pruned — a silent false-pass hiding a real
+    pruning regression. Raise the conf for wide tables."""
     plan = formatted_plan(df) if plan is None else plan
-    return [m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan)]
+    schemas = [m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan)]
+    for s in schemas:
+        if "..." in s or (s.startswith("struct<") and not s.endswith(">")):
+            raise ValueError(
+                f"ReadSchema is truncated ({s!r}); raise "
+                "spark.sql.maxMetadataStringLength before asserting on it — "
+                "a clipped schema false-passes column-pruning checks"
+            )
+    return schemas
 
 
 def _numbered_nodes(df: DataFrame, plan: str | None = None) -> list[tuple[int, str]]:
@@ -113,9 +145,7 @@ def codegen_spans(df: DataFrame) -> int:
     try:
         spark.conf.set(key, "false")
         d2 = df.where(F.lit(True))
-        s = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-            d2._jdf.queryExecution(), "codegen"
-        )
+        s = _explain(d2, "codegen")
     finally:
         if was_set:
             spark.conf.set(key, prev)

@@ -30,7 +30,12 @@ _E2 = "2024-02-01 00:00:00"
 _SCD2_ORACLE = """
 SELECT 'e1' AS asof, c_custkey AS key, c_mktsegment AS segment,
        c_acctbal AS balance,
-       (c_custkey % 3 <> 0) AS is_current
+       -- a NULL balance is UNCHANGED by the +100 update (NULL+100 = NULL,
+       -- eqNullSafe true), so the engine correctly keeps that key current
+       -- even when divisible by 3 — the oracle must agree (latent: the
+       -- current customer fixture has no NULL c_acctbal, but sibling
+       -- fixture tables carry injected NULLs)
+       (c_custkey % 3 <> 0 OR c_acctbal IS NULL) AS is_current
 FROM customer WHERE c_custkey < 50
 UNION ALL
 SELECT 'e2' AS asof, c_custkey AS key, c_mktsegment AS segment,

@@ -41,20 +41,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # empty tasks per exchange at fixture scale. Only the untouched default
     # is lowered — an explicit user/cluster setting always wins (at real
     # scale shuffle parallelism is a deliberate cluster choice, not ours).
-    # "Explicit" is detected from the SparkConf the session was built with
-    # (builder .config()/spark-defaults land there; the runtime default
-    # does not), so a deliberate 200 — indistinguishable from the default
-    # by value alone — survives. A runtime spark.conf.set("...", "200")
-    # after session start is the one case still lowered; set it in the
-    # builder (get_spark(shuffle_partitions=200)) to pin it.
-    explicitly_set = (
-        spark.sparkContext.getConf().get("spark.sql.shuffle.partitions", None)
-        is not None
+    # "Explicit" is detected from BOTH places a deliberate setting can
+    # live: the SparkConf the context was built with (spark-defaults /
+    # context builder) AND the session's SQLConf explicit-settings map
+    # (session builder .config() and runtime spark.conf.set land there —
+    # the runtime DEFAULT does not; same probe codegen_spans uses for the
+    # AQE flag). The context-conf check alone missed a builder-set 200 on
+    # a session attached to a pre-existing SparkContext — the exact
+    # mechanism the old comment advertised as the way to pin it.
+    key = "spark.sql.shuffle.partitions"
+    explicitly_set = spark.sparkContext.getConf().get(key, None) is not None or bool(
+        spark._jsparkSession.sessionState().conf().contains(key)
     )
-    if not explicitly_set and spark.conf.get(
-        "spark.sql.shuffle.partitions", "200"
-    ) == "200":
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    if not explicitly_set and spark.conf.get(key, "200") == "200":
+        spark.conf.set(key, "32")
     if name == "events":
         # The events fixture stores ts as parquet TIMESTAMP(NANOS), which the
         # Spark vectorized reader rejects outright. Read nanos as int64 and

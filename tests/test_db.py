@@ -535,3 +535,24 @@ def test_release_all_session_blocks(spark):
     # a released persist() recomputes through lineage — still correct
     assert pe.count() == 50
     assert release_all_session_blocks(spark) >= 0  # idempotent / never raises
+
+
+def test_scd2_replay_preserves_base_column_types(spark, tmp_path):
+    """Regression (round-7 review): upsert_scd2 lacked update()'s base-type
+    cast, so a wider-typed update frame (Python ints -> long vs stored int)
+    silently rewrote the stored column type through the insert-side
+    unionByName coercion -- even on a NO-OP replay."""
+    from pyspark.sql import types as T
+
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "scd2_types"))
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, cnt int")
+    db.create_versioned(base, effective_ts="2024-01-01 00:00:00")
+    # identical values, wider dtype -- the no-op replay must stay a no-op
+    up = spark.createDataFrame([(1, 10), (2, 20)], "k long, cnt long")
+    db.upsert_scd2(up, on="k", effective_ts="2024-02-01 00:00:00")
+    schema = {f.name: f.dataType for f in db.get_schema().fields}
+    assert schema["cnt"] == T.IntegerType()
+    cur = db.read_asof("2024-02-15 00:00:00").collect()
+    assert sorted((r["k"], r["cnt"]) for r in cur) == [(1, 10), (2, 20)]

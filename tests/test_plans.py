@@ -283,3 +283,40 @@ def test_scd2_asof_read_pushdown(spark, tmp_path):
     fs = pushed_filters(out)
     assert any("valid_from" in f for f in fs)
     assert any("valid_to" in f for f in fs)
+
+
+def test_pushed_filters_survives_stray_paren_in_value():
+    """Regression (round-7 review): filter VALUES are printed unquoted, so a
+    stray ')' inside a value used to close the whole PushedFilters list and
+    silently drop every later filter — a pushed-filter assertion then fails
+    spuriously (or a count assertion passes against the wrong list)."""
+    from crystal_parquet_database_spark.plans.inspect import pushed_filters
+
+    plan = "PushedFilters: [EqualTo(c_name,foo)bar), IsNotNull(c_custkey)], "
+    got = pushed_filters(None, plan=plan)
+    assert got == ["EqualTo(c_name,foo)bar)", "IsNotNull(c_custkey)"]
+    # balanced nested brackets still parse as one entry each
+    plan2 = "PushedFilters: [In(p_size, [1,10,5]), IsNotNull(p_partkey)]"
+    assert pushed_filters(None, plan=plan2) == [
+        "In(p_size, [1,10,5])",
+        "IsNotNull(p_partkey)",
+    ]
+
+
+def test_scan_read_schemas_raises_on_truncation():
+    """Regression (round-7 review): Spark clips scan metadata at
+    spark.sql.maxMetadataStringLength, and a clipped ReadSchema makes
+    'col not in schema' pruning assertions pass because the column was cut
+    off, not pruned. Truncated schemas must raise instead."""
+    import pytest
+
+    from crystal_parquet_database_spark.plans.inspect import scan_read_schemas
+
+    ok = "ReadSchema: struct<a:int,b:string>"
+    assert scan_read_schemas(None, plan=ok) == ["struct<a:int,b:string>"]
+    for bad in (
+        "ReadSchema: struct<a:int,b:str...",
+        "ReadSchema: struct<a:int,b:string",
+    ):
+        with pytest.raises(ValueError, match="truncated"):
+            scan_read_schemas(None, plan=bad)
