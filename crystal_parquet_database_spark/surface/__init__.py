@@ -30,170 +30,32 @@ from crystal_parquet_database_spark.surface import layout  # noqa: E402,F401
 
 # External correctness harnesses may check only the first N registered
 # queries per run (50 per round, in registration order). Rotate verification
-# coverage across rounds — round-7 window, in priority order:
-#   1. queries NEW this round (no row can exist yet) + the two round-6 RED
-#      rows, re-fixed this round (array outputs serialized — the r1 lesson);
-#   2. queries whose CODE changed after the round-6 window froze, so their
-#      green rows predate their current code (the r6 verdict's process gap):
-#      the salt-derivation rewrite, the na.fill scoping, and the
-#      disc_price()-refactored TPC-H tail holding r4 rows;
-#   3. the oracle-paired queries whose newest row is still r3 — 16 total;
-#      pivot_event_type_counts is counted in category 2 (code changed
-#      post-freeze) and the 2 lightest were displaced below the line by the
-#      final-sweep code changes (2c), leaving 13 here.
-# Process rule (adopted per the r6 verdict): re-check this window against
-# the round's FINAL diff before round end — anything whose code changed
-# after the freeze moves into next round's category 2.
+# coverage across rounds — ROUND-8 window: the staleness-burn round the r7
+# verdict prescribed (Next round #1-2). Priority order:
+#   1. the 8 text queries whose code changed in round 7 beyond window
+#      capacity (the deferral head recorded last round — full-width 60-bit
+#      chunk hashes, NULL-text language guard, bigint bin_id, single-
+#      tokenize BM25, ngram call shape): the driver has never seen their
+#      current code;
+#   2. ALL 15 queries whose newest row is still r3 (displaced two rounds
+#      running — the oldest evidence in the repo);
+#   3. ALL 21 queries holding r4 rows (the TPC-H tail, set ops, samplers);
+#   4. the 2 no_oracle rows (rows-only by design, exact companions green);
+#   5. pqdb_normalize_compaction — NEW this round (the r7 verdict's ask #6:
+#      the partitioned-compaction path had only pytest coverage);
+#   6. fill from r5 rows: agg_cms_heavy_hitters (also the round's perf
+#      re-measure target), text_bigram_fluency, agg_hll_error_bound.
+# FREEZE RULE (adopted per the r7 verdict's ask #2): driver-gated query and
+# oracle code FREEZES once this window is committed. Round-8 review waves
+# run only on non-gated modules (db/sources/runtime/plans/schema/testing);
+# any post-freeze change to a gated query defers to ROUND 9's category-2
+# (displacement this round is capped at the 1 new-query slot already
+# spent). After round 8, no oracle-paired query's newest row predates r5
+# and none predates its own code — the state the r7 verdict asked for.
 # Every query stays registered every round — only iteration order changes.
 # (Round row map: README "Verification rotation".)
 _VERIFY_FIRST = [
-    # — 1: new in round 7 / re-fixed round-6 reds —
-    "layout_zorder_bucketed_join",  # NEW: B3 layout ops under the gate
-    "cif_parse_real",               # r6 RED → species array_join'd both sides
-    "nested_struct_ops_real",       # r6 RED → 3 array outputs serialized
-    # — 2: code changed after the r6 window froze (rows predate code) —
-    "join_salted_skew_agg",         # r5 row; wave-4 content-hash salting
-    "pivot_event_type_counts",      # r3 row; wave-4 na.fill scoping
-    "q7_nation_volume",             # r4 rows; wave-5 disc_price() refactor…
-    "q8_national_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    # — 2b: code changed IN round 7 (the review-wave fixes: NaN-as-missing
-    # contract in the stateful batch replay, NULL-key exact count in the
-    # approx-distinct check, shared sessionizer extraction, persist() swap
-    # in the rollup ladder, WAV block-align + NULL-content guards in the
-    # multimodal ops) — rows must postdate the code per the r6 process rule —
-    "stream_running_user_stats",
-    "stream_windowed_approx_distinct",
-    "window_sessionize_events",
-    "events_funnel_sessionized",
-    "events_session_transitions",
-    "events_multires_rollup",
-    "multimodal_audio_pipeline",
-    "multimodal_image_pipeline",
-    "multimodal_video_header_real",
-    "multimodal_image_header_real",
-    # review wave 4 (relational surface): zero-variance guard branches added
-    # to the moments query — a REAL behavior change, so it takes a slot.
-    # (q1/q3/q5's disc_price() routing is expression-identical — same
-    # decimal tree, sim-proven — so their green r6 rows stand, same
-    # precedent as the with_watermark rename below.)
-    "agg_stats_moments",
-    # review wave 5 (LLM operators): BPE_PATTERN's whitespace class spelled
-    # out (\x0b becomes a symbol on both engines — a real cross-engine
-    # semantic fix) and the anomaly z-score products moved from BIGINT to
-    # DECIMAL(19,0)→(38,0) so s² cannot overflow int64 at scale. Both are
-    # behavior changes in driver-gated queries, so both take slots. (The
-    # hyperplane stride fix is value-identical at the fixture's dim=64 —
-    # sim-proven, rows stand.)
-    "text_token_counts",
-    "events_anomaly_hourly_zscore",
-    # review wave 6 (storage/streaming): upsert_scd2's merge joins are now
-    # NULL-safe (replay idempotence for NULL-keyed rows), update/upsert
-    # persist the update frame so the dup-key guard certifies the
-    # materialization the join consumes, and delete-all on a partitioned
-    # dataset keeps its schema. stream_windowed_approx_distinct gained the
-    # zero-key-window division guard. The two PqDB gate queries and the
-    # stream query (already above) must outrun their changed code.
-    "scd2_asof_dimension",
-    "pqdb_update_delete_read",
-    # — 2c: code changed in the round-7 FINAL sweep (the process rule in
-    # action: these displace the stale refreshes below). shingle_hashes now
-    # emits a distinct, NULL-free hash set (hash-collision multiset fix +
-    # the NULL-text one-LSH-bucket pair explosion) with list_distinct
-    # mirrored in the oracles; jaccard() NULL-guards the union-0 division;
-    # llm_corpus_pipeline's first-doc join became a NULL-safe window; and
-    # token_counts/quality_features guard the size(NULL) = -1 trap
-    # (text_token_counts already holds a slot in 2b above). The sessionizer
-    # SQL fold (operators/sessionize.py::sql_session_cte — four hand-copied
-    # oracle CTEs → one definition) rewrote stream_session_windows' oracle
-    # text, so its green r6 row predates the oracle per the process rule;
-    # the other three folded queries already hold slots in 2b. It displaces
-    # join_right_customer_orders (0.54 s — the lightest remaining r3
-    # refresh, same displacement precedent as 2c's first two) —
-    "stream_session_windows",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_incremental",
-    "dedup_prefix_filter_pairs",
-    "dedup_containment_pairs",
-    "text_decontaminate_overlap",
-    "llm_corpus_pipeline",
-    "text_quality_scores",
-    "text_quality_quantile_filter",
-    "dedup_cluster_representatives",
-    # — 2d: the post-sweep review wave (decimal/JSON oracle hardening).
-    # q11's threshold became 2× the MEAN per-part value (the spec-style
-    # fixed fraction of the TOTAL is scale-dependent and returned ZERO rows
-    # at sf0.1, so the probe verified nothing) — a deliberate OUTPUT change,
-    # so it must outrun its row; the two scalar JSON queries now convert
-    # string→int as FLOOR(TRY_CAST(... AS DOUBLE)) on BOTH sides (Spark's
-    # ANSI string→int cast aborts on '12.5' where DuckDB rounds; Spark's
-    # double→int truncates where DuckDB rounds — floor-of-double is the one
-    # engine-identical spelling), a changed oracle text per the process
-    # rule. (q20's distinct-before-broadcast and the Q8/Q9 VARCHAR-cast
-    # oracle rewrites are value-identical at this fixture — q8/q9 hold 2-
-    # slots above anyway; q20 is plan-only, sim-proven, so its row stands.)
-    "q11_important_stock",
-    "scalar_json_extraction",
-    "scalar_map_functions",
-    # — 2e: the second post-sweep review wave closed the SimHash arm of the
-    # NULL-text clique (operators/dedup.py::simhash now drops NULL hash
-    # rows before voting, so no-content docs get NO fingerprint instead of
-    # all sharing fingerprint 0 — a hamming-0 C(m,2) clique at corpus
-    # scale; the e-CTE in both simhash oracles gained the mirroring
-    # h IS NOT NULL). Value-identical at every fixture (zero NULL-text
-    # docs), but both the Spark semantics and the oracle TEXT changed, so
-    # per the process rule both queries outrank stale refreshes —
-    "dedup_simhash_fingerprint",
-    "dedup_simhash_near_pairs",
-    # — 2f: the third post-sweep review wave (ANN/multimodal/events): the
-    # shared _topk epilogue replaced four hand copies that had already
-    # diverged in NULL ordering — sim_pq_recall_at_k carries the BEHAVIOR
-    # fix (approx_d2 now asc_nulls_last; plain asc was NULLS FIRST, so a
-    # NULL-coded row won rank 1 for every query); events_path_regex_match's
-    # oracle gained the NULL-row FILTER + COALESCE('') (all-NULL users
-    # diverged '' vs NULL, NULL ts ordered differently per engine);
-    # the same wave's WAV RIFF-chunk walk and JPEG SOF-length guard land in
-    # multimodal_audio_pipeline / multimodal_image_header_real /
-    # multimodal_image_pipeline, which ALREADY hold 2b slots above;
-    # sim_ivf_recall_at_k's centroid distances now route through
-    # _subspace_dists + the empty-corpus guard; the remaining slots take
-    # the fold-only consumers (sim_cosine_topk_bruteforce, sim_ann_lsh_topk,
-    # sim_ann_recall_at_k, sim_ann_multiprobe_topk). All value-identical at
-    # the fixtures (zero NULL embeddings / canonical headers / zero NULL
-    # events) — promoted because semantics or oracle text changed, per the
-    # process rule. The one fold-only consumer beyond window capacity
-    # (text_hybrid_rrf_search) holds a green r5 row, is sim-re-proven, and
-    # heads round 8's priority-2 set — changed code beyond capacity defers
-    # exactly the way r6's post-freeze changes deferred into r7.
-    "sim_pq_recall_at_k",
-    "events_path_regex_match",
-    "sim_ivf_recall_at_k",
-    "sim_cosine_topk_bruteforce",
-    "sim_ann_lsh_topk",
-    "sim_ann_recall_at_k",
-    "sim_ann_multiprobe_topk",
-    # ——— the 50-query verification window ends HERE (1 new + 2 re-fixed +
-    # 9 code-changed-post-r6-freeze + 15 code-changed-in-r7 + 11 final-sweep
-    # code-changed + 3 post-sweep-changed + 2 simhash-NULL-fix + 7
-    # ANN/multimodal/events-wave = exactly 50).
-    # Entries below get NO row this round, in round-8 priority order: the
-    # deferred changed queries first (the text-operator review wave also
-    # changed these beyond window capacity: chunk identity moved to the
-    # full-width 60-bit hash — a 31-bit collision silently corrupts
-    # keep-first rewrites; decontamination grams likewise [its query IS in
-    # the window]; language_id gained the NULL-text guard both sides;
-    # bin_id became bigint (int capped the packer at ~1.1e12 tokens, ANSI
-    # cast-abort past that); bm25 tokenizes once; ngram_topk's call shape
-    # fixed — all fixture-value-identical, sim-re-proven), then the 15
-    # displaced r3 refreshes (all of category 3 — changed code filled the
-    # window), then the r4-row queries (their code is unchanged — a changed
-    # query always outranks a stale refresh), then the 2 no-oracle rows,
-    # then queries holding green r5/r6 rows.
+    # — 1: the round-7 deferral head (changed code, rows predate it) —
     "text_hybrid_rrf_search",
     "text_dedup_chunks_keep_first",
     "text_chunk_dedup_ratio",
@@ -202,28 +64,27 @@ _VERIFY_FIRST = [
     "text_pack_sequences_sorted",
     "text_bm25_topk",
     "text_ngram_topk",
+    # — 2: the 15 r3-stale refreshes (code unchanged since r3) —
     "agg_cube_lineitem",
+    "agg_distinct_counts",
     "agg_grouping_sets_explicit",
+    "agg_having_brands",
     "agg_percentiles_by_flag",
     "agg_rollup_order_stats",
+    "agg_value_histogram",
+    "join_right_customer_orders",
+    "sample_token_budget_mixture",
+    "setop_nation_coverage",
     "sql_api_revenue_by_nation",
     "subquery_above_avg_customers",
-    "window_positional_values",
-    "agg_value_histogram",
     "text_chunk_windows",
-    "join_right_customer_orders",
-    "setop_nation_coverage",
-    "sample_token_budget_mixture",
-    "agg_distinct_counts",
     "unpivot_part_metrics",
-    "agg_having_brands",
+    "window_positional_values",
+    # — 3: the 21 r4-row refreshes —
     "dedup_cluster_components",
     "q21_suppliers_kept_waiting",
     "q18_large_volume_orders",
     "q2_min_cost_supplier",
-    # (Queries touched only by the behavior-identical with_watermark helper
-    # rename — the stream join/window families — are re-proven by the local
-    # full driver simulation; their green rows stand.)
     "q4_order_priority",
     "q12_priority_shipping",
     "q13_customer_distribution",
@@ -241,12 +102,19 @@ _VERIFY_FIRST = [
     "scalar_higher_order_functions",
     "setop_union_distinct_nations",
     "sort_multikey_limit",
-    "sim_ivf_topk",            # no_oracle: exact companion sim_ivf_recall_at_k
-    "agg_hll_sketch_distinct",  # no_oracle: exact companion agg_hll_error_bound
-    # green r5 rows (entries promoted into 2c above are not repeated) —
-    "text_bigram_fluency",
+    # — 4: the 2 no_oracle rows (exact companions hold green rows) —
+    "sim_ivf_topk",            # exact companion sim_ivf_recall_at_k (r7)
+    "agg_hll_sketch_distinct",  # exact companion agg_hll_error_bound (below)
+    # — 5: NEW this round — partitioned normalize() compaction gate —
+    "pqdb_normalize_compaction",
+    # — 6: r5-row fills —
     "agg_cms_heavy_hitters",
+    "text_bigram_fluency",
     "agg_hll_error_bound",
+    # ——— the 50-query verification window ends HERE (8 deferral-head +
+    # 15 r3 + 21 r4 + 2 no-oracle + 1 new + 3 r5-fill = exactly 50).
+    # Entries below get NO row this round, in ROUND-9 priority order: the
+    # remaining r5 rows first, then r6 rows, then the r7 cohort (freshest).
     "stream_view_purchase_left_join",
     "stream_view_purchase_full_join",
     "agg_kll_quantile_bound",

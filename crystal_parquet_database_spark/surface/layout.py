@@ -53,6 +53,65 @@ GROUP BY c_mktsegment
 """
 
 
+_NORMALIZE_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+WHERE doc_id < 600 AND n_chars > 100
+GROUP BY lang
+"""
+
+
+@query("pqdb_normalize_compaction", _NORMALIZE_ORACLE)
+def pqdb_normalize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned ``normalize()`` compaction under the driver gate
+    (reference: parquetdb normalize, /root/reference/crystpqdb/loaders/
+    base.py:184-186).
+
+    Builds a hive-partitioned PqDB (partition_by=lang) from three separate
+    ``create()`` appends — each append lays down its own files per partition
+    value, so the dataset starts fragmented the way an incrementally loaded
+    corpus does — then runs the partitioned compaction path rewritten in
+    round 7 (``_rewrite`` hash-clusters on the partition columns so each
+    value lands in ONE task; round-robin repartition emitted n_files×n_values
+    tiny files), and reads back through the pushdown read. A compaction that
+    drops/duplicates rows, mixes partition values across dirs, or mangles
+    the partition-column read-back flips the hash. The file-count and
+    per-partition-layout asserts stay in tests/test_db.py; here only a
+    cheap did-it-compact sanity check runs driver-side.
+
+    100 TB shape: compaction is the steady-state maintenance job of an
+    append-heavy corpus — one shuffle keyed on the partition columns, no
+    driver data movement, output files bounded by max_rows_per_file.
+    """
+    from crystal_parquet_database_spark.db import PqDB
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    slice_ = docs.filter(F.col("doc_id") < 600)
+    db = PqDB(spark, os.path.join(fresh_dir("pqdb_normalize"), "db"), partition_by=["lang"])
+    for k in range(3):
+        db.create(slice_.filter(F.col("doc_id") % 3 == k))
+    files_before = len(db.get_file_sizes())
+    db.normalize(max_rows_per_file=1_000_000)
+    files_after = len(db.get_file_sizes())
+    if not files_after < files_before:
+        raise AssertionError(
+            f"normalize() did not compact: {files_before} files -> {files_after}"
+        )
+    read = db.read(columns=["doc_id", "lang", "n_chars"], filters=[("n_chars", ">", 100)])
+    return read.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 @query("layout_zorder_bucketed_join", _BUCKETED_ORACLE)
 def layout_zorder_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order rewrite + bucketed co-located join, oracle-checked end to end.

@@ -8,6 +8,14 @@ stay on disk for the life of the process, so a harness that holds two lazy
 reads of the same query and executes them out of order still reads intact
 data: no execute-before-reinvoke assumption. Growth is bounded by
 invocations per process (gate state is fixture-sized).
+
+Retention policy: per-invocation subdirs are NEVER reaped automatically —
+correctness (out-of-order lazy execution) beats disk in a test/bench process
+whose gate state is a few MB and whose exit frees everything (the pid-keyed
+root is garbage to every later process, which wipes its own name-roots at
+first use). A long-lived session embedding this package should call
+``reap()`` at its own quiescent points — when no gate-query frame from this
+process can still be executed.
 """
 
 from __future__ import annotations
@@ -30,3 +38,12 @@ def fresh_dir(name: str) -> str:
     base = os.path.join(root, str(next(_invocations)))
     os.makedirs(base, exist_ok=True)
     return base
+
+
+def reap() -> None:
+    """Delete THIS process's entire scratch tree and forget the wipe records,
+    so the next ``fresh_dir`` starts clean. For long-lived embedding sessions
+    only — every DataFrame previously returned by a gate query becomes
+    unreadable, so call it only when none can still be executed."""
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), f"pqdb_gate_{os.getpid()}"), ignore_errors=True)
+    _wiped_roots.clear()

@@ -556,3 +556,41 @@ def test_scd2_replay_preserves_base_column_types(spark, tmp_path):
     assert schema["cnt"] == T.IntegerType()
     cur = db.read_asof("2024-02-15 00:00:00").collect()
     assert sorted((r["k"], r["cnt"]) for r in cur) == [(1, 10), (2, 20)]
+
+
+def test_fresh_dir_wipes_stale_prior_process_root(monkeypatch, tmp_path):
+    """A prior process's leftovers under the same name-root are wiped at this
+    process's FIRST use of that name (the stale-root wipe the scratch
+    docstring promises) — while a SECOND use in the same process must NOT
+    wipe (earlier invocations' dirs stay readable)."""
+    import os
+
+    from crystal_parquet_database_spark.surface import scratch
+
+    name = "unittest_stale_wipe_probe"
+    root = os.path.join(
+        __import__("tempfile").gettempdir(), f"pqdb_gate_{os.getpid()}", name
+    )
+    os.makedirs(root, exist_ok=True)
+    stale = os.path.join(root, "stale_prior_process_file")
+    open(stale, "w").write("leftover")
+    scratch._wiped_roots.discard(root)  # simulate: this process never saw it
+    first = scratch.fresh_dir(name)
+    assert not os.path.exists(stale)  # stale leftover wiped at first use
+    marker = os.path.join(first, "live")
+    open(marker, "w").write("x")
+    scratch.fresh_dir(name)  # second invocation must not wipe the first's
+    assert os.path.exists(marker)
+
+
+def test_scratch_reap_clears_tree_and_restarts_clean():
+    import os
+
+    from crystal_parquet_database_spark.surface import scratch
+
+    d = scratch.fresh_dir("unittest_reap_probe")
+    assert os.path.isdir(d)
+    scratch.reap()
+    assert not os.path.exists(d)
+    d2 = scratch.fresh_dir("unittest_reap_probe")
+    assert os.path.isdir(d2)  # usable again after reap

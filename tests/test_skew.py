@@ -203,3 +203,37 @@ def test_salted_ops_reject_reserved_salt_column(spark):
                     big, "k")
     with pytest.raises(ValueError, match="__salt"):
         salted_agg_count(big, "k")
+
+
+def test_content_salt_degenerate_without_entropy_cols(spark):
+    """The documented failure mode (skew.py:_content_salt docstring) must be
+    TRUE: byte-identical hot-key rows hash to ONE salt when no entropy_cols
+    are given — the hot key stays on a single reducer — and spread once a
+    unique column is named. If someone 'fixes' the salt to include row
+    position (the SPARK-23207 retry-corruption class) or the docs lie about
+    the degenerate case, this fails."""
+    from crystal_parquet_database_spark.operators.skew import _content_salt
+
+    n = 512
+    hot = spark.range(n).select(
+        F.lit("hotkey").alias("k"), F.lit("same-payload").alias("v"), F.col("id").alias("uid")
+    )
+    identical = hot.select("k", "v")  # byte-identical rows: no entropy
+    no_entropy = identical.select(
+        _content_salt(identical, None, 16).alias("s")
+    ).distinct().count()
+    assert no_entropy == 1  # degenerate: one salt, one reducer
+
+    with_entropy = hot.select(
+        _content_salt(hot, ["uid"], 16).alias("s")
+    ).distinct().count()
+    assert with_entropy == 16  # unique id spreads the hot key over all salts
+
+
+def test_salted_join_degenerate_rows_still_correct(spark):
+    """Even in the degenerate one-salt case the RESULT is correct — salting
+    only loses the spread, never rows."""
+    big = spark.range(200).select(F.lit("hk").alias("k"), F.lit("x").alias("v"))
+    small = spark.createDataFrame([("hk", 1)], "k string, w int")
+    out = salted_join(big, small, "k", n_salts=8)
+    assert out.count() == 200
