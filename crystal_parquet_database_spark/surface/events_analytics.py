@@ -267,57 +267,51 @@ FROM m GROUP BY 2
 
 @query("events_multires_rollup", _MULTIRES_ORACLE)
 def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Minute/hour/day rollup ladder from ONE raw scan — the
-    continuous-aggregate (hypertable) pattern: the hour level re-aggregates
-    the minute level's mergeable partials (exact decimal sums + counts), the
-    day level re-aggregates hours. At 100 TB the raw table is read once;
-    each coarser level aggregates the (tiny) previous level, which is also
-    exactly how incremental refresh works — merge new minute partials
-    upward, never rescan raw history. Decimal sums keep every level
-    bit-exact against the oracle (floats would drift under re-aggregation
-    order)."""
+    """Minute/hour/day rollup from ONE raw scan — the continuous-aggregate
+    (hypertable) pattern: raw events aggregate once to minute-level mergeable
+    partials (exact decimal sums + counts); each minute partial then fans out
+    to its three (level, bucket) assignments and ONE re-aggregation merges
+    them per level. At 100 TB the raw table is read once and everything past
+    the first aggregation is minute-cardinality (tiny); incremental refresh
+    is the same motion — merge new minute partials upward, never rescan raw
+    history. Decimal sums keep every level bit-exact against the oracle
+    (floats would drift under re-aggregation order).
+
+    Plan shape (the round-8 re-measure, SCALE.md): two shuffles, no cache.
+    The previous ladder (minute → hour → day as three cached frames under a
+    3-way union) needed the minute partials materialized for its three
+    consumers; both materialization forms measurably cost more than they
+    save at this size — eager localCheckpoint ran an extra job at build
+    (r6), and persist() paid columnar cache construction inside the first
+    action (r7, the 0.84→1.24 s warm regression the isolated A/B
+    confirmed). The fan-out form has ONE consumer of the minute partials,
+    so nothing needs caching, and the explode happens at minute
+    cardinality, not raw."""
     e = load_table(spark, sf_dir, "events").select("ts", "value")
-    minute = (
-        e.groupBy(F.date_trunc("minute", F.col("ts")).alias("bucket_start"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
-        )
-        # 3 consumers (emit + hour + transitively day): cache the narrow
-        # partial table so one execution computes it once instead of
-        # re-scanning raw events. persist(), NOT localCheckpoint: it is lazy
-        # (building this frame for plan inspection runs zero jobs), keeps
-        # lineage so the block manager may evict the blocks under pressure
-        # and recompute, and a released/evicted cache can never invalidate a
-        # still-held frame — the exact failure classes the eager-checkpoint
-        # form had (blocks pinned non-evictably until JVM GC, two jobs at
-        # build time). Deliberately NOT paired with unpersist(): the caller
-        # holds a lazy result whose execution needs these blocks, so an
-        # eager release would defeat the cache. The cost of leaving them is
-        # bounded — MEMORY_AND_DISK blocks are LRU-evictable and lineage
-        # recomputes on a miss, so repeated invocations degrade to
-        # recompute, never to wrong results or unbounded growth.
-        .persist()
+    minute = e.groupBy(F.date_trunc("minute", F.col("ts")).alias("m")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
     )
-    hour = (
-        minute.groupBy(F.date_trunc("hour", F.col("bucket_start")).alias("bucket_start"))
-        .agg(F.sum("n_events").alias("n_events"), F.sum("__s").alias("__s"))
-        .persist()
+    fanned = minute.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("minute").alias("level"), F.col("m").alias("bucket_start")),
+                F.struct(
+                    F.lit("hour").alias("level"),
+                    F.date_trunc("hour", F.col("m")).alias("bucket_start"),
+                ),
+                F.struct(
+                    F.lit("day").alias("level"),
+                    F.date_trunc("day", F.col("m")).alias("bucket_start"),
+                ),
+            )
+        ).alias("lb"),
+        "n",
+        "__s",
     )
-    day = hour.groupBy(
-        F.date_trunc("day", F.col("bucket_start")).alias("bucket_start")
-    ).agg(F.sum("n_events").alias("n_events"), F.sum("__s").alias("__s"))
-
-    def emit(df: DataFrame, level: str) -> DataFrame:
-        return df.select(
-            F.lit(level).alias("level"),
-            "bucket_start",
-            F.col("n_events").cast("bigint").alias("n_events"),
-            F.col("__s").cast("double").alias("sum_value"),
-        )
-
-    return emit(minute, "minute").unionByName(emit(hour, "hour")).unionByName(
-        emit(day, "day")
+    return fanned.groupBy(F.col("lb.level").alias("level"), F.col("lb.bucket_start").alias("bucket_start")).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("__s").cast("double").alias("sum_value"),
     )
 
 
