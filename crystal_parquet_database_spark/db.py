@@ -28,6 +28,7 @@ Design departures (Spark-first, SURVEY.md §7):
 
 from __future__ import annotations
 
+import glob
 import math
 import os
 import shutil
@@ -118,13 +119,56 @@ class PqDB:
 
     def _data_files(self) -> list[str]:
         out = []
-        for root, _dirs, files in os.walk(self.path):
+        for root, dirs, files in os.walk(self.path):
+            # a write killed mid-job leaves committer scratch under
+            # _temporary/ — those part-files are NOT data; counting them
+            # makes `exists` true for a dataset that holds no committed rows
+            dirs[:] = [d for d in dirs if d != "_temporary"]
             out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
         return sorted(out)
 
     @property
     def exists(self) -> bool:
-        return bool(self._data_files())
+        files = self._data_files()
+        if not files:
+            # no data at the canonical path: either a genuinely fresh/empty
+            # dataset, or an interrupted _rewrite swap left the state in
+            # sibling dirs — check (two cheap globs) and finish the swap
+            self._recover_interrupted_swap()
+            files = self._data_files()
+        return bool(files)
+
+    def _recover_interrupted_swap(self) -> None:
+        """Finish a ``_rewrite`` swap a hard kill interrupted. The swap is
+        write-tmp → rename(path, old) → rename(tmp, path) → rmtree(old); a
+        kill between the renames leaves ``path`` missing with BOTH siblings
+        present. The tmp dir is always complete in that window (it is fully
+        written before the first rename), so restoring the newest tmp is
+        restoring the committed new state; a kill DURING the tmp write
+        leaves ``path`` intact, so this branch — path missing, BOTH
+        leftovers present — uniquely identifies the between-renames window.
+        An ``__old_*`` WITHOUT a tmp is never restored: the two-rename
+        sequence cannot produce that state, so it means a human deleted the
+        canonical dir next to a stale crash leftover — resurrecting data
+        the user just removed (and having a later create() append onto it)
+        would be far worse than staying empty. Use ``PqDB.destroy`` to
+        remove a dataset AND its crash siblings together."""
+        esc = glob.escape(self.path)  # a '[2024]' in the path is a literal
+        tmps = sorted(glob.glob(f"{esc}__tmp_*"), key=os.path.getmtime)
+        olds = sorted(glob.glob(f"{esc}__old_*"), key=os.path.getmtime)
+        if not (tmps or olds):
+            return
+        # the canonical path holds no data files here (caller checked); it
+        # may still exist as the empty dir __init__ pre-creates — clear it
+        # so the restoring rename can land
+        if os.path.exists(self.path) and not self._data_files():
+            shutil.rmtree(self.path, ignore_errors=True)
+        if os.path.exists(self.path):  # pragma: no cover - defensive
+            return
+        if tmps and olds:
+            os.rename(tmps[-1], self.path)
+            for d in olds + tmps[:-1]:
+                shutil.rmtree(d, ignore_errors=True)
 
     def _df(self) -> DataFrame:
         if not self.exists:
@@ -133,13 +177,32 @@ class PqDB:
             )
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
-    def _check_unique_keys(self, up: DataFrame, on: str) -> None:
+    @staticmethod
+    def destroy(path: str) -> None:
+        """Remove a dataset directory AND its ``__old_*``/``__tmp_*`` crash
+        siblings. A bare ``shutil.rmtree(path)`` is not enough: a stale
+        ``__old_*`` from a kill-after-swap would survive, and the next
+        PqDB touch could recover state the caller meant to delete — a
+        create() would then silently APPEND onto resurrected rows."""
+        shutil.rmtree(path, ignore_errors=True)
+        esc = glob.escape(path)
+        for d in glob.glob(f"{esc}__old_*") + glob.glob(f"{esc}__tmp_*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _check_unique_keys(self, up: DataFrame, on: str, display: str | None = None) -> None:
         """One definition of the duplicate-update-key guard (update and
-        upsert_scd2 both corrupt the dataset if a key repeats)."""
+        upsert_scd2 both corrupt the dataset if a key repeats).
+
+        Callers MUST run this on the key AS THE JOIN CONSUMES IT — i.e.
+        after the cast to the base key type. The raw-key form had a hole:
+        string keys '1' and '01' are distinct to the guard, but a join
+        against a numeric base column coerces both to 1, so both matched
+        the same base row and the merge silently duplicated it."""
         dup = up.groupBy(on).count().filter(F.col("count") > 1).limit(1).collect()
         if dup:
             raise ValueError(
-                f"updates contain duplicate key {on}={dup[0][on]!r}; "
+                f"updates contain duplicate key {display or on}={dup[0][on]!r} "
+                "(after casting to the dataset's key type); "
                 "update keys must be unique"
             )
 
@@ -174,7 +237,50 @@ class PqDB:
         n_files: int | None = None,
         max_records_per_file: int | None = None,
     ) -> None:
-        """Materialize ``df`` to a temp dir, then atomically swap it in."""
+        """Materialize ``df`` to a temp dir, then swap it in via two renames.
+
+        The swap is crash-RECOVERABLE, not atomic: a hard kill between the
+        two renames leaves ``self.path`` missing with the complete new state
+        in ``__tmp_*`` and the old state in ``__old_*`` —
+        ``_recover_interrupted_swap`` (run from ``exists``, i.e. on the
+        next touch by any process) finishes the swap. Stale ``__old_*``
+        leftovers from a kill after the second rename are reaped here
+        before the next swap. Single-writer discipline assumed throughout
+        (two concurrent writers corrupt any rename scheme without a lock
+        service — at cluster scale this rewrite is a table-service job)."""
+        if not self.partition_by and self._partition_dirs_present():
+            # rewriting a hive-partitioned dataset through a PqDB opened
+            # WITHOUT partition_by would silently flatten the layout (data
+            # survives as ordinary columns, partition pruning is lost)
+            raise ValueError(
+                f"dataset at {self.path!r} is hive-partitioned but this PqDB "
+                "was opened without partition_by; open it with the matching "
+                "partition_by before update/delete/normalize"
+            )
+        if self.partition_by and self._has_root_data_files() and self._root_rows() > 0:
+            # the mirror direction: a declared partition_by over a dataset
+            # whose ROWS live in root files would silently restructure the
+            # layout on the next update/delete/normalize — and every other
+            # consumer holding the correct (unpartitioned) open would then
+            # start failing the guard above. Zero-row root files are the
+            # legitimate empty-rewrite marker and stay allowed (that is how
+            # a partitioned dataset rebuilds after delete-all).
+            raise ValueError(
+                f"dataset at {self.path!r} holds unpartitioned data files "
+                f"but this PqDB was opened with partition_by="
+                f"{self.partition_by}; open it without partition_by, or "
+                "migrate explicitly (read -> create into a new partitioned "
+                "dataset)"
+            )
+        # reap BOTH stale sibling kinds before a new swap: __old_* from a
+        # kill after the second rename, __tmp_* from a kill during a prior
+        # tmp write — the latter otherwise leaks a near-dataset-sized dir
+        # per crash AND could be mistaken for committed state by recovery
+        # (single-writer: any sibling existing here is garbage)
+        for stale in glob.glob(f"{glob.escape(self.path)}__old_*") + glob.glob(
+            f"{glob.escape(self.path)}__tmp_*"
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
         tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
         if n_files:
             if self.partition_by:
@@ -230,6 +336,7 @@ class PqDB:
         start = 0
         if self.exists:
             existing = self._df()
+            self._check_layout_matches_on_append()
             start = self._next_id_start(existing)
             old_schema = T.StructType([f for f in existing.schema.fields if f.name != ID_COL])
             merged = unify_schemas([old_schema, df.schema])
@@ -282,6 +389,55 @@ class PqDB:
             and os.path.isfile(os.path.join(self.path, f))
             for f in os.listdir(self.path)
         )
+
+    def _root_rows(self) -> int:
+        """Row count of the ROOT-LEVEL data files, from parquet footers —
+        driver-side metadata only, no Spark job."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for f in os.listdir(self.path):
+            fp = os.path.join(self.path, f)
+            if f.endswith(".parquet") and os.path.isfile(fp):
+                n += pq.ParquetFile(fp).metadata.num_rows
+        return n
+
+    def _partition_dirs_present(self) -> bool:
+        """True when hive-style ``key=value`` partition dirs exist at the
+        dataset root — the dataset was written with a partition_by."""
+        try:
+            return any(e.is_dir() and "=" in e.name for e in os.scandir(self.path))
+        except FileNotFoundError:
+            return False
+
+    def _check_layout_matches_on_append(self) -> None:
+        """Appending with a ``partition_by`` that disagrees with how the
+        dataset was actually written must fail LOUDLY before any write:
+
+        - declared partition_by over a dataset whose data lives in ROOT
+          files: root files are legitimate only as the zero-row
+          empty-rewrite marker, and create()'s marker branch replaces the
+          dataset WHOLESALE — with real rows present that branch would
+          silently destroy them all;
+        - no partition_by over a hive-partitioned dataset: the append would
+          lay unpartitioned files next to ``key=value`` dirs, mixing leaf
+          depths so Spark's partition discovery fails on every later read.
+        """
+        if self.partition_by and self._has_root_data_files():
+            if self._root_rows() > 0:
+                raise ValueError(
+                    f"dataset at {self.path!r} holds unpartitioned data files "
+                    f"but this PqDB was opened with partition_by="
+                    f"{self.partition_by}; open it without partition_by, or "
+                    "migrate the layout explicitly (read -> create into a new "
+                    "partitioned dataset)"
+                )
+        if not self.partition_by and self._partition_dirs_present():
+            raise ValueError(
+                f"dataset at {self.path!r} is hive-partitioned but this PqDB "
+                "was opened without partition_by; open it with the matching "
+                "partition_by to append"
+            )
 
     @staticmethod
     def _filters_to_column(filters) -> Column | str:
@@ -373,6 +529,11 @@ class PqDB:
         up = self._to_df(updates).persist()
         try:
             base = self._df()
+            if on not in base.columns:
+                raise ValueError(
+                    f"update key {on!r} does not exist in the dataset "
+                    f"(columns: {base.columns})"
+                )
             upd_cols = [c for c in up.columns if c != on]
             unknown = [c for c in upd_cols if c not in base.columns]
             if unknown:
@@ -380,7 +541,6 @@ class PqDB:
                     f"update columns {unknown} do not exist in the dataset "
                     f"(schema changes go through create()'s evolution path)"
                 )
-            self._check_unique_keys(up, on)
             # NULL-safe key match (eqNullSafe), same contract as upsert_scd2
             # and the stream-ingest anti-join: a NULL-keyed base row IS
             # addressable by a NULL-keyed update row — plain `on` equality
@@ -394,10 +554,17 @@ class PqDB:
             # evolution gate. Widenings go through create(); a genuinely
             # lossy update value fails the ANSI cast loudly instead.
             base_types = {f.name: f.dataType for f in base.schema.fields}
+            # The KEY is cast to the base key type too — the join would
+            # otherwise coerce BOTH sides to a common type ('01' vs long 1
+            # both become 1.0), matching rows the raw-key dup guard cannot
+            # see as duplicates. Guard AFTER the cast, on the key the join
+            # actually consumes; a lossy key value fails the ANSI cast
+            # loudly instead of corrupting the merge.
             u = up.select(
-                F.col(on).alias("__u_key"),
+                F.col(on).cast(base_types[on]).alias("__u_key"),
                 *[F.col(c).cast(base_types[c]).alias(f"__u_{c}") for c in upd_cols],
             )
+            self._check_unique_keys(u, "__u_key", display=on)
             joined = base.join(
                 self._small_side(u), F.col(on).eqNullSafe(F.col("__u_key")), "left"
             )
@@ -458,8 +625,15 @@ class PqDB:
 
         100 TB shape: identical to ``update`` — current rows join the
         (broadcastable) update frame; with ``partition_by`` on a stable key
-        the rewrite prunes to touched partitions. Returns counts
-        {"closed": n, "inserted": n, "unchanged": n}.
+        the rewrite prunes to touched partitions.
+
+        Returns counts {"closed", "inserted", "unchanged"}: ``closed`` =
+        current rows whose tracked values differed (each gets a new
+        version, counted again in ``inserted``); ``inserted`` = closed +
+        brand-new keys; ``unchanged`` = EVERY current row left open —
+        matched-but-identical rows AND rows no update addressed (so
+        closed + unchanged = the pre-merge current-row count; unchanged is
+        NOT "matched and identical" alone).
         """
         base = self._df()
         # persisted: the missing/dup guards, the size probe, the join, and
@@ -472,13 +646,28 @@ class PqDB:
         id_src = None
         try:
             meta = {ID_COL, self.VALID_FROM, self.VALID_TO}
+            if on not in base.columns:
+                raise ValueError(
+                    f"SCD2 key {on!r} does not exist in the dataset "
+                    f"(columns: {base.columns})"
+                )
             tracked = [c for c in base.columns if c not in meta and c != on]
             missing = [c for c in tracked if c not in up.columns]
             if missing:
                 raise ValueError(
                     f"SCD2 updates must carry all tracked columns; missing {missing}"
                 )
-            self._check_unique_keys(up, on)
+            extra = [c for c in up.columns if c != on and c not in tracked]
+            if extra:
+                # same contract as update(): silently discarding a column
+                # the caller supplied (a typo'd rename, or an expected
+                # schema evolution) loses data without a trace — evolution
+                # goes through create()
+                raise ValueError(
+                    f"SCD2 update columns {extra} do not exist in the dataset's "
+                    "tracked columns (schema changes go through create()'s "
+                    "evolution path; version/id columns are engine-owned)"
+                )
 
             current = base.filter(F.col(self.VALID_TO).isNull())
             closed_hist = base.filter(F.col(self.VALID_TO).isNotNull())
@@ -498,6 +687,11 @@ class PqDB:
                 F.lit(True).alias("__matched"),
                 *[F.col(c).cast(base_types[c]).alias(f"__u_{c}") for c in tracked],
             )
+            # guard on the CAST key — the key the join consumes (see
+            # _check_unique_keys: raw string keys '1'/'01' both cast to
+            # long 1 and would close the same current row twice, breaking
+            # the one-current-row invariant)
+            self._check_unique_keys(u, "__u_key", display=on)
             u_side = self._small_side(u)
             # NULL-SAFE key match: a NULL-keyed dimension row is unusual but
             # legal, and plain `on` equality never matches NULL=NULL — so an
@@ -621,15 +815,35 @@ class PqDB:
         df = self._df()
         n = df.count()
         n_files = max(1, math.ceil(n / max_rows_per_file))
+        pcols = [F.col(c) for c in self.partition_by]
         if cluster_by and layout == "zorder":
             from crystal_parquet_database_spark.operators.skew import zorder_key
 
             keyed, key = zorder_key(df, cluster_by)
-            keyed = keyed.repartitionByRange(n_files, F.col(key)).sortWithinPartitions(key)
+            if self.partition_by:
+                # Hive-partitioned: cluster on the PARTITION columns first
+                # (each partition value in ONE task — a range-partition on
+                # the cluster key alone spreads every value over all
+                # n_files tasks and the partitioned writer then emits up to
+                # n_files × n_values tiny files, the same anti-compaction
+                # pathology _rewrite's n_files path guards against), then
+                # sort (partition cols, cluster key) within tasks so each
+                # per-value file is still written in cluster-key order —
+                # maxRecordsPerFile splits preserve the sort, so per-file
+                # min/max stats stay narrow on the clustered dimensions.
+                keyed = keyed.repartition(n_files, *pcols).sortWithinPartitions(
+                    *pcols, key
+                )
+            else:
+                keyed = keyed.repartitionByRange(n_files, F.col(key)).sortWithinPartitions(key)
             self._rewrite(keyed.drop(key), max_records_per_file=max_rows_per_file)
         elif cluster_by:
             cols = [F.col(c) for c in cluster_by]
-            df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+            if self.partition_by:
+                # same reasoning as the zorder branch above
+                df = df.repartition(n_files, *pcols).sortWithinPartitions(*pcols, *cols)
+            else:
+                df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
             self._rewrite(df, max_records_per_file=max_rows_per_file)
         else:
             self._rewrite(df, n_files=n_files, max_records_per_file=max_rows_per_file)

@@ -31,6 +31,11 @@ from crystal_parquet_database_spark.sources.base import BaseLoader
 # a standard autoindex line (name appears in href AND anchor text), yielding
 # 'name">name' garbage URLs and swallowing sibling links on the same line.
 INDEX_FILE_PATTERN = re.compile(r"alexandria_[^\"<>\s]*\.json\.bz2")
+# Prefer real hrefs when present: an index whose links point into
+# SUBDIRECTORIES ('pbe/alexandria_000.json.bz2') needs the full path — the
+# bare-name pattern above (kept as the fallback for index pages that list
+# names outside anchors) would build root-relative URLs that 404.
+INDEX_HREF_PATTERN = re.compile(r"href=\"([^\"<>\s]*alexandria_[^\"<>\s]*\.json\.bz2)\"")
 
 
 def _tmp_name(name: str) -> str:
@@ -57,11 +62,35 @@ class AlexandriaLoader(BaseLoader):
                 "place alexandria_*.json[.bz2] files there or set index_url"
             )
         import urllib.request
+        from urllib.parse import urljoin, urlparse
 
         with urllib.request.urlopen(self.index_url, timeout=self.config.timeout_seconds) as r:
             html = r.read().decode()
-        for name in dict.fromkeys(INDEX_FILE_PATTERN.findall(html)):
-            url = self.index_url.rstrip("/") + "/" + name
+        # resolve against the PAGE URL the way a browser would: an index_url
+        # ending in a PAGE filename (.html/.htm/.php, or carrying a query
+        # string) resolves hrefs against its parent, like the browser that
+        # rendered it; anything else is treated as a directory and gets the
+        # trailing slash (the old always-a-directory behavior — a version
+        # dir like .../v1.2 must NOT be mistaken for a page by its dot)
+        base = self.index_url
+        if not base.endswith("/") and not re.search(
+            r"\.(?:html?|php)$|\?", base.rsplit("/", 1)[-1]
+        ):
+            base += "/"
+        links = list(
+            dict.fromkeys(INDEX_HREF_PATTERN.findall(html))
+            or dict.fromkeys(INDEX_FILE_PATTERN.findall(html))
+        )
+        for href in links:
+            url = urljoin(base, href)
+            # flatten the href PATH into the local name ('pbe/x.json.bz2' ->
+            # 'pbe__x.json.bz2'): two subdirs shipping the same basename
+            # (Alexandria hosts one dir per functional) must not collide on
+            # one dest — the second would silently skip or overwrite. Bare
+            # hrefs keep their bare name, so pre-placed corpora and the
+            # idempotent re-run skip keep working unchanged.
+            rel = urlparse(href).path if "://" in href else href
+            name = rel.lstrip("/").replace("/", "__")
             dest = os.path.join(raw_dir, name)
             if os.path.exists(dest) and not self.config.download_from_scratch:
                 continue  # idempotent skip (alexandria.py:35-36)
@@ -94,7 +123,7 @@ class AlexandriaLoader(BaseLoader):
         # fixture) infer a narrower JSON schema, and the canonical-schema
         # cast null-fills downstream anyway; same guarantee the MP loader
         # makes for its flat summary fields (mp.py)
-        data_type = dict(zip(df.columns, [f.dataType for f in df.schema.fields])).get("data")
+        data_type = next((f.dataType for f in df.schema.fields if f.name == "data"), None)
         present = (
             {sf.name for sf in data_type.fields}
             if isinstance(data_type, T.StructType)

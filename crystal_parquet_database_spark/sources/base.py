@@ -137,22 +137,41 @@ class BaseLoader:
         os.replace(started, complete)
         return self.raw_dir
 
+    def _ingest_started_marker(self) -> str:
+        """STARTED marker for the ingest stage, SIBLING to the interim dir
+        (inside it, PqDB.normalize()'s swap-rewrite would silently drop it;
+        the name must not match _rewrite's ``__old_*``/``__tmp_*`` globs)."""
+        return f"{self.interim_db_dir}__STARTED"
+
     def ingest(self) -> PqDB:
         """Stages 2-3 — read raw files lazily, append into the interim PqDB
-        (schema inference + evolution + id assignment happen in create)."""
+        (schema inference + evolution + id assignment happen in create).
+
+        Same STARTED-marker protocol as download(): data present WITHOUT our
+        marker is a completed or pre-placed corpus — trusted; data present
+        WITH the marker is OUR run killed mid-create() (a partially
+        committed write that skip-if-exists would otherwise serve as a
+        silently truncated corpus forever) — rebuilt. A partial create()
+        cannot be resumed: create appends, so re-ingesting over it would
+        duplicate rows instead."""
+        started = self._ingest_started_marker()
         pqdb = PqDB(self.spark, self.interim_db_dir)
         if pqdb.exists:
-            if not self.config.ingest_from_scratch:
+            if not self.config.ingest_from_scratch and not os.path.exists(started):
                 return pqdb
-            # from-scratch means REBUILD: create() appends, so ingesting over
-            # the existing interim DB would silently duplicate every row
-            # under fresh ids
-            import shutil
-
-            shutil.rmtree(self.interim_db_dir, ignore_errors=True)
+            # REBUILD (explicit from-scratch, or our own interrupted run):
+            # create() appends, so ingesting over the existing interim DB
+            # would silently duplicate every row under fresh ids. destroy()
+            # (not a bare rmtree) also clears __old_*/__tmp_* crash
+            # siblings — a stale __old_* would otherwise be "recovered"
+            # into the emptied path and the fresh corpus appended on top.
+            PqDB.destroy(self.interim_db_dir)
             pqdb = PqDB(self.spark, self.interim_db_dir)
+        with open(started, "w") as fh:
+            fh.write("in-progress\n")
         df = self._read_raw(self.spark, self.raw_dir)
         pqdb.create(df)
+        os.remove(started)
         return pqdb
 
     def normalize(self, pqdb: PqDB) -> None:
@@ -165,8 +184,21 @@ class BaseLoader:
         return to_canonical(self._transform(df))
 
     def run(self, normalize: bool = False) -> DataFrame:
-        """Full pipeline; returns the canonical lazy DataFrame."""
-        self.download()
+        """Full pipeline; returns the canonical lazy DataFrame.
+
+        The download stage is skipped when a completed interim PqDB will
+        satisfy ingest()'s skip branch anyway — a user who deleted the raw
+        corpus to reclaim space after a successful ingest must not trigger
+        a full re-download that ingest() would never read."""
+        interim_done = PqDB(self.spark, self.interim_db_dir).exists and not os.path.exists(
+            self._ingest_started_marker()
+        )
+        if (
+            self.config.download_from_scratch
+            or self.config.ingest_from_scratch
+            or not interim_done
+        ):
+            self.download()
         pqdb = self.ingest()
         if normalize:
             self.normalize(pqdb)

@@ -70,29 +70,64 @@ def parse_cif_minimal(text: str) -> dict | None:
         if not m:
             return None
         cell[name] = float(m.group(1))
-    # [^\S\n]* after each header tag: trailing spaces/tabs on a header line
-    # (routine in hand-edited CIFs) must not unmatch the whole loop — \S*
-    # stops at the space, and requiring \n directly after it silently made
-    # the entire file unparseable (dropped from ingest with no error)
-    loop = re.search(
-        r"loop_\s*((?:\s*_atom_site\S*[^\S\n]*\n)+)((?:[^_\n][^\n]*\n?)+)", text
-    )
-    if not loop:
-        return None
-    headers = [h.strip() for h in loop.group(1).split()]
-    idx = {h: i for i, h in enumerate(headers)}
+    # Scan loop_ blocks STRUCTURALLY (round-8 review). The old single regex
+    # bound the FIRST loop whose headers start with _atom_site — an
+    # anisotropic-displacement loop (_atom_site_aniso_*) listed before the
+    # main site loop dropped the whole file, a blank line inside the body
+    # truncated the sites after it, and a line-wrapped row was skipped
+    # per-line — all silent. CIF newlines are plain whitespace: headers are
+    # the consecutive `_tag` lines after `loop_`; the body is every
+    # whitespace token until the next loop_/data_/_tag keyword, chunked by
+    # header count (wrapped rows and interior blank lines both fine).
+    # Quoted multi-word values are out of scope for this minimal parser.
     needed = ["_atom_site_type_symbol", "_atom_site_fract_x", "_atom_site_fract_y", "_atom_site_fract_z"]
-    if any(n not in idx for n in needed):
+    found = None
+    lines = text.split("\n")
+    i = 0
+    while i < len(lines):
+        if lines[i].strip().split()[:1] == ["loop_"]:
+            i += 1
+            headers = []
+            while i < len(lines):
+                h = lines[i].strip()
+                if not h:  # blank lines around the header block are legal
+                    i += 1
+                    continue
+                if not h.startswith("_"):
+                    break
+                headers.append(h.split()[0])
+                i += 1
+            tokens: list[str] = []
+            while i < len(lines):
+                s = lines[i].strip()
+                if s.startswith(("loop_", "data_", "_")):
+                    break
+                if s and not s.startswith("#"):
+                    tokens.extend(s.split())
+                i += 1
+            if headers and all(n in headers for n in needed):
+                found = (headers, tokens)
+                break
+        else:
+            i += 1
+    if not found:
+        return None
+    headers, tokens = found
+    idx = {h: k for k, h in enumerate(headers)}
+    if not tokens or len(tokens) % len(headers) != 0:
+        # a row with the wrong token count means we would misalign every
+        # later value — REJECT the file (a truncated structure ingested as
+        # valid is worse than a dropped one; the caller records the skip)
         return None
     matrix, volume = _lattice_matrix(
         cell["a"], cell["b"], cell["c"], cell["alpha"], cell["beta"], cell["gamma"]
     )
     species, frac, cart = [], [], []
-    for line in loop.group(2).strip().splitlines():
-        parts = line.split()
-        if len(parts) < len(headers):
-            continue
-        el = re.sub(r"\d+$", "", parts[idx["_atom_site_type_symbol"]])
+    for row_start in range(0, len(tokens), len(headers)):
+        parts = tokens[row_start : row_start + len(headers)]
+        # strip an oxidation-state suffix first ('Fe3+', 'O2-' are routine
+        # in ionic CIFs), then residual multiplicity digits ('Fe2')
+        el = re.sub(r"\d+$", "", re.sub(r"\d*[+-]$", "", parts[idx["_atom_site_type_symbol"]]))
         f3 = [float(parts[idx[f"_atom_site_fract_{ax}"]]) for ax in "xyz"]
         x3 = [sum(f3[k] * matrix[k][j] for k in range(3)) for j in range(3)]
         species.append(el)

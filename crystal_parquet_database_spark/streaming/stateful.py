@@ -10,6 +10,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -29,7 +30,11 @@ def _running_stats_fn(
     n, total, mx = state.get if state.exists else (0, None, None)
     for pdf in pdfs:
         n += len(pdf)
-        vals = pdf["value"].dropna()
+        # finite-only, not just dropna: ±inf joins NaN/NULL in the missing
+        # class so the batch replay (which NULLs non-finite values before
+        # its decimal-routed sum — ANSI cast(inf AS DECIMAL) aborts) stays
+        # value-identical to the streaming path on ANY input
+        vals = pdf["value"][np.isfinite(pdf["value"].astype(float))]
         if len(vals):
             total = float(vals.sum()) + (total if total is not None else 0.0)
             m = float(vals.max())
@@ -63,7 +68,12 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         # decimal-routed sum: exact, order-independent, SQL-oracle-checkable
         # (the streaming path accumulates in float — equality within fp noise
         # is pinned in tests/test_stateful_streaming.py)
-        v = F.when(F.isnan("value"), F.lit(None)).otherwise(F.col("value"))
+        # ±inf joins NaN in the missing class: ANSI cast(inf AS DECIMAL) is
+        # out-of-range and would abort the batch replay the same way
+        v = F.when(
+            F.isnan("value") | F.col("value").isin(float("inf"), float("-inf")),
+            F.lit(None),
+        ).otherwise(F.col("value"))
         return events.withColumn("value", v).groupBy("user_id").agg(
             F.count("*").alias("n_events"),
             dsum_of_double("value", "decimal(18,6)").alias("total_value"),

@@ -26,8 +26,20 @@ def tumbling_counts(
     width: str = "5 minutes",
     watermark: str | None = "10 minutes",
 ) -> DataFrame:
-    """Tumbling-window counts + exact value sums per key."""
+    """Tumbling-window counts + exact value sums per key.
+
+    NaN-as-missing contract (same as stateful.running_user_stats): NaN/±inf
+    ``value`` becomes NULL before the decimal-routed sum — under ANSI mode
+    ``cast(NaN AS DECIMAL)`` would otherwise abort the whole streaming
+    query on the first bad upstream value."""
     df = with_watermark(df, ts_col, watermark)
+    df = df.withColumn(
+        "value",
+        F.when(
+            F.isnan("value") | F.col("value").isin(float("inf"), float("-inf")),
+            F.lit(None),
+        ).otherwise(F.col("value")),
+    )
     return (
         df.groupBy(F.window(ts_col, width).alias("w"), key_col)
         .agg(

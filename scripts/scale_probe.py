@@ -98,7 +98,12 @@ def replicate(spark, factor: int, out_dir: str) -> None:
         "lineitem": {"l_orderkey": 1_000_000, "l_linenumber": 0},
         "orders": {"o_orderkey": 1_000_000, "o_custkey": 100_000},
         "customer": {"c_custkey": 100_000},
-        "events": {"event_id": 10_000_000, "user_id": 1_000},
+        # user_id shift must EXCEED the fixture's user span (0-1499 at
+        # sf0.1): a 1,000 shift overlapped adjacent copies by 500 users,
+        # interleaving two copies' event streams for a third of all users —
+        # sessionization/retention probes then measured distorted per-user
+        # structure, not clean cardinality growth.
+        "events": {"event_id": 10_000_000, "user_id": 10_000},
         "documents": {"doc_id": 1_000_000},
         "embeddings": {"vec_id": 1_000_000},
         # dimension tables stay as-is (they'd be broadcast at any size)
@@ -121,12 +126,23 @@ def replicate(spark, factor: int, out_dir: str) -> None:
                 if step:
                     c = c.withColumn(col, F.col(col) + F.lit(i * step))
             if name == "documents" and i > 0:
-                # Perturb text per copy (vowel rotation) so copies of the same
-                # doc are NOT near-duplicates of each other — otherwise the
-                # dedup probes would measure C(factor,2) duplicate-group
-                # blowup that replication itself manufactures, not the
-                # algorithm's scaling.
-                src, dst = "aeiou", ("aeiou" * 2)[i % 5 : i % 5 + 5]
+                # Perturb text per copy so copies of the same doc are NOT
+                # duplicates of each other — otherwise the dedup probes
+                # would measure C(factor,2) duplicate-group blowup that
+                # replication itself manufactures, not the algorithm's
+                # scaling. THREE independent character rings (each rotated
+                # by 1-4, never 0 — the old single-ring form was the
+                # IDENTITY for i % 5 == 0, so every 5th copy duplicated the
+                # base text verbatim) give 4^3 = 64 distinct bijective
+                # substitutions: no two copies below factor 64 share text,
+                # and rotating whole frequency classes changes enough
+                # shingles that cross-copy pairs don't band-collide either.
+                rings = ("aeiou", "bcdfg", "hjklm")
+                shifts_ = (1 + i % 4, 1 + (i // 4) % 4, 1 + (i // 16) % 4)
+                src = "".join(rings)
+                dst = "".join(
+                    (r * 2)[s : s + len(r)] for r, s in zip(rings, shifts_)
+                )
                 c = c.withColumn("text", F.translate(F.col("text"), src, dst))
             copies.append(c)
         out = copies[0]
@@ -138,6 +154,8 @@ def replicate(spark, factor: int, out_dir: str) -> None:
 def run(sf_dir: str, label: str) -> dict[str, float]:
     import gc
 
+    from crystal_parquet_database_spark.runtime import release_all_session_blocks
+
     spark = get_spark(app_name=f"scale_probe_{label}")
     times = {}
     for name in PROBES:
@@ -146,8 +164,12 @@ def run(sf_dir: str, label: str) -> dict[str, float]:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = time.perf_counter() - t0
         # free the query's eager-localCheckpoint blocks before the next
-        # measurement (Python GC lag was the main "crowding" source — see
-        # bench.py and SCALE.md)
+        # measurement. gc.collect() alone is NOT enough — runtime.py
+        # documents that the JVM side keeps dereferenced checkpointed RDDs
+        # alive until ITS collector runs, which is exactly the crowding
+        # that inflated late-sequence bench numbers 2-4x; release the
+        # blocks deterministically the way bench.py and driver_sim do.
+        release_all_session_blocks(spark)
         gc.collect()
     return times
 

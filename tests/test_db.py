@@ -594,3 +594,198 @@ def test_scratch_reap_clears_tree_and_restarts_clean():
     assert not os.path.exists(d)
     d2 = scratch.fresh_dir("unittest_reap_probe")
     assert os.path.isdir(d2)  # usable again after reap
+
+
+def test_create_partition_by_over_rooted_dataset_refuses(spark, tmp_path):
+    """Round-8 review: opening a root-file dataset with partition_by and
+    calling create() used to hit the empty-marker branch and replace the
+    WHOLE dataset with just the new batch — silent total data loss."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    path = str(tmp_path / "rooted")
+    flat = PqDB(spark, path)
+    flat.create([{"k": i, "lang": "en", "v": i * 10} for i in range(20)])
+    repart = PqDB(spark, path, partition_by=["lang"])
+    with pytest.raises(ValueError, match="unpartitioned data files"):
+        repart.create([{"k": 99, "lang": "de", "v": 0}])
+    assert PqDB(spark, path).n_rows == 20  # nothing destroyed
+
+    # the zero-row marker case stays allowed: delete-all then partitioned
+    # create still works (that IS the marker branch's purpose)
+    flat2 = PqDB(spark, str(tmp_path / "marker"), partition_by=["lang"])
+    flat2.create([{"k": 1, "lang": "en"}])
+    flat2.delete(where="k = 1")
+    flat2.create([{"k": 2, "lang": "de"}])
+    assert flat2.n_rows == 1
+
+
+def test_create_unpartitioned_over_hive_dataset_refuses(spark, tmp_path):
+    from crystal_parquet_database_spark.db import PqDB
+
+    path = str(tmp_path / "hive")
+    PqDB(spark, path, partition_by=["lang"]).create(
+        [{"k": 1, "lang": "en"}, {"k": 2, "lang": "de"}]
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        PqDB(spark, path).create([{"k": 3, "lang": "fr"}])
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        PqDB(spark, path).delete(where="k = 1")  # rewrite would flatten layout
+    assert PqDB(spark, path, partition_by=["lang"]).n_rows == 2
+
+
+def test_update_cast_colliding_keys_rejected(spark, tmp_path):
+    """Round-8 review: string keys '1' and '01' are distinct to a raw-key
+    guard but the join coerces both to numeric 1 — both matched the same
+    base row and the merge duplicated it. The guard now runs on the CAST
+    key."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "castdup"))
+    db.create([{"k": i, "v": i} for i in range(5)])  # k: long
+    ups = spark.createDataFrame([("1", 100), ("01", 200)], "k string, v int")
+    with pytest.raises(ValueError, match="duplicate key"):
+        db.update(ups, on="k")
+    assert db.n_rows == 5
+
+    sdb = PqDB(spark, str(tmp_path / "castdup_scd2"))
+    sdb.create_versioned([{"k": i, "v": i} for i in range(5)], "2024-01-01")
+    with pytest.raises(ValueError, match="duplicate key"):
+        sdb.upsert_scd2(ups, on="k", effective_ts="2024-02-01")
+    # one-current-row invariant intact
+    cur = sdb.read_asof("2024-06-01")
+    assert cur.count() == 5
+
+
+def test_update_unknown_key_clear_error(spark, tmp_path):
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "nokey"))
+    db.create([{"k": 1, "v": 1}])
+    with pytest.raises(ValueError, match="does not exist in the dataset"):
+        db.update([{"zz": 1, "v": 2}], on="zz")
+    sdb = PqDB(spark, str(tmp_path / "nokey2"))
+    sdb.create_versioned([{"k": 1, "v": 1}], "2024-01-01")
+    with pytest.raises(ValueError, match="does not exist in the dataset"):
+        sdb.upsert_scd2([{"zz": 1, "v": 2}], on="zz", effective_ts="2024-02-01")
+
+
+def test_scd2_extra_columns_rejected_like_update(spark, tmp_path):
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "scd2extra"))
+    db.create_versioned([{"k": 1, "v": 1}], "2024-01-01")
+    with pytest.raises(ValueError, match="do not exist"):
+        db.upsert_scd2(
+            [{"k": 1, "v": 2, "surprise": 9}], on="k", effective_ts="2024-02-01"
+        )
+
+
+def test_normalize_cluster_by_on_partitioned_dataset_compacts(spark, tmp_path):
+    """Round-8 review: normalize(cluster_by=...) on a hive-partitioned
+    dataset range-partitioned on the CLUSTER key, spreading every partition
+    value over all n_files tasks — up to n_files x n_values tiny files, the
+    exact pathology the no-cluster branch was fixed for in round 7. Both
+    cluster branches now cluster on the partition columns first."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    path = str(tmp_path / "clustpart")
+    db = PqDB(spark, path, partition_by=["lang"])
+    langs = ["en", "de", "fr", "es"]
+    for batch in range(3):  # fragment: 3 appends x 4 langs
+        db.create(
+            [
+                {"k": batch * 100 + i, "lang": langs[i % 4], "v": (i * 37) % 50}
+                for i in range(100)
+            ]
+        )
+    rows_before = db.n_rows
+    db.normalize(max_rows_per_file=40, cluster_by=["v"])
+    files = db.get_file_sizes()
+    # 300 rows / 40 per file = ceil 8 target splits; one task per lang value
+    # with maxRecordsPerFile splits => bounded by n_values + splits, far
+    # below n_files x n_values (8 x 4 = 32)
+    assert len(files) <= 4 * 3  # <= per-lang splits, not the cross product
+    assert db.n_rows == rows_before
+    # per-file narrow ranges on the clustered column within each partition:
+    # files are written in (lang, v) sort order, so each file's v-span is
+    # at most ceil(rows_per_lang / splits)-ish of the domain — assert
+    # non-overlap between the files of one partition value
+    import pyarrow.parquet as pq
+
+    by_lang: dict[str, list[tuple]] = {}
+    for f in files:
+        lang = [seg.split("=")[1] for seg in f.split("/") if seg.startswith("lang=")][0]
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["v"]).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        by_lang.setdefault(lang, []).append((min(mins), max(maxs)))
+    for lang, spans in by_lang.items():
+        spans.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, f"overlapping v-ranges within lang={lang}: {spans}"
+
+
+def test_interrupted_swap_recovers_new_state(spark, tmp_path):
+    """Simulate a kill between _rewrite's two renames: path missing, old
+    state in __old_*, COMPLETE new state in __tmp_*. The next touch must
+    finish the swap (restore the tmp) rather than raise FileNotFoundError
+    forever."""
+    import os
+    import shutil as sh
+
+    from crystal_parquet_database_spark.db import PqDB
+
+    path = str(tmp_path / "swapcrash")
+    db = PqDB(spark, path)
+    db.create([{"k": i, "v": i} for i in range(10)])
+    db.update([{"k": 0, "v": 99}], on="k")  # a completed rewrite
+    # manufacture the between-renames window: new state -> tmp, then "crash"
+    sh.copytree(path, f"{path}__tmp_deadbeef")
+    os.rename(path, f"{path}__old_deadbeef")
+    db2 = PqDB(spark, path)
+    assert db2.exists  # recovery ran
+    assert not os.path.exists(f"{path}__old_deadbeef")
+    got = {r["k"]: r["v"] for r in db2.read(columns=["k", "v"]).collect()}
+    assert got[0] == 99 and len(got) == 10
+
+
+def test_destroy_clears_crash_siblings_no_resurrection(spark, tmp_path):
+    """Round-8 review of the review: a stale __old_* surviving a bare
+    rmtree was 'recovered' into the emptied path, and the next create()
+    appended onto resurrected rows. destroy() clears siblings; recovery
+    never restores an old without a tmp."""
+    import os
+    import shutil as sh
+
+    from crystal_parquet_database_spark.db import PqDB
+
+    path = str(tmp_path / "resur")
+    db = PqDB(spark, path)
+    db.create([{"k": i} for i in range(5)])
+    sh.copytree(path, f"{path}__old_stale")  # crash-after-swap leftover
+    sh.rmtree(path)  # user starts fresh WITHOUT destroy
+    db2 = PqDB(spark, path)
+    assert not db2.exists  # old-only leftovers are NOT resurrected
+    db2.create([{"k": 100}])
+    assert db2.n_rows == 1  # no append-onto-resurrected-rows
+
+    PqDB.destroy(path)
+    assert not os.path.exists(path) and not os.path.exists(f"{path}__old_stale")
+
+
+def test_rewrite_guards_partition_by_over_rooted_dataset(spark, tmp_path):
+    """The mirror of the create() guard: update/delete through a
+    partition_by-opened PqDB over an unpartitioned dataset must not
+    silently restructure the layout."""
+    from crystal_parquet_database_spark.db import PqDB
+
+    path = str(tmp_path / "rootflip")
+    PqDB(spark, path).create([{"k": 1, "lang": "en", "v": 1}])
+    wrong = PqDB(spark, path, partition_by=["lang"])
+    with pytest.raises(ValueError, match="unpartitioned data files"):
+        wrong.delete(where="k = 1")
+    assert PqDB(spark, path).n_rows == 1

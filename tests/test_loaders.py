@@ -6,6 +6,7 @@ from __future__ import annotations
 import bz2
 import json
 import os
+import shutil
 import tempfile
 
 import pytest
@@ -619,3 +620,147 @@ def test_failed_empty_download_clears_sentinel(data_dir):
         fh.write("{}")
     assert ldr.download() == raw
     assert calls == [raw]  # _download was NOT re-entered
+
+
+_CIF_HEAD = (
+    "data_x\n_cell_length_a 4\n_cell_length_b 5\n_cell_length_c 6\n"
+    "_cell_angle_alpha 90\n_cell_angle_beta 90\n_cell_angle_gamma 90\n"
+)
+
+
+def test_cif_parser_blank_lines_and_wrapped_rows():
+    """Round-8 review: CIF newlines are plain whitespace — a blank line
+    inside the atom-site loop truncated the sites after it, and a
+    line-wrapped row was skipped entirely, both silently."""
+    from crystal_parquet_database_spark.sources.mc3d import parse_cif_minimal
+
+    cif = (
+        _CIF_HEAD
+        + "loop_\n_atom_site_type_symbol\n_atom_site_fract_x\n"
+        "_atom_site_fract_y\n_atom_site_fract_z\n"
+        "Si 0.25 0.25 0.25\n\n"      # blank line mid-body
+        "O 0.5\n  0.5 0.5\n"          # row wrapped across two lines
+    )
+    out = parse_cif_minimal(cif)
+    assert out is not None
+    assert out["species"] == ["Si", "O"]
+
+
+def test_cif_parser_aniso_loop_first():
+    """Round-8 review: an _atom_site_aniso_* loop BEFORE the main site loop
+    bound the old first-match regex and dropped the whole file."""
+    from crystal_parquet_database_spark.sources.mc3d import parse_cif_minimal
+
+    cif = (
+        _CIF_HEAD
+        + "loop_\n_atom_site_aniso_label\n_atom_site_aniso_U_11\nSi1 0.01\n"
+        + "loop_\n_atom_site_type_symbol\n_atom_site_fract_x\n"
+        "_atom_site_fract_y\n_atom_site_fract_z\nSi 0.25 0.25 0.25\n"
+    )
+    out = parse_cif_minimal(cif)
+    assert out is not None and out["species"] == ["Si"]
+
+
+def test_cif_parser_rejects_misaligned_rows():
+    """A row with the wrong token count would misalign every later value —
+    the parser must REJECT the file, never truncate it."""
+    from crystal_parquet_database_spark.sources.mc3d import parse_cif_minimal
+
+    cif = (
+        _CIF_HEAD
+        + "loop_\n_atom_site_type_symbol\n_atom_site_fract_x\n"
+        "_atom_site_fract_y\n_atom_site_fract_z\n"
+        "Si 0.25 0.25 0.25\nO 0.5 0.5\n"  # second row short one token
+    )
+    assert parse_cif_minimal(cif) is None
+
+
+def test_cif_parser_strips_oxidation_state_suffix():
+    from crystal_parquet_database_spark.sources.mc3d import parse_cif_minimal
+
+    cif = (
+        _CIF_HEAD
+        + "loop_\n_atom_site_type_symbol\n_atom_site_fract_x\n"
+        "_atom_site_fract_y\n_atom_site_fract_z\n"
+        "Fe3+ 0.0 0.0 0.0\nO2- 0.5 0.5 0.5\nCa2+ 0.25 0.25 0.25\n"
+    )
+    out = parse_cif_minimal(cif)
+    assert out is not None and out["species"] == ["Fe", "O", "Ca"]
+
+
+def test_index_href_pattern_resolves_subdirs_and_page_urls():
+    """Round-8 review: index links into subdirectories and index_url ending
+    in a page filename both need browser-style urljoin resolution."""
+    from urllib.parse import urljoin
+
+    from crystal_parquet_database_spark.sources.alexandria import (
+        INDEX_HREF_PATTERN,
+    )
+
+    html = (
+        '<a href="pbe/alexandria_000.json.bz2">alexandria_000.json.bz2</a>'
+        '<a href="pbe/alexandria_001.json.bz2">x</a>'
+    )
+    hrefs = INDEX_HREF_PATTERN.findall(html)
+    assert hrefs == ["pbe/alexandria_000.json.bz2", "pbe/alexandria_001.json.bz2"]
+    assert (
+        urljoin("https://host/data/index.html", hrefs[0])
+        == "https://host/data/pbe/alexandria_000.json.bz2"
+    )
+    assert (
+        urljoin("https://host/data/", hrefs[0])
+        == "https://host/data/pbe/alexandria_000.json.bz2"
+    )
+
+
+def test_ingest_interrupted_create_rebuilds(spark, data_dir):
+    """Round-8 review: a run killed mid-create() left a partially committed
+    interim PqDB that every later run served as a silently truncated corpus
+    (the download stage had STARTED/COMPLETE sentinels; ingest had none)."""
+    raw = os.path.join(data_dir, "alex", "3d", "raw")
+    os.makedirs(raw)
+    entries = [
+        {"data": {"mat_id": f"agm-{i}"}, "structure": _structure(n_sites=2, seed=i)}
+        for i in range(4)
+    ]
+    with open(os.path.join(raw, "alexandria_000.json"), "w") as f:
+        json.dump({"entries": entries}, f)
+    loader = get_loader(spark, "alex", "3d", LoaderConfig(data_dir=data_dir))
+
+    # simulate the kill: STARTED marker present + partial (1-row) interim DB
+    os.makedirs(loader.interim_db_dir, exist_ok=True)
+    marker = loader._ingest_started_marker()
+    with open(marker, "w") as f:
+        f.write("in-progress\n")
+    spark.createDataFrame([{"data": "partial"}]).write.mode("overwrite").parquet(
+        loader.interim_db_dir
+    )
+
+    pqdb = loader.ingest()
+    assert not os.path.exists(marker)  # completed run clears it
+    assert pqdb.n_rows == 4  # rebuilt from raw, not the 1-row partial
+
+    # and a COMPLETED interim DB (no marker) is trusted as-is
+    again = loader.ingest()
+    assert again.n_rows == 4
+
+
+def test_run_skips_download_when_interim_complete(spark, data_dir):
+    """Round-8 review: raw/ deleted after a successful ingest must not
+    trigger a pointless full re-download that ingest() never reads."""
+    raw = os.path.join(data_dir, "alex", "3d", "raw")
+    os.makedirs(raw)
+    entries = [
+        {"data": {"mat_id": "agm-0"}, "structure": _structure(n_sites=2, seed=0)}
+    ]
+    with open(os.path.join(raw, "alexandria_000.json"), "w") as f:
+        json.dump({"entries": entries}, f)
+    loader = get_loader(spark, "alex", "3d", LoaderConfig(data_dir=data_dir))
+    loader.run()  # completes ingest
+    shutil.rmtree(raw)  # reclaim space
+
+    calls = []
+    loader._download = lambda raw_dir: calls.append(raw_dir)  # type: ignore[method-assign]
+    out = loader.run()
+    assert calls == []  # download stage skipped entirely
+    assert out.count() == 1

@@ -507,3 +507,27 @@ def test_windowed_approx_distinct_all_null_key_window(spark, tmp_path):
         for r in QUERIES["stream_windowed_approx_distinct"](spark, str(d)).collect()
     }
     assert out == {0: True, 2: True}
+
+
+def test_tumbling_counts_nan_inf_as_missing(spark):
+    """Round-8 review: ANSI cast(NaN/inf AS DECIMAL) aborted the whole
+    query on the first non-finite value; the NaN-as-missing contract the
+    stateful path documents now covers the windowed path too."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("2024-01-01 00:00:10", "view", 1.5),
+        ("2024-01-01 00:00:20", "view", float("nan")),
+        ("2024-01-01 00:00:30", "view", float("inf")),
+        ("2024-01-01 00:00:40", "view", float("-inf")),
+        ("2024-01-01 00:00:50", "view", 2.5),
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    out = SW.tumbling_counts(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 5  # non-finite rows still COUNT
+    assert math.isclose(out[0]["sum_value"], 4.0)  # but are missing in the sum
