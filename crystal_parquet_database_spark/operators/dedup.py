@@ -41,11 +41,23 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Mark exact duplicates by content digest.
 
     Returns (id, canonical_id, is_dup): canonical is the min id per digest.
+
+    NULL text pairs with NOTHING (the package-wide no-content contract the
+    MinHash/SimHash paths follow): md5(NULL) is NULL and a digest-keyed
+    window would otherwise group every failed-scrape row into one
+    duplicate set — pipeline.dedup_exact would silently delete all but one
+    of them — AND ship that whole corpus-scale NULL cohort to a single
+    reducer. Each NULL-content row gets its own partition key instead
+    (the 'nulltext:' prefix cannot collide with a 32-hex digest).
+
     Scale note: the window shuffles on the 32-hex digest — uniformly
     distributed, no skew; at 100 TB this is the standard dedup shuffle.
     """
-    digest = F.md5(F.col(text_col))
-    w = W.partitionBy(digest)
+    pkey = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("nulltext:"), F.col(id_col).cast("string")),
+    )
+    w = W.partitionBy(pkey)
     return df.select(
         F.col(id_col),
         F.min(id_col).over(w).alias("canonical_id"),

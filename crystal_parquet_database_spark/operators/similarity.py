@@ -113,16 +113,24 @@ def cosine_topk(
     return _topk(scored, [F.desc("cos"), F.asc("match_id")], k)
 
 
+def _plane_dot(vec: Column, j: int, dim: int) -> Column:
+    """Dot of ``vec`` against fixed hyperplane ``j`` — the ONE definition
+    of the sign-bit fold (hyperplane_bucket AND embedding_near_dup_lsh's
+    banding both consume it; two hand copies drifting apart would silently
+    diverge their buckets for the same vectors)."""
+    w_arr = F.array(*[F.lit(float(_w(j, kk, dim))) for kk in range(dim)])
+    return F.aggregate(
+        F.zip_with(vec, w_arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """LSH bucket id: sign bits of the vector against n fixed hyperplanes."""
     bucket = F.lit(0).cast("bigint")
     for j in range(n_planes):
-        w_arr = F.array(*[F.lit(float(_w(j, kk, dim))) for kk in range(dim)])
-        d = F.aggregate(
-            F.zip_with(vec, w_arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d = _plane_dot(vec, j, dim)
         bucket = bucket + F.when(d >= 0, F.lit(2**j).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
@@ -147,7 +155,13 @@ def build_lsh_index(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        # the build parameters ride the schema (column metadata survives
+        # checkpoint/write): ann_lsh_topk validates them against its own,
+        # since an index built with DIFFERENT planes would equi-join
+        # semantically unrelated buckets and silently return garbage
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias(
+            "bucket", metadata={"n_planes": n_planes, "dim": dim}
+        ),
     ).localCheckpoint(eager=True)
 
 
@@ -191,7 +205,21 @@ def ann_lsh_topk(
         )
         q = q.withColumn("bucket", F.explode(probes))
     # A caller-provided index (build_lsh_index) is reused across paths; the
-    # inline form stays the single-shot default.
+    # inline form stays the single-shot default. An index built with a
+    # DIFFERENT hyperplane set than the query side would join unrelated
+    # buckets and silently return wrong neighbors — validate the build
+    # parameters the index carries in its column metadata (absent metadata
+    # = a hand-built index; trusted as before).
+    if corpus_index is not None and "bucket" in corpus_index.columns:
+        meta = corpus_index.schema["bucket"].metadata or {}
+        if "n_planes" in meta and (
+            int(meta["n_planes"]) != int(n_planes) or int(meta.get("dim", dim)) != int(dim)
+        ):
+            raise ValueError(
+                f"corpus_index was built with n_planes={meta['n_planes']}, "
+                f"dim={meta.get('dim')}; ann_lsh_topk was called with "
+                f"n_planes={n_planes}, dim={dim} — bucket keys would not align"
+            )
     c = (
         corpus_index
         if corpus_index is not None
@@ -256,7 +284,15 @@ def ivf_topk(
         centers = np.asarray(centroids, dtype=np.float64)
     else:
         train_src = train_hint if train_hint is not None else corpus
-        sample = train_src.select(vec_col).limit(256 * n_cells).collect()
+        # failed/NULL embedding rows are routine in real pipelines (the
+        # _cos_div contract) and must not abort the job: a single NULL (or
+        # empty) vector in the sample made np.asarray raise on the driver
+        sample = (
+            train_src.select(vec_col)
+            .where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+            .limit(256 * n_cells)
+            .collect()
+        )
         if not sample:
             if train_hint is not None:
                 raise ValueError(
@@ -269,7 +305,13 @@ def ivf_topk(
             return cosine_topk(
                 queries, corpus, id_col, vec_col, k=k, exclude_self=exclude_self
             )
-        x = np.asarray([r[0] for r in sample], dtype=np.float64)
+        # wrong-length rows (a mixed-model corpus) would still make the
+        # array ragged: train on the sample's dominant dimensionality
+        from collections import Counter
+
+        dims = Counter(len(r[0]) for r in sample)
+        d_major = dims.most_common(1)[0][0]
+        x = np.asarray([r[0] for r in sample if len(r[0]) == d_major], dtype=np.float64)
 
         rng = np.random.default_rng(seed)
         centers = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
@@ -400,20 +442,19 @@ def embedding_near_dup_lsh(
     # bucket of m rows the pairwise cosine would otherwise recompute each
     # norm m times (measured 3×+ slower). sqrt(dot(v,v)) per row is the same
     # IEEE expression on the same doubles, so results are bit-identical.
-    base = df.select(
+    # NULL/empty embeddings OUT before banding: plane_bit maps a NULL dot
+    # product to bit 0, so every failed-encoder row would share the
+    # IDENTICAL key in EVERY band — the C(m,2) all-NULL co-bucket pair
+    # explosion the MinHash/SimHash paths already filter (same contract:
+    # no content, no fingerprint, no pairs)
+    base = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         norm(F.col(vec_col)).alias("__norm"),
     )
 
     def plane_bit(j: int) -> Column:
-        w_arr = F.array(*[F.lit(float(_w(j, kk, dim))) for kk in range(dim)])
-        d = F.aggregate(
-            F.zip_with(F.col("__vec"), w_arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
+        return F.when(_plane_dot(F.col("__vec"), j, dim) >= 0, F.lit(1)).otherwise(F.lit(0))
 
     bands = []
     for i in range(n_bands):

@@ -440,7 +440,15 @@ def _pack_and_chop(
     variants differ ONLY in the global document order."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
     d = (
-        df.select(F.col(id_col), F.size(ws_tokens(F.col(text_col))).alias("n_tokens"))
+        df.select(
+            F.col(id_col),
+            # NULL-text guard (module convention): size(NULL) is -1 on a
+            # legacy-sizeOfNull session — an unguarded -1 here shifts EVERY
+            # later document's cumulative position corpus-wide
+            F.when(
+                F.col(text_col).isNotNull(), F.size(ws_tokens(F.col(text_col)))
+            ).alias("n_tokens"),
+        )
         .repartitionByRange(n_part, *[F.col(k) for k in order_keys])
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin partitioning: 3 consumers below
@@ -513,7 +521,11 @@ def token_budget_per_group(
         df.select(
             F.col(id_col),
             F.col(group_col).alias("__grp"),
-            F.size(ws_tokens(F.col(text_col))).alias("n_tokens"),
+            # NULL-text guard: see _pack_and_chop (an unguarded size(NULL)
+            # = -1 corrupts the budget prefix sums on legacy sessions)
+            F.when(
+                F.col(text_col).isNotNull(), F.size(ws_tokens(F.col(text_col)))
+            ).alias("n_tokens"),
             h.alias("__h"),
         )
         .repartitionByRange(n_part, F.col("__grp"), F.col("__h"), F.col(id_col))
@@ -775,6 +787,11 @@ def dedup_chunks_keep_first(
         # document's unrelated block __keep=false and silently REMOVES it
         # from the rebuilt text
     ).withColumn("chash", spark_hash_raw60(F.col("ctext")))
+    # materialize the tokenize→slice→hash→explode stream ONCE (same
+    # two-consumer shape chunk_dedup_stats materializes for): the
+    # first-occurrence groupBy AND the flagged join probe both consume ch;
+    # un-materialized, the most expensive stage runs twice per call
+    ch = ch.localCheckpoint(eager=True)
     first = ch.groupBy("chash").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("__f")
     )
@@ -858,11 +875,14 @@ def quality_classifier_score(df: DataFrame, text_col: str, id_col: str) -> DataF
         )
     )
     score, toks = F.col("__score"), F.col("__toks")
+    # NULL-text guard (module convention): n_tokens NULL, not the -1 a
+    # legacy-sizeOfNull session would report (and the oracle's NULL)
+    n_tok = F.when(toks.isNotNull(), F.size(toks))
     return d.select(
         F.col(id_col),
-        F.size(toks).cast("int").alias("n_tokens"),
+        n_tok.cast("int").alias("n_tokens"),
         score.alias("score_sum"),
-        (score.cast("double") / F.size(toks).cast("double")).alias("avg_score"),
+        (score.cast("double") / n_tok.cast("double")).alias("avg_score"),
         F.when(score >= 0, "keep").otherwise("drop").alias("quality_label"),
     )
 

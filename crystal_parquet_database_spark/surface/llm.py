@@ -33,8 +33,8 @@ from crystal_parquet_database_spark.tables import load_table
 
 _EXACT_ORACLE = """
 SELECT doc_id,
-       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+       MIN(doc_id) OVER (PARTITION BY COALESCE(md5(text), 'nulltext:' || CAST(doc_id AS VARCHAR))) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY COALESCE(md5(text), 'nulltext:' || CAST(doc_id AS VARCHAR))) AS is_dup
 FROM documents
 """
 

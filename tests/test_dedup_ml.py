@@ -172,3 +172,23 @@ def test_ml_lsh_null_text_rows_skipped(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_exact_dedup_null_text_pairs_with_nothing(spark):
+    """Round-8 review: md5(NULL) is NULL and the digest window grouped every
+    failed-scrape row into ONE duplicate set — pipeline.dedup_exact then
+    silently deleted all but one. NULL content pairs with nothing (the
+    package-wide contract), and each NULL row keeps its own partition key
+    so a corpus-scale NULL cohort doesn't land on one reducer."""
+    from crystal_parquet_database_spark.operators.dedup import exact_dedup
+    from crystal_parquet_database_spark.operators.pipeline import TrainingDataPipeline
+
+    rows = [(1, "same"), (2, "same"), (10, None), (11, None), (12, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert out[2]["is_dup"] and out[2]["canonical_id"] == 1
+    for i in (10, 11, 12):
+        assert not out[i]["is_dup"] and out[i]["canonical_id"] == i
+
+    kept = TrainingDataPipeline(df, id_col="doc_id", text_col="text").dedup_exact().df
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 10, 11, 12]

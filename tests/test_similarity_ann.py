@@ -338,3 +338,82 @@ def test_zero_norm_vector_nulls_out_instead_of_crashing(spark):
             assert r["cos"] is None
     best_1 = min(out, key=lambda r: r["rank"] if r["query_id"] == 1 else 99)
     assert best_1["match_id"] == 2 and best_1["cos"] is not None
+
+
+def test_ivf_tolerates_null_and_ragged_embeddings(spark, sf_dir):
+    """Round-8 review: a NULL (or wrong-length) embedding in the quantizer
+    training sample made np.asarray raise on the DRIVER — the whole job
+    aborted on the exact failed-encoder rows the _cos_div contract says
+    must degrade, not abort."""
+    from pyspark.sql import types as T
+
+    from crystal_parquet_database_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(200)
+    bad = spark.createDataFrame(
+        [(90001, None), (90002, []), (90003, [1.0, 2.0])],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    corpus = emb.unionByName(bad)
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(q, corpus, "vec_id", "embedding", k=5, n_cells=4, n_probe=2)
+    got = out.collect()  # must not raise
+    assert len(got) > 0
+    assert all(r["match_id"] not in (90001, 90002) for r in got)
+
+
+def test_embedding_near_dup_lsh_null_vectors_no_pairs(spark):
+    """Round-8 review: NULL embeddings all banded to key 0 — one giant
+    self-join bucket, C(m,2) candidate pairs of nothing. No content, no
+    fingerprint, no pairs (the package-wide contract)."""
+    from pyspark.sql import types as T
+
+    from crystal_parquet_database_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    rows = [(1, [1.0] * 64), (2, [1.0] * 64)] + [(i, None) for i in range(10, 40)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    pairs = embedding_near_dup_lsh(df, "vec_id", "embedding", threshold=0.9).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids <= {1, 2}  # no NULL-vector row participates in any pair
+
+
+def test_ann_lsh_topk_rejects_mismatched_index(spark, sf_dir):
+    """Round-8 review: an index built with different hyperplanes would
+    equi-join unrelated buckets and silently return garbage."""
+    import pytest as _pytest
+
+    from crystal_parquet_database_spark.operators.similarity import (
+        ann_lsh_topk,
+        build_lsh_index,
+    )
+    from crystal_parquet_database_spark.runtime import release_local_checkpoint
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    idx = build_lsh_index(emb, "vec_id", "embedding", n_planes=16)
+    try:
+        q = emb.filter(F.col("vec_id") < 3)
+        with _pytest.raises(ValueError, match="bucket keys would not align"):
+            ann_lsh_topk(q, emb, "vec_id", "embedding", n_planes=8, corpus_index=idx)
+        ok = ann_lsh_topk(
+            q, emb, "vec_id", "embedding", n_planes=16, corpus_index=idx,
+            exclude_self=False,  # 2^16 buckets over 50 rows: self-match is
+            # the only guaranteed co-bucket row
+        )
+        assert ok.count() > 0  # matching params still work
+    finally:
+        release_local_checkpoint(idx)
