@@ -135,6 +135,9 @@ HEADLINE = [
     # end to end — the write IS the operator here, so its cost belongs in
     # the headline
     "layout_zorder_bucketed_join",
+    # round 8: partitioned compaction driven end to end — the rewrite IS
+    # the operator, so its cost belongs in the headline
+    "pqdb_normalize_compaction",
 ]
 
 

@@ -4,8 +4,13 @@ as one lazy DataFrame chain over the engine's operators.
 
 Each step stays declarative (one Catalyst plan end to end, optimized as a
 whole), so filters commute down to the scan and nothing materializes between
-steps. ``describe()`` reports per-step row counts for auditability (each
-count is an action — use on samples, not on the full corpus).
+steps — with three exceptions that EXECUTE at step-construction time
+because their operators materialize internally: ``dedup_near`` and
+``decontaminate`` (shingle-hash + localCheckpoint over the CURRENT frame)
+and ``with_packing`` (the prefix sum). Order those AFTER the cheap
+narrowing filters, not before. ``describe()`` reports per-step row counts
+for auditability (each count is an action — use on samples, not on the
+full corpus).
 """
 
 from __future__ import annotations
@@ -47,7 +52,10 @@ class TrainingDataPipeline:
     ) -> "TrainingDataPipeline":
         """Drop near-duplicates via MinHash+LSH: from every verified pair the
         higher id is removed (transitively keeps one representative per
-        connected pair chain's minimum)."""
+        connected pair chain's minimum).
+
+        NB: executes EAGERLY at construction (the LSH operator materializes
+        its shingle index) — order after the narrowing filters."""
         pairs = D.minhash_lsh_dedup(
             self.df, self.text_col, self.id_col,
             threshold=threshold, n_hashes=n_hashes, n_bands=n_bands,
@@ -61,7 +69,9 @@ class TrainingDataPipeline:
     def filter_quality(
         self, min_score: float = 0.3, stopwords: list[str] | None = None
     ) -> "TrainingDataPipeline":
-        sw = stopwords or ["the", "a", "of", "and", "key", "value"]
+        # `is None`, not `or`: an explicit empty list means "score without
+        # stopwords" and must not be silently replaced by the default
+        sw = ["the", "a", "of", "and", "key", "value"] if stopwords is None else stopwords
         scored = T.quality_features(self.df, self.text_col, sw)
         kept = scored.filter(F.col("quality_score") >= min_score).drop(
             "n_words", "stopword_ratio", "punct_ratio", "quality_score"
@@ -84,7 +94,14 @@ class TrainingDataPipeline:
 
     def sample_fraction(self, keep_percent: int) -> "TrainingDataPipeline":
         """Deterministic hash-based sampling (stable across engines/retries —
-        never rand())."""
+        never rand()). ``keep_percent`` is an integer PERCENT in [0, 100];
+        a fraction like 0.1 would silently keep ~1% instead of 10%, so
+        sub-1 values are rejected loudly."""
+        if 0 < keep_percent < 1:
+            raise ValueError(
+                f"keep_percent={keep_percent} looks like a FRACTION; pass an "
+                f"integer percent (did you mean {int(keep_percent * 100)}?)"
+            )
         h = spark_hash64(F.col(self.id_col).cast("string")) % 100
         return self._push(f"sample {keep_percent}%", self.df.filter(h < keep_percent))
 
@@ -93,7 +110,10 @@ class TrainingDataPipeline:
 
     def decontaminate(self, eval_set: DataFrame, k: int = 3) -> "TrainingDataPipeline":
         """Drop documents sharing any word k-gram with the evaluation set
-        (see operators/text.ngram_decontaminate — eval grams broadcast)."""
+        (see operators/text.ngram_decontaminate — eval grams broadcast).
+
+        NB: executes EAGERLY at construction (the decontaminator
+        materializes the probe) — order after the narrowing filters."""
         flags = T.ngram_decontaminate(self.df, eval_set, self.text_col, self.id_col, k=k)
         clean = flags.filter(~F.col("contaminated")).select(self.id_col)
         return self._push("decontaminate", self.df.join(clean, self.id_col, "left_semi"))
@@ -106,7 +126,9 @@ class TrainingDataPipeline:
         rate = None
         for lang, r in rates.items():
             cond = F.col(lang_col) == lang
-            thr = F.lit(int(r * mod))
+            # round, not int(): binary-float error truncates exact rates
+            # one bucket low (0.29 * 10000 == 2899.999... -> 2899)
+            thr = F.lit(round(r * mod))
             rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
         rate = F.lit(mod) if rate is None else rate.otherwise(F.lit(mod))
         return self._push(f"mixture {rates}", self.df.filter(h < rate))

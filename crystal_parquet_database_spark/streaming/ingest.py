@@ -18,9 +18,15 @@ two-hop shape keeps the big side streaming: (1) semi-join history keys ×
 broadcast(batch keys) → the collided subset, bounded by the batch size;
 (2) anti-join batch × broadcast(collided). History is only ever SCANNED
 (key column only — parquet prunes to one column), never shuffled or
-broadcast; with a ``partition_by`` on the target (e.g. event date) that
+broadcast. That scan still grows with the dataset; Spark cannot prune hive
+partitions without a PREDICATE (the key column is not the partition
+column, and dynamic partition pruning does not apply to a broadcast batch
+side) — so pass ``history_filter`` to bound it: with a ``partition_by``
+on the target (e.g. event date) and a filter covering every partition a
+colliding key could live in (time-prefixed keys, a retention window), the
 scan prunes to recent partitions and per-batch cost stays flat as the
-dataset grows.
+dataset grows. The filter is a CORRECTNESS contract: a key outside the
+filtered window is invisible to the dedup and would be re-appended.
 """
 
 from __future__ import annotations
@@ -63,6 +69,7 @@ def stream_ingest_into_pqdb(
     key_col: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    history_filter=None,
 ):
     """Start a streaming query that appends each micro-batch's NEW keys to
     ``db`` (idempotent under replay — see module docstring). Returns the
@@ -70,12 +77,23 @@ def stream_ingest_into_pqdb(
 
     ``available_now=True`` drains everything currently available and stops
     (the backfill/test mode); ``False`` runs continuously.
+
+    ``history_filter`` (a PqDB.read ``filters`` value — SQL string, Column,
+    or tuple list) bounds the per-batch existing-keys scan, typically to
+    the partitions a colliding key could live in. Without it the scan
+    reads the FULL history key column every batch (columnar-pruned but
+    O(dataset)); with it, partition pruning keeps per-batch cost flat.
+    CORRECTNESS contract: every row whose key could collide with an
+    incoming batch must satisfy the filter — a key outside it is invisible
+    to the dedup and gets re-appended.
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([key_col])
         if db.exists:
-            existing = db.read(columns=[key_col]).withColumnRenamed(
+            existing = db.read(
+                columns=[key_col], filters=history_filter
+            ).withColumnRenamed(
                 key_col, "__existing_key"
             )
             batch = new_rows_vs_existing(batch, existing, key_col)

@@ -67,21 +67,30 @@ def view_purchase_pairs(
     )
 
 
-def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+def enrich_with_customer(
+    events: DataFrame,
+    customer: DataFrame,
+    event_cols: tuple[str, ...] | None = ("event_id", "user_id", "event_type", "ts"),
+) -> DataFrame:
     """Stream-static enrichment join: each event picks up the customer row
     whose key equals its user_id. The static side is batch (broadcast by
     Catalyst — it re-reads per micro-batch, so dimension updates are picked
     up); the stream side needs NO watermark because stream-static joins keep
     no state. Works identically when ``events`` is a batch frame — the
-    backfill path."""
+    backfill path.
+
+    ``event_cols`` is the event-side projection (the default is the compact
+    analytic shape the registered query pins). Pass ``None`` to keep EVERY
+    event column — an enrichment that silently dropped the payload it was
+    meant to enrich (``value``, ``props``) is the round-8-review trap this
+    parameter closes; only ``user_id`` is actually required."""
     dim = customer.select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_name"),
         F.col("c_nationkey"),
     )
+    ev = events if event_cols is None else events.select(*event_cols)
     # LEFT join: enrichment must never DROP events — an id outside the
     # dimension keeps its event row with null customer columns (an inner
     # join would silently shrink the stream)
-    return events.select("event_id", "user_id", "event_type", "ts").join(
-        F.broadcast(dim), "user_id", "left"
-    )
+    return ev.join(F.broadcast(dim), "user_id", "left")

@@ -55,7 +55,11 @@ def main(work_dir: str | None = None) -> PqDB:
         )
         q = stream_ingest_into_pqdb(stream, db, "event_id", checkpoint)
         try:
-            q.awaitTermination(120)
+            # awaitTermination returns False on TIMEOUT: stopping a
+            # half-finished batch then failing the later row-count assert
+            # would be indistinguishable from a real exactly-once violation
+            if not q.awaitTermination(120):
+                raise TimeoutError("drain did not finish within 120s")
         finally:
             q.stop()
 

@@ -789,3 +789,21 @@ def test_rewrite_guards_partition_by_over_rooted_dataset(spark, tmp_path):
     with pytest.raises(ValueError, match="unpartitioned data files"):
         wrong.delete(where="k = 1")
     assert PqDB(spark, path).n_rows == 1
+
+
+def test_scratch_sweeps_dead_peer_trees(tmp_path):
+    import os
+    import subprocess
+    import tempfile
+
+    from crystal_parquet_database_spark.surface import scratch
+
+    child = subprocess.Popen(["true"])
+    child.wait()
+    dead_tree = os.path.join(tempfile.gettempdir(), f"pqdb_gate_{child.pid}")
+    os.makedirs(os.path.join(dead_tree, "leftover"), exist_ok=True)
+    scratch._swept_dead_peers = False  # force the once-per-process sweep
+    scratch.fresh_dir("unittest_peer_sweep")
+    assert not os.path.exists(dead_tree)  # dead pid's tree reaped
+    live_tree = os.path.join(tempfile.gettempdir(), f"pqdb_gate_{os.getpid()}")
+    assert os.path.isdir(live_tree)  # our own tree untouched

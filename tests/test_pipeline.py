@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import glob
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from crystal_parquet_database_spark.operators.pipeline import TrainingDataPipeline
@@ -96,3 +98,26 @@ def test_pipeline_full_pretraining_chain(spark, sf_dir, tmp_path):
     # deterministic end to end
     stats1 = p.describe()
     assert [s[1] for s in stats1] == [s[1] for s in p.describe()]
+
+
+def test_sample_fraction_rejects_fraction_like_input(spark):
+    from crystal_parquet_database_spark.operators.pipeline import TrainingDataPipeline
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    p = TrainingDataPipeline(df)
+    with pytest.raises(ValueError, match="FRACTION"):
+        p.sample_fraction(0.1)  # caller meant 10%
+
+
+def test_filter_quality_empty_stopwords_not_replaced(spark):
+    """`stopwords=[]` means score WITHOUT stopwords; the old `or` idiom
+    silently substituted the default list."""
+    from crystal_parquet_database_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "the the the the of of and and")], "doc_id long, text string"
+    )
+    with_default = T.quality_features(df, "text", ["the", "of", "and"]).collect()[0]
+    with_empty = T.quality_features(df, "text", []).collect()[0]
+    assert with_default["stopword_ratio"] > 0
+    assert with_empty["stopword_ratio"] == 0  # empty list respected

@@ -531,3 +531,47 @@ def test_tumbling_counts_nan_inf_as_missing(spark):
     assert len(out) == 1
     assert out[0]["n_events"] == 5  # non-finite rows still COUNT
     assert math.isclose(out[0]["sum_value"], 4.0)  # but are missing in the sum
+
+
+def test_enrich_keeps_payload_with_event_cols_none(spark, sf_dir):
+    from crystal_parquet_database_spark.streaming.joins import enrich_with_customer
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer")
+    out = enrich_with_customer(ev, dim, event_cols=None)
+    for c in ("value", "props"):
+        assert c in out.columns  # payload survives enrichment
+    # default projection unchanged (the registered query pins this schema)
+    assert "value" not in enrich_with_customer(ev, dim).columns
+
+
+def test_ingest_history_filter_bounds_scan_and_contract(spark, tmp_path):
+    """Round-8 review: the module promised partition pruning with no
+    mechanism — history_filter IS the mechanism, and its correctness
+    contract (keys outside the filter are invisible to the dedup) must
+    hold exactly as documented."""
+    from pyspark.sql import functions as F
+
+    from crystal_parquet_database_spark.db import PqDB
+    from crystal_parquet_database_spark.streaming.ingest import new_rows_vs_existing
+
+    db = PqDB(spark, str(tmp_path / "hist"), partition_by=["day"])
+    db.create([{"event_id": i, "day": "d1" if i < 50 else "d2"} for i in range(100)])
+
+    batch = spark.createDataFrame(
+        [{"event_id": 10, "day": "d1"}, {"event_id": 999, "day": "d2"}]
+    )
+    # covering filter (both days): full dedup — only the new key appends
+    existing_all = db.read(columns=["event_id"]).withColumnRenamed(
+        "event_id", "__existing_key"
+    )
+    new_all = new_rows_vs_existing(batch, existing_all, "event_id")
+    assert [r["event_id"] for r in new_all.collect()] == [999]
+
+    # narrow filter (d2 only): key 10 in the EXCLUDED partition is
+    # invisible — the documented re-append hazard, demonstrated
+    existing_d2 = db.read(
+        columns=["event_id"], filters=[("day", "==", "d2")]
+    ).withColumnRenamed("event_id", "__existing_key")
+    new_d2 = new_rows_vs_existing(batch, existing_d2, "event_id")
+    assert sorted(r["event_id"] for r in new_d2.collect()) == [10, 999]
