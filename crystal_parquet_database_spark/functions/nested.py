@@ -63,6 +63,14 @@ def site_elements_flat(sites_col: Column | str) -> Column:
 def pack_struct(df: DataFrame, cols: list[str], name: str, drop: bool = True) -> DataFrame:
     """A14: pack columns into a struct column.
     (Reference: Table.to_struct_array — loaders/alexandria.py:187.)"""
+    if drop and name in cols:
+        # withColumn(name, ...) REPLACES the packed column, then drop(*cols)
+        # removes the struct it just built — the output would silently hold
+        # neither the inputs nor the pack
+        raise ValueError(
+            f"pack name {name!r} is one of the packed columns; with drop=True "
+            "the struct would be dropped with its inputs — pick another name"
+        )
     out = df.withColumn(name, F.struct(*[F.col(c) for c in cols]))
     return out.drop(*cols) if drop else out
 
@@ -73,8 +81,10 @@ def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     All renames apply SIMULTANEOUSLY in one projection — sequential
     withColumnRenamed would cascade (mapping {"a": "b", "b": "c"} renames a's
     output again; a swap mapping collapses both columns to one name)."""
+    from collections import Counter
+
     out_names = [mapping.get(c, c) for c in df.columns]
-    dup = {n for n in out_names if out_names.count(n) > 1}
+    dup = {n for n, k in Counter(out_names).items() if k > 1}
     if dup:
         raise ValueError(f"rename produces duplicate column names {sorted(dup)}")
     return df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])

@@ -55,7 +55,7 @@ def _md5_ints(data: bytes, n: int) -> list[int]:
     while len(out) < n:
         seed = hashlib.md5(seed).digest()
         out.extend(seed)
-    return [b for b in out[:n]]
+    return out[:n]
 
 
 def _fake_decode_meta(data: bytes) -> dict:
@@ -127,6 +127,13 @@ def _parse_jpeg_sof(data: bytes) -> dict | None:
                 return None  # truncated/corrupt frame header
             height = int.from_bytes(data[pos + 5 : pos + 7], "big")
             width = int.from_bytes(data[pos + 7 : pos + 9], "big")
+            if height == 0 or width == 0:
+                # SOF height 0 is SPEC-VALID (the real height arrives in a
+                # later DNL marker this minimal parser doesn't chase) —
+                # reporting 0 as a real decoded dimension poisons every
+                # downstream consumer, so route to the undecodable path
+                # like the PNG parser does for zero dims
+                return None
             return {
                 "mime": "image/jpeg",
                 "width": width,
@@ -202,6 +209,12 @@ def _decode_meta(data: bytes, use_pil: bool = DRIVER_HAS_PIL) -> dict:
 
 def with_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Append a typed ``meta`` struct decoded from the binary column."""
+    if "meta" in df.columns:
+        raise ValueError(
+            "input already carries a 'meta' column (a prior *_meta op not "
+            "dropped?); rename or drop it first — a duplicate field name "
+            "mis-binds the Arrow batch columns"
+        )
     out_schema = T.StructType(df.schema.fields + [T.StructField("meta", image_meta_struct)])
 
     use_pil = DRIVER_HAS_PIL  # driver-side decision, serialized into the closure
@@ -231,7 +244,9 @@ def image_features(
     """
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            # the caller's id type, verbatim — a string/uuid id pinned to
+            # LongType fails deep inside mapInPandas at Arrow conversion
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("features", T.ArrayType(T.FloatType())),
         ]
     )
@@ -362,6 +377,12 @@ def with_video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Append typed container metadata to a binary video column. MP4/ISO-BMFF
     header fields are REAL without any media library; other content gets a
     labeled deterministic fake (same contract as ``with_image_meta``)."""
+    if "meta" in df.columns:
+        raise ValueError(
+            "input already carries a 'meta' column (a prior *_meta op not "
+            "dropped?); rename or drop it first — a duplicate field name "
+            "mis-binds the Arrow batch columns"
+        )
     out_schema = T.StructType(df.schema.fields + [T.StructField("meta", video_meta_struct)])
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -400,7 +421,9 @@ def sample_video_frames(
     """
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            # the caller's id type, verbatim — a string/uuid id pinned to
+            # LongType fails deep inside mapInPandas at Arrow conversion
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("frame_index", T.IntegerType()),
             T.StructField("frame_features", T.ArrayType(T.FloatType())),
         ]
@@ -512,7 +535,9 @@ def audio_chunk_energy(
     falls back to the deterministic fake metadata."""
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            # the caller's id type, verbatim — a string/uuid id pinned to
+            # LongType fails deep inside mapInPandas at Arrow conversion
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("meta", audio_meta_struct),
             T.StructField("chunk_index", T.IntegerType()),
             T.StructField("energy", T.DoubleType()),

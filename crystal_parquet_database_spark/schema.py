@@ -208,6 +208,28 @@ def promote_type(a: T.DataType, b: T.DataType) -> T.DataType:
         if a_int != b_int:
             return T.DoubleType()
         return a if _NUMERIC_RANK[an] >= _NUMERIC_RANK[bn] else b
+    dec_a, dec_b = isinstance(a, T.DecimalType), isinstance(b, T.DecimalType)
+    if dec_a and dec_b:
+        # widen to cover both: max integer digits + max scale (capped 38)
+        sc = max(a.scale, b.scale)
+        p = min(38, max(a.precision - a.scale, b.precision - b.scale) + sc)
+        return T.DecimalType(p, sc)
+    if (dec_a and bn in _NUMERIC_RANK) or (dec_b and an in _NUMERIC_RANK):
+        # decimal + float/double -> double (Arrow permissive); the old
+        # fall-back-to-left kept decimal(p,s) and the evolution cast then
+        # silently ROUNDED every new double to s places (verified:
+        # 1.23456 -> 1.23). decimal + integer widens the decimal so the
+        # integer domain fits.
+        if _NUMERIC_RANK[bn if dec_a else an] >= 4:
+            return T.DoubleType()
+        d = a if dec_a else b
+        return T.DecimalType(min(38, max(d.precision - d.scale, 20) + d.scale), d.scale)
+    # date + timestamp -> timestamp: a date is midnight of its day; keeping
+    # date would silently drop time-of-day from every evolved row
+    if isinstance(a, T.DateType) and isinstance(b, (T.TimestampType, T.TimestampNTZType)):
+        return b
+    if isinstance(b, T.DateType) and isinstance(a, (T.TimestampType, T.TimestampNTZType)):
+        return a
     if isinstance(a, T.StructType) and isinstance(b, T.StructType):
         fields = []
         b_by_name = {f.name: f for f in b.fields}
@@ -230,6 +252,18 @@ def promote_type(a: T.DataType, b: T.DataType) -> T.DataType:
             return T.ArrayType(promote_type(a.elementType, b.elementType))
         except ValueError as e:
             raise ValueError(f"[]: {e}") from None
+
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        # traverse map types like arrays — the fall-back-to-left would
+        # silently narrow a map<string,double> batch to a stored
+        # map<string,int> through the evolution cast
+        try:
+            return T.MapType(
+                promote_type(a.keyType, b.keyType),
+                promote_type(a.valueType, b.valueType),
+            )
+        except ValueError as e:
+            raise ValueError(f"{{}}: {e}") from None
 
     def _shape(t: T.DataType) -> str:
         if isinstance(t, T.StructType):

@@ -489,3 +489,35 @@ def test_parse_mp4_moov_child_largesize_before_mvhd():
     moov3 = (8 + len(zero_child) + len(mvhd_payload)).to_bytes(4, "big") + b"moov" + zero_child + mvhd_payload
     meta3 = M._parse_mp4_meta(ftyp + moov3)
     assert meta3["duration_s"] is None  # swallowed by the to-end child, by spec
+
+
+def test_jpeg_dnl_zero_height_routes_to_fallback():
+    """SOF height 0 is spec-valid (real height arrives via DNL) — never
+    report 0 as a decoded dimension."""
+    from crystal_parquet_database_spark.operators.multimodal import _parse_jpeg_sof
+
+    sof = b"\xff\xc0" + (8 + 3 * 1 + 3).to_bytes(2, "big") + bytes([8]) + (0).to_bytes(2, "big") + (17).to_bytes(2, "big") + bytes([1, 0x11, 0, 0, 0])
+    data = b"\xff\xd8" + sof + b"\xff\xd9"
+    assert _parse_jpeg_sof(data) is None
+
+
+def test_with_image_meta_rejects_existing_meta(spark):
+    import pytest as _pytest
+
+    from crystal_parquet_database_spark.operators.multimodal import with_image_meta
+
+    df = spark.createDataFrame([(1, b"x", "old")], "image_id long, content binary, meta string")
+    with _pytest.raises(ValueError, match="already carries a 'meta'"):
+        with_image_meta(df)
+
+
+def test_image_features_preserves_string_id_type(spark):
+    from crystal_parquet_database_spark.operators.multimodal import image_features
+
+    df = spark.createDataFrame(
+        [("uuid-1", bytes([137, 80, 78, 71, 13, 10, 26, 10]) + (0).to_bytes(4, "big"))],
+        "image_id string, content binary",
+    )
+    out = image_features(df, id_col="image_id")
+    assert dict(out.dtypes)["image_id"] == "string"
+    out.collect()  # Arrow conversion must not abort on the string id

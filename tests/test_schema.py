@@ -209,3 +209,63 @@ def test_db_long_plus_float_keeps_precision(spark, tmp_path):
     assert dict(db.read().dtypes)["v"] == "double"
     vals = sorted(r["v"] for r in db.read(columns=["v"]).collect())
     assert vals == [0.5, 16777217.0]  # float would have rounded to 16777216
+
+
+def test_promote_type_decimal_and_temporal_widening():
+    """Round-8 review (empirically confirmed): the fall-back-to-left kept
+    decimal(18,2) against a double batch, and the evolution cast silently
+    ROUNDED 1.23456 -> 1.23; date+timestamp kept date (dropping
+    time-of-day); map value types were never traversed."""
+    from pyspark.sql import types as T
+
+    from crystal_parquet_database_spark.schema import promote_type
+
+    assert promote_type(T.DecimalType(18, 2), T.DoubleType()) == T.DoubleType()
+    assert promote_type(T.FloatType(), T.DecimalType(18, 2)) == T.DoubleType()
+    assert promote_type(T.DecimalType(18, 2), T.DecimalType(10, 5)) == T.DecimalType(21, 5)
+    widened = promote_type(T.DecimalType(18, 2), T.LongType())
+    assert isinstance(widened, T.DecimalType) and widened.scale == 2
+    assert widened.precision - widened.scale >= 19  # full long domain fits
+    assert promote_type(T.DateType(), T.TimestampType()) == T.TimestampType()
+    assert promote_type(T.TimestampNTZType(), T.DateType()) == T.TimestampNTZType()
+    assert promote_type(
+        T.MapType(T.StringType(), T.IntegerType()),
+        T.MapType(T.StringType(), T.DoubleType()),
+    ) == T.MapType(T.StringType(), T.DoubleType())
+
+
+def test_create_evolution_decimal_to_double_preserves_precision(spark, tmp_path):
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from crystal_parquet_database_spark.db import PqDB
+
+    db = PqDB(spark, str(tmp_path / "dec_evo"))
+    db.create(
+        spark.createDataFrame(
+            [(1, Decimal("1.25"))],
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField("v", T.DecimalType(18, 2)),
+                ]
+            ),
+        )
+    )
+    db.create(spark.createDataFrame([(2, 1.23456)], "k long, v double"))
+    got = {r["k"]: r["v"] for r in db.read(columns=["k", "v"]).collect()}
+    assert got[2] == 1.23456  # NOT silently rounded to 1.23
+    assert got[1] == 1.25
+
+
+def test_pack_struct_rejects_name_collision(spark):
+    import pytest as _pytest
+
+    from crystal_parquet_database_spark.functions.nested import pack_struct
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with _pytest.raises(ValueError, match="packed columns"):
+        pack_struct(df, ["a", "b"], name="a", drop=True)
+    ok = pack_struct(df, ["a", "b"], name="a", drop=False)  # keep-mode fine
+    assert set(ok.columns) == {"a", "b"}
