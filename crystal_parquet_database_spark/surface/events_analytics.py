@@ -363,14 +363,30 @@ def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRENDING_K = 3
 
 _TRENDING_ORACLE = f"""
-SELECT * FROM (
-  SELECT date_trunc('hour', ts) AS bucket,
-         event_type,
-         CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST(ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
-                                 ORDER BY COUNT(*) DESC, event_type)
-              AS INTEGER) AS rank
+-- rank via correlated count, NOT ROW_NUMBER: DuckDB 1.0's parallel window
+-- executor is NONDETERMINISTIC when the partition/order input carries NULL
+-- rows (observed on a NULL-injected corpus: the NULL-ts bucket
+-- intermittently split into singleton partitions and tie ranks flipped
+-- between runs; threads=1 was stable, but the harness's connection
+-- settings are not ours to control). The (n_events DESC, event_type ASC
+-- NULLS LAST) key is unique per bucket, so count-of-predecessors + 1 IS
+-- row_number, computed by plain aggregation that cannot flake.
+WITH cells AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT a.bucket, a.event_type, a.n_events,
+         CAST(1 + (SELECT COUNT(*) FROM cells b
+                   WHERE b.bucket IS NOT DISTINCT FROM a.bucket
+                     AND (b.n_events > a.n_events
+                          OR (b.n_events = a.n_events
+                              AND b.event_type IS NOT NULL
+                              AND (a.event_type IS NULL
+                                   OR b.event_type < a.event_type))))
+              AS INTEGER) AS rank
+  FROM cells a
 ) WHERE rank <= {_TRENDING_K}
 """
 
@@ -388,7 +404,9 @@ def events_trending_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_events"))
     )
-    w = W.partitionBy("bucket").orderBy(F.desc("n_events"), F.asc("event_type"))
+    # asc_nulls_last on the tie-break: Spark NULLS FIRST vs DuckDB NULLS
+    # LAST would flip the kept top-k rows when a NULL type ties at rank K
+    w = W.partitionBy("bucket").orderBy(F.desc("n_events"), F.asc_nulls_last("event_type"))
     return (
         cells.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _TRENDING_K)

@@ -595,7 +595,7 @@ SELECT doc_id AS image_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(16 AS INTEGER) AS feat_dim
 FROM documents
-WHERE text IS NULL OR substr(text, 1, 6) NOT IN ('GIF87a', 'GIF89a')
+WHERE text IS NOT NULL AND substr(text, 1, 6) NOT IN ('GIF87a', 'GIF89a')
 """
 )
 
@@ -617,8 +617,12 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only image magic reachable from valid UTF-8 text (PNG's \x89 and
     # JPEG's \xff cannot lead a UTF-8 string). Fixture-empty today; this
     # keeps the oracle exact under corpus regeneration.
+    # NULL text OUT on both sides (no content, no decode): the operator
+    # fake-decodes NULL content to mime='image/missing' with NULL features
+    # while the oracle hardcoded 'image/fake'/16 for every surviving row —
+    # the old isNull() keep-arm diverged the moment a NULL-text doc existed
     docs = docs.filter(
-        F.col("text").isNull() | ~F.substring("text", 1, 6).isin("GIF87a", "GIF89a")
+        F.col("text").isNotNull() & ~F.substring("text", 1, 6).isin("GIF87a", "GIF89a")
     )
     binary = M.documents_as_binary(docs)
     meta = M.with_image_meta(binary).select(
@@ -645,6 +649,7 @@ WITH base AS (
          octet_length(encode(text)) AS n_bytes,
          GREATEST(octet_length(encode(text)) // 8, 1) AS step
   FROM documents
+  WHERE text IS NOT NULL
 ),
 x AS (
   SELECT audio_id, text, n_bytes, step,
@@ -1235,7 +1240,9 @@ def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a literal-threshold map-side prefilter that bounds every ranked
     partition to ~cap rows before the window runs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    w = W.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    # asc_nulls_last: Spark's plain asc is NULLS FIRST, DuckDB's is NULLS
+    # LAST — one NULL-text doc would shift every src_rank in its source
+    w = W.partitionBy("source").orderBy(F.md5("text").asc_nulls_last(), "doc_id")
     return docs.select(
         "doc_id",
         "source",
@@ -1543,12 +1550,21 @@ def sim_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCR_CUT = 250  # doc_id < cut = "historical corpus"; >= cut = "new batch"
 
+# COALESCE per-row sentinel for NULL text (the exact_dedup convention):
+# md5(NULL) is NULL, and the plain digest equi-joins below would silently
+# DROP every NULL-text new-batch doc from the audit output (the inner join
+# to first_in_batch never matches NULL) — exactly the rows a curation run
+# most needs flagged. The sentinel makes each no-content doc its own
+# digest: present in the audit as 'kept', never cross-matched to another
+# no-content doc (no content pairs with nothing).
 _INCR_ORACLE = f"""
 WITH old_idx AS (
-  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < {_INCR_CUT}
+  SELECT DISTINCT COALESCE(md5(text), 'nulltext:' || CAST(doc_id AS VARCHAR)) AS digest
+  FROM documents WHERE doc_id < {_INCR_CUT}
 ),
 new_batch AS (
-  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id >= {_INCR_CUT}
+  SELECT doc_id, COALESCE(md5(text), 'nulltext:' || CAST(doc_id AS VARCHAR)) AS digest
+  FROM documents WHERE doc_id >= {_INCR_CUT}
 ),
 first_in_batch AS (
   SELECT digest, MIN(doc_id) AS first_id FROM new_batch GROUP BY digest
@@ -1572,7 +1588,11 @@ def dedup_incremental_new_vs_index(spark: SparkSession, sf_dir: str) -> DataFram
     digest-bucketed sort-merge join; history is never rescanned. Statuses:
     kept / dup_of_history / dup_within_batch."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    digest = F.md5(F.col("text"))
+    # per-row NULL sentinel — see the oracle comment above
+    digest = F.coalesce(
+        F.md5(F.col("text")),
+        F.concat(F.lit("nulltext:"), F.col("doc_id").cast("string")),
+    )
     old_idx = (
         docs.filter(F.col("doc_id") < _INCR_CUT)
         .select(digest.alias("digest"))
@@ -2577,7 +2597,9 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             S._sub_l2(F.col("cvec"), F.col("qvec")).alias("__d2"),
         )
     )
-    wnd = W.partitionBy("query_id").orderBy(F.col("__d2"), F.col("match_id"))
+    # asc_nulls_last: same NULLS-FIRST trap the r7 _topk fix closed in the
+    # OPERATOR — a NULL-embedding corpus row must sink, not win truth rank 1
+    wnd = W.partitionBy("query_id").orderBy(F.col("__d2").asc_nulls_last(), F.col("match_id"))
     truth = (
         sq.withColumn("rank", F.row_number().over(wnd))
         .filter(F.col("rank") <= 10)

@@ -129,7 +129,9 @@ def join_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        # asc_nulls_last mirrors DuckDB's default NULL ordering — a NULL-ts
+        # purchase must see all real prior views in its frame, not none
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     return (
@@ -664,7 +666,9 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
     c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     rn = F.row_number().over(
-        W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+        # asc_nulls_last: a NULL event_type tying for the top would win in
+        # Spark (NULLS FIRST) and lose in DuckDB (NULLS LAST)
+        W.partitionBy("user_id").orderBy(F.desc("n"), F.asc_nulls_last("event_type"))
     )
     return (
         c.withColumn("rn", rn)
