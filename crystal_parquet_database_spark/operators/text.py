@@ -449,12 +449,20 @@ def _pack_and_chop(
                 F.col(text_col).isNotNull(), F.size(ws_tokens(F.col(text_col)))
             ).alias("n_tokens"),
         )
-        .repartitionByRange(n_part, *[F.col(k) for k in order_keys])
+        # asc_nulls_last on EVERY order key (range partitioner AND window):
+        # the sorted variant orders by the nullable n_tokens, and Spark's
+        # plain asc puts a NULL-token (no-content) doc FIRST while the
+        # oracle's DuckDB default puts it LAST — shifting every document's
+        # bin assignment. NULLS LAST both sides: no-content docs pack at
+        # the tail, consuming zero capacity.
+        .repartitionByRange(n_part, *[F.col(k).asc_nulls_last() for k in order_keys])
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin partitioning: 3 consumers below
     )
     within = F.sum("n_tokens").over(
-        W.partitionBy("__pid").orderBy(*order_keys).rowsBetween(W.unboundedPreceding, -1)
+        W.partitionBy("__pid")
+        .orderBy(*[F.col(k).asc_nulls_last() for k in order_keys])
+        .rowsBetween(W.unboundedPreceding, -1)
     )
     psums = (
         d.groupBy("__pid")

@@ -122,7 +122,9 @@ def first_event_per_key(
         if watermark is not None:
             return dfw.dropDuplicatesWithinWatermark(list(keys))
         return dfw.dropDuplicates(list(keys))
-    w = W.partitionBy(*keys).orderBy(ts_col, id_col)
+    # asc_nulls_last: a NULL-ts event must not win "first" (Spark's plain
+    # asc is NULLS FIRST; the oracle's DuckDB default is NULLS LAST)
+    w = W.partitionBy(*keys).orderBy(F.col(ts_col).asc_nulls_last(), id_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -1379,8 +1379,12 @@ WITH t AS (
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
 ),
 base AS (
+  -- NULL text stays NULL end to end (module convention: no content, no
+  -- rebuilt text): the unconditional COALESCE('') rebuilt a NULL doc as
+  -- the EMPTY STRING and hashed it md5('') where Spark hashes NULL
   SELECT doc_id, nf,
-         COALESCE(array_to_string(w[nf*{_CHUNK_W}+1:len(w)], ' '), '') AS tail
+         CASE WHEN w IS NULL THEN NULL
+              ELSE COALESCE(array_to_string(w[nf*{_CHUNK_W}+1:len(w)], ' '), '') END AS tail
   FROM t
 ),
 c AS (
@@ -1408,6 +1412,8 @@ SELECT b.doc_id,
        md5(CASE WHEN COALESCE(k.kept_text, '') = '' THEN b.tail
                 WHEN b.tail = '' THEN k.kept_text
                 ELSE k.kept_text || ' ' || b.tail END) AS cleaned_md5
+       -- (b.tail NULL for NULL text -> first arm -> md5(NULL) = NULL,
+       --  matching Spark's NULL __tail)
 FROM base b LEFT JOIN k USING (doc_id)
 """
 

@@ -26,6 +26,7 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """
 
@@ -39,6 +40,7 @@ _SLIDING_ORACLE = """
 WITH x AS (
   SELECT ts, time_bucket(INTERVAL '5 minutes', ts) - g.i * INTERVAL '5 minutes' AS window_start
   FROM events, generate_series(0, 1) g(i)
+  WHERE ts IS NOT NULL
 )
 SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
        COUNT(*) AS n_events
@@ -57,7 +59,7 @@ WITH g AS {sql_session_cte(30, cols="user_id, ts", out_col="sid")}
 SELECT user_id, MIN(ts) AS session_start,
        MAX(ts) + INTERVAL '30 minutes' AS session_end,
        COUNT(*) AS n_events
-FROM g GROUP BY user_id, sid
+FROM g WHERE sid IS NOT NULL GROUP BY user_id, sid
 """
 
 
@@ -68,6 +70,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FIRST_ORACLE = """
 SELECT event_id, ts, user_id, event_type, value, props FROM (
+  -- ORDER BY ts is NULLS LAST here (DuckDB default) and the Spark window
+  -- now matches (asc_nulls_last): an event with an UNKNOWN time must not
+  -- win "first event" over real-timestamped ones
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                ORDER BY ts, event_id) AS rn
   FROM events
@@ -90,6 +95,7 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
        CAST(COUNT(DISTINCT (user_id, event_type)) AS BIGINT)
          AS n_distinct_keys
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -230,6 +236,7 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_keys,
        TRUE AS within_5pct
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1
 """
 

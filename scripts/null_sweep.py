@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Full-surface NULL-regeneration sweep: rebuild the sf0.001 fixtures WITH
+NULL text / NULL embeddings / NULL event_type / NULL ts, then run EVERY
+oracle-paired query through the hash-exact Spark-vs-DuckDB comparison.
+
+The shipped fixtures carry zero NULL rows, so the per-round driver gate can
+never see a NULL-semantics divergence; this sweep is how round 8 found (and
+closed) 16 of them — including DuckDB 1.0's nondeterministic parallel
+window executor on NULL-bearing input. The fast subset runs in pytest
+(tests/test_null_regeneration.py); this script is the exhaustive form.
+
+Usage: python3 scripts/null_sweep.py   (expect: DONE 149/149 green)
+"""
+
+from __future__ import annotations
+
+import gc
+import os
+import shutil
+import sys
+import tempfile
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crystal_parquet_database_spark.runtime import release_all_session_blocks
+from crystal_parquet_database_spark.session import get_spark
+from crystal_parquet_database_spark.surface import ORACLES
+from crystal_parquet_database_spark.testing import compare_query
+
+SRC = "/root/testdata/sf0.001"
+
+
+def build_null_corpus(dst: str) -> None:
+    for f in os.listdir(SRC):
+        shutil.copy(os.path.join(SRC, f), dst)
+    docs = pd.read_parquet(os.path.join(dst, "documents.parquet"))
+    docs.loc[docs["doc_id"] == 7, "text"] = None     # historical no-content doc
+    docs.loc[docs["doc_id"] == 301, "text"] = None   # new-batch no-content doc
+    extra = pd.DataFrame(
+        {"doc_id": [10001, 10002], "text": [None, None],
+         "lang": ["en", "de"], "source": ["src0", "src1"], "n_chars": [0, 0]}
+    ).astype(docs.dtypes.to_dict())
+    pd.concat([docs, extra], ignore_index=True).to_parquet(
+        os.path.join(dst, "documents.parquet"), index=False
+    )
+    emb = pd.read_parquet(os.path.join(dst, "embeddings.parquet"))
+    emb.loc[emb["vec_id"] == 50, "embedding"] = None  # failed-encoder row
+    emb.to_parquet(os.path.join(dst, "embeddings.parquet"), index=False)
+    ev = pd.read_parquet(os.path.join(dst, "events.parquet"))
+    ev.loc[ev.index[:3], "event_type"] = None  # failed-parse events
+    ev.loc[ev.index[3:5], "ts"] = pd.NaT       # clockless events
+    ev.to_parquet(os.path.join(dst, "events.parquet"), index=False)
+
+
+def main() -> None:
+    dst = tempfile.mkdtemp(prefix="null_sweep_")
+    build_null_corpus(dst)
+    spark = get_spark()
+    fails = []
+    for name in ORACLES:
+        try:
+            ok, msg = compare_query(spark, name, dst)
+        except Exception as e:  # surface, don't abort the sweep
+            ok, msg = False, f"{name}: EXC {type(e).__name__}: {e}"
+        if not ok:
+            fails.append(msg.splitlines()[0][:200])
+            print("FAIL", fails[-1], flush=True)
+        release_all_session_blocks(spark)
+        gc.collect()
+    print(f"DONE {len(ORACLES) - len(fails)}/{len(ORACLES)} green on NULL corpus; dir={dst}")
+    if fails:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
