@@ -374,6 +374,15 @@ class PqDB:
                 if self.partition_by:
                     writer = writer.partitionBy(*self.partition_by)
                 writer.parquet(self.path)
+                if n == 0 and not self.exists:
+                    # An EMPTY first batch must still CREATE the dataset —
+                    # the append writer emits no data file for zero rows,
+                    # so exists stayed False and every later
+                    # read()/update()/normalize() raised FileNotFoundError.
+                    # Write the schema-only marker the empty-rewrite path
+                    # uses (unpartitioned: partition dirs carry no data to
+                    # prune when there are zero rows).
+                    df.limit(0).write.mode("overwrite").parquet(self.path)
         finally:
             source.unpersist()
         return n

@@ -282,6 +282,15 @@ def ivf_topk(
 
     if centroids is not None:
         centers = np.asarray(centroids, dtype=np.float64)
+        if centers.size == 0:
+            # an EMPTY pinned codebook (empty corpus / empty seed slice)
+            # would build a zero-arm assignment expression that fails
+            # analysis — same degenerate case as the empty training
+            # sample below, same answer: the exact search over whatever
+            # corpus there is (empty ⇒ empty result, not a crash)
+            return cosine_topk(
+                queries, corpus, id_col, vec_col, k=k, exclude_self=exclude_self
+            )
     else:
         train_src = train_hint if train_hint is not None else corpus
         # failed/NULL embedding rows are routine in real pipelines (the

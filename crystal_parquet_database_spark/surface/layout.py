@@ -99,7 +99,9 @@ def pqdb_normalize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     files_before = len(db.get_file_sizes())
     db.normalize(max_rows_per_file=1_000_000)
     files_after = len(db.get_file_sizes())
-    if not files_after < files_before:
+    if db.n_rows > 0 and not files_after < files_before:
+        # zero-row corpora legitimately hold one schema marker before AND
+        # after — only a populated dataset must actually compact
         raise AssertionError(
             f"normalize() did not compact: {files_before} files -> {files_after}"
         )

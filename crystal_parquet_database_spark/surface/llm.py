@@ -2578,6 +2578,14 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .collect()
     )
+    if not seed_rows:
+        # empty corpus: nothing to quantize, nothing to search — the
+        # oracle's CTEs are all empty too; return the empty result with
+        # the exact output schema instead of IndexError-ing on
+        # codebooks[0][0] (round-8 empty-corpus sweep)
+        return spark.createDataFrame(
+            [], "query_id bigint, n_true bigint, n_hit_pq bigint, recall_pq double"
+        )
     codebooks = [
         [list(r[0])[j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for r in seed_rows]
         for j in range(_PQ_M)

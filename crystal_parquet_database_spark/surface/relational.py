@@ -326,6 +326,12 @@ SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
        COUNT(DISTINCT o_custkey) AS n_customers
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+-- HAVING COUNT(*) > 0 pins the one cross-engine divergence an EMPTY
+-- input exposes: ANSI (and DuckDB) emit the grand-total grouping-set row
+-- over an empty relation; Spark's rollup/cube/grouping-sets emit nothing.
+-- Every populated grouping row has COUNT(*) >= 1, so this is value-
+-- identical on any non-empty input (scripts/empty_sweep round-8 catch).
+HAVING COUNT(*) > 0
 """
 
 
@@ -348,6 +354,12 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+-- HAVING COUNT(*) > 0 pins the one cross-engine divergence an EMPTY
+-- input exposes: ANSI (and DuckDB) emit the grand-total grouping-set row
+-- over an empty relation; Spark's rollup/cube/grouping-sets emit nothing.
+-- Every populated grouping row has COUNT(*) >= 1, so this is value-
+-- identical on any non-empty input (scripts/empty_sweep round-8 catch).
+HAVING COUNT(*) > 0
 """
 
 
@@ -532,7 +544,13 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "exact_parts",
-            (
+            # exact=0 (empty relation) ⇒ the sketch cannot be off: TRUE,
+            # matching the oracle's literal — and the CASE guards the ANSI
+            # division (when() short-circuits per row, so the divide never
+            # evaluates for the zero row; round-8 empty-corpus sweep)
+            F.when(
+                F.col("exact_parts") == 0, F.col("__approx") == 0
+            ).otherwise(
                 F.abs(F.col("__approx").cast("double") - F.col("exact_parts").cast("double"))
                 / F.col("exact_parts").cast("double")
                 <= F.lit(0.03)

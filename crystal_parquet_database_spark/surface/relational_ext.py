@@ -32,6 +32,12 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+-- HAVING COUNT(*) > 0 pins the one cross-engine divergence an EMPTY
+-- input exposes: ANSI (and DuckDB) emit the grand-total grouping-set row
+-- over an empty relation; Spark's rollup/cube/grouping-sets emit nothing.
+-- Every populated grouping row has COUNT(*) >= 1, so this is value-
+-- identical on any non-empty input (scripts/empty_sweep round-8 catch).
+HAVING COUNT(*) > 0
 """
 
 
@@ -742,7 +748,12 @@ def agg_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("exact_orders"),
     )
     bound = lambda approx, exact: (  # noqa: E731
-        F.abs(approx - exact.cast("double")) / exact.cast("double") <= F.lit(0.05)
+        # exact=0 (empty relation) ⇒ sketch can't be off: TRUE per the
+        # oracle's literal; when() short-circuits so the ANSI division
+        # never evaluates for the zero row (round-8 empty-corpus sweep)
+        F.when(exact == 0, F.coalesce(approx, F.lit(0.0)) == 0.0).otherwise(
+            F.abs(approx - exact.cast("double")) / exact.cast("double") <= F.lit(0.05)
+        )
     )
     per = per_flag.select(
         "l_returnflag",
