@@ -100,6 +100,21 @@ def assign_contiguous_ids(df: DataFrame, start: int = 0, id_col: str = ID_COL) -
     return out
 
 
+def _sorted_by_mtime(paths: list[str]) -> list[str]:
+    """Sort by mtime, DROPPING entries that vanish between the glob and the
+    stat (a concurrent ``PqDB.destroy`` or another process's reap): a plain
+    ``sorted(key=os.path.getmtime)`` raises FileNotFoundError out of whatever
+    innocent call triggered the listing, and keeping a vanished path could
+    elect it as the newest tmp and fail the restoring rename."""
+    keyed = []
+    for p in paths:
+        try:
+            keyed.append((os.path.getmtime(p), p))
+        except OSError:
+            continue
+    return [p for _, p in sorted(keyed)]
+
+
 class PqDB:
     """A directory of Parquet files managed as one logical table.
 
@@ -129,14 +144,27 @@ class PqDB:
 
     @property
     def exists(self) -> bool:
-        files = self._data_files()
-        if not files:
-            # no data at the canonical path: either a genuinely fresh/empty
-            # dataset, or an interrupted _rewrite swap left the state in
-            # sibling dirs — check (two cheap globs) and finish the swap
+        """True iff committed data files sit at the canonical path.
+
+        READ-ONLY by contract: crashed-swap recovery runs from the write
+        entry points (create/update/delete/upsert_scd2/normalize) and the
+        explicit ``recover()`` — never from here. A mere reader probing
+        ``exists`` while the single writer sits between ``_rewrite``'s two
+        renames must not "finish" the live swap and delete the sibling the
+        writer is about to rename (the old lazy-recovery form made every
+        read a potential mutator and broke the single-writer guarantee
+        for the writer itself)."""
+        return bool(self._data_files())
+
+    def recover(self) -> bool:
+        """Finish a crashed ``_rewrite`` swap, if one is pending; returns
+        ``exists`` afterwards. Write entry points call this implicitly; a
+        read-only process that finds ``exists`` false after a hard kill
+        calls it explicitly (it is the single mutating step, so run it
+        under the same single-writer discipline as any write)."""
+        if not self._data_files():
             self._recover_interrupted_swap()
-            files = self._data_files()
-        return bool(files)
+        return self.exists
 
     def _recover_interrupted_swap(self) -> None:
         """Finish a ``_rewrite`` swap a hard kill interrupted. The swap is
@@ -154,8 +182,8 @@ class PqDB:
         would be far worse than staying empty. Use ``PqDB.destroy`` to
         remove a dataset AND its crash siblings together."""
         esc = glob.escape(self.path)  # a '[2024]' in the path is a literal
-        tmps = sorted(glob.glob(f"{esc}__tmp_*"), key=os.path.getmtime)
-        olds = sorted(glob.glob(f"{esc}__old_*"), key=os.path.getmtime)
+        tmps = _sorted_by_mtime(glob.glob(f"{esc}__tmp_*"))
+        olds = _sorted_by_mtime(glob.glob(f"{esc}__old_*"))
         if not (tmps or olds):
             return
         # the canonical path holds no data files here (caller checked); it
@@ -172,8 +200,16 @@ class PqDB:
 
     def _df(self) -> DataFrame:
         if not self.exists:
+            esc = glob.escape(self.path)
+            hint = (
+                " (a crashed rewrite left swap siblings — call recover() "
+                "to restore the committed state)"
+                if glob.glob(f"{esc}__tmp_*") and glob.glob(f"{esc}__old_*")
+                else ""
+            )
             raise FileNotFoundError(
-                f"PqDB at {self.path!r} is empty — call create() before read()/update()/delete()"
+                f"PqDB at {self.path!r} is empty — call create() before "
+                f"read()/update()/delete(){hint}"
             )
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
@@ -242,8 +278,9 @@ class PqDB:
         The swap is crash-RECOVERABLE, not atomic: a hard kill between the
         two renames leaves ``self.path`` missing with the complete new state
         in ``__tmp_*`` and the old state in ``__old_*`` —
-        ``_recover_interrupted_swap`` (run from ``exists``, i.e. on the
-        next touch by any process) finishes the swap. Stale ``__old_*``
+        ``_recover_interrupted_swap`` (run from every write entry point
+        and the explicit ``recover()`` — never from reads) finishes the
+        swap. Stale ``__old_*``
         leftovers from a kill after the second rename are reaped here
         before the next swap. Single-writer discipline assumed throughout
         (two concurrent writers corrupt any rename scheme without a lock
@@ -330,6 +367,7 @@ class PqDB:
         via mergeSchema); type *widenings* trigger a one-time dataset rewrite
         to the promoted schema.
         """
+        self.recover()  # write entry point: finish any crashed swap first
         df = self._to_df(data, schema)
         if ID_COL in df.columns:
             df = df.drop(ID_COL)  # engine-owned column (reference: mc3d.py:125-126)
@@ -535,6 +573,7 @@ class PqDB:
         # three separate evaluations of a possibly-expensive (or worse,
         # nondeterministic — sample/rand) lineage, so the guard would not
         # certify the materialization the join actually consumes
+        self.recover()  # write entry point: finish any crashed swap first
         up = self._to_df(updates).persist()
         try:
             base = self._df()
@@ -594,6 +633,7 @@ class PqDB:
     def delete(self, ids: list | None = None, where: str | Column | None = None) -> None:
         """Delete rows where the predicate is TRUE (SQL DELETE semantics:
         rows where it evaluates to NULL are kept, not deleted)."""
+        self.recover()  # write entry point: finish any crashed swap first
         base = self._df()
         if ids is not None:
             cond = F.col(ID_COL).isin(ids)
@@ -644,6 +684,7 @@ class PqDB:
         closed + unchanged = the pre-merge current-row count; unchanged is
         NOT "matched and identical" alone).
         """
+        self.recover()  # write entry point: finish any crashed swap first
         base = self._df()
         # persisted: the missing/dup guards, the size probe, the join, and
         # the fresh anti-join all consume this frame — one materialization
@@ -821,6 +862,7 @@ class PqDB:
         Locally this is repartition + maxRecordsPerFile; at 100 TB the same
         rewrite runs as a distributed compaction job (AQE balances the
         shuffle)."""
+        self.recover()  # write entry point: finish any crashed swap first
         df = self._df()
         n = df.count()
         n_files = max(1, math.ceil(n / max_rows_per_file))

@@ -23,6 +23,17 @@ from crystal_parquet_database_spark.operators import dedup as D
 from crystal_parquet_database_spark.operators import text as T
 
 
+def _mixture_threshold(rate: float, mod: int) -> int:
+    """Keep-bucket threshold for a mixture rate, rounded HALF-UP.
+
+    Not ``int()``: binary-float error truncates exact rates one bucket low
+    (0.29 * 10000 == 2899.999... -> 2899). Not ``round()``: banker's
+    rounding sends an exact .5 product (0.00025 * 10000 == 2.5) to the
+    EVEN neighbor 2, i.e. down — the very truncation surprise the rounding
+    is here to avoid."""
+    return int(rate * mod + 0.5)
+
+
 class TrainingDataPipeline:
     """Fluent pipeline over a documents frame (id + text columns)."""
 
@@ -126,9 +137,7 @@ class TrainingDataPipeline:
         rate = None
         for lang, r in rates.items():
             cond = F.col(lang_col) == lang
-            # round, not int(): binary-float error truncates exact rates
-            # one bucket low (0.29 * 10000 == 2899.999... -> 2899)
-            thr = F.lit(round(r * mod))
+            thr = F.lit(_mixture_threshold(r, mod))
             rate = F.when(cond, thr) if rate is None else rate.when(cond, thr)
         rate = F.lit(mod) if rate is None else rate.otherwise(F.lit(mod))
         return self._push(f"mixture {rates}", self.df.filter(h < rate))

@@ -210,10 +210,19 @@ def promote_type(a: T.DataType, b: T.DataType) -> T.DataType:
         return a if _NUMERIC_RANK[an] >= _NUMERIC_RANK[bn] else b
     dec_a, dec_b = isinstance(a, T.DecimalType), isinstance(b, T.DecimalType)
     if dec_a and dec_b:
-        # widen to cover both: max integer digits + max scale (capped 38)
+        # widen to cover both: max integer digits + max scale. When that
+        # exceeds 38, reduce SCALE, never integer capacity: the evolution
+        # rewrite ANSI-casts already-stored values to the promoted type, and
+        # a shrunken integer range aborts on valid data (the old flat
+        # precision cap sent decimal(38,0)+decimal(10,6) to decimal(38,6) =
+        # only 32 integer digits). Dropping fractional digits instead merely
+        # rounds (ANSI decimal->decimal rounds scale; only integer-digit
+        # overflow aborts), the SQL-standard direction of loss.
         sc = max(a.scale, b.scale)
-        p = min(38, max(a.precision - a.scale, b.precision - b.scale) + sc)
-        return T.DecimalType(p, sc)
+        intd = max(a.precision - a.scale, b.precision - b.scale)
+        if intd + sc > 38:
+            sc = 38 - intd
+        return T.DecimalType(intd + sc, sc)
     if (dec_a and bn in _NUMERIC_RANK) or (dec_b and an in _NUMERIC_RANK):
         # decimal + float/double -> double (Arrow permissive); the old
         # fall-back-to-left kept decimal(p,s) and the evolution cast then

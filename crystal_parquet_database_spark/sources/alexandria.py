@@ -34,8 +34,23 @@ INDEX_FILE_PATTERN = re.compile(r"alexandria_[^\"<>\s]*\.json\.bz2")
 # Prefer real hrefs when present: an index whose links point into
 # SUBDIRECTORIES ('pbe/alexandria_000.json.bz2') needs the full path — the
 # bare-name pattern above (kept as the fallback for index pages that list
-# names outside anchors) would build root-relative URLs that 404.
-INDEX_HREF_PATTERN = re.compile(r"href=\"([^\"<>\s]*alexandria_[^\"<>\s]*\.json\.bz2)\"")
+# names outside anchors) would build root-relative URLs that 404. Accept
+# double-quoted, single-quoted, AND unquoted attribute values (all legal
+# HTML) — matching only double quotes silently demoted single-quoted
+# indexes to the bare-name fallback, rebuilding exactly the 404ing
+# root-relative URLs the href branch exists to avoid.
+INDEX_HREF_PATTERN = re.compile(
+    r"href=(?:\"([^\"<>\s]*alexandria_[^\"<>\s]*\.json\.bz2)\""
+    r"|'([^'<>\s]*alexandria_[^'<>\s]*\.json\.bz2)'"
+    r"|([^\"'<>\s]*alexandria_[^\"'<>\s]*\.json\.bz2))"
+)
+
+
+def extract_index_hrefs(html: str) -> list[str]:
+    """All href'd alexandria file links, in page order. findall yields one
+    tuple per match (one group per quote style, exactly one non-empty);
+    collapse each to its matched alternative."""
+    return [next(g for g in m if g) for m in INDEX_HREF_PATTERN.findall(html)]
 
 
 def _tmp_name(name: str) -> str:
@@ -78,7 +93,7 @@ class AlexandriaLoader(BaseLoader):
         ):
             base += "/"
         links = list(
-            dict.fromkeys(INDEX_HREF_PATTERN.findall(html))
+            dict.fromkeys(extract_index_hrefs(html))
             or dict.fromkeys(INDEX_FILE_PATTERN.findall(html))
         )
         for href in links:

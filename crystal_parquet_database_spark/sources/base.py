@@ -156,6 +156,11 @@ class BaseLoader:
         duplicate rows instead."""
         started = self._ingest_started_marker()
         pqdb = PqDB(self.spark, self.interim_db_dir)
+        # ingest is a write path: finish any crashed swap BEFORE the
+        # skip-if-complete check (`exists` is read-only now; without this a
+        # corpus parked in swap siblings would look absent and be
+        # re-ingested on top of the recovered rows as duplicates)
+        pqdb.recover()
         if pqdb.exists:
             if not self.config.ingest_from_scratch and not os.path.exists(started):
                 return pqdb

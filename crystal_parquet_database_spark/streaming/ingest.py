@@ -90,6 +90,11 @@ def stream_ingest_into_pqdb(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([key_col])
+        # the sink owns the dataset (single writer): finish any crashed
+        # swap before deciding whether an existing-keys anti-join is needed
+        # (`exists` is read-only now — a dataset parked in swap siblings
+        # would otherwise skip the dedup and re-append its whole history)
+        db.recover()
         if db.exists:
             existing = db.read(
                 columns=[key_col], filters=history_filter

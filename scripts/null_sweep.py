@@ -31,6 +31,32 @@ from crystal_parquet_database_spark.testing import compare_query
 
 SRC = "/root/testdata/sf0.001"
 
+# Round-9 audit (VERDICT r8 ask #5): every oracle ranking-window site
+# (ROW_NUMBER/RANK/DENSE_RANK/NTILE/LAG/LEAD/FIRST_VALUE/LAST_VALUE/
+# PERCENT_RANK/CUME_DIST ... OVER) was enumerated — 29 oracles total.
+# DuckDB 1.0's parallel window executor is nondeterministic when the
+# window's input carries NULL partition/order rows, so every one of the
+# 29 that reads a NULL-injected table (documents / embeddings / events)
+# is repeated 3x here instead of once. The 4 unexposed ones
+# (window_distribution_functions, window_positional_values,
+# window_running_spend, window_topk_orders_per_customer) read only
+# TPC-H tables whose partition/order columns are non-NULL by fixture
+# construction and are untouched by build_null_corpus.
+REPEAT_3X = frozenset([
+    "agg_cms_heavy_hitters", "agg_mode_per_group",
+    "dedup_cluster_representatives", "dedup_semantic_semdedup",
+    "events_funnel_sessionized", "events_session_transitions",
+    "llm_corpus_pipeline", "sample_deterministic_stratified",
+    "sample_global_shuffle", "sample_source_cap",
+    "sim_ann_lsh_topk", "sim_ann_multiprobe_topk", "sim_ann_recall_at_k",
+    "sim_cosine_topk_bruteforce", "sim_decontaminate_embeddings",
+    "sim_ivf_recall_at_k", "sim_label_centroid_outliers",
+    "sim_pq_recall_at_k", "stream_first_event_per_key",
+    "stream_session_windows", "text_bm25_topk", "text_hybrid_rrf_search",
+    "text_tfidf_top_terms", "text_token_rarity_score",
+    "window_sessionize_events",
+])
+
 
 def build_null_corpus(dst: str) -> None:
     for f in os.listdir(SRC):
@@ -60,15 +86,19 @@ def main() -> None:
     spark = get_spark()
     fails = []
     for name in ORACLES:
-        try:
-            ok, msg = compare_query(spark, name, dst)
-        except Exception as e:  # surface, don't abort the sweep
-            ok, msg = False, f"{name}: EXC {type(e).__name__}: {e}"
-        if not ok:
-            fails.append(msg.splitlines()[0][:200])
-            print("FAIL", fails[-1], flush=True)
-        release_all_session_blocks(spark)
-        gc.collect()
+        reps = 3 if name in REPEAT_3X else 1
+        for rep in range(reps):
+            try:
+                ok, msg = compare_query(spark, name, dst)
+            except Exception as e:  # surface, don't abort the sweep
+                ok, msg = False, f"{name}: EXC {type(e).__name__}: {e}"
+            if not ok:
+                tag = f" (rep {rep + 1}/{reps})" if reps > 1 else ""
+                fails.append(msg.splitlines()[0][:200] + tag)
+                print("FAIL", fails[-1], flush=True)
+                break
+            release_all_session_blocks(spark)
+            gc.collect()
     print(f"DONE {len(ORACLES) - len(fails)}/{len(ORACLES)} green on NULL corpus; dir={dst}")
     if fails:
         raise SystemExit(1)

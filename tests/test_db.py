@@ -731,9 +731,11 @@ def test_normalize_cluster_by_on_partitioned_dataset_compacts(spark, tmp_path):
 
 def test_interrupted_swap_recovers_new_state(spark, tmp_path):
     """Simulate a kill between _rewrite's two renames: path missing, old
-    state in __old_*, COMPLETE new state in __tmp_*. The next touch must
-    finish the swap (restore the tmp) rather than raise FileNotFoundError
-    forever."""
+    state in __old_*, COMPLETE new state in __tmp_*. The next WRITE touch
+    (or an explicit recover()) must finish the swap; a mere `exists` probe
+    must NOT — round-9 advice: lazy recovery from `exists` let a reader
+    complete the swap and delete the sibling a live writer was about to
+    rename."""
     import os
     import shutil as sh
 
@@ -747,10 +749,38 @@ def test_interrupted_swap_recovers_new_state(spark, tmp_path):
     sh.copytree(path, f"{path}__tmp_deadbeef")
     os.rename(path, f"{path}__old_deadbeef")
     db2 = PqDB(spark, path)
-    assert db2.exists  # recovery ran
+    # `exists` is read-only: it reports absence and leaves BOTH siblings
+    assert not db2.exists
+    assert os.path.exists(f"{path}__tmp_deadbeef")
+    assert os.path.exists(f"{path}__old_deadbeef")
+    # explicit recovery finishes the swap
+    assert db2.recover()
+    assert db2.exists
     assert not os.path.exists(f"{path}__old_deadbeef")
     got = {r["k"]: r["v"] for r in db2.read(columns=["k", "v"]).collect()}
     assert got[0] == 99 and len(got) == 10
+
+
+def test_write_entry_points_recover_crashed_swap(spark, tmp_path):
+    """create() on a dataset parked in swap siblings must restore the
+    committed state FIRST and append onto it — not treat the dataset as
+    fresh (which would strand the recovered rows or fork ids)."""
+    import os
+    import shutil as sh
+
+    from crystal_parquet_database_spark.db import PqDB
+
+    path = str(tmp_path / "swapwrite")
+    db = PqDB(spark, path)
+    db.create([{"k": i, "v": i} for i in range(10)])
+    db.update([{"k": 0, "v": 99}], on="k")
+    sh.copytree(path, f"{path}__tmp_cafef00d")
+    os.rename(path, f"{path}__old_cafef00d")
+    db2 = PqDB(spark, path)
+    db2.create([{"k": 100, "v": 100}])  # write path recovers implicitly
+    assert not os.path.exists(f"{path}__old_cafef00d")
+    got = {r["k"]: r["v"] for r in db2.read(columns=["k", "v"]).collect()}
+    assert got[0] == 99 and got[100] == 100 and len(got) == 11
 
 
 def test_destroy_clears_crash_siblings_no_resurrection(spark, tmp_path):

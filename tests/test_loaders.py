@@ -694,15 +694,22 @@ def test_index_href_pattern_resolves_subdirs_and_page_urls():
     from urllib.parse import urljoin
 
     from crystal_parquet_database_spark.sources.alexandria import (
-        INDEX_HREF_PATTERN,
+        extract_index_hrefs,
     )
 
     html = (
         '<a href="pbe/alexandria_000.json.bz2">alexandria_000.json.bz2</a>'
         '<a href="pbe/alexandria_001.json.bz2">x</a>'
     )
-    hrefs = INDEX_HREF_PATTERN.findall(html)
+    hrefs = extract_index_hrefs(html)
     assert hrefs == ["pbe/alexandria_000.json.bz2", "pbe/alexandria_001.json.bz2"]
+    # round-9 advice: single-quoted and unquoted href values are legal HTML;
+    # matching only double quotes silently demoted such indexes to the
+    # bare-name fallback, whose root-relative URLs 404 for subdir layouts
+    assert extract_index_hrefs(
+        "<a href='pbe/alexandria_002.json.bz2'>x</a>"
+        "<a href=scan/alexandria_003.json.bz2>y</a>"
+    ) == ["pbe/alexandria_002.json.bz2", "scan/alexandria_003.json.bz2"]
     assert (
         urljoin("https://host/data/index.html", hrefs[0])
         == "https://host/data/pbe/alexandria_000.json.bz2"

@@ -100,6 +100,17 @@ def test_pipeline_full_pretraining_chain(spark, sf_dir, tmp_path):
     assert [s[1] for s in stats1] == [s[1] for s in p.describe()]
 
 
+def test_mixture_threshold_rounds_half_up():
+    """Round-9 advice: round() is banker's rounding — an exact .5 product
+    (0.00025 * 10000 == 2.5) went to the EVEN neighbor 2, i.e. truncated,
+    the exact surprise the round-not-int comment promised to avoid."""
+    from crystal_parquet_database_spark.operators.pipeline import _mixture_threshold
+
+    assert _mixture_threshold(0.00025, 10_000) == 3   # round() gave 2
+    assert _mixture_threshold(0.29, 10_000) == 2900   # int() gave 2899
+    assert _mixture_threshold(0.5, 10_000) == 5000    # exact rates stay exact
+
+
 def test_sample_fraction_rejects_fraction_like_input(spark):
     from crystal_parquet_database_spark.operators.pipeline import TrainingDataPipeline
 
