@@ -88,7 +88,43 @@ PROBES = [
     "cif_parse_real",
     "nested_struct_ops_real",
     "multimodal_video_header_real",
+    # round 9: the two on-disk layout gates (r8 verdict ask #6) — the paths
+    # whose cost is the part that grows at 100 TB (compaction shuffle,
+    # z-order sort) had no 10x/30x point
+    "layout_zorder_bucketed_join",
+    "pqdb_normalize_compaction",
+    "pqdb_normalize_compaction_full",  # probe-only, defined below
 ]
+
+
+def _probe_normalize_compaction_full(spark, sf_dir: str):
+    """Probe-only variant of pqdb_normalize_compaction WITHOUT the gated
+    query's `doc_id < 600` slice: on a key-shifted replica that slice keeps
+    only base-copy rows, so the gated form measures CONSTANT work at any
+    factor. This variant ingests the FULL documents table (3 fragmented
+    appends, partition_by=lang), compacts, and reads back — the compaction
+    shuffle actually scales with the corpus."""
+    from pyspark.sql import functions as F
+
+    from crystal_parquet_database_spark.db import PqDB
+    from crystal_parquet_database_spark.surface.scratch import fresh_dir
+    from crystal_parquet_database_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    db = PqDB(
+        spark, os.path.join(fresh_dir("probe_normalize_full"), "db"), partition_by=["lang"]
+    )
+    for k in range(3):
+        db.create(docs.filter(F.col("doc_id") % 3 == k))
+    db.normalize(max_rows_per_file=1_000_000)
+    return db.read(columns=["doc_id", "lang", "n_chars"], filters=[("n_chars", ">", 100)]).groupBy(
+        "lang"
+    ).agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+
+
+EXTRA_PROBES = {"pqdb_normalize_compaction_full": _probe_normalize_compaction_full}
 
 
 def replicate(spark, factor: int, out_dir: str) -> None:
@@ -159,9 +195,10 @@ def run(sf_dir: str, label: str) -> dict[str, float]:
     spark = get_spark(app_name=f"scale_probe_{label}")
     times = {}
     for name in PROBES:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        fn = QUERIES.get(name) or EXTRA_PROBES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = time.perf_counter() - t0
         # free the query's eager-localCheckpoint blocks before the next
         # measurement. gc.collect() alone is NOT enough — runtime.py
@@ -178,7 +215,7 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     if len(sys.argv) > 2:  # optional probe subset: scale_probe.py 10 q1 q2 ...
         global PROBES
-        unknown = [n for n in sys.argv[2:] if n not in QUERIES]
+        unknown = [n for n in sys.argv[2:] if n not in QUERIES and n not in EXTRA_PROBES]
         if unknown:
             raise SystemExit(f"unknown probe names: {unknown}")
         PROBES = list(sys.argv[2:])
