@@ -29,9 +29,10 @@ def _mixture_threshold(rate: float, mod: int) -> int:
     Not ``int()``: binary-float error truncates exact rates one bucket low
     (0.29 * 10000 == 2899.999... -> 2899). Not ``round()``: banker's
     rounding sends an exact .5 product (0.00025 * 10000 == 2.5) to the
-    EVEN neighbor 2, i.e. down — the very truncation surprise the rounding
-    is here to avoid."""
-    return int(rate * mod + 0.5)
+    EVEN neighbor 2, i.e. down. And the product is snapped to 6 decimals
+    first: float error can land just BELOW .5 too (0.00015 * 10000 ==
+    1.4999999999999998), where a bare +0.5 truncates the same way."""
+    return int(round(rate * mod, 6) + 0.5)
 
 
 class TrainingDataPipeline:

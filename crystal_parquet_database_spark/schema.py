@@ -211,17 +211,24 @@ def promote_type(a: T.DataType, b: T.DataType) -> T.DataType:
     dec_a, dec_b = isinstance(a, T.DecimalType), isinstance(b, T.DecimalType)
     if dec_a and dec_b:
         # widen to cover both: max integer digits + max scale. When that
-        # exceeds 38, reduce SCALE, never integer capacity: the evolution
-        # rewrite ANSI-casts already-stored values to the promoted type, and
-        # a shrunken integer range aborts on valid data (the old flat
-        # precision cap sent decimal(38,0)+decimal(10,6) to decimal(38,6) =
-        # only 32 integer digits). Dropping fractional digits instead merely
-        # rounds (ANSI decimal->decimal rounds scale; only integer-digit
-        # overflow aborts), the SQL-standard direction of loss.
+        # exceeds 38 there is NO exact decimal supertype; the loss rules
+        # are chosen around which side the evolution rewrite ANSI-casts:
+        # the LEFT (canonical/stored) side must survive the cast EXACTLY —
+        # so scale never drops below a.scale (stored fractional digits are
+        # never silently rounded) and a's integer digits always fit
+        # (a.precision <= 38 guarantees intd_a <= 38 - a.scale). The
+        # remaining loss lands on INCOMING data only, in the SQL-standard
+        # directions: fractional digits beyond the promoted scale round at
+        # the write cast; integer digits beyond 38 - scale abort loudly at
+        # the write cast, value-dependently (a wide incoming TYPE with
+        # small actual values still ingests). The old flat precision cap
+        # sent decimal(38,0)+decimal(10,6) to decimal(38,6) = 32 integer
+        # digits, and the rewrite then aborted on already-stored values.
         sc = max(a.scale, b.scale)
         intd = max(a.precision - a.scale, b.precision - b.scale)
         if intd + sc > 38:
-            sc = 38 - intd
+            sc = max(38 - intd, a.scale)
+            intd = 38 - sc
         return T.DecimalType(intd + sc, sc)
     if (dec_a and bn in _NUMERIC_RANK) or (dec_b and an in _NUMERIC_RANK):
         # decimal + float/double -> double (Arrow permissive); the old

@@ -195,7 +195,11 @@ class BaseLoader:
         satisfy ingest()'s skip branch anyway — a user who deleted the raw
         corpus to reclaim space after a successful ingest must not trigger
         a full re-download that ingest() would never read."""
-        interim_done = PqDB(self.spark, self.interim_db_dir).exists and not os.path.exists(
+        # recover(), not the read-only exists: a corpus parked in crashed-
+        # swap siblings would read as absent and trigger the full raw
+        # re-download this guard exists to avoid (run() is the loader's own
+        # write path, so recovery here honors the single-writer discipline)
+        interim_done = PqDB(self.spark, self.interim_db_dir).recover() and not os.path.exists(
             self._ingest_started_marker()
         )
         if (

@@ -92,13 +92,18 @@ def main() -> None:
                 ok, msg = compare_query(spark, name, dst)
             except Exception as e:  # surface, don't abort the sweep
                 ok, msg = False, f"{name}: EXC {type(e).__name__}: {e}"
+            finally:
+                # release BEFORE acting on failure: a failing query's
+                # checkpoint blocks would otherwise stay pinned for the
+                # rest of the 149-query sweep (gc alone can't free them),
+                # turning one real divergence into cascading slowdowns
+                release_all_session_blocks(spark)
+                gc.collect()
             if not ok:
                 tag = f" (rep {rep + 1}/{reps})" if reps > 1 else ""
                 fails.append(msg.splitlines()[0][:200] + tag)
                 print("FAIL", fails[-1], flush=True)
                 break
-            release_all_session_blocks(spark)
-            gc.collect()
     print(f"DONE {len(ORACLES) - len(fails)}/{len(ORACLES)} green on NULL corpus; dir={dst}")
     if fails:
         raise SystemExit(1)

@@ -109,6 +109,10 @@ def test_mixture_threshold_rounds_half_up():
     assert _mixture_threshold(0.00025, 10_000) == 3   # round() gave 2
     assert _mixture_threshold(0.29, 10_000) == 2900   # int() gave 2899
     assert _mixture_threshold(0.5, 10_000) == 5000    # exact rates stay exact
+    # float error can land just BELOW .5 too: 0.00015*10000 ==
+    # 1.4999999999999998, where a bare int(x + 0.5) truncated to 1
+    assert _mixture_threshold(0.00015, 10_000) == 2
+    assert _mixture_threshold(0.00142, 10_000) == 14  # true sub-half stays down
 
 
 def test_sample_fraction_rejects_fraction_like_input(spark):

@@ -226,12 +226,21 @@ def test_promote_type_decimal_and_temporal_widening():
     widened = promote_type(T.DecimalType(18, 2), T.LongType())
     assert isinstance(widened, T.DecimalType) and widened.scale == 2
     assert widened.precision - widened.scale >= 19  # full long domain fits
-    # round-9 advice: over-38 widening reduces SCALE, never integer digits —
-    # the old flat precision cap gave decimal(38,0)+decimal(10,6) ->
-    # decimal(38,6) = 32 integer digits, and the evolution rewrite's ANSI
-    # cast then aborted on already-stored 33+-digit values
+    # round-9 advice + review: over-38 widening must keep the LEFT
+    # (canonical/stored) side exact — the old flat precision cap gave
+    # decimal(38,0)+decimal(10,6) -> decimal(38,6) = 32 integer digits, and
+    # the evolution rewrite's ANSI cast then aborted on already-stored
+    # 33+-digit values. Loss lands on the incoming side only: its extra
+    # fractional digits round at the write cast, its oversized integers
+    # abort there value-dependently.
     assert promote_type(T.DecimalType(38, 0), T.DecimalType(10, 6)) == T.DecimalType(38, 0)
     assert promote_type(T.DecimalType(35, 0), T.DecimalType(10, 6)) == T.DecimalType(38, 3)
+    # the mirror direction: stored fractions are NEVER rounded away — scale
+    # floors at the stored side's own scale even when integer capacity
+    # must shrink (incoming 33+-digit integers then abort at the write
+    # cast, which only fires on actual overflowing values)
+    assert promote_type(T.DecimalType(10, 6), T.DecimalType(38, 0)) == T.DecimalType(38, 6)
+    assert promote_type(T.DecimalType(38, 38), T.DecimalType(38, 0)) == T.DecimalType(38, 38)
     assert promote_type(T.DateType(), T.TimestampType()) == T.TimestampType()
     assert promote_type(T.TimestampNTZType(), T.DateType()) == T.TimestampNTZType()
     assert promote_type(
