@@ -639,35 +639,45 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The audio fake is byte-slice arithmetic over the content (chunk step =
-# len//8, energy = mean byte value) — expressible in SQL because the fixture
-# text is pure ASCII (verified: octet_length == length at every sf), so char
-# offsets are byte offsets and ord() is the byte value. Empty tail chunks
-# mirror the fake's  b"\\x00" placeholder as 0.0.
+# len//8, energy = mean byte value) — recomputed BYTE-exactly by slicing
+# the hex encoding of the UTF-8 bytes (2 hex digits per byte). The first
+# form sliced CHARACTERS with a byte-derived step and used ord() as the
+# byte value — exact only while the corpus is pure ASCII; the round-9
+# unicode sweep showed 442/4000 rows diverging on multilingual text
+# (multi-byte chars make char offsets ≠ byte offsets and code points ≠
+# byte values). Empty tail chunks mirror the fake's b"\\x00" placeholder
+# as 0.0. Text leading with the WAV magic (RIFF....WAVE) is excluded on
+# BOTH sides: the operator's parser-first routing would hand such content
+# to the REAL WAV header parser while the oracle models only the fake —
+# the same reachable-magic hole the image pipeline closes for GIF.
 _AUDIO_PIPELINE_ORACLE = """
 WITH base AS (
-  SELECT doc_id AS audio_id, text,
+  SELECT doc_id AS audio_id,
+         hex(encode(text)) AS hx,
          octet_length(encode(text)) AS n_bytes,
          GREATEST(octet_length(encode(text)) // 8, 1) AS step
   FROM documents
   WHERE text IS NOT NULL
+    AND NOT (substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE')
 ),
 x AS (
-  SELECT audio_id, text, n_bytes, step,
+  SELECT audio_id, hx, n_bytes, step,
          unnest(generate_series(0, 7)) AS chunk_index
   FROM base
 ),
 c AS (
   SELECT audio_id, n_bytes, chunk_index,
-         substr(text, chunk_index * step + 1, step) AS chunk
+         substr(hx, chunk_index * step * 2 + 1, step * 2) AS chunkhex
   FROM x
 )
 SELECT audio_id,
        CAST(n_bytes AS DOUBLE) / 16000.0 AS duration_s,
        CAST(chunk_index AS INTEGER) AS chunk_index,
-       CASE WHEN length(chunk) = 0 THEN 0.0
-            ELSE list_aggregate(list_transform(generate_series(1, length(chunk)),
-                   j -> CAST(ord(substr(chunk, j, 1)) AS DOUBLE)), 'sum')
-                 / length(chunk)
+       CASE WHEN length(chunkhex) = 0 THEN 0.0
+            ELSE list_aggregate(list_transform(generate_series(1, length(chunkhex) // 2),
+                   j -> CAST(('0x' || substr(chunkhex, (j - 1) * 2 + 1, 2))::INTEGER AS DOUBLE)),
+                   'sum')
+                 / (length(chunkhex) // 2)
        END AS energy
 FROM c
 """
@@ -684,6 +694,16 @@ def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crystal_parquet_database_spark.operators import multimodal as M
 
     docs = load_table(spark, sf_dir, "documents")
+    # WAV magic is pure ASCII, so a document whose TEXT leads with
+    # RIFF....WAVE would hit the REAL wav header parser (parser-first
+    # routing) while the oracle models only the fake branch — exclude on
+    # BOTH sides, mirroring the image pipeline's GIF-magic exclusion
+    docs = docs.filter(
+        ~(
+            (F.substring("text", 1, 4) == "RIFF")
+            & (F.substring("text", 9, 4) == "WAVE")
+        ).eqNullSafe(F.lit(True))
+    )
     binary = M.documents_as_binary(docs).withColumnRenamed("image_id", "audio_id")
     chunks = M.audio_chunk_energy(binary, id_col="audio_id")
     return chunks.select(
