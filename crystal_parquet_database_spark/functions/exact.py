@@ -87,3 +87,34 @@ def dsum_of_double(c: Column | str, cast_to: str = HI) -> Column:
     (identical rounding both engines), sum exactly, emit double."""
     col = F.col(c) if isinstance(c, str) else c
     return F.sum(col.cast(cast_to)).cast("double")
+
+
+# The decimal-routed aggregation path has a DOMAIN: a double must fit the
+# decimal it is fixed at, or the ANSI cast aborts the whole job on ONE bad
+# upstream value — exactly the failure a 100 TB feed with occasional
+# sensor garbage (1e308, ±inf, NaN) must survive. Values outside the
+# domain join NaN/±inf/NULL in the MISSING class (round-8's NaN-as-missing
+# contract, extended to huge-finite in round 9 after the extreme-values
+# sweep crashed three queries on 1.7e308). The bound for decimal(18,6) is
+# 1e12 (12 integer digits); rounding at scale 6 cannot push a
+# representable double below the bound across it (double spacing at 1e12
+# is ~2.4e-4, far coarser than the 5e-7 rounding increment).
+VALUE_DOMAIN_18_6 = 1e12
+
+
+def missing_outside_domain(c: Column | str, bound: float = VALUE_DOMAIN_18_6) -> Column:
+    """NULL out NaN and |v| >= bound (±inf included): the missing-value
+    class for decimal-routed aggregation. One definition — the oracle
+    mirror below must stay the same predicate."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(F.isnan(col) | (F.abs(col) >= F.lit(bound)), F.lit(None)).otherwise(col)
+
+
+def MISSING_OUTSIDE_DOMAIN_SQL(expr: str, bound: str = "1e12") -> str:
+    """DuckDB mirror of ``missing_outside_domain`` (NULL input stays NULL:
+    isnan(NULL) is NULL, the CASE falls through to the ELSE arm)."""
+    return (
+        f"CASE WHEN isnan(CAST({expr} AS DOUBLE)) "
+        f"OR abs(CAST({expr} AS DOUBLE)) >= {bound} "
+        f"THEN NULL ELSE {expr} END"
+    )

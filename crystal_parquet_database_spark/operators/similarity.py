@@ -563,6 +563,11 @@ def decontaminate_by_similarity(
     )
 
 
+# the fixed-point audit's per-component validity bound — see
+# label_centroid_outliers' docstring; the oracle inlines the same constant
+CENTROID_COMPONENT_DOMAIN = 1_000.0
+
+
 def label_centroid_outliers(
     df: DataFrame,
     id_col: str,
@@ -588,7 +593,23 @@ def label_centroid_outliers(
     broadcast-join centroids back; one shuffle to re-aggregate per row; a
     bounded per-label top-k window. No step holds a whole label on one task
     except the final top-k, whose input is one scored row per member.
+
+    Component DOMAIN: the integer grid bounds what a component may be —
+    ``floor(tv² · 1e12)`` must fit int64, so |component| must stay under
+    ``CENTROID_COMPONENT_DOMAIN`` (1e3; deviations then reach 2e3 and the
+    squared term 4e18 < 2^63). Vectors carrying a NULL/NaN/out-of-domain
+    component are EXCLUDED from the audit up front — the same
+    invalid-vector contract as the IVF quantizer sample and LSH banding;
+    without it ONE 1e18 garbage component ANSI-aborts the whole job
+    (round-9 extreme-values sweep).
     """
+    bad = F.exists(
+        F.col(vec_col),
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) >= F.lit(CENTROID_COMPONENT_DOMAIN)),
+    )
+    df = df.filter(F.col(vec_col).isNotNull() & ~bad)
     n_part = df.sparkSession.sparkContext.defaultParallelism
     q = (
         df.repartition(n_part)

@@ -30,11 +30,13 @@ def _running_stats_fn(
     n, total, mx = state.get if state.exists else (0, None, None)
     for pdf in pdfs:
         n += len(pdf)
-        # finite-only, not just dropna: ±inf joins NaN/NULL in the missing
-        # class so the batch replay (which NULLs non-finite values before
-        # its decimal-routed sum — ANSI cast(inf AS DECIMAL) aborts) stays
-        # value-identical to the streaming path on ANY input
-        vals = pdf["value"][np.isfinite(pdf["value"].astype(float))]
+        # in-domain-only, not just dropna: ±inf, NaN AND huge-finite values
+        # (|v| >= 1e12, outside the decimal(18,6) domain) all join NULL in
+        # the missing class so the batch replay (which NULLs them before
+        # its decimal-routed sum — the ANSI cast aborts on any of them)
+        # stays value-identical to the streaming path on ANY input
+        fv = pdf["value"].astype(float)
+        vals = pdf["value"][np.isfinite(fv) & (np.abs(fv) < 1e12)]
         if len(vals):
             total = float(vals.sum()) + (total if total is not None else 0.0)
             m = float(vals.max())
@@ -68,12 +70,15 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         # decimal-routed sum: exact, order-independent, SQL-oracle-checkable
         # (the streaming path accumulates in float — equality within fp noise
         # is pinned in tests/test_stateful_streaming.py)
-        # ±inf joins NaN in the missing class: ANSI cast(inf AS DECIMAL) is
-        # out-of-range and would abort the batch replay the same way
-        v = F.when(
-            F.isnan("value") | F.col("value").isin(float("inf"), float("-inf")),
-            F.lit(None),
-        ).otherwise(F.col("value"))
+        # ±inf and |v| >= 1e12 join NaN in the missing class: ANSI
+        # cast-to-decimal(18,6) is out-of-range for all of them and would
+        # abort the batch replay on one bad value (functions/exact.py
+        # documents the domain)
+        from crystal_parquet_database_spark.functions.exact import (
+            missing_outside_domain,
+        )
+
+        v = missing_outside_domain("value")
         return events.withColumn("value", v).groupBy("user_id").agg(
             F.count("*").alias("n_events"),
             dsum_of_double("value", "decimal(18,6)").alias("total_value"),

@@ -28,18 +28,16 @@ def tumbling_counts(
 ) -> DataFrame:
     """Tumbling-window counts + exact value sums per key.
 
-    NaN-as-missing contract (same as stateful.running_user_stats): NaN/±inf
-    ``value`` becomes NULL before the decimal-routed sum — under ANSI mode
-    ``cast(NaN AS DECIMAL)`` would otherwise abort the whole streaming
-    query on the first bad upstream value."""
+    Missing-value contract (same as stateful.running_user_stats): NaN, ±inf
+    AND huge-finite values outside the decimal(18,6) domain (|v| >= 1e12)
+    become NULL before the decimal-routed sum — under ANSI mode the cast
+    would otherwise abort the whole streaming query on the first bad
+    upstream value (round 9's extreme-values sweep crashed this on a
+    single 1.7e308 row)."""
+    from crystal_parquet_database_spark.functions.exact import missing_outside_domain
+
     df = with_watermark(df, ts_col, watermark)
-    df = df.withColumn(
-        "value",
-        F.when(
-            F.isnan("value") | F.col("value").isin(float("inf"), float("-inf")),
-            F.lit(None),
-        ).otherwise(F.col("value")),
-    )
+    df = df.withColumn("value", missing_outside_domain("value"))
     return (
         df.groupBy(F.window(ts_col, width).alias("w"), key_col)
         .agg(

@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from crystal_parquet_database_spark.functions.exact import (
+    MISSING_OUTSIDE_DOMAIN_SQL,
+    missing_outside_domain,
+)
 from crystal_parquet_database_spark.operators.sessionize import sql_session_cte
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table
@@ -244,11 +248,13 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-resolution time rollup (continuous-aggregate / hypertable pattern)
 # ----------------------------------------------------------------------------
 
-_MULTIRES_ORACLE = """
+# value rides through the missing-value guard on BOTH sides (NaN/±inf/
+# |v| >= 1e12 are outside the decimal(18,6) domain — see functions/exact.py)
+_MULTIRES_ORACLE = f"""
 WITH m AS (
   SELECT date_trunc('minute', ts) AS b,
          COUNT(*) AS n,
-         SUM(CAST(value AS DECIMAL(18,6))) AS s
+         SUM(CAST({MISSING_OUTSIDE_DOMAIN_SQL('value')} AS DECIMAL(18,6))) AS s
   FROM events GROUP BY 1
 )
 SELECT 'minute' AS level, b AS bucket_start,
@@ -290,7 +296,9 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("ts", "value")
     minute = e.groupBy(F.date_trunc("minute", F.col("ts")).alias("m")).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
+        # missing-value guard: one 1.7e308 sensor-garbage row must not
+        # ANSI-abort the whole rollup (see functions/exact.py)
+        F.sum(missing_outside_domain("value").cast("decimal(18,6)")).alias("__s"),
     )
     fanned = minute.select(
         F.explode(
@@ -471,13 +479,30 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------------
 
 _HIST_WIDTH = 50
+# bucket ids live in INT32; a value whose bucket would overflow it (or NaN,
+# or ±inf) lands in ONE shared NULL "unbucketable" bin instead of
+# ANSI-aborting the job — the monitoring semantic a garbage-bearing feed
+# needs (the round-9 extreme-values sweep crashed this on a 1.7e308 row:
+# floor() saturated to LONG MAX and the int cast overflowed)
+_HIST_BUCKETABLE = float(_HIST_WIDTH) * 2.0**31
 
 _HIST_ORACLE = f"""
-SELECT CAST(FLOOR(CAST(value AS DOUBLE) / {_HIST_WIDTH}) AS INTEGER) AS bucket,
-       CAST(FLOOR(CAST(value AS DOUBLE) / {_HIST_WIDTH}) * {_HIST_WIDTH} AS DOUBLE)
-         AS bucket_low,
+WITH b AS (
+  SELECT CASE WHEN isnan(CAST(value AS DOUBLE))
+              OR abs(CAST(value AS DOUBLE)) >= {_HIST_BUCKETABLE!r}
+         THEN NULL
+         ELSE CAST(FLOOR(CAST(value AS DOUBLE) / {_HIST_WIDTH}) AS INTEGER)
+         END AS bucket
+  FROM events
+)
+SELECT bucket,
+       -- derive bucket_low from the INTEGER bucket, not the double floor:
+       -- FLOOR(-0.0/{_HIST_WIDTH}) is the double -0.0 in DuckDB and
+       -- (-0.0)*{_HIST_WIDTH} stays -0.0, while the integer path emits 0.0
+       -- on both engines
+       CAST(bucket * {_HIST_WIDTH} AS DOUBLE) AS bucket_low,
        CAST(COUNT(*) AS BIGINT) AS n
-FROM events
+FROM b
 GROUP BY 1, 2
 """
 
@@ -486,15 +511,21 @@ GROUP BY 1, 2
 def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values — the one-pass, map-side-partial
     distribution sketch every monitoring dashboard needs (bucket id is a
-    row-local expression, so the only shuffle carries bucket×count cells)."""
+    row-local expression, so the only shuffle carries bucket×count cells).
+    NaN/±inf/|v| beyond the int32 bucket range group under one NULL
+    "unbucketable" bin (see _HIST_BUCKETABLE above)."""
     e = load_table(spark, sf_dir, "events").select("value")
-    bucket = F.floor(F.col("value").cast("double") / _HIST_WIDTH)
+    v = F.col("value").cast("double")
+    bucketable = ~F.isnan(v) & (F.abs(v) < F.lit(_HIST_BUCKETABLE))
+    bucket = F.when(bucketable, F.floor(v / _HIST_WIDTH).cast("int"))
     return (
-        e.groupBy(
-            bucket.cast("int").alias("bucket"),
-            (bucket * _HIST_WIDTH).cast("double").alias("bucket_low"),
-        )
+        e.groupBy(bucket.alias("bucket"))
         .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_WIDTH).cast("double").alias("bucket_low"),
+            "n",
+        )
     )
 
 

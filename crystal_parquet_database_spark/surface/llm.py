@@ -1523,12 +1523,23 @@ def text_pack_sequences_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CENTROID_SCALE = 10_000_000
 _CENTROID_TOPK = 3
 
+from crystal_parquet_database_spark.operators.similarity import (  # noqa: E402
+    CENTROID_COMPONENT_DOMAIN as _CENTROID_DOMAIN,
+)
+
+# vectors with a NULL/NaN/out-of-domain component are excluded on BOTH
+# sides (the operator's invalid-vector contract — one 1e18 garbage
+# component would overflow the int64 fixed-point grid)
 _CENTROID_ORACLE = f"""
 WITH x AS (
   SELECT vec_id, label,
          unnest(embedding) AS e,
          unnest(generate_series(1, len(embedding))) AS pos
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding,
+          v -> v IS NULL OR isnan(CAST(v AS DOUBLE))
+               OR abs(CAST(v AS DOUBLE)) >= {_CENTROID_DOMAIN!r})) = 0
 ),
 q AS (
   SELECT vec_id, label, pos,

@@ -14,17 +14,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crystal_parquet_database_spark.functions.exact import MISSING_OUTSIDE_DOMAIN_SQL
 from crystal_parquet_database_spark.operators.sessionize import sql_session_cte
 from crystal_parquet_database_spark.streaming import windows as SW
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table
 
-_TUMBLING_ORACLE = """
+# value rides through the missing-value guard on BOTH sides: NaN/±inf/
+# |v| >= 1e12 are outside the decimal(18,6) domain and count as missing
+# (functions/exact.py::MISSING_OUTSIDE_DOMAIN_SQL is the one definition)
+_TUMBLING_ORACLE = f"""
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
        time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST({MISSING_OUTSIDE_DOMAIN_SQL('value')} AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_value
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
@@ -108,11 +113,15 @@ def stream_windowed_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.windowed_distinct_keys(load_table(spark, sf_dir, "events"))
 
 
-_RUNNING_STATS_ORACLE = """
+# same missing-value guard as the tumbling oracle — and on MAX too: the
+# Spark side NULLs the whole value column, so an out-of-domain value must
+# not win max here either
+_RUNNING_STATS_ORACLE = f"""
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-       MAX(value) AS max_value
+       CAST(SUM(CAST({MISSING_OUTSIDE_DOMAIN_SQL('value')} AS DECIMAL(18,6)))
+            AS DOUBLE) AS total_value,
+       MAX({MISSING_OUTSIDE_DOMAIN_SQL('value')}) AS max_value
 FROM events
 GROUP BY user_id
 """
