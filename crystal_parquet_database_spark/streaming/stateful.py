@@ -15,6 +15,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from crystal_parquet_database_spark.functions.exact import VALUE_DOMAIN_18_6
+
 RUNNING_STATS_OUTPUT = "user_id long, n_events long, total_value double, max_value double"
 _RUNNING_STATS_STATE = "n long, total double, mx double"
 
@@ -31,12 +33,15 @@ def _running_stats_fn(
     for pdf in pdfs:
         n += len(pdf)
         # in-domain-only, not just dropna: ±inf, NaN AND huge-finite values
-        # (|v| >= 1e12, outside the decimal(18,6) domain) all join NULL in
-        # the missing class so the batch replay (which NULLs them before
-        # its decimal-routed sum — the ANSI cast aborts on any of them)
-        # stays value-identical to the streaming path on ANY input
+        # outside the decimal(18,6) domain all join NULL in the missing
+        # class so the batch replay (which NULLs them before its
+        # decimal-routed sum — the ANSI cast aborts on any of them) stays
+        # value-identical to the streaming path on ANY input. The bound is
+        # THE shared constant, not a literal — drifting from the batch
+        # side's missing_outside_domain would silently break the
+        # stream/batch value-identity test_stateful_streaming.py pins.
         fv = pdf["value"].astype(float)
-        vals = pdf["value"][np.isfinite(fv) & (np.abs(fv) < 1e12)]
+        vals = pdf["value"][np.isfinite(fv) & (np.abs(fv) < VALUE_DOMAIN_18_6)]
         if len(vals):
             total = float(vals.sum()) + (total if total is not None else 0.0)
             m = float(vals.max())

@@ -488,19 +488,18 @@ _HIST_BUCKETABLE = float(_HIST_WIDTH) * 2.0**31
 
 _HIST_ORACLE = f"""
 WITH b AS (
-  SELECT CASE WHEN isnan(CAST(value AS DOUBLE))
-              OR abs(CAST(value AS DOUBLE)) >= {_HIST_BUCKETABLE!r}
-         THEN NULL
-         ELSE CAST(FLOOR(CAST(value AS DOUBLE) / {_HIST_WIDTH}) AS INTEGER)
-         END AS bucket
+  SELECT CAST(FLOOR(
+           CAST({MISSING_OUTSIDE_DOMAIN_SQL('value', repr(_HIST_BUCKETABLE))} AS DOUBLE)
+           / {_HIST_WIDTH}) AS INTEGER) AS bucket
   FROM events
 )
 SELECT bucket,
        -- derive bucket_low from the INTEGER bucket, not the double floor:
        -- FLOOR(-0.0/{_HIST_WIDTH}) is the double -0.0 in DuckDB and
        -- (-0.0)*{_HIST_WIDTH} stays -0.0, while the integer path emits 0.0
-       -- on both engines
-       CAST(bucket * {_HIST_WIDTH} AS DOUBLE) AS bucket_low,
+       -- on both engines. Multiply as BIGINT: bucket*width overflows INT32
+       -- for legitimately bucketable values (bucket 6e7 * 50 = 3e9)
+       CAST(CAST(bucket AS BIGINT) * {_HIST_WIDTH} AS DOUBLE) AS bucket_low,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM b
 GROUP BY 1, 2
@@ -515,15 +514,18 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     NaN/±inf/|v| beyond the int32 bucket range group under one NULL
     "unbucketable" bin (see _HIST_BUCKETABLE above)."""
     e = load_table(spark, sf_dir, "events").select("value")
-    v = F.col("value").cast("double")
-    bucketable = ~F.isnan(v) & (F.abs(v) < F.lit(_HIST_BUCKETABLE))
-    bucket = F.when(bucketable, F.floor(v / _HIST_WIDTH).cast("int"))
+    # the shared missing-class guard with the histogram's own bound — NOT a
+    # hand-rolled copy, so a future fix to the predicate reaches this query
+    v = missing_outside_domain(F.col("value").cast("double"), _HIST_BUCKETABLE)
+    bucket = F.floor(v / _HIST_WIDTH).cast("int")
     return (
         e.groupBy(bucket.alias("bucket"))
         .agg(F.count("*").cast("bigint").alias("n"))
         .select(
             "bucket",
-            (F.col("bucket") * _HIST_WIDTH).cast("double").alias("bucket_low"),
+            # multiply as LONG: int32 bucket * width ANSI-overflows for
+            # legitimately bucketable values (bucket 6e7 * 50 = 3e9)
+            (F.col("bucket").cast("long") * _HIST_WIDTH).cast("double").alias("bucket_low"),
             "n",
         )
     )

@@ -657,8 +657,14 @@ WITH base AS (
          octet_length(encode(text)) AS n_bytes,
          GREATEST(octet_length(encode(text)) // 8, 1) AS step
   FROM documents
+  -- the magic check is on BYTE offsets of the UTF-8 encoding (hex: 2
+  -- digits per byte), exactly as the router sees them: a char-offset
+  -- substr(text, 9, 4) misses 'RIFF' + two 2-byte chars + 'WAVE', whose
+  -- BYTES 9-12 spell WAVE while its CHARS 9-12 do not — the same
+  -- byte-vs-char confusion this oracle's energy arithmetic fixes
   WHERE text IS NOT NULL
-    AND NOT (substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE')
+    AND NOT (substr(hex(encode(text)), 1, 8) = '52494646'
+             AND substr(hex(encode(text)), 17, 8) = '57415645')
 ),
 x AS (
   SELECT audio_id, hx, n_bytes, step,
@@ -697,11 +703,15 @@ def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WAV magic is pure ASCII, so a document whose TEXT leads with
     # RIFF....WAVE would hit the REAL wav header parser (parser-first
     # routing) while the oracle models only the fake branch — exclude on
-    # BOTH sides, mirroring the image pipeline's GIF-magic exclusion
+    # BOTH sides, mirroring the image pipeline's GIF-magic exclusion.
+    # The check is on BYTE offsets of the UTF-8 encoding (hex form, same
+    # expression as the oracle): the router matches bytes 9-12, which a
+    # char-offset substring misses when multi-byte chars precede them
+    hx = F.hex(F.encode(F.col("text"), "UTF-8"))
     docs = docs.filter(
         ~(
-            (F.substring("text", 1, 4) == "RIFF")
-            & (F.substring("text", 9, 4) == "WAVE")
+            (F.substring(hx, 1, 8) == "52494646")      # RIFF
+            & (F.substring(hx, 17, 8) == "57415645")   # WAVE
         ).eqNullSafe(F.lit(True))
     )
     binary = M.documents_as_binary(docs).withColumnRenamed("image_id", "audio_id")

@@ -15,22 +15,14 @@ Usage: python3 scripts/empty_sweep.py   (expect: DONE 149/149 green)
 
 from __future__ import annotations
 
-import gc
 import os
-import shutil
 import sys
-import tempfile
 
 import pyarrow.parquet as pq
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crystal_parquet_database_spark.runtime import release_all_session_blocks
-from crystal_parquet_database_spark.session import get_spark
-from crystal_parquet_database_spark.surface import ORACLES
-from crystal_parquet_database_spark.testing import compare_query
-
-SRC = "/root/testdata/sf0.001"
+from sweep_lib import SRC, run_sweep
 
 
 def build_empty_corpus(dst: str) -> None:
@@ -40,23 +32,7 @@ def build_empty_corpus(dst: str) -> None:
 
 
 def main() -> None:
-    dst = tempfile.mkdtemp(prefix="empty_sweep_")
-    build_empty_corpus(dst)
-    spark = get_spark()
-    fails = []
-    for name in ORACLES:
-        try:
-            ok, msg = compare_query(spark, name, dst)
-        except Exception as e:
-            ok, msg = False, f"{name}: EXC {type(e).__name__}: {str(e)[:160]}"
-        if not ok:
-            fails.append(msg.splitlines()[0][:200])
-            print("FAIL", fails[-1], flush=True)
-        release_all_session_blocks(spark)
-        gc.collect()
-    print(f"DONE {len(ORACLES) - len(fails)}/{len(ORACLES)} green on EMPTY corpus; dir={dst}")
-    if fails:
-        raise SystemExit(1)
+    run_sweep(build_empty_corpus, 'empty_sweep_', 'EMPTY')
 
 
 if __name__ == "__main__":

@@ -20,23 +20,16 @@ Usage: python3 scripts/extreme_sweep.py   (expect: DONE 149/149 green)
 
 from __future__ import annotations
 
-import gc
 import os
 import shutil
 import sys
-import tempfile
 
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crystal_parquet_database_spark.runtime import release_all_session_blocks
-from crystal_parquet_database_spark.session import get_spark
-from crystal_parquet_database_spark.surface import ORACLES
-from crystal_parquet_database_spark.testing import compare_query
-
-SRC = "/root/testdata/sf0.001"
+from sweep_lib import SRC, run_sweep
 
 
 def build_extreme_corpus(dst: str) -> None:
@@ -52,6 +45,11 @@ def build_extreme_corpus(dst: str) -> None:
     ev.loc[ev["event_id"] % 50 == 5, "value"] = 1.7e308
     ev.loc[ev["event_id"] % 50 == 6, "value"] = 5e-324  # smallest denormal
     ev.loc[ev["event_id"] % 50 == 7, "value"] = -1.7e308
+    # in the histogram's bucketable range but with bucket*width > INT32:
+    # the decade the first extreme grid skipped, where an int32 bucket_low
+    # multiply ANSI-aborted BOTH engines (round-9 review finding)
+    ev.loc[ev["event_id"] % 50 == 8, "value"] = 3e9
+    ev.loc[ev["event_id"] % 50 == 9, "value"] = -3e9
     # temporal edges: a few events at the epoch start and far future (time
     # windows, sessionization and date_trunc must agree across engines at
     # both extremes)
@@ -84,24 +82,7 @@ def build_extreme_corpus(dst: str) -> None:
 
 
 def main() -> None:
-    dst = tempfile.mkdtemp(prefix="extreme_sweep_")
-    build_extreme_corpus(dst)
-    spark = get_spark()
-    fails = []
-    for name in ORACLES:
-        try:
-            ok, msg = compare_query(spark, name, dst)
-        except Exception as e:  # surface, don't abort the sweep
-            ok, msg = False, f"{name}: EXC {type(e).__name__}: {e}"
-        finally:
-            release_all_session_blocks(spark)
-            gc.collect()
-        if not ok:
-            fails.append(msg.splitlines()[0][:200])
-            print("FAIL", fails[-1], flush=True)
-    print(f"DONE {len(ORACLES) - len(fails)}/{len(ORACLES)} green on EXTREME corpus; dir={dst}")
-    if fails:
-        raise SystemExit(1)
+    run_sweep(build_extreme_corpus, 'extreme_sweep_', 'EXTREME')
 
 
 if __name__ == "__main__":

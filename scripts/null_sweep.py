@@ -14,22 +14,15 @@ Usage: python3 scripts/null_sweep.py   (expect: DONE 149/149 green)
 
 from __future__ import annotations
 
-import gc
 import os
 import shutil
 import sys
-import tempfile
 
 import pandas as pd
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crystal_parquet_database_spark.runtime import release_all_session_blocks
-from crystal_parquet_database_spark.session import get_spark
-from crystal_parquet_database_spark.surface import ORACLES
-from crystal_parquet_database_spark.testing import compare_query
-
-SRC = "/root/testdata/sf0.001"
+from sweep_lib import SRC, run_sweep
 
 # Round-9 audit (VERDICT r8 ask #5): every oracle ranking-window site
 # (ROW_NUMBER/RANK/DENSE_RANK/NTILE/LAG/LEAD/FIRST_VALUE/LAST_VALUE/
@@ -81,32 +74,7 @@ def build_null_corpus(dst: str) -> None:
 
 
 def main() -> None:
-    dst = tempfile.mkdtemp(prefix="null_sweep_")
-    build_null_corpus(dst)
-    spark = get_spark()
-    fails = []
-    for name in ORACLES:
-        reps = 3 if name in REPEAT_3X else 1
-        for rep in range(reps):
-            try:
-                ok, msg = compare_query(spark, name, dst)
-            except Exception as e:  # surface, don't abort the sweep
-                ok, msg = False, f"{name}: EXC {type(e).__name__}: {e}"
-            finally:
-                # release BEFORE acting on failure: a failing query's
-                # checkpoint blocks would otherwise stay pinned for the
-                # rest of the 149-query sweep (gc alone can't free them),
-                # turning one real divergence into cascading slowdowns
-                release_all_session_blocks(spark)
-                gc.collect()
-            if not ok:
-                tag = f" (rep {rep + 1}/{reps})" if reps > 1 else ""
-                fails.append(msg.splitlines()[0][:200] + tag)
-                print("FAIL", fails[-1], flush=True)
-                break
-    print(f"DONE {len(ORACLES) - len(fails)}/{len(ORACLES)} green on NULL corpus; dir={dst}")
-    if fails:
-        raise SystemExit(1)
+    run_sweep(build_null_corpus, "null_sweep_", "NULL", repeat_3x=REPEAT_3X)
 
 
 if __name__ == "__main__":

@@ -21,23 +21,16 @@ Usage: python3 scripts/skew_sweep.py   (expect: DONE 149/149 green)
 
 from __future__ import annotations
 
-import gc
 import os
 import shutil
 import sys
-import tempfile
 
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crystal_parquet_database_spark.runtime import release_all_session_blocks
-from crystal_parquet_database_spark.session import get_spark
-from crystal_parquet_database_spark.surface import ORACLES
-from crystal_parquet_database_spark.testing import compare_query
-
-SRC = "/root/testdata/sf0.001"
+from sweep_lib import SRC, run_sweep
 
 HOT_USER = 13        # owns 60% of events
 HOT_TEXT_LO, HOT_TEXT_HI = 100, 250  # doc_ids sharing ONE text body (30%)
@@ -85,24 +78,7 @@ def build_skew_corpus(dst: str) -> None:
 
 
 def main() -> None:
-    dst = tempfile.mkdtemp(prefix="skew_sweep_")
-    build_skew_corpus(dst)
-    spark = get_spark()
-    fails = []
-    for name in ORACLES:
-        try:
-            ok, msg = compare_query(spark, name, dst)
-        except Exception as e:  # surface, don't abort the sweep
-            ok, msg = False, f"{name}: EXC {type(e).__name__}: {e}"
-        finally:
-            release_all_session_blocks(spark)
-            gc.collect()
-        if not ok:
-            fails.append(msg.splitlines()[0][:200])
-            print("FAIL", fails[-1], flush=True)
-    print(f"DONE {len(ORACLES) - len(fails)}/{len(ORACLES)} green on SKEW corpus; dir={dst}")
-    if fails:
-        raise SystemExit(1)
+    run_sweep(build_skew_corpus, 'skew_sweep_', 'SKEW')
 
 
 if __name__ == "__main__":

@@ -23,22 +23,15 @@ Usage: python3 scripts/unicode_sweep.py   (expect: DONE 149/149 green)
 
 from __future__ import annotations
 
-import gc
 import os
 import shutil
 import sys
-import tempfile
 
 import pandas as pd
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crystal_parquet_database_spark.runtime import release_all_session_blocks
-from crystal_parquet_database_spark.session import get_spark
-from crystal_parquet_database_spark.surface import ORACLES
-from crystal_parquet_database_spark.testing import compare_query
-
-SRC = "/root/testdata/sf0.001"
+from sweep_lib import SRC, run_sweep
 
 # Each entry keeps some ASCII vocabulary so tokenized operators (BM25,
 # TF-IDF, n-grams, decontamination) still share terms with the rest of the
@@ -90,24 +83,7 @@ def build_unicode_corpus(dst: str) -> None:
 
 
 def main() -> None:
-    dst = tempfile.mkdtemp(prefix="unicode_sweep_")
-    build_unicode_corpus(dst)
-    spark = get_spark()
-    fails = []
-    for name in ORACLES:
-        try:
-            ok, msg = compare_query(spark, name, dst)
-        except Exception as e:  # surface, don't abort the sweep
-            ok, msg = False, f"{name}: EXC {type(e).__name__}: {e}"
-        finally:
-            release_all_session_blocks(spark)
-            gc.collect()
-        if not ok:
-            fails.append(msg.splitlines()[0][:200])
-            print("FAIL", fails[-1], flush=True)
-    print(f"DONE {len(ORACLES) - len(fails)}/{len(ORACLES)} green on UNICODE corpus; dir={dst}")
-    if fails:
-        raise SystemExit(1)
+    run_sweep(build_unicode_corpus, 'unicode_sweep_', 'UNICODE')
 
 
 if __name__ == "__main__":

@@ -56,7 +56,7 @@ def test_histogram_unbucketable_bin(spark, tmp_path):
             "user_id": [1] * 8,
             "event_type": ["view"] * 8,
             "value": [75.0, -0.0, float("nan"), float("inf"),
-                      float("-inf"), 1.7e308, None, 120.0],
+                      float("-inf"), 1.7e308, None, 3e9],
             "props": ["{}"] * 8,
         }
     ).to_parquet(tmp_path / "events.parquet")
@@ -65,7 +65,9 @@ def test_histogram_unbucketable_bin(spark, tmp_path):
     assert out[None]["bucket_low"] is None
     assert out[0]["n"] == 1 and out[0]["bucket_low"] == 0.0
     assert out[1]["n"] == 1 and out[1]["bucket_low"] == 50.0
-    assert out[2]["n"] == 1 and out[2]["bucket_low"] == 100.0
+    # bucketable but bucket*width > INT32: the round-9 review's live crash
+    # (int32 multiply ANSI-aborted both engines); must bucket, not abort
+    assert out[60_000_000]["n"] == 1 and out[60_000_000]["bucket_low"] == 3e9
 
 
 def test_centroid_outliers_excludes_invalid_vectors(spark):
