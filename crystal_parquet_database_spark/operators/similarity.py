@@ -30,6 +30,29 @@ def _w(j: int, k: int, dim: int = 64) -> int:
     return (1103515245 * (j * dim + k) + 12345) % 2001 - 1000
 
 
+def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """THE invalid-vector contract, one definition: a vector that is NULL,
+    EMPTY, or carries a NULL ELEMENT (one failed encoder dimension — round
+    9's element-NULL probe showed the engines disagree on where such a
+    vector lands in dot products, quantizer cells and LSH buckets) is
+    excluded from every similarity operator up front. Oracles mirror it
+    via ``VALID_VEC_SQL``. Ragged vectors are handled downstream by each
+    operator's dimension checks."""
+    c = F.col(vec_col)
+    return df.where(
+        c.isNotNull() & (F.size(c) > 0) & ~F.exists(c, lambda x: x.isNull())
+    )
+
+
+def VALID_VEC_SQL(col: str = "embedding") -> str:
+    """DuckDB mirror of ``valid_vectors`` — interpolate into every oracle
+    that reads an embedding column."""
+    return (
+        f"({col} IS NOT NULL AND len({col}) > 0 "
+        f"AND len(list_filter({col}, x -> x IS NULL)) = 0)"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double — same evaluation order as
     the oracle's list comprehension sum, hence bit-identical."""
@@ -90,6 +113,8 @@ def cosine_topk(
     # Norms once per row (not per pair): bit-identical (same IEEE expression
     # on the same doubles), and the corpus norm is no longer recomputed for
     # every query it meets.
+    queries = valid_vectors(queries, vec_col)
+    corpus = valid_vectors(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -151,7 +176,7 @@ def build_lsh_index(
     queries (e.g. recall measurement running single- AND multi-probe) the
     planning cost dominates. At 100 TB this materialization IS the design:
     bucket is computed once at ingest and stored as a partition/cluster key."""
-    return corpus.select(
+    return valid_vectors(corpus, vec_col).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
@@ -187,6 +212,7 @@ def ann_lsh_topk(
     query side, never the corpus side, so the equi-join plan is unchanged.
     Measured by ``sim_ann_recall_at_k``; see cosine_topk for ``exclude_self``.
     """
+    queries = valid_vectors(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -223,7 +249,7 @@ def ann_lsh_topk(
     c = (
         corpus_index
         if corpus_index is not None
-        else corpus.select(
+        else valid_vectors(corpus, vec_col).select(
             F.col(id_col).alias("match_id"),
             F.col(vec_col).alias("cvec"),
             norm(F.col(vec_col)).alias("cnorm"),
@@ -297,8 +323,7 @@ def ivf_topk(
         # _cos_div contract) and must not abort the job: a single NULL (or
         # empty) vector in the sample made np.asarray raise on the driver
         sample = (
-            train_src.select(vec_col)
-            .where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+            valid_vectors(train_src.select(vec_col), vec_col)
             .limit(256 * n_cells)
             .collect()
         )
@@ -357,7 +382,7 @@ def ivf_topk(
     # models that and keeps the inlined-centroid trees out of join planning
     # (left inline, the optimizer re-analyzes them per join rule — measured
     # 4× slower planning than execution).
-    assigned = corpus.select(
+    assigned = valid_vectors(corpus, vec_col).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
@@ -372,7 +397,7 @@ def ivf_topk(
         )
         return F.slice(F.array_sort(entries), 1, n_probe)
 
-    q = queries.select(
+    q = valid_vectors(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("qnorm"),
@@ -399,6 +424,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (brute force over the given
     frame — the correctness baseline; the scale path is
     ``embedding_near_dup_lsh``)."""
+    df = valid_vectors(df, vec_col)
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
         norm(F.col(vec_col)).alias("na"),
@@ -456,7 +482,7 @@ def embedding_near_dup_lsh(
     # IDENTICAL key in EVERY band — the C(m,2) all-NULL co-bucket pair
     # explosion the MinHash/SimHash paths already filter (same contract:
     # no content, no fingerprint, no pairs)
-    base = df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(
+    base = valid_vectors(df, vec_col).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         norm(F.col(vec_col)).alias("__norm"),
@@ -523,12 +549,12 @@ def decontaminate_by_similarity(
     eval sets too big to broadcast, bucket both sides with
     ``embedding_near_dup_lsh``'s hyperplane keys instead.
     """
-    e = eval_set.select(
+    e = valid_vectors(eval_set, vec_col).select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("evec"),
         norm(F.col(vec_col)).alias("enorm"),
     )
-    t = train_set.select(
+    t = valid_vectors(train_set, vec_col).select(
         F.col(id_col).alias("train_id"),
         F.col(vec_col).alias("tvec"),
         norm(F.col(vec_col)).alias("tnorm"),
@@ -697,7 +723,7 @@ def semdedup(
         F.col("cvec").alias("__cvec"),
         norm(F.col("cvec")).alias("__cn"),
     )
-    base = df.select(
+    base = valid_vectors(df, vec_col).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         norm(F.col(vec_col)).alias("__n"),
@@ -833,8 +859,11 @@ def pq_encode(
     the codes are computed once at ingest and stored alongside (or instead
     of) the raw vectors.
 
-    Returns (<id_col>, code0..code{m-1} int).
+    Returns (<id_col>, code0..code{m-1} int). Invalid vectors (NULL/empty/
+    NULL-element — see ``valid_vectors``) are excluded: their sub-distances
+    are NULL and the resulting codes engine-ambiguous.
     """
+    df = valid_vectors(df, vec_col)
     dsub = len(codebooks[0][0])
     out = [F.col(id_col)]
     for j, cb in enumerate(codebooks):
@@ -865,6 +894,7 @@ def pq_adc_topk(
     float vector, which is the entire point of PQ. Rank = (approx_d2 asc,
     match_id) per query, top k.
     """
+    queries = valid_vectors(queries, vec_col)
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     qcols = [F.col(id_col).alias("query_id")]

@@ -216,10 +216,16 @@ def _sql_cos(a: str, b: str) -> str:
 
 
 _COS = _sql_cos("qvec", "cvec")
+# the invalid-vector contract's SQL mirror (operators/similarity.py::
+# valid_vectors): NULL / empty / NULL-element embeddings are excluded from
+# every similarity operator, so every oracle scanning `embeddings` carries
+# this predicate too
+_VALID = S.VALID_VEC_SQL("embedding")
 
 _TOPK_ORACLE = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS match_id, embedding AS cvec FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < 10 AND {_VALID}),
+c AS (SELECT vec_id AS match_id, embedding AS cvec FROM embeddings WHERE {_VALID}),
 s AS (SELECT query_id, match_id, {_COS} AS cos
       FROM c CROSS JOIN q WHERE match_id <> query_id)
 SELECT * FROM (
@@ -323,6 +329,7 @@ WITH seeds AS (
 d AS (
   SELECT e.vec_id, s.cell_id, {_sql_l2('e.embedding', 's.svec')} AS d2
   FROM embeddings e CROSS JOIN seeds s
+  WHERE {_VALID.replace("embedding", "e.embedding")}
 ),
 assign AS (
   SELECT vec_id, cell_id FROM (
@@ -336,7 +343,8 @@ probes AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
     FROM d WHERE vec_id < 10) WHERE rn <= {_IVF_PROBE}
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < 10 AND {_VALID}),
 c AS (SELECT e.vec_id AS match_id, e.embedding AS cvec, a.cell_id
       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
 ivf AS (
@@ -1739,10 +1747,10 @@ def text_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MULTIPROBE_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
                   {_sql_bucket('embedding')} AS bucket
-           FROM embeddings WHERE vec_id < 10),
+           FROM embeddings WHERE vec_id < 10 AND {_VALID}),
 c AS (SELECT vec_id AS match_id, embedding AS cvec,
              {_sql_bucket('embedding')} AS bucket
-      FROM embeddings),
+      FROM embeddings WHERE {_VALID}),
 s AS (SELECT query_id, match_id, {_COS} AS cos
       FROM c JOIN q ON bit_count(xor(c.bucket, q.bucket)) <= 1
       WHERE match_id <> query_id)
@@ -1771,10 +1779,10 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECALL_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
                   {_sql_bucket('embedding')} AS bucket
-           FROM embeddings WHERE vec_id < 10),
+           FROM embeddings WHERE vec_id < 10 AND {_VALID}),
 c AS (SELECT vec_id AS match_id, embedding AS cvec,
              {_sql_bucket('embedding')} AS bucket
-      FROM embeddings),
+      FROM embeddings WHERE {_VALID}),
 truth AS (
   SELECT query_id, match_id FROM (
     SELECT q.query_id, c.match_id,
@@ -1962,6 +1970,7 @@ seeds AS (
 sc AS (
   SELECT e.vec_id, e.embedding, s.cell_id, {_SEM_COSC} AS cosc
   FROM embeddings e CROSS JOIN seeds s
+  WHERE {_VALID.replace("embedding", "e.embedding")}
 ),
 asg AS (
   SELECT vec_id, embedding, cell_id, cosc FROM (
@@ -2704,10 +2713,12 @@ qv(query_id, qvid) AS (VALUES {_RRF_QVEC_VALUES}),
 qvec AS (
   SELECT qv.query_id, e.embedding AS qvec
   FROM qv JOIN embeddings e ON e.vec_id = qv.qvid
+  WHERE {_VALID.replace("embedding", "e.embedding")}
 ),
 pairs AS (
   SELECT qvec.query_id, qvec.qvec, e.vec_id AS match_id, e.embedding AS cvec
   FROM embeddings e CROSS JOIN qvec
+  WHERE {_VALID.replace("embedding", "e.embedding")}
 ),
 vr AS (
   SELECT query_id, match_id AS doc_id, rank_v FROM (

@@ -300,10 +300,17 @@ def agg_argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# paired unnests, NOT a generate_series(1,64) cross join: posexplode emits
+# ZERO rows for a NULL embedding (and exactly len rows for a ragged one),
+# where the fixed-width cross join manufactured 64 NULL-component rows —
+# a hash mismatch the moment a NULL embedding lands in the id range
 _EXPLODE_ORACLE = """
-SELECT vec_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS component
-FROM embeddings, generate_series(1, 64) g(i)
-WHERE vec_id < 5
+SELECT vec_id, pos - 1 AS pos, CAST(e AS DOUBLE) AS component
+FROM (
+  SELECT vec_id, unnest(embedding) AS e,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings WHERE vec_id < 5
+)
 """
 
 
@@ -345,7 +352,18 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
         F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
     )
-    within = lambda a, e: F.abs(a - F.col(e)) / F.col(e) <= F.lit(0.01)  # noqa: E731
+    # guarded like agg_hll_error_bound's bound: an all-zero group divides by
+    # zero (ANSI abort) and an all-NULL group yields NULL — the oracle pins
+    # TRUE, so zero-exact groups pass iff the sketch agrees exactly and
+    # NULL-exact groups pass iff the sketch is NULL too
+    def within(a, e):
+        ec = F.col(e)
+        return (
+            F.when(ec.isNull(), a.isNull())
+            .when(ec == 0, a == ec)
+            .otherwise(F.abs(a - ec) / F.abs(ec) <= F.lit(0.01))
+        )
+
     return ap.select(
         "l_returnflag",
         "exact_p50",
@@ -395,7 +413,12 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
     """ntile / percent_rank / cume_dist — distribution window functions
     (rank-formula doubles are engine-identical given the same total order)."""
     c = load_table(spark, sf_dir, "customer")
-    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    # asc_nulls_last: DuckDB's ASC default is NULLS LAST, Spark's is NULLS
+    # FIRST — fixture acctbals are never NULL, but the convention holds
+    # everywhere so one fixture change can't flip every rank
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey"
+    )
     return c.select(
         "c_custkey",
         "c_nationkey",
@@ -422,9 +445,11 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 def window_positional_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / nth_value / last_value over an unbounded frame."""
     o = load_table(spark, sf_dir, "orders")
+    # asc_nulls_last on the date: same NULLS-LAST convention as the
+    # distribution windows above (latent until a NULL o_orderdate exists)
     w = (
         W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return o.select(
@@ -436,10 +461,18 @@ def window_positional_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# element-level NULL contract (both sides identical): doubled_sum is the
+# SQL sum — NULL elements are SKIPPED, all-skipped/whole-NULL/empty sum to
+# NULL (the raw Spark fold would NULL-poison on the first NULL element
+# while DuckDB's list_aggregate('sum') skips it); any_large is FALSE when
+# nothing exceeds the threshold even if NULL elements exist (three-valued
+# EXISTS says NULL there), NULL only for a NULL array; head_nonneg uses
+# out-of-bounds-safe element access (F.get / [i]) so a ragged array yields
+# NULL instead of an ANSI abort.
 _HOF_ORACLE = f"""
 SELECT vec_id,
-       list_aggregate(list_transform(generate_series(1, 64),
-                      i -> CAST(embedding[i] AS DOUBLE) + CAST(embedding[i] AS DOUBLE)),
+       list_aggregate(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) + CAST(x AS DOUBLE)),
                       'sum') AS doubled_sum,
        len(list_filter(embedding, x -> x > 0.1)) > 0 AS any_large,
        CAST(embedding[1] AS DOUBLE) >= 0 AND CAST(embedding[2] AS DOUBLE) >= 0 AS head_nonneg
@@ -449,24 +482,31 @@ FROM embeddings WHERE vec_id < 50
 
 @query("scalar_higher_order_functions", _HOF_ORACLE)
 def scalar_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zip_with / exists higher-order functions over array columns."""
+    """zip_with / exists / filter / aggregate higher-order functions over
+    array columns, with the element-NULL contract above."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
-    doubled = F.aggregate(
+    nn = F.filter(
         F.zip_with(
             F.col("embedding"),
             F.col("embedding"),
             lambda x, y: x.cast("double") + y.cast("double"),
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda v: v.isNotNull(),
+    )
+    doubled = F.when(
+        F.col("embedding").isNotNull() & (F.size(nn) > 0),
+        F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x),
     )
     return e.select(
         "vec_id",
         doubled.alias("doubled_sum"),
-        F.exists("embedding", lambda x: x > 0.1).alias("any_large"),
+        F.when(
+            F.col("embedding").isNotNull(),
+            F.coalesce(F.exists("embedding", lambda x: x > 0.1), F.lit(False)),
+        ).alias("any_large"),
         (
-            (F.element_at("embedding", 1).cast("double") >= 0)
-            & (F.element_at("embedding", 2).cast("double") >= 0)
+            (F.get("embedding", 0).cast("double") >= 0)
+            & (F.get("embedding", 1).cast("double") >= 0)
         ).alias("head_nonneg"),
     )
 
@@ -810,32 +850,56 @@ def agg_kll_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("l_shipdate").alias("__m"),
     )
     sub = li.groupBy("l_returnflag", "__m").agg(
-        F.kll_sketch_agg_double("__p").alias("sk"), F.count("*").alias("n")
+        F.kll_sketch_agg_double("__p").alias("sk"),
+        F.count("*").alias("n"),
+        F.count("__p").alias("nn"),  # non-NULL prices: the rank denominator
     )
     # kll_sketch_merge_double is a binary scalar: fold it over the collected
-    # per-month sketches (≤ 12 per flag — a bounded list, not data-sized)
+    # per-month sketches (≤ 12 per flag — a bounded list, not data-sized).
+    # collect_list SKIPS NULL sketches (an all-NULL-price month), so the
+    # list can be short or EMPTY: F.get (NULL out of bounds) seeds the fold,
+    # where element_at would ANSI-abort on the empty list.
     per_flag = sub.groupBy("l_returnflag").agg(
         F.collect_list("sk").alias("__sks"),
         F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("nn").cast("bigint").alias("__nn"),
     )
     merged = F.aggregate(
         F.slice(F.col("__sks"), 2, F.greatest(F.size("__sks") - 1, F.lit(0))),
-        F.element_at("__sks", 1),
+        F.get("__sks", 0),
         lambda acc, x: F.kll_sketch_merge_double(acc, x),
     )
     med = per_flag.select(
         "l_returnflag",
         "n_rows",
-        F.kll_sketch_get_quantile_double(merged, F.lit(0.5)).alias("__med"),
+        "__nn",
+        F.when(
+            F.size("__sks") > 0,
+            F.kll_sketch_get_quantile_double(merged, F.lit(0.5)),
+        ).alias("__med"),
     )
-    ranked = li.join(F.broadcast(med), "l_returnflag").groupBy(
-        "l_returnflag", "n_rows"
-    ).agg(F.sum(F.when(F.col("__p") <= F.col("__med"), 1).otherwise(0)).alias("__le"))
-    frac = F.col("__le").cast("double") / F.col("n_rows").cast("double")
+    # NULL-safe re-join: a NULL-returnflag group exists in both frames, and
+    # a plain equi-join would silently drop it while the oracle's GROUP BY
+    # emits it (the same NULL-key-join trap as eqNullSafe elsewhere)
+    jk = F.coalesce(F.col("l_returnflag"), F.lit("\x00nullflag"))
+    ranked = (
+        li.withColumn("__jk", jk)
+        .join(F.broadcast(med.withColumn("__jk", jk).drop("l_returnflag")), "__jk")
+        .groupBy("l_returnflag", "n_rows", "__nn")
+        .agg(F.sum(F.when(F.col("__p") <= F.col("__med"), 1).otherwise(0)).alias("__le"))
+    )
+    # rank over the NON-NULL count: NULL prices are invisible to the sketch,
+    # so counting them in the denominator deflates the rank (20% NULLs put
+    # a perfect median at 0.40 — a spurious gate failure). A group with NO
+    # non-NULL prices has no median to rank: vacuously TRUE, as the oracle
+    # pins.
+    frac = F.col("__le").cast("double") / F.col("__nn").cast("double")
     return ranked.select(
         "l_returnflag",
         "n_rows",
-        ((frac >= 0.45) & (frac <= 0.55)).alias("median_rank_within_5pct"),
+        F.when(F.col("__nn") == 0, F.lit(True))
+        .otherwise((frac >= 0.45) & (frac <= 0.55))
+        .alias("median_rank_within_5pct"),
     )
 
 

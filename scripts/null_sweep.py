@@ -66,6 +66,13 @@ def build_null_corpus(dst: str) -> None:
     )
     emb = pd.read_parquet(os.path.join(dst, "embeddings.parquet"))
     emb.loc[emb["vec_id"] == 50, "embedding"] = None  # failed-encoder row
+    # element-level NULL (one failed DIMENSION, not a failed row) on a
+    # vec_id inside every id-range filter — np.float32 scalars keep the
+    # column list<float>; a python-float list would promote it to double
+    i2 = emb.index[emb["vec_id"] == 2][0]
+    emb.at[i2, "embedding"] = [
+        None if j == 3 else v for j, v in enumerate(emb.at[i2, "embedding"])
+    ]
     emb.to_parquet(os.path.join(dst, "embeddings.parquet"), index=False)
     ev = pd.read_parquet(os.path.join(dst, "events.parquet"))
     ev.loc[ev.index[:3], "event_type"] = None  # failed-parse events

@@ -271,13 +271,13 @@ def test_pq_encode_and_adc_recall(spark, sf_dir):
     assert avg_recall > 10.0 / n * 3  # comfortably above random top-10 overlap
 
 
-def test_pq_adc_null_coded_row_sinks_not_rank1(spark):
-    """Regression (round-7 review): a NULL-embedding corpus row flows
-    through pq_encode to NULL codes → NULL approx_d2; the PQ ranking used
-    plain-ascending order (NULLS FIRST in Spark), so that row won rank 1
-    for EVERY query, eating a top-k slot. NULL distances must sink below
-    every real match — the shared _topk epilogue now takes explicit
-    NULLS-LAST orderings on all four ANN entry points."""
+def test_pq_invalid_vector_excluded_and_ranks_stay_real(spark):
+    """Round-7 found a NULL-embedding corpus row winning rank 1 for every
+    query via NULL codes + NULLS-FIRST ranking; round 9's invalid-vector
+    contract now excludes such a row from pq_encode ENTIRELY (its codes
+    were engine-ambiguous), so it can neither rank nor eat a top-k slot.
+    The NULLS-LAST _topk ordering stays as defense in depth for NULL
+    distances arising any other way."""
     from crystal_parquet_database_spark.operators.similarity import (
         pq_adc_topk, pq_encode,
     )
@@ -285,20 +285,22 @@ def test_pq_adc_null_coded_row_sinks_not_rank1(spark):
     dim, m = 8, 2
     base = [
         (1, [1.0] * dim), (2, [0.9] * dim), (3, [0.5] * dim),
-        (4, None),  # failed/padded row — routine in real pipelines
+        (4, None),           # failed row
+        (5, [None] * dim),   # failed DIMENSIONS (element NULLs)
     ]
     emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
     codebooks = [
         [[0.0] * (dim // m), [1.0] * (dim // m)] for _ in range(m)
     ]
     codes = pq_encode(emb, "vec_id", "embedding", codebooks)
-    assert {r["vec_id"]: r["code0"] for r in codes.collect()}[4] is None
+    coded_ids = {r["vec_id"] for r in codes.collect()}
+    assert coded_ids == {1, 2, 3}  # invalid vectors never encoded
     out = pq_adc_topk(
         emb.filter("vec_id = 1"), codes, "vec_id", "embedding", codebooks, k=2
     ).collect()
     got = {r["rank"]: (r["match_id"], r["approx_d2"]) for r in out}
     assert got[1][1] is not None, "rank 1 must be a real distance, not NULL"
-    assert all(v[0] != 4 for v in got.values()), "NULL-coded row must sink below k"
+    assert all(v[0] not in (4, 5) for v in got.values())
 
 
 def test_ivf_empty_corpus_returns_empty_not_crash(spark):
@@ -417,3 +419,33 @@ def test_ann_lsh_topk_rejects_mismatched_index(spark, sf_dir):
         assert ok.count() > 0  # matching params still work
     finally:
         release_local_checkpoint(idx)
+
+
+def test_valid_vectors_excludes_element_nulls(spark):
+    """The round-9 invalid-vector contract: NULL, EMPTY, and NULL-ELEMENT
+    vectors (one failed encoder dimension) are all excluded up front —
+    the engines disagree on where a NULL-element vector lands in dot
+    products, quantizer cells and LSH buckets, so it must land nowhere."""
+    from crystal_parquet_database_spark.operators.similarity import valid_vectors
+
+    rows = [(1, [1.0, 2.0]), (2, [1.0, None]), (3, None), (4, [])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    assert [r["id"] for r in valid_vectors(df, "v").collect()] == [1]
+
+
+def test_cosine_topk_element_null_vector_invisible(spark):
+    """A NULL-element vector is neither a query nor a match anywhere in
+    cosine_topk — before the contract it NULL-poisoned its dot products
+    and the engines ranked it differently."""
+    from crystal_parquet_database_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [None, 1.0]), (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(df, df, "vec_id", "embedding", k=10)
+    ids = set(
+        r["query_id"] for r in out.collect()
+    ) | set(r["match_id"] for r in out.collect())
+    assert 3 not in ids
+    assert {1, 2, 4} <= ids
