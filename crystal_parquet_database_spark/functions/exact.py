@@ -118,3 +118,16 @@ def MISSING_OUTSIDE_DOMAIN_SQL(expr: str, bound: str = "1e12") -> str:
         f"OR abs(CAST({expr} AS DOUBLE)) >= {bound} "
         f"THEN NULL ELSE {expr} END"
     )
+
+
+def DSUM_GUARDED_18_6_SQL(expr: str) -> str:
+    """The oracle mirror of ``dsum_of_double(missing_outside_domain(x),
+    "decimal(18,6)")`` — the guarded, decimal-routed sum every streaming
+    measure aggregation uses. ONE definition: this shape is
+    precision-critical, and per-oracle hand copies could drift (a precision
+    bump applied to two of three copies would make one oracle verify a
+    different aggregation than the query computes)."""
+    return (
+        f"CAST(SUM(CAST({MISSING_OUTSIDE_DOMAIN_SQL(expr)} AS DECIMAL(18,6)))"
+        f" AS DOUBLE)"
+    )

@@ -67,6 +67,13 @@ def _row(i: int) -> tuple:
 class _EventsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self._rows_per_batch = int(options.get("rows_per_batch", 100))
+        if self._rows_per_batch <= 0:
+            # fail FAST: 0 would spin the query forever planning empty
+            # batches that never advance the offset; a negative value
+            # would move the checkpointed offset BACKWARD each batch
+            raise ValueError(
+                f"rows_per_batch must be positive, got {self._rows_per_batch}"
+            )
 
     def initialOffset(self) -> dict:
         return {"offset": 0}

@@ -16,7 +16,10 @@ whole keyset, above it every micro-batch SHUFFLES the entire history key
 column (sort-merge), so per-batch latency grows O(dataset) either way. The
 two-hop shape keeps the big side streaming: (1) semi-join history keys ×
 broadcast(batch keys) → the collided subset, bounded by the batch size;
-(2) anti-join batch × broadcast(collided). History is only ever SCANNED
+(2) anti-join batch × broadcast(collided). The broadcast is GUARDED by a
+capped key-count probe: past ~1M keys (a backfill, not a micro-batch) the
+joins degrade to a shuffle instead of aborting on the 8GB broadcast cap.
+History is only ever SCANNED
 (key column only — parquet prunes to one column), never shuffled or
 broadcast. That scan still grows with the dataset; Spark cannot prune hive
 partitions without a PREDICATE (the key column is not the partition
@@ -38,6 +41,13 @@ from crystal_parquet_database_spark.db import PqDB
 from crystal_parquet_database_spark.runtime import release_local_checkpoint
 
 
+# keys-per-batch bound for the guaranteed-broadcast fast path: ~1M keys ×
+# ~100B/key ≈ 100 MB — comfortably inside executor memory and far from
+# the 8GB broadcast hard cap; a batch beyond it is a backfill, not a
+# micro-batch, and takes the shuffle path instead of dying
+_BROADCAST_KEY_CAP = 1_000_000
+
+
 def new_rows_vs_existing(batch: DataFrame, existing: DataFrame, key_col: str) -> DataFrame:
     """Rows of ``batch`` whose key is not in ``existing`` — with the BATCH as
     the build side of both joins (module docstring: a one-hop left_anti can
@@ -51,13 +61,25 @@ def new_rows_vs_existing(batch: DataFrame, existing: DataFrame, key_col: str) ->
     ``existing`` must expose the key as ``__existing_key`` (one column).
     """
     batch_keys = batch.select(F.col(key_col).alias("__batch_key")).dropDuplicates()
+    # GUARDED broadcast, not a blind mandatory hint: a steady-state
+    # micro-batch's key set must be guaranteed-broadcast (hint-free, the
+    # batch frames carry unknown stats, the static plan is a sort-merge
+    # join, and by the time AQE converts it the HISTORY side's shuffle map
+    # stage has already run — the O(dataset)-per-batch cost this module
+    # exists to avoid). But an availableNow BACKFILL can deliver one
+    # enormous batch, and a mandatory hint would then abort the query on
+    # the 8GB broadcast cap / driver OOM. The capped-limit count probe is
+    # bounded by the cap itself; past it the joins degrade to a shuffle —
+    # slow for that one backfill batch, instead of dead.
+    big = batch_keys.limit(_BROADCAST_KEY_CAP + 1).count() > _BROADCAST_KEY_CAP
+    build = (lambda df: df) if big else F.broadcast
     collided = existing.join(
-        F.broadcast(batch_keys),
+        build(batch_keys),
         F.col("__existing_key").eqNullSafe(F.col("__batch_key")),
         "left_semi",
     )
     return batch.join(
-        F.broadcast(collided),
+        build(collided),
         F.col(key_col).eqNullSafe(F.col("__existing_key")),
         "left_anti",
     )
@@ -94,8 +116,7 @@ def stream_ingest_into_pqdb(
         # swap before deciding whether an existing-keys anti-join is needed
         # (`exists` is read-only now — a dataset parked in swap siblings
         # would otherwise skip the dedup and re-append its whole history)
-        db.recover()
-        if db.exists:
+        if db.recover():  # returns `exists`; one directory walk, not two
             existing = db.read(
                 columns=[key_col], filters=history_filter
             ).withColumnRenamed(

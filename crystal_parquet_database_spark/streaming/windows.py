@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from crystal_parquet_database_spark.functions.exact import dsum_of_double
+from crystal_parquet_database_spark.functions.exact import (
+    dsum_of_double,
+    missing_outside_domain,
+)
 
 from crystal_parquet_database_spark.streaming import with_watermark
 
@@ -34,8 +37,6 @@ def tumbling_counts(
     would otherwise abort the whole streaming query on the first bad
     upstream value (round 9's extreme-values sweep crashed this on a
     single 1.7e308 row)."""
-    from crystal_parquet_database_spark.functions.exact import missing_outside_domain
-
     df = with_watermark(df, ts_col, watermark)
     df = df.withColumn("value", missing_outside_domain("value"))
     return (

@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crystal_parquet_database_spark.functions.exact import MISSING_OUTSIDE_DOMAIN_SQL
+from crystal_parquet_database_spark.functions.exact import (
+    DSUM_GUARDED_18_6_SQL,
+    MISSING_OUTSIDE_DOMAIN_SQL,
+)
 from crystal_parquet_database_spark.operators.sessionize import sql_session_cte
 from crystal_parquet_database_spark.streaming import windows as SW
 from crystal_parquet_database_spark.surface.registry import query
@@ -28,8 +31,7 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
        time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST({MISSING_OUTSIDE_DOMAIN_SQL('value')} AS DECIMAL(18,6)))
-            AS DOUBLE) AS sum_value
+       {DSUM_GUARDED_18_6_SQL('value')} AS sum_value
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
@@ -119,8 +121,7 @@ def stream_windowed_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame
 _RUNNING_STATS_ORACLE = f"""
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST({MISSING_OUTSIDE_DOMAIN_SQL('value')} AS DECIMAL(18,6)))
-            AS DOUBLE) AS total_value,
+       {DSUM_GUARDED_18_6_SQL('value')} AS total_value,
        MAX({MISSING_OUTSIDE_DOMAIN_SQL('value')}) AS max_value
 FROM events
 GROUP BY user_id
