@@ -253,10 +253,12 @@ def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ),
         )
     )
-    # LEFT join: a NULL/empty-text doc produces no exploded token rows, and a
+    # LEFT join: a NULL-text doc produces no exploded token rows, and a
     # quality-filter stage must keep every document (an inner join would
-    # silently drop such docs from the corpus). top_word_frac stays NULL for
-    # them — there is no defined value over zero tokens.
+    # silently drop such docs from the corpus); top_word_frac stays NULL
+    # for NULL text only. An EMPTY-string doc is different: split(trim(''))
+    # is [''], so it emits one ''-token row and gets top_word_frac = 1.0 —
+    # on both engines (unnest emits the '' row too).
     return base.join(top, id_col, "left")
 
 
@@ -562,9 +564,26 @@ def token_budget_per_group(
         .select("__pid", "__grp", "__base")
     )
     cum = F.coalesce(F.col("__w"), F.lit(0)) + F.col("__base")
+    # NULL-SAFE group key in the re-join: the windows and the psums
+    # aggregate all treat a NULL group as its own group, but a plain
+    # ["__pid", "__grp"] equi-join never matches NULL — every NULL-group
+    # document silently vanished from the output while the oracle's
+    # PARTITION BY kept them (the same dropped-NULL-key trap as the
+    # llm_corpus_pipeline digest join)
+    p = F.broadcast(
+        psums.select(
+            F.col("__pid").alias("__ppid"),
+            F.col("__grp").alias("__pgrp"),
+            "__base",
+        )
+    )
     return (
         d.withColumn("__w", within)
-        .join(F.broadcast(psums), ["__pid", "__grp"])
+        .join(
+            p,
+            (F.col("__pid") == F.col("__ppid"))
+            & F.col("__grp").eqNullSafe(F.col("__pgrp")),
+        )
         .withColumn("cum_before", cum)
         .filter(F.col("cum_before") < budget)
         .select(
@@ -940,7 +959,16 @@ def bm25_topk(
     base = (
         _spread(df)
         .withColumn("__toks", ws_tokens(F.col(text_col)))
-        .select(F.col(id_col), F.col("__toks"), F.size("__toks").cast("bigint").alias("dl"))
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            # NULL-text guard (module convention, see _pack_and_chop): an
+            # unguarded size(NULL) is -1 on legacy-sizeOfNull sessions and
+            # would shift avgdl — and through it EVERY document's score
+            F.when(
+                F.col("__toks").isNotNull(), F.size("__toks")
+            ).cast("bigint").alias("dl"),
+        )
     )
     stats = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),

@@ -57,6 +57,12 @@ def build_null_corpus(dst: str) -> None:
     docs = pd.read_parquet(os.path.join(dst, "documents.parquet"))
     docs.loc[docs["doc_id"] == 7, "text"] = None     # historical no-content doc
     docs.loc[docs["doc_id"] == 301, "text"] = None   # new-batch no-content doc
+    # NULL GROUP KEYS (round 9): a missing source/lang must form its own
+    # group everywhere, not silently vanish — the token-budget re-join was
+    # dropping every NULL-group document while the oracle's PARTITION BY
+    # kept them
+    docs.loc[docs["doc_id"] == 11, "source"] = None
+    docs.loc[docs["doc_id"] == 13, "lang"] = None
     extra = pd.DataFrame(
         {"doc_id": [10001, 10002], "text": [None, None],
          "lang": ["en", "de"], "source": ["src0", "src1"], "n_chars": [0, 0]}
