@@ -199,14 +199,33 @@ def main() -> None:
         release_all_session_blocks(spark)
         gc.collect()
 
+    # BENCH_STAT selects the warm statistic over the repeats: "min" (default —
+    # the driver's contract) or "median" (the pinned A/B protocol, SCALE.md
+    # round-10 entry). BENCH_WARMUP=K discards the first K warm reps before
+    # the statistic: per-rep traces show the first 1-2 warm reps of a query
+    # still pay JIT/codegen warmup (e.g. 3.51s then 2.5x5 — a 1.4× outlier),
+    # which a median over ALL reps lets bleed into the number.
+    stat = os.environ.get("BENCH_STAT", "min")
+    warmup = max(0, int(os.environ.get("BENCH_WARMUP", "0")))
     times: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(repeats):
+        reps: list[float] = []
+        for _ in range(repeats + (warmup if repeats > 1 else 0)):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+            reps.append(time.perf_counter() - t0)
+        if os.environ.get("BENCH_VERBOSE"):
+            print(
+                f"reps {name}: {[round(r, 3) for r in reps]}", file=sys.stderr
+            )
+        reps = reps[warmup:] if repeats > 1 else reps
+        reps.sort()
+        if stat == "median":
+            mid = len(reps) // 2
+            val = reps[mid] if len(reps) % 2 else (reps[mid - 1] + reps[mid]) / 2.0
+        else:
+            val = reps[0]
+        times[name] = round(val, 4)
         release_all_session_blocks(spark)
         gc.collect()
 

@@ -105,12 +105,17 @@ def _sorted_by_mtime(paths: list[str]) -> list[str]:
     stat (a concurrent ``PqDB.destroy`` or another process's reap): a plain
     ``sorted(key=os.path.getmtime)`` raises FileNotFoundError out of whatever
     innocent call triggered the listing, and keeping a vanished path could
-    elect it as the newest tmp and fail the restoring rename."""
+    elect it as the newest tmp and fail the restoring rename.
+
+    ONLY the vanished-path case is swallowed: a transient stat failure of any
+    other kind (EPERM/EIO) on the newest ``__tmp_*`` sibling would otherwise
+    silently elect an older tmp or skip recovery — restoring stale state with
+    no signal — so every other OSError propagates to the caller."""
     keyed = []
     for p in paths:
         try:
             keyed.append((os.path.getmtime(p), p))
-        except OSError:
+        except FileNotFoundError:
             continue
     return [p for _, p in sorted(keyed)]
 

@@ -212,22 +212,33 @@ def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bit-for-bit.
     """
     t = F.col(text_col)
-    df = _spread(df).withColumn("__toks", ws_tokens(t))
+    # token projection materialized ONCE: the per-row n-gram branch and the
+    # top-word explode branch below both consume __toks — left lazy, each
+    # branch re-runs the regex split over the whole corpus (A/B-measured,
+    # SCALE.md round-10 table); only (id, tokens) is checkpointed, source
+    # columns are projected away first
+    df = (
+        _spread(df)
+        .select(F.col(id_col), ws_tokens(t).alias("__toks"))
+        .localCheckpoint(eager=True)
+    )
     toks = F.col("__toks")
     # size(NULL) is -1 in Spark; a NULL-text doc must report NULL word count
     # (what the SQL oracle's LEN(NULL) yields), not -1
     n = F.when(toks.isNotNull(), F.size(toks))
 
     def dup_frac(k: int) -> Column:
-        """1 - distinct/total over word k-grams; 0.0 when fewer than k words."""
+        """1 - distinct/total over word k-grams; 0.0 when fewer than k words.
+
+        k-grams come from the ONE shared gram shape (portable_hash._gram via
+        spark_word_ngrams) — byte-identical to the oracle's
+        ``t[i] || ' ' || t[i+1]`` within bounds, and keeping it shared is
+        what guarantees every word-level oracle keeps matching."""
         if k == 1:
             total, grams = n, toks
         else:
             total = n - (k - 1)
-            gram = lambda i: F.concat_ws(  # noqa: E731
-                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
-            )
-            grams = F.transform(F.sequence(F.lit(1), total), gram)
+            grams = spark_word_ngrams(t, k, toks=toks)
         frac = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast(
             "double"
         )
@@ -803,7 +814,13 @@ def dedup_chunks_keep_first(
         F.slice(F.col("__t"), F.col("__nf") * width + 1, F.greatest(F.size("__t") - F.col("__nf") * width, F.lit(0))),
         " ",
     )
-    base = d.select(F.col(id_col), tail.alias("__tail"), chunks.alias("__c"))
+    # base materialized: two consumers (the chunk explode below and the
+    # final reassembly join) otherwise EACH re-run the tokenize→slice over
+    # the raw corpus — the most expensive expression in the plan
+    # (A/B-measured, SCALE.md round-10 table)
+    base = d.select(
+        F.col(id_col), tail.alias("__tail"), chunks.alias("__c")
+    ).localCheckpoint(eager=True)
 
     ch = base.select(F.col(id_col), F.explode("__c").alias("c")).select(
         F.col(id_col),
@@ -953,9 +970,11 @@ def bm25_topk(
     ]
     qdf = spark.createDataFrame(qrows, "query_id string, term string, idx int")
 
-    # tokens materialized ONCE (module convention): dl and the tf explode
-    # both consume __toks — re-splitting per consumer doubles the regex
-    # pass over the whole corpus
+    # tokens materialized ONCE: three consumers read base (the corpus-stats
+    # agg, the tf explode, and the per-doc dl join) — left lazy, each one
+    # re-runs the regex split over the whole corpus, so the checkpoint
+    # trades one token-array materialization for two repeated full-corpus
+    # tokenize passes (A/B-measured win, SCALE.md round-10 table)
     base = (
         _spread(df)
         .withColumn("__toks", ws_tokens(F.col(text_col)))
@@ -969,7 +988,7 @@ def bm25_topk(
                 F.col("__toks").isNotNull(), F.size("__toks")
             ).cast("bigint").alias("dl"),
         )
-    )
+    ).localCheckpoint(eager=True)
     stats = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_dl"),

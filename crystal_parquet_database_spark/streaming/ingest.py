@@ -71,7 +71,16 @@ def new_rows_vs_existing(batch: DataFrame, existing: DataFrame, key_col: str) ->
     # the 8GB broadcast cap / driver OOM. The capped-limit count probe is
     # bounded by the cap itself; past it the joins degrade to a shuffle —
     # slow for that one backfill batch, instead of dead.
-    big = batch_keys.limit(_BROADCAST_KEY_CAP + 1).count() > _BROADCAST_KEY_CAP
+    #
+    # The probe counts batch ROWS, not distinct keys: rows ≥ keys, so it can
+    # only over-estimate — never broadcasts past the cap, merely shuffles a
+    # >cap-row batch whose key set happened to be small (a backfill, where
+    # the shuffle is the intended path anyway). Probing ``batch_keys``
+    # instead would re-run its dropDuplicates shuffle once for the probe and
+    # once for the joins — a full extra job per micro-batch; the row probe
+    # is a plain scan (block-read when the caller passes a materialized
+    # batch, as ``stream_ingest_into_pqdb`` does).
+    big = batch.limit(_BROADCAST_KEY_CAP + 1).count() > _BROADCAST_KEY_CAP
     build = (lambda df: df) if big else F.broadcast
     collided = existing.join(
         build(batch_keys),
@@ -111,23 +120,30 @@ def stream_ingest_into_pqdb(
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates([key_col])
-        # the sink owns the dataset (single writer): finish any crashed
-        # swap before deciding whether an existing-keys anti-join is needed
-        # (`exists` is read-only now — a dataset parked in swap siblings
-        # would otherwise skip the dedup and re-append its whole history)
-        if db.recover():  # returns `exists`; one directory walk, not two
-            existing = db.read(
-                columns=[key_col], filters=history_filter
-            ).withColumnRenamed(
-                key_col, "__existing_key"
-            )
-            batch = new_rows_vs_existing(batch, existing, key_col)
-        # materialize the dedupe+anti-join ONCE: the emptiness probe and
-        # create()'s write would otherwise each re-run the whole pipeline
-        # (including the growing key-column scan)
-        batch = batch.localCheckpoint(eager=True)
+        # materialize the within-batch dedup FIRST: its shuffle would
+        # otherwise run twice — once under new_rows_vs_existing's row-count
+        # probe and once under the final checkpoint — and the probe then
+        # degrades to a block scan of these checkpointed rows
+        deduped = batch_df.dropDuplicates([key_col]).localCheckpoint(eager=True)
+        batch = deduped
         try:
+            # the sink owns the dataset (single writer): finish any crashed
+            # swap before deciding whether an existing-keys anti-join is
+            # needed (`exists` is read-only now — a dataset parked in swap
+            # siblings would otherwise skip the dedup and re-append its
+            # whole history)
+            if db.recover():  # returns `exists`; one directory walk, not two
+                existing = db.read(
+                    columns=[key_col], filters=history_filter
+                ).withColumnRenamed(
+                    key_col, "__existing_key"
+                )
+                # materialize the anti-join ONCE: the emptiness probe and
+                # create()'s write would otherwise each re-run the whole
+                # pipeline (including the growing key-column scan)
+                batch = new_rows_vs_existing(
+                    deduped, existing, key_col
+                ).localCheckpoint(eager=True)
             if batch.take(1):  # skip empty appends (fully-replayed batch)
                 db.create(batch)
         finally:
@@ -135,10 +151,12 @@ def stream_ingest_into_pqdb(
             # micro-batch — in continuous mode (available_now=False) they
             # otherwise linger until JVM GC + ContextCleaner reap the dead
             # reference, growing block-manager memory across batches. The
-            # helper unpersists exactly the RDD behind `batch`'s LogicalRDD
-            # plan (safe under concurrent queries, unlike a registry diff;
-            # rationale + verified non-alternatives in runtime.py).
-            release_local_checkpoint(batch)
+            # helper unpersists exactly the RDD behind each frame's
+            # LogicalRDD plan (safe under concurrent queries, unlike a
+            # registry diff; rationale + non-alternatives in runtime.py).
+            release_local_checkpoint(deduped)
+            if batch is not deduped:
+                release_local_checkpoint(batch)
 
     writer = stream_df.writeStream.foreachBatch(upsert).option(
         "checkpointLocation", checkpoint_dir

@@ -62,8 +62,14 @@ def duckdb_connection(sf_dir: str):
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):
+            # Spark-written "table.parquet" is a DIRECTORY of part files
+            # (the scale-replica dirs) — DuckDB needs the glob form there,
+            # while the single-file fixtures keep the plain path
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 

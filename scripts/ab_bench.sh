@@ -1,0 +1,64 @@
+#!/usr/bin/env bash
+# Pinned isolated two-worktree A/B bench (SCALE.md round-10 protocol).
+#
+# Usage: scripts/ab_bench.sh <dirA> <dirB> <query>...
+#
+# Environment pinning (vs the round-≤9 ad-hoc protocol, whose same-code
+# ambient band measured ±20%):
+#   - taskset -c 0-15: one fixed CPU set for every rep of every side, so the
+#     scheduler cannot migrate the JVM across a different set per run;
+#   - SPARK_GRAFT_CPUS=16 matches the cpuset (local[16], 16 shuffle parts);
+#   - SPARK_GRAFT_DRIVER_MEM=8g: one fixed heap (the session default, made
+#     explicit so an inherited env override cannot skew one side);
+#   - BENCH_REPEATS=5 BENCH_WARMUP=2 BENCH_STAT=median: 2 discarded warmup
+#     reps (per-rep traces show reps 1-2 still pay JIT/codegen warmup),
+#     then median-of-5 — min under-weights steady-state GC variance;
+#   - sides alternate A,B per rep-block at the process level anyway (each
+#     side is one fresh process; no concurrent Spark jobs allowed).
+#
+# Output: per-query warm times per side + B/A ratios on stdout.
+set -euo pipefail
+A="$1"; B="$2"; shift 2
+[ $# -ge 1 ] || { echo "usage: $0 <dirA> <dirB> <query>..." >&2; exit 2; }
+PIN="${AB_CPUSET:-0-15}"
+ENV_PIN=(SPARK_GRAFT_CPUS=16 SPARK_GRAFT_DRIVER_MEM=8g BENCH_REPEATS=5 BENCH_WARMUP=2 BENCH_STAT=median BENCH_VERBOSE=1)
+run_side() { # dir label query...
+  local dir="$1" label="$2"; shift 2
+  (cd "$dir" && taskset -c "$PIN" env "${ENV_PIN[@]}" \
+    python3 bench.py "$@" >"/tmp/ab_${label}.out" 2>"/tmp/ab_${label}.err" || {
+      echo "side $label failed; tail of stderr:" >&2
+      tail -5 "/tmp/ab_${label}.err" >&2
+      exit 1
+    })
+  # isolated runs deliberately do NOT write BENCH_DETAIL.json (it is the
+  # full-suite baseline) — the detail JSON is the second-to-last stdout line
+  python3 -c "
+import json, sys
+lines = [l for l in open('/tmp/ab_${label}.out') if l.strip().startswith('{')]
+json.dump(json.loads(lines[-2]), open('/tmp/ab_${label}.json', 'w'))
+"
+}
+run_side "$A" A "$@"
+run_side "$B" B "$@"
+python3 - "$@" <<'EOF'
+import json, re, sys
+
+def mins(label):
+    # post-warmup per-rep minima from the BENCH_VERBOSE stderr trace
+    out = {}
+    for line in open(f'/tmp/ab_{label}.err'):
+        m = re.search(r'reps (\w+): \[([\d., ]+)\]', line)
+        if m:
+            reps = [float(x) for x in m.group(2).split(',')]
+            out[m.group(1)] = min(reps[2:])  # BENCH_WARMUP=2
+    return out
+
+a = json.load(open('/tmp/ab_A.json'))['warm_queries']
+b = json.load(open('/tmp/ab_B.json'))['warm_queries']
+am, bm = mins('A'), mins('B')
+print(f"{'query':<36} {'A med':>7} {'B med':>7} {'B/A':>5} {'A min':>7} {'B min':>7} {'B/A':>5}")
+for q in sys.argv[1:]:
+    if q in a and q in b:
+        print(f"{q:<36} {a[q]:>7.3f} {b[q]:>7.3f} {b[q]/a[q]:>5.2f}"
+              f" {am[q]:>7.3f} {bm[q]:>7.3f} {bm[q]/am[q]:>5.2f}")
+EOF

@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Adversarial-corpus sweep AT REPLICA SCALE (round-9 verdict ask #4): the
+five per-round sweeps run on the sf0.001 fixtures, but the classes they
+catch interact with SIZE — broadcast caps, int64 fixed-point grids, LSH
+band-key cliques and skew-salting are all data-volume-dependent — so a
+fixture-green guard can still be scale-red. This script rebuilds the 10×
+replica of sf0.1 (scripts/scale_probe.py's key-shifted replication), applies
+BOTH the null-corpus and extreme-values mutations to it, and runs the
+~30 scale-sensitive queries (the null sweep's REPEAT_3X window list plus the
+extreme grid's guard-wave five) through the hash-exact Spark-vs-DuckDB
+comparison at ~sf1.
+
+Usage:
+  python3 scripts/scale_sweep.py                  # replicate + mutate + run
+  SCALE_SWEEP_REUSE_DIR=/tmp/scale_sweep_XXXX python3 scripts/scale_sweep.py
+"""
+
+from __future__ import annotations
+
+import gc
+import os
+import sys
+import tempfile
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from null_sweep import REPEAT_3X
+from scale_probe import replicate
+
+from crystal_parquet_database_spark.runtime import release_all_session_blocks
+from crystal_parquet_database_spark.session import get_spark
+from crystal_parquet_database_spark.testing import compare_query
+
+# the extreme grid's guard-wave five (SCALE.md round-9 closing A/B) — the
+# queries whose one-bad-row crash class is explicitly size-coupled (decimal
+# sums near 1e308, int32/int64 bucket grids, window fixed-point arithmetic)
+EXTREME_FIVE = [
+    "agg_value_histogram",
+    "stream_running_user_stats",
+    "stream_tumbling_window_counts",
+    "events_multires_rollup",
+    "sim_label_centroid_outliers",
+]
+
+QUERIES_TO_RUN = sorted(set(REPEAT_3X) | set(EXTREME_FIVE))
+
+
+def mutate(dst: str) -> None:
+    """Apply the null-corpus and extreme-values edits to the replica —
+    id-keyed exactly like the fixture sweeps (the replica's first copy keeps
+    the base ids, so doc_id 7/301/11/13 and vec_id 50/2 all exist), with the
+    synthetic no-content docs keyed PAST the replica's max id instead of at
+    10001/10002 (which are real doc_ids at this scale)."""
+
+    def rd(name: str) -> pd.DataFrame:
+        return pd.read_parquet(os.path.join(dst, f"{name}.parquet"))
+
+    def wr(df: pd.DataFrame, name: str) -> None:
+        # replace the replica's directory-shaped table with one flat file
+        import shutil
+
+        p = os.path.join(dst, f"{name}.parquet")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        df.to_parquet(p, index=False)
+
+    docs = rd("documents")
+    docs.loc[docs["doc_id"] == 7, "text"] = None
+    docs.loc[docs["doc_id"] == 301, "text"] = None
+    docs.loc[docs["doc_id"] == 11, "source"] = None
+    docs.loc[docs["doc_id"] == 13, "lang"] = None
+    nxt = int(docs["doc_id"].max()) + 1
+    extra = pd.DataFrame(
+        {"doc_id": [nxt, nxt + 1], "text": [None, None],
+         "lang": ["en", "de"], "source": ["src0", "src1"], "n_chars": [0, 0]}
+    ).astype(docs.dtypes.to_dict())
+    docs = pd.concat([docs, extra], ignore_index=True)
+    wr(docs, "documents")
+
+    emb = rd("embeddings")
+    emb.loc[emb["vec_id"] == 50, "embedding"] = None  # failed-encoder row
+    i2 = emb.index[emb["vec_id"] == 2][0]
+    emb.at[i2, "embedding"] = [
+        None if j == 3 else v for j, v in enumerate(emb.at[i2, "embedding"])
+    ]
+    wr(emb, "embeddings")
+
+    ev = rd("events")
+    # extreme numeric edges, id-keyed mod patterns (scale-independent)
+    ev.loc[ev["event_id"] % 50 == 1, "value"] = float("nan")
+    ev.loc[ev["event_id"] % 50 == 2, "value"] = float("inf")
+    ev.loc[ev["event_id"] % 50 == 3, "value"] = float("-inf")
+    ev.loc[ev["event_id"] % 50 == 4, "value"] = -0.0
+    ev.loc[ev["event_id"] % 50 == 5, "value"] = 1.7e308
+    ev.loc[ev["event_id"] % 50 == 6, "value"] = 5e-324
+    ev.loc[ev["event_id"] % 50 == 7, "value"] = -1.7e308
+    ev.loc[ev["event_id"] % 50 == 8, "value"] = 3e9
+    ev.loc[ev["event_id"] % 50 == 9, "value"] = -3e9
+    # temporal edges + null-corpus clockless/failed-parse rows
+    ts = ev["ts"]
+    if not pd.api.types.is_datetime64_any_dtype(ts):
+        raise SystemExit(f"unexpected events.ts dtype {ts.dtype}")
+    ev.loc[ev["event_id"] % 97 == 11, "ts"] = pd.Timestamp("1970-01-01 00:00:00")
+    ev.loc[ev["event_id"] % 97 == 23, "ts"] = pd.Timestamp("2200-06-15 23:59:59")
+    ev.loc[ev.index[:3], "event_type"] = None
+    ev.loc[ev.index[3:5], "ts"] = pd.NaT
+    wr(ev, "events")
+
+
+def main() -> None:
+    reuse = os.environ.get("SCALE_SWEEP_REUSE_DIR")
+    spark = get_spark(app_name="scale_sweep")
+    if reuse:
+        dst = reuse
+        print(f"reusing mutated replica {dst}", flush=True)
+    else:
+        dst = tempfile.mkdtemp(prefix="scale_sweep_")
+        print(f"replicating sf0.1 x10 into {dst} ...", flush=True)
+        replicate(spark, 10, dst)
+        print("mutating (null + extreme edits) ...", flush=True)
+        mutate(dst)
+    fails = []
+    for name in QUERIES_TO_RUN:
+        try:
+            ok, msg = compare_query(spark, name, dst)
+        except Exception as e:  # surface, don't abort the sweep
+            ok, msg = False, f"{name}: EXC {type(e).__name__}: {e}"
+        finally:
+            release_all_session_blocks(spark)
+            gc.collect()
+        print(("MATCH " if ok else "FAIL ") + msg.splitlines()[0][:200], flush=True)
+        if not ok:
+            fails.append(name)
+    print(
+        f"DONE {len(QUERIES_TO_RUN) - len(fails)}/{len(QUERIES_TO_RUN)} green "
+        f"on 10x null+extreme replica; dir={dst}"
+    )
+    if fails:
+        print("FAILS:", fails)
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
