@@ -117,8 +117,19 @@ _VERIFY_FIRST = [
     "q19_disjunctive_revenue",       # 0.56
     # ——— the 50-query verification window ends HERE (13 deferral +
     # 2 perf + 11 r6 + 24 r7 = exactly 50). Entries below get NO row this
-    # round, in ROUND-11 priority order: the 11 lightest r7 rows (warm
-    # times from the same measurement), freshest evidence last.
+    # round, in ROUND-11 priority order: FIRST the round-11 priority-2
+    # deferral set — the 10x null+extreme replica sweep (SCALE.md round-10)
+    # caught six embedding oracles/arms missing the invalid-vector
+    # predicate their Spark sides apply (DuckDB's list folds SKIP null
+    # elements, so a partial dot/distance is a NUMBER there while Spark's
+    # fold nulls out — invisible at sf0.001, divergent at 10x); the
+    # post-freeze fixes land now, and per the freeze rule the five
+    # OUT-of-window queries they gate defer to round 11's head:
+    # sim_decontaminate_embeddings, sim_pq_recall_at_k,
+    # sim_embedding_near_dup, sim_embedding_near_dup_lsh,
+    # sim_ivf_recall_at_k (sim_ann_lsh_topk is IN this window — its row
+    # postdates the fix, the r9 precedent). THEN the 11 lightest r7 rows
+    # (warm times from the same measurement), freshest evidence last.
     "text_quality_quantile_filter",  # 0.53
     "events_path_regex_match",       # 0.46
     "events_anomaly_hourly_zscore",  # 0.45

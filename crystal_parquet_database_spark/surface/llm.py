@@ -267,10 +267,10 @@ def _sql_bucket(vec: str, n_planes: int = 8) -> str:
 _ANN_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
                   {_sql_bucket('embedding')} AS bucket
-           FROM embeddings WHERE vec_id < 10),
+           FROM embeddings WHERE vec_id < 10 AND {_VALID}),
 c AS (SELECT vec_id AS match_id, embedding AS cvec,
              {_sql_bucket('embedding')} AS bucket
-      FROM embeddings),
+      FROM embeddings WHERE {_VALID}),
 s AS (SELECT query_id, match_id, {_COS} AS cos
       FROM c JOIN q USING (bucket) WHERE match_id <> query_id)
 SELECT * FROM (
@@ -325,6 +325,7 @@ WITH seeds AS (
   SELECT CAST(vec_id - {_IVF_SEED_LO} AS INTEGER) AS cell_id, embedding AS svec
   FROM embeddings
   WHERE vec_id >= {_IVF_SEED_LO} AND vec_id < {_IVF_SEED_LO + _IVF_SEED_N}
+    AND {_VALID}
 ),
 d AS (
   SELECT e.vec_id, s.cell_id, {_sql_l2('e.embedding', 's.svec')} AS d2
@@ -388,12 +389,18 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer; this query proves the search machinery (assign → probe →
     candidate join → rank) exact."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # seeds ride the invalid-vector contract like every other arm: a NULL
+    # seed row would crash the list() here while the oracle quietly skipped
+    # the cell (NULL distances never win rn=1) — same class as the PQ seeds
     cent = [
         list(r[0])
         for r in (
-            emb.filter(
-                (F.col("vec_id") >= _IVF_SEED_LO)
-                & (F.col("vec_id") < _IVF_SEED_LO + _IVF_SEED_N)
+            S.valid_vectors(
+                emb.filter(
+                    (F.col("vec_id") >= _IVF_SEED_LO)
+                    & (F.col("vec_id") < _IVF_SEED_LO + _IVF_SEED_N)
+                ),
+                "embedding",
             )
             .orderBy("vec_id")
             .select("embedding")
@@ -431,7 +438,8 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEARDUP_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+WITH e AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 5 = 0 AND {_VALID})
 SELECT * FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_sql_cos('a.embedding', 'b.embedding')} AS cos
@@ -456,9 +464,11 @@ def _sql_band_key(vec: str, band: int, band_size: int = 6) -> str:
 
 _NEARDUP_LSH_ORACLE = f"""
 WITH x AS (
-  SELECT vec_id, embedding, 0 AS band, {_sql_band_key('embedding', 0)} AS key FROM embeddings
+  SELECT vec_id, embedding, 0 AS band, {_sql_band_key('embedding', 0)} AS key
+  FROM embeddings WHERE {_VALID}
   UNION ALL
-  SELECT vec_id, embedding, 1 AS band, {_sql_band_key('embedding', 1)} AS key FROM embeddings
+  SELECT vec_id, embedding, 1 AS band, {_sql_band_key('embedding', 1)} AS key
+  FROM embeddings WHERE {_VALID}
 )
 SELECT DISTINCT id_a, id_b, cos FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1154,8 +1164,9 @@ _DECON_EVAL_CAP = 500
 
 _EMB_DECON_ORACLE = f"""
 WITH e AS (SELECT vec_id AS eval_id, embedding AS evec FROM embeddings
-           WHERE label = 0 AND vec_id < {_DECON_EVAL_CAP}),
-t AS (SELECT vec_id AS train_id, embedding AS tvec FROM embeddings WHERE label <> 0),
+           WHERE label = 0 AND vec_id < {_DECON_EVAL_CAP} AND {_VALID}),
+t AS (SELECT vec_id AS train_id, embedding AS tvec FROM embeddings
+      WHERE label <> 0 AND {_VALID}),
 s AS (SELECT eval_id, train_id, {_DECON_COS} AS cos FROM t, e),
 h AS (SELECT * FROM s WHERE cos >= {_DECON_THRESH}),
 r AS (SELECT eval_id, train_id, cos,
@@ -2538,7 +2549,7 @@ def _sql_sub_l2(a: str, b: str, j: int) -> str:
 _PQ_CODE_CTES = ",\n".join(
     f"""d{j} AS (
   SELECT e.vec_id, s.code, {_sql_sub_l2('e.embedding', 's.svec', j)} AS d2
-  FROM embeddings e CROSS JOIN seeds s
+  FROM embeddings e CROSS JOIN seeds s WHERE {S.VALID_VEC_SQL('e.embedding')}
 ),
 kk{j} AS (
   SELECT vec_id, code AS k{j} FROM (
@@ -2567,13 +2578,15 @@ WITH seeds AS (
   SELECT CAST(vec_id - {_PQ_SEED_LO} AS INTEGER) AS code, embedding AS svec
   FROM embeddings
   WHERE vec_id >= {_PQ_SEED_LO} AND vec_id < {_PQ_SEED_LO + _PQ_KSUB}
+    AND {_VALID}
 ),
 {_PQ_CODE_CTES},
 codes AS (
   SELECT kk0.vec_id, {_PQ_CODE_COLS}
   FROM kk0 {_PQ_CODE_JOIN}
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < 10 AND {_VALID}),
 adc AS (
   SELECT q.query_id, c.vec_id AS match_id, {_PQ_ADC_SUM} AS approx_d2
   FROM codes c CROSS JOIN q
@@ -2593,7 +2606,8 @@ truth AS (
            ROW_NUMBER() OVER (PARTITION BY q.query_id
                               ORDER BY {_sql_l2('e.embedding', 'q.qvec')},
                                        e.vec_id) AS rank
-    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id AND {S.VALID_VEC_SQL('e.embedding')}
   ) WHERE rank <= 10
 )
 SELECT t.query_id,
@@ -2619,10 +2633,17 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     m bytes/vector in the scan. See operators/similarity.pq_encode /
     pq_adc_topk for the scale shapes."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # the invalid-vector contract applies to SEEDS too (a NULL/element-NULL
+    # seed row would crash the list() below Spark-side while DuckDB quietly
+    # built a partial-distance centroid from it — the exact class the 10x
+    # null+extreme replica sweep caught in this query's q/truth/codes CTEs)
     seed_rows = (
-        emb.filter(
-            (F.col("vec_id") >= _PQ_SEED_LO)
-            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_KSUB)
+        S.valid_vectors(
+            emb.filter(
+                (F.col("vec_id") >= _PQ_SEED_LO)
+                & (F.col("vec_id") < _PQ_SEED_LO + _PQ_KSUB)
+            ),
+            "embedding",
         )
         .orderBy("vec_id")
         .select("embedding")
@@ -2643,7 +2664,12 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = S.pq_encode(emb, "vec_id", "embedding", codebooks).localCheckpoint(
         eager=True
     )
-    queries_df = emb.filter(F.col("vec_id") < 10)
+    # the contract applied to the TRUTH arms too: pq_encode/pq_adc_topk
+    # already exclude invalid vectors, so an element-NULL query/corpus row
+    # left in the ground truth would make truth and search disagree about
+    # the universe being searched (DuckDB's list folds SKIP null elements —
+    # a partial distance is a NUMBER there, while Spark's fold nulls out)
+    queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding")
     pq = S.pq_adc_topk(
         queries_df, codes, "vec_id", "embedding", codebooks, k=10
     ).select("query_id", F.col("match_id").alias("__pq_match"))
@@ -2651,7 +2677,9 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = queries_df.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    c = emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("cvec"))
+    c = S.valid_vectors(emb, "embedding").select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("cvec")
+    )
     sq = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("match_id") != F.col("query_id"))

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Degenerate-input sweep: rebuild the sf0.001 fixtures with the ZERO-SIGNAL
+shapes a real scrape feed is full of — empty strings, whitespace-only and
+punctuation-only documents, single-character and single-token bodies, one
+giant unbroken token, a single token repeated hundreds of times, stopword-only
+text, regex metacharacters, empty-STRING group keys (distinct from the null
+corpus's NULL keys), zero-norm / constant / overflow-magnitude / denormal
+embeddings — then run EVERY oracle-paired query through the hash-exact
+Spark-vs-DuckDB comparison.
+
+Why this is its own corpus: the null sweep models ABSENT values (NULL text,
+NULL keys, NULL elements); this one models PRESENT-but-degenerate values,
+which take entirely different code paths — ``split('')`` yields ``['']`` (one
+empty token, not zero tokens) in BOTH engines, empty-string group keys form a
+real group the NULL-handling never sees, a zero vector hits the cosine
+zero-norm guard (Spark NULLs via ``_cos_div``; DuckDB x/0.0 is NULL by
+engine semantics — same answer via different mechanisms, which is exactly
+the kind of lockstep that must be PROVEN, not assumed), an all-1e154 vector
+drives the dot product to +inf and the cosine to NaN (both engines sort NaN
+above +inf — again proven here, not assumed), and a 4000-char unbroken token
+stresses every chunker/packer/shingle length assumption at once.
+
+Usage: python3 scripts/degenerate_sweep.py   (expect: DONE 149/149 green)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from null_sweep import REPEAT_3X
+from sweep_lib import SRC, run_sweep
+
+# Present-but-degenerate bodies. Each keyed doc keeps SOME corpus overlap
+# where the shape allows (BM25/TF-IDF/decontamination still need shared
+# vocabulary elsewhere in the corpus — the non-target docs provide it).
+DEGENERATE_TEXTS = [
+    "",                                        # empty string (NOT NULL)
+    "   ",                                     # spaces only
+    " \t\n\r ",                                # assorted whitespace only
+    "word",                                    # single ordinary token
+    "a",                                       # single character
+    "x" * 4000,                                # one giant unbroken token
+    ("spam " * 400).strip(),                   # one token repeated 400x
+    "!!! ??? ... ,,, ;;; ::: ---",             # punctuation-only tokens
+    "a.b c* (d) [e] f+ g? h|i \\j $k ^m",      # regex metacharacters
+    "123 456.789 -42 1e10 0x1f nan inf",       # numeric-looking tokens
+    "the the the a a an of of to to",          # stopwords only
+]
+
+
+def build_degenerate_corpus(dst: str) -> None:
+    for f in os.listdir(SRC):
+        shutil.copy(os.path.join(SRC, f), dst)
+
+    docs = pd.read_parquet(os.path.join(dst, "documents.parquet"))
+    n = len(DEGENERATE_TEXTS)
+    # every ~8th doc gets a degenerate body, spread across the id range so
+    # chunkers/samplers/strata all see some; n_chars stays honest
+    targets = [i for i in docs.index if docs.loc[i, "doc_id"] % 8 == 5]
+    for j, i in enumerate(targets):
+        t = DEGENERATE_TEXTS[j % n]
+        docs.loc[i, "text"] = t
+        docs.loc[i, "n_chars"] = len(t)
+    # empty-STRING group keys — a real group, distinct from NULL, that the
+    # null corpus's NULL-key probes never exercise
+    docs.loc[docs["doc_id"] % 16 == 6, "lang"] = ""
+    docs.loc[docs["doc_id"] % 16 == 10, "source"] = ""
+    docs.to_parquet(os.path.join(dst, "documents.parquet"), index=False)
+
+    emb = pd.read_parquet(os.path.join(dst, "embeddings.parquet"))
+
+    def set_vec(vid: int, val: float) -> None:
+        idx = emb.index[emb["vec_id"] == vid]
+        if len(idx):
+            dim = len(emb.at[idx[0], "embedding"])
+            emb.at[idx[0], "embedding"] = [np.float32(val)] * dim
+
+    set_vec(10, 0.0)        # zero vector: cosine zero-norm guard, both sides
+    set_vec(20, 0.5)        # constant vector: valid, maximal mutual cosine
+    set_vec(30, 1e154)      # dot overflows to +inf, cosine becomes NaN
+    set_vec(40, 5e-324)     # denormal: dot underflows to 0 -> zero norm
+    emb.to_parquet(os.path.join(dst, "embeddings.parquet"), index=False)
+
+    ev = pd.read_parquet(os.path.join(dst, "events.parquet"))
+    # empty-string event_type: forms its own funnel/path/markov group and
+    # contributes a zero-length initial to path strings on both engines
+    ev.loc[ev["event_id"] % 16 == 13, "event_type"] = ""
+    ev.to_parquet(os.path.join(dst, "events.parquet"), index=False)
+
+
+def main() -> None:
+    run_sweep(
+        build_degenerate_corpus, "degenerate_sweep_", "DEGENERATE",
+        repeat_3x=REPEAT_3X,
+    )
+
+
+if __name__ == "__main__":
+    main()
