@@ -277,6 +277,7 @@ class PqDB:
         df: DataFrame,
         n_files: int | None = None,
         max_records_per_file: int | None = None,
+        partition_values_guarded: bool = False,
     ) -> None:
         """Materialize ``df`` to a temp dir, then swap it in via two renames.
 
@@ -336,6 +337,14 @@ class PqDB:
                 df = df.repartition(n_files, *[F.col(c) for c in self.partition_by])
             else:
                 df = df.repartition(n_files)
+        # ``partition_values_guarded``: normalize() applies the guard BEFORE
+        # its cluster sort — wrapping the partition column in an expression
+        # HERE would sit a Project above that sort, the writer would no
+        # longer recognize its required partition ordering, and its
+        # re-sort (partition columns only) would destroy the cluster
+        # order the caller just paid for
+        if not partition_values_guarded:
+            df = self._guard_partition_values(df)
         writer = df.write.mode("overwrite")
         if max_records_per_file:
             # per-write option — never mutate the shared session conf
@@ -413,7 +422,7 @@ class PqDB:
                 # zero-row dataset wholesale instead.
                 self._rewrite(df)
             else:
-                writer = df.write.mode("append")
+                writer = self._guard_partition_values(df).write.mode("append")
                 if self.partition_by:
                     writer = writer.partitionBy(*self.partition_by)
                 writer.parquet(self.path)
@@ -490,6 +499,40 @@ class PqDB:
                 "was opened without partition_by; open it with the matching "
                 "partition_by to append"
             )
+
+    def _guard_partition_values(self, df: DataFrame) -> DataFrame:
+        """Hive layout cannot represent an EMPTY-STRING partition value: Spark
+        writes both '' and NULL as ``__HIVE_DEFAULT_PARTITION__``, so '' rows
+        silently come back as NULL — a key-corruption round-trip the round-10
+        degenerate-corpus sweep caught in the compaction gate (every other
+        shape round-trips: whitespace, slashes and non-ASCII are dir-escaped
+        faithfully, and NULL reads back as NULL). Fail LOUDLY instead, with
+        zero extra passes: the check rides the write itself as a raise_error
+        branch on each string partition column. Callers who want hive
+        semantics normalize explicitly (``NULLIF(col, '')``) so the coercion
+        is in their code, never silent in the engine."""
+        if not self.partition_by:
+            return df
+        str_cols = {
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+        }
+        for c in self.partition_by:
+            if c in str_cols:
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        F.col(c) == "",
+                        F.raise_error(
+                            F.lit(
+                                f"partition column {c!r} contains an empty-string "
+                                "value, which hive layout cannot round-trip (it "
+                                "reads back as NULL); NULLIF it explicitly or "
+                                "do not partition on this column"
+                            )
+                        ).cast("string"),
+                    ).otherwise(F.col(c)),
+                )
+        return df
 
     @staticmethod
     def _filters_to_column(filters) -> Column | str:
@@ -868,7 +911,9 @@ class PqDB:
         rewrite runs as a distributed compaction job (AQE balances the
         shuffle)."""
         self.recover()  # write entry point: finish any crashed swap first
-        df = self._df()
+        df = self._guard_partition_values(self._df())  # before the sort —
+        # see _rewrite: a post-sort guard projection makes the writer
+        # re-sort on partition columns alone, destroying the cluster order
         n = df.count()
         n_files = max(1, math.ceil(n / max_rows_per_file))
         pcols = [F.col(c) for c in self.partition_by]
@@ -892,7 +937,7 @@ class PqDB:
                 )
             else:
                 keyed = keyed.repartitionByRange(n_files, F.col(key)).sortWithinPartitions(key)
-            self._rewrite(keyed.drop(key), max_records_per_file=max_rows_per_file)
+            self._rewrite(keyed.drop(key), max_records_per_file=max_rows_per_file, partition_values_guarded=True)
         elif cluster_by:
             cols = [F.col(c) for c in cluster_by]
             if self.partition_by:
@@ -900,9 +945,9 @@ class PqDB:
                 df = df.repartition(n_files, *pcols).sortWithinPartitions(*pcols, *cols)
             else:
                 df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
-            self._rewrite(df, max_records_per_file=max_rows_per_file)
+            self._rewrite(df, max_records_per_file=max_rows_per_file, partition_values_guarded=True)
         else:
-            self._rewrite(df, n_files=n_files, max_records_per_file=max_rows_per_file)
+            self._rewrite(df, n_files=n_files, max_records_per_file=max_rows_per_file, partition_values_guarded=True)
 
     @property
     def n_rows(self) -> int:

@@ -128,7 +128,16 @@ _VERIFY_FIRST = [
     # sim_decontaminate_embeddings, sim_pq_recall_at_k,
     # sim_embedding_near_dup, sim_embedding_near_dup_lsh,
     # sim_ivf_recall_at_k (sim_ann_lsh_topk is IN this window — its row
-    # postdates the fix, the r9 precedent). THEN the 11 lightest r7 rows
+    # postdates the fix, the r9 precedent). The round-10 DEGENERATE-corpus
+    # sweep (empty/whitespace/punctuation-only text, ''-group-keys,
+    # zero-norm/zero-length vectors) then added two more:
+    # pqdb_normalize_compaction (hive layout writes '' and NULL partition
+    # values to the same __HIVE_DEFAULT_PARTITION__ dir — '' silently read
+    # back as NULL; PqDB now refuses '' partition values loudly and the
+    # gate demonstrates the documented NULLIF pattern on both sides) and
+    # scalar_array_functions (element_at ANSI-aborts on a zero-LENGTH
+    # embedding while the oracle's [1] returns NULL — now F.get, the r9
+    # KLL idiom). THEN the 11 lightest r7 rows
     # (warm times from the same measurement), freshest evidence last.
     "text_quality_quantile_filter",  # 0.53
     "events_path_regex_match",       # 0.46

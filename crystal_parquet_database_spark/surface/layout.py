@@ -53,15 +53,21 @@ GROUP BY c_mktsegment
 """
 
 
+# NULLIF(lang, ''): hive layout cannot represent an empty-string partition
+# value (Spark writes '' and NULL both as __HIVE_DEFAULT_PARTITION__, so ''
+# silently reads back as NULL — caught by the degenerate-corpus sweep).
+# PqDB refuses '' partition values loudly; the documented pattern is to
+# normalize explicitly before partitioning, which this query does on BOTH
+# sides so the coercion is visible, never silent.
 _NORMALIZE_ORACLE = """
-SELECT lang,
+SELECT NULLIF(lang, '') AS lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM documents
 WHERE doc_id < 600 AND n_chars > 100
-GROUP BY lang
+GROUP BY 1
 """
 
 
@@ -90,7 +96,13 @@ def pqdb_normalize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crystal_parquet_database_spark.db import PqDB
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars"
+        "doc_id",
+        # explicit hive-partition normalization (see _NORMALIZE_ORACLE): an
+        # empty-string lang cannot round-trip the hive layout, and PqDB
+        # fails loudly on it rather than silently returning NULL
+        F.nullif(F.col("lang"), F.lit("")).alias("lang"),
+        "source",
+        "n_chars",
     )
     slice_ = docs.filter(F.col("doc_id") < 600)
     db = PqDB(spark, os.path.join(fresh_dir("pqdb_normalize"), "db"), partition_by=["lang"])

@@ -132,13 +132,17 @@ FROM embeddings
 def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array built-ins + a higher-order filter (JVM-side lambda, no UDF)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # F.get, not element_at: a zero-LENGTH embedding (failed encoder emits
+    # [] as readily as NULL) ANSI-aborts element_at's out-of-bounds index,
+    # while the oracle's [1] quietly returns NULL — F.get is the ragged-safe
+    # NULL-returning access both engines agree on (the r9 KLL idiom)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        F.get("embedding", 0).cast("double").alias("first_component"),
         (
-            F.element_at("embedding", 1).cast("double")
-            + F.element_at("embedding", 2).cast("double")
+            F.get("embedding", 0).cast("double")
+            + F.get("embedding", 1).cast("double")
         ).alias("first_two_sum"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )

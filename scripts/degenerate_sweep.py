@@ -86,6 +86,12 @@ def build_degenerate_corpus(dst: str) -> None:
     set_vec(20, 0.5)        # constant vector: valid, maximal mutual cosine
     set_vec(30, 1e154)      # dot overflows to +inf, cosine becomes NaN
     set_vec(40, 5e-324)     # denormal: dot underflows to 0 -> zero norm
+    idx60 = emb.index[emb["vec_id"] == 60]
+    if len(idx60):
+        # zero-LENGTH list (present, not NULL): the third invalid-vector
+        # shape, and the one that ANSI-aborts element_at while DuckDB's
+        # [1] quietly returns NULL
+        emb.at[idx60[0], "embedding"] = []
     emb.to_parquet(os.path.join(dst, "embeddings.parquet"), index=False)
 
     ev = pd.read_parquet(os.path.join(dst, "events.parquet"))

@@ -821,6 +821,34 @@ def test_rewrite_guards_partition_by_over_rooted_dataset(spark, tmp_path):
     assert PqDB(spark, path).n_rows == 1
 
 
+def test_empty_string_partition_value_fails_loudly(spark, tmp_path):
+    """Hive layout writes '' and NULL partition values to the SAME
+    ``__HIVE_DEFAULT_PARTITION__`` directory, so an empty-string key would
+    silently read back as NULL (the round-10 degenerate-corpus find). The
+    engine must refuse it loudly — while every representable shape
+    (whitespace, slashes, NULL itself) still round-trips faithfully."""
+    path = str(tmp_path / "emptykey")
+    db = PqDB(spark, path, partition_by=["lang"])
+    with pytest.raises(Exception, match="empty-string|cannot round-trip"):
+        db.create([{"k": 1, "lang": "", "v": 1}])
+    PqDB.destroy(path)
+
+    ok = PqDB(spark, str(tmp_path / "okkeys"), partition_by=["lang"])
+    rows = [
+        {"k": 1, "lang": " ", "v": 1},
+        {"k": 2, "lang": "a/b", "v": 2},
+        {"k": 3, "lang": None, "v": 3},
+    ]
+    ok.create(spark.createDataFrame(rows, "k int, lang string, v int"))
+    back = {r["k"]: r["lang"] for r in ok.read().collect()}
+    assert back == {1: " ", 2: "a/b", 3: None}
+
+    # update() setting a partition value to '' routes through _rewrite's
+    # guard too
+    with pytest.raises(Exception, match="empty-string|cannot round-trip"):
+        ok.update([{"id": 0, "lang": ""}])
+
+
 def test_scratch_sweeps_dead_peer_trees(tmp_path):
     import os
     import subprocess
