@@ -16,6 +16,13 @@
 #   - sides alternate A,B per rep-block at the process level anyway (each
 #     side is one fresh process; no concurrent Spark jobs allowed).
 #
+# Adjudication statistic (SCALE.md round-10 amendment): run >=5 pairs and
+# quote the MEDIAN of per-pair B/A ratios — measured same-code band
+# 0.92-1.07, so anything inside 0.90-1.10 is NOISE. Min-combined across
+# pairs is a secondary sanity column only: it rewards one lucky fast
+# process, and more pairs make a lucky draw MORE likely, so it does not
+# converge with pairs. Single-pair ratios are never evidence.
+#
 # Output: per-query warm times per side + B/A ratios on stdout.
 set -euo pipefail
 A="$1"; B="$2"; shift 2
