@@ -212,6 +212,11 @@ def run(sf_dir: str, label: str) -> dict[str, float]:
 
 
 def main() -> None:
+    gen_dir = os.environ.get("SCALE_PROBE_GEN_ONLY")
+    if gen_dir:  # child generation process (see below): replicate and exit
+        spark = get_spark(app_name="scale_probe_gen")
+        replicate(spark, int(os.environ["SCALE_PROBE_GEN_FACTOR"]), gen_dir)
+        return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     if len(sys.argv) > 2:  # optional probe subset: scale_probe.py 10 q1 q2 ...
         global PROBES
@@ -224,10 +229,25 @@ def main() -> None:
         out_dir = reuse
         print(f"reusing existing replica {out_dir}", flush=True)
     else:
+        # GENERATE IN A CHILD PROCESS: probing in the JVM that just wrote a
+        # multi-hundred-MB replica inflates the numbers (round-10 caught a
+        # 30x trio run reading 2.2-2.6x its reuse-dir repeat — heap/GC/
+        # block-manager crowding from the generation pass, not the
+        # operators). The child replicates and exits; this process then
+        # measures with the same clean-JVM state every REUSE_DIR run gets.
+        import subprocess
+
         out_dir = tempfile.mkdtemp(prefix=f"scale{factor}x_")
-        spark = get_spark(app_name="scale_probe_gen")
-        print(f"replicating sf0.1 x{factor} into {out_dir} ...", flush=True)
-        replicate(spark, factor, out_dir)
+        print(f"replicating sf0.1 x{factor} into {out_dir} (child process) ...", flush=True)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            check=True,
+            env=dict(
+                os.environ,
+                SCALE_PROBE_GEN_ONLY=out_dir,
+                SCALE_PROBE_GEN_FACTOR=str(factor),
+            ),
+        )
 
     base = run(SRC, "base")
     big = run(out_dir, f"{factor}x")
