@@ -3,12 +3,13 @@
 five per-round sweeps run on the sf0.001 fixtures, but the classes they
 catch interact with SIZE — broadcast caps, int64 fixed-point grids, LSH
 band-key cliques and skew-salting are all data-volume-dependent — so a
-fixture-green guard can still be scale-red. This script rebuilds the 10×
-replica of sf0.1 (scripts/scale_probe.py's key-shifted replication), applies
-BOTH the null-corpus and extreme-values mutations to it, and runs the
-~30 scale-sensitive queries (the null sweep's REPEAT_3X window list plus the
-extreme grid's guard-wave five) through the hash-exact Spark-vs-DuckDB
-comparison at ~sf1.
+fixture-green guard can still be scale-red (round 10 proved it: the
+element-NULL vector class was green at sf0.001 and red here). This script
+rebuilds the 10× replica of sf0.1 (scripts/scale_probe.py's key-shifted
+replication), applies the DEGENERATE, null-corpus and extreme-values
+mutations to it, and runs the ~30 scale-sensitive queries (the null sweep's
+REPEAT_3X window list plus the extreme grid's guard-wave five) through the
+hash-exact Spark-vs-DuckDB comparison at ~sf1.
 
 Usage:
   python3 scripts/scale_sweep.py                  # replicate + mutate + run
@@ -49,11 +50,17 @@ QUERIES_TO_RUN = sorted(set(REPEAT_3X) | set(EXTREME_FIVE))
 
 
 def mutate(dst: str) -> None:
-    """Apply the null-corpus and extreme-values edits to the replica —
-    id-keyed exactly like the fixture sweeps (the replica's first copy keeps
-    the base ids, so doc_id 7/301/11/13 and vec_id 50/2 all exist), with the
-    synthetic no-content docs keyed PAST the replica's max id instead of at
-    10001/10002 (which are real doc_ids at this scale)."""
+    """Apply the degenerate, null-corpus and extreme-values edits to the
+    replica — id-keyed exactly like the fixture sweeps (the replica's first
+    copy keeps the base ids, so doc_id 7/301/11/13 and vec_id 50/2 all
+    exist), with the synthetic no-content docs keyed PAST the replica's max
+    id instead of at 10001/10002 (which are real doc_ids at this scale).
+    Degenerate edits go FIRST so the null edits keep winning on their
+    specific ids (doc 301 is both %8==5 and the null corpus's no-content
+    doc — the NULL must survive)."""
+    import numpy as np
+
+    from degenerate_sweep import DEGENERATE_TEXTS
 
     def rd(name: str) -> pd.DataFrame:
         return pd.read_parquet(os.path.join(dst, f"{name}.parquet"))
@@ -68,6 +75,16 @@ def mutate(dst: str) -> None:
         df.to_parquet(p, index=False)
 
     docs = rd("documents")
+    # degenerate bodies first — the %8==5 keying hits every replica copy,
+    # so zero-signal docs are spread across the full id range at scale
+    targets = [i for i in docs.index if docs.loc[i, "doc_id"] % 8 == 5]
+    nd = len(DEGENERATE_TEXTS)
+    for j, i in enumerate(targets):
+        t = DEGENERATE_TEXTS[j % nd]
+        docs.loc[i, "text"] = t
+        docs.loc[i, "n_chars"] = len(t)
+    docs.loc[docs["doc_id"] % 16 == 6, "lang"] = ""
+    docs.loc[docs["doc_id"] % 16 == 10, "source"] = ""
     docs.loc[docs["doc_id"] == 7, "text"] = None
     docs.loc[docs["doc_id"] == 301, "text"] = None
     docs.loc[docs["doc_id"] == 11, "source"] = None
@@ -81,6 +98,15 @@ def mutate(dst: str) -> None:
     wr(docs, "documents")
 
     emb = rd("embeddings")
+    # degenerate vectors (base copy only, disjoint from the null edits)
+    for vid, val in ((10, 0.0), (20, 0.5), (30, 1e154), (40, 5e-324)):
+        idx = emb.index[emb["vec_id"] == vid]
+        if len(idx):
+            dim = len(emb.at[idx[0], "embedding"])
+            emb.at[idx[0], "embedding"] = [np.float32(val)] * dim
+    idx60 = emb.index[emb["vec_id"] == 60]
+    if len(idx60):
+        emb.at[idx60[0], "embedding"] = []  # zero-LENGTH (present, not NULL)
     emb.loc[emb["vec_id"] == 50, "embedding"] = None  # failed-encoder row
     i2 = emb.index[emb["vec_id"] == 2][0]
     emb.at[i2, "embedding"] = [
@@ -89,6 +115,8 @@ def mutate(dst: str) -> None:
     wr(emb, "embeddings")
 
     ev = rd("events")
+    # degenerate: empty-string event_type forms its own funnel/path group
+    ev.loc[ev["event_id"] % 16 == 13, "event_type"] = ""
     # extreme numeric edges, id-keyed mod patterns (scale-independent)
     ev.loc[ev["event_id"] % 50 == 1, "value"] = float("nan")
     ev.loc[ev["event_id"] % 50 == 2, "value"] = float("inf")
@@ -136,7 +164,7 @@ def main() -> None:
             fails.append(name)
     print(
         f"DONE {len(QUERIES_TO_RUN) - len(fails)}/{len(QUERIES_TO_RUN)} green "
-        f"on 10x null+extreme replica; dir={dst}"
+        f"on 10x degenerate+null+extreme replica; dir={dst}"
     )
     if fails:
         print("FAILS:", fails)
