@@ -74,6 +74,14 @@ def sql_shingles(expr: str, k: int = 5) -> str:
 # word-level oracle hash. The Spark side therefore uses this EXPLICIT class,
 # which is exactly RE2's \s set, so the '\s+' the generated SQL uses means
 # the same thing.
+#
+# TRIM is the same trap one function over (caught by the round-10
+# tokenizer-parity property test on random strings): DuckDB's ONE-ARG
+# trim() strips UNICODE whitespace (NBSP and friends — routine padding in
+# scraped HTML) while Spark's F.trim strips the ASCII space only, so a
+# trailing NBSP changed the last token on one engine only. Every generated
+# SQL here (and every hand-written oracle) therefore spells the two-arg
+# form trim(x, ' ') — byte-equal to F.trim.
 WS_RE = "[ \t\n\f\r]+"
 
 
@@ -125,12 +133,12 @@ def spark_word_shingles(c: Column, n: int = 3, toks: Column | None = None) -> Co
 
 def sql_word_shingles(expr: str, n: int = 3) -> str:
     """DuckDB expression equal to ``spark_word_shingles``."""
-    w = rf"string_split_regex(trim({expr}), '\s+')"
+    w = rf"string_split_regex(trim({expr}, ' '), '\s+')"
     gram = _sql_gram(n)
     return (
         f"(SELECT CASE WHEN len(w) >= {n} THEN "
         f"list_distinct([{gram} for i in generate_series(1, len(w) - {n - 1})]) "
-        f"ELSE [trim({expr})] END FROM (SELECT {w} AS w))"
+        f"ELSE [trim({expr}, ' ')] END FROM (SELECT {w} AS w))"
     )
 
 
@@ -151,7 +159,7 @@ def spark_word_ngrams(c: Column, n: int = 2, toks: Column | None = None) -> Colu
 
 def sql_word_ngrams(expr: str, n: int = 2) -> str:
     """DuckDB expression equal to ``spark_word_ngrams``."""
-    w = rf"string_split_regex(trim({expr}), '\s+')"
+    w = rf"string_split_regex(trim({expr}, ' '), '\s+')"
     gram = _sql_gram(n)
     return (
         f"(SELECT CASE WHEN len(w) >= {n} THEN "

@@ -137,7 +137,22 @@ _VERIFY_FIRST = [
     # gate demonstrates the documented NULLIF pattern on both sides) and
     # scalar_array_functions (element_at ANSI-aborts on a zero-LENGTH
     # embedding while the oracle's [1] returns NULL — now F.get, the r9
-    # KLL idiom). THEN the 11 lightest r7 rows
+    # KLL idiom). A round-10 tokenizer-parity property test (random
+    # strings, batched cross-engine compare) then caught the TRIM sibling
+    # of the \x0b class: DuckDB's one-arg trim() strips UNICODE whitespace
+    # (NBSP) while Spark's F.trim strips ASCII space only — every oracle
+    # now pins the two-arg trim(text, ' ') to Spark's semantic
+    # (value-identical on every pre-existing corpus, none of which carried
+    # edge-NBSP text; the degenerate corpus now does). The 16
+    # changed-oracle queries NOT in the round-10 window join the round-11
+    # deferral: agg_cms_heavy_hitters, dedup_cluster_components,
+    # scalar_string_functions, text_bigram_fluency, text_chunk_dedup_ratio,
+    # text_chunk_windows, text_language_id, text_ngram_topk,
+    # text_pack_sequences, text_pack_sequences_sorted,
+    # text_quality_classifier, text_quality_quantile_filter,
+    # text_quality_scores, text_tfidf_top_terms, text_token_counts,
+    # text_token_rarity_score (the other 15 changed oracles are in-window —
+    # their rows postdate the fix). THEN the 11 lightest r7 rows
     # (warm times from the same measurement), freshest evidence last.
     "text_quality_quantile_filter",  # 0.53
     "events_path_regex_match",       # 0.46

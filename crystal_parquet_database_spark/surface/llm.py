@@ -499,7 +499,7 @@ def sim_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_ORACLE = rf"""
 SELECT doc_id, lang,
        CAST(LENGTH(text) AS INTEGER) AS n_chars_calc,
-       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+       CAST(LEN(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+')) AS INTEGER) AS n_ws_tokens,
        CAST(LEN(REGEXP_EXTRACT_ALL(text, '{T.BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens
 FROM documents
 """
@@ -524,8 +524,8 @@ _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 _QUALITY_ORACLE = rf"""
 WITH f AS (
   SELECT doc_id,
-         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_words,
-         CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+')) AS INTEGER) AS n_words,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+'),
                               x -> x IN ({_SW_SQL}))) AS INTEGER) AS n_stop,
          CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct,
          CAST(GREATEST(LENGTH(text), 1) AS INTEGER) AS len_floor
@@ -551,7 +551,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_score_sql(lang: str) -> str:
     ws = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
     return (
-        rf"CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),"
+        rf"CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+'),"
         rf" x -> x IN ({ws}))) AS INTEGER)"
     )
 
@@ -757,7 +757,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REP_ORACLE = r"""
-WITH tk AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+WITH tk AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+') AS t FROM documents),
 base AS (
   SELECT doc_id, CAST(LEN(t) AS INTEGER) AS n_words,
     CASE WHEN LEN(t) >= 1
@@ -832,7 +832,7 @@ _TFIDF_K = 5
 
 _TFIDF_ORACLE = rf"""
 WITH tc AS (
-  SELECT doc_id, unnest(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS term
+  SELECT doc_id, unnest(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+')) AS term
   FROM documents
 ),
 c AS (SELECT doc_id, term, COUNT(*) AS tc FROM tc GROUP BY doc_id, term),
@@ -914,8 +914,8 @@ WITH q AS (
          + 0.3 * (CAST(LEAST(n_words, 100) AS DOUBLE) / 100.0) AS quality_score
   FROM (
     SELECT doc_id,
-           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS INTEGER) AS n_words,
-           CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text, ' '), '\\s+')) AS INTEGER) AS n_words,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text, ' '), '\\s+'),
                                 x -> x IN ({_SW_SQL}))) AS INTEGER) AS n_stop,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct,
            CAST(GREATEST(LENGTH(text), 1) AS INTEGER) AS len_floor
@@ -993,7 +993,7 @@ _PACK_CAP = 512
 _PACK_ORACLE = rf"""
 WITH t AS (
   SELECT doc_id,
-         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_tokens
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+')) AS INTEGER) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -1056,7 +1056,7 @@ def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_W = 16
 
 _CHUNK_ORACLE = f"""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+WITH t AS (SELECT doc_id, string_split_regex(trim(text, ' '), '\\s+') AS w FROM documents),
 c AS (
   SELECT doc_id,
          unnest([{sql_hash_raw60(f"array_to_string(w[i*{_CHUNK_W}+1:i*{_CHUNK_W}+{_CHUNK_W}], ' ')")}
@@ -1310,7 +1310,7 @@ _PIPE_BUDGET = 6000
 _PIPE_ORACLE = rf"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+')) AS INTEGER) AS n_tokens,
          md5(text) AS dg,
          ({sql_hash64("'budget:' || CAST(doc_id AS VARCHAR)")}) AS h
   FROM documents
@@ -1425,7 +1425,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _C4_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, w, len(w) // {_CHUNK_W} AS nf
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+  FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '\\s+') AS w FROM documents)
 ),
 base AS (
   -- NULL text stays NULL end to end (module convention: no content, no
@@ -1482,7 +1482,7 @@ _BUDGET_TOKENS = 3000
 _BUDGET_ORACLE = rf"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+')) AS INTEGER) AS n_tokens,
          ({sql_hash64("'budget:' || CAST(doc_id AS VARCHAR)")}) AS h
   FROM documents
 ),
@@ -1517,7 +1517,7 @@ def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SORTED_PACK_ORACLE = rf"""
 WITH t AS (
   SELECT doc_id,
-         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_tokens
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+')) AS INTEGER) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -1693,7 +1693,7 @@ def dedup_incremental_new_vs_index(spark: SparkSession, sf_dir: str) -> DataFram
 
 _RARITY_ORACLE = r"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '\s+')) AS term
   FROM documents
 ),
 tf AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
@@ -1906,7 +1906,7 @@ _CW_STRIDE = 32
 
 _CHUNK_WINDOWS_ORACLE = rf"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS w FROM documents
 ),
 x AS (
   SELECT doc_id, w, len(w) AS n_tokens,
@@ -2047,7 +2047,7 @@ _CLF_W = (
 
 _CLF_ORACLE = rf"""
 WITH x AS (
-  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w FROM documents
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+') AS w FROM documents
 )
 SELECT doc_id,
        CAST(LEN(w) AS INTEGER) AS n_tokens,
@@ -2197,7 +2197,7 @@ _BM25_SCORE_SQL = " + ".join(f"COALESCE(c{i}, 0.0)" for i in range(_BM25_MAXT))
 _BM25_CORE_CTES = rf"""q(query_id, term, idx) AS (VALUES {_BM25_VALUES}),
 base AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS dl
+         CAST(len(string_split_regex(TRIM(text, ' '), '\s+')) AS BIGINT) AS dl
   FROM documents
 ),
 stats AS (
@@ -2205,7 +2205,7 @@ stats AS (
   FROM base
 ),
 tok AS (
-  SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(TRIM(text, ' '), '\s+')) AS term
   FROM documents
 ),
 tf AS (
@@ -2325,8 +2325,8 @@ reach(id, lab) AS (
 comp AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
 qf AS (
   SELECT doc_id,
-         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS INTEGER) AS n_words,
-         CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+         CAST(LEN(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+')) AS INTEGER) AS n_words,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+'),
                               x -> x IN ({_SW_SQL}))) AS INTEGER) AS n_stop,
          CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct,
          CAST(GREATEST(LENGTH(text), 1) AS INTEGER) AS len_floor

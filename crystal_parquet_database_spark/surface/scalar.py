@@ -28,7 +28,7 @@ SELECT p_partkey,
        REGEXP_EXTRACT(p_brand, 'Brand#([0-9]+)', 1) AS brand_num,
        REGEXP_REPLACE(p_name, ' ', '_', 'g') AS name_snake,
        SUBSTRING(p_type, 1, 3) AS type_prefix,
-       TRIM(p_name) AS name_trim
+       TRIM(p_name, ' ') AS name_trim
 FROM part
 WHERE p_name LIKE '%e%'
 """

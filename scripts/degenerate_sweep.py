@@ -52,6 +52,12 @@ DEGENERATE_TEXTS = [
     "a.b c* (d) [e] f+ g? h|i \\j $k ^m",      # regex metacharacters
     "123 456.789 -42 1e10 0x1f nan inf",       # numeric-looking tokens
     "the the the a a an of of to to",          # stopwords only
+    # NBSP-PADDED text (leading/trailing U+00A0): DuckDB's one-arg trim()
+    # strips Unicode whitespace while Spark's F.trim strips ASCII space
+    # only — the divergence the tokenizer-parity property test caught;
+    # every oracle now pins trim(text, ' ') to Spark's semantic
+    "  nbsp padded scan table  ",
+    "tail nbsp token ",
 ]
 
 
