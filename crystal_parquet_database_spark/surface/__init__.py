@@ -152,7 +152,13 @@ _VERIFY_FIRST = [
     # text_quality_classifier, text_quality_quantile_filter,
     # text_quality_scores, text_tfidf_top_terms, text_token_counts,
     # text_token_rarity_score (the other 15 changed oracles are in-window —
-    # their rows postdate the fix). THEN the 11 lightest r7 rows
+    # their rows postdate the fix). ROUND-11 MUST ALSO fix the disclosed
+    # RAGGED-vector class (SCALE.md round-10 "known open item"): a 32-dim
+    # vector in the 64-dim corpus diverges dedup_semantic_semdedup
+    # (445/500 rows probed) — extend valid_vectors/VALID_VEC_SQL with the
+    # expected dim, apply at every call site, then inject a ragged vector
+    # into the degenerate corpus. No fixture or sweep corpus carries one
+    # today, so current rows stay valid. THEN the 11 lightest r7 rows
     # (warm times from the same measurement), freshest evidence last.
     "text_quality_quantile_filter",  # 0.53
     "events_path_regex_match",       # 0.46
