@@ -30,26 +30,42 @@ def _w(j: int, k: int, dim: int = 64) -> int:
     return (1103515245 * (j * dim + k) + 12345) % 2001 - 1000
 
 
-def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+def valid_vectors(df: DataFrame, vec_col: str, dim: int | None = None) -> DataFrame:
     """THE invalid-vector contract, one definition: a vector that is NULL,
     EMPTY, or carries a NULL ELEMENT (one failed encoder dimension — round
     9's element-NULL probe showed the engines disagree on where such a
     vector lands in dot products, quantizer cells and LSH buckets) is
     excluded from every similarity operator up front. Oracles mirror it
-    via ``VALID_VEC_SQL``. Ragged vectors are handled downstream by each
-    operator's dimension checks."""
+    via ``VALID_VEC_SQL``.
+
+    ``dim`` extends the contract to RAGGED vectors (round 10's disclosed
+    class): a vector whose length differs from the corpus dimension — one
+    32-dim row from an older encoder in a 64-dim corpus, routine when
+    encoder versions mix in a real 100 TB pipeline — is excluded too. The
+    engines disagree on what a partial distance even IS (Spark's zip_with
+    pads the short side with NULLs so the fold nulls out; DuckDB's indexed
+    folds SKIP NULL elements, so a partial dot product is a NUMBER there),
+    so such a vector lands in different quantizer cells / LSH buckets per
+    engine; probed at 445/500 diverging rows for semdedup. Callers that
+    know the corpus dimension (every registered query does) MUST pass it;
+    ``None`` keeps the length-agnostic contract for generic utilities."""
     c = F.col(vec_col)
-    return df.where(
-        c.isNotNull() & (F.size(c) > 0) & ~F.exists(c, lambda x: x.isNull())
-    )
+    cond = c.isNotNull() & (F.size(c) > 0) & ~F.exists(c, lambda x: x.isNull())
+    if dim is not None:
+        cond = cond & (F.size(c) == int(dim))
+    return df.where(cond)
 
 
-def VALID_VEC_SQL(col: str = "embedding") -> str:
+def VALID_VEC_SQL(col: str = "embedding", dim: int | None = None) -> str:
     """DuckDB mirror of ``valid_vectors`` — interpolate into every oracle
-    that reads an embedding column."""
+    that reads an embedding column, with the same ``dim`` the Spark side
+    passes (ragged vectors must be invalid on BOTH sides: a DuckDB list
+    fold over a short vector skips the NULL tail and returns a partial
+    number where Spark's zip_with fold returns NULL)."""
+    dim_sql = f" AND len({col}) = {int(dim)}" if dim is not None else ""
     return (
         f"({col} IS NOT NULL AND len({col}) > 0 "
-        f"AND len(list_filter({col}, x -> x IS NULL)) = 0)"
+        f"AND len(list_filter({col}, x -> x IS NULL)) = 0{dim_sql})"
     )
 
 
@@ -100,6 +116,7 @@ def cosine_topk(
     vec_col: str,
     k: int = 10,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
@@ -109,12 +126,13 @@ def cosine_topk(
     ``exclude_self`` drops matches whose id equals the query id — correct for
     self-search over one table; pass False when queries and corpus come from
     unrelated id spaces (numeric collisions would silently drop neighbors).
+    ``dim``: expected vector length — see ``valid_vectors``' ragged contract.
     """
     # Norms once per row (not per pair): bit-identical (same IEEE expression
     # on the same doubles), and the corpus norm is no longer recomputed for
     # every query it meets.
-    queries = valid_vectors(queries, vec_col)
-    corpus = valid_vectors(corpus, vec_col)
+    queries = valid_vectors(queries, vec_col, dim)
+    corpus = valid_vectors(corpus, vec_col, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -175,8 +193,12 @@ def build_lsh_index(
     the plan, Catalyst re-analyzes that tree per join rule — for multi-path
     queries (e.g. recall measurement running single- AND multi-probe) the
     planning cost dominates. At 100 TB this materialization IS the design:
-    bucket is computed once at ingest and stored as a partition/cluster key."""
-    return valid_vectors(corpus, vec_col).select(
+    bucket is computed once at ingest and stored as a partition/cluster key.
+
+    ``dim`` is both the hyperplane dimension AND the ragged contract: a
+    vector of any other length has no well-defined bucket under these
+    planes (its plane dots are partial), so it is excluded up front."""
+    return valid_vectors(corpus, vec_col, dim).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
@@ -211,8 +233,9 @@ def ann_lsh_topk(
     its own (1 + n_planes keys at distance 1) — probe count grows on the tiny
     query side, never the corpus side, so the equi-join plan is unchanged.
     Measured by ``sim_ann_recall_at_k``; see cosine_topk for ``exclude_self``.
+    ``dim`` doubles as the ragged contract (see ``build_lsh_index``).
     """
-    queries = valid_vectors(queries, vec_col)
+    queries = valid_vectors(queries, vec_col, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -249,7 +272,7 @@ def ann_lsh_topk(
     c = (
         corpus_index
         if corpus_index is not None
-        else valid_vectors(corpus, vec_col).select(
+        else valid_vectors(corpus, vec_col, dim).select(
             F.col(id_col).alias("match_id"),
             F.col(vec_col).alias("cvec"),
             norm(F.col(vec_col)).alias("cnorm"),
@@ -281,6 +304,7 @@ def ivf_topk(
     max_iter: int = 4,
     train_hint: DataFrame | None = None,
     centroids: list[list[float]] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     corpus into cells; each query scans only its ``n_probe`` nearest cells.
@@ -303,10 +327,16 @@ def ivf_topk(
     quantizer training entirely — the caller owns the codebook, e.g. pinned
     seed rows that an external oracle can reproduce, or centers trained once
     at ingest and reused across queries (the production IVF shape).
+
+    ``dim``: expected vector length (``valid_vectors``' ragged contract);
+    inferred from an explicit codebook when not given — a vector of another
+    length has no well-defined cell under d-dimensional centroids.
     """
     import numpy as np
 
     if centroids is not None:
+        if dim is None and len(centroids) > 0:
+            dim = len(centroids[0])
         centers = np.asarray(centroids, dtype=np.float64)
         if centers.size == 0:
             # an EMPTY pinned codebook (empty corpus / empty seed slice)
@@ -315,7 +345,8 @@ def ivf_topk(
             # sample below, same answer: the exact search over whatever
             # corpus there is (empty ⇒ empty result, not a crash)
             return cosine_topk(
-                queries, corpus, id_col, vec_col, k=k, exclude_self=exclude_self
+                queries, corpus, id_col, vec_col, k=k, exclude_self=exclude_self,
+                dim=dim,
             )
     else:
         train_src = train_hint if train_hint is not None else corpus
@@ -323,7 +354,7 @@ def ivf_topk(
         # _cos_div contract) and must not abort the job: a single NULL (or
         # empty) vector in the sample made np.asarray raise on the driver
         sample = (
-            valid_vectors(train_src.select(vec_col), vec_col)
+            valid_vectors(train_src.select(vec_col), vec_col, dim)
             .limit(256 * n_cells)
             .collect()
         )
@@ -337,7 +368,8 @@ def ivf_topk(
             # (np indexing below would otherwise IndexError on a 1-D (0,)
             # array instead of returning an empty frame)
             return cosine_topk(
-                queries, corpus, id_col, vec_col, k=k, exclude_self=exclude_self
+                queries, corpus, id_col, vec_col, k=k, exclude_self=exclude_self,
+                dim=dim,
             )
         # wrong-length rows (a mixed-model corpus) would still make the
         # array ragged: train on the sample's dominant dimensionality
@@ -382,7 +414,7 @@ def ivf_topk(
     # models that and keeps the inlined-centroid trees out of join planning
     # (left inline, the optimizer re-analyzes them per join rule — measured
     # 4× slower planning than execution).
-    assigned = valid_vectors(corpus, vec_col).select(
+    assigned = valid_vectors(corpus, vec_col, dim).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
@@ -397,7 +429,7 @@ def ivf_topk(
         )
         return F.slice(F.array_sort(entries), 1, n_probe)
 
-    q = valid_vectors(queries, vec_col).select(
+    q = valid_vectors(queries, vec_col, dim).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("qnorm"),
@@ -419,12 +451,13 @@ def ivf_topk(
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force over the given
     frame — the correctness baseline; the scale path is
-    ``embedding_near_dup_lsh``)."""
-    df = valid_vectors(df, vec_col)
+    ``embedding_near_dup_lsh``). ``dim``: see ``valid_vectors``."""
+    df = valid_vectors(df, vec_col, dim)
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
         norm(F.col(vec_col)).alias("na"),
@@ -481,8 +514,10 @@ def embedding_near_dup_lsh(
     # product to bit 0, so every failed-encoder row would share the
     # IDENTICAL key in EVERY band — the C(m,2) all-NULL co-bucket pair
     # explosion the MinHash/SimHash paths already filter (same contract:
-    # no content, no fingerprint, no pairs)
-    base = valid_vectors(df, vec_col).select(
+    # no content, no fingerprint, no pairs). dim doubles as the ragged
+    # contract: a wrong-length vector's plane dots are partial, so its
+    # band keys are engine-ambiguous (see build_lsh_index)
+    base = valid_vectors(df, vec_col, dim).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         norm(F.col(vec_col)).alias("__norm"),
@@ -536,6 +571,7 @@ def decontaminate_by_similarity(
     id_col: str,
     vec_col: str,
     threshold: float = 0.3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination on embeddings: for each EVAL vector, find
     TRAIN vectors with cosine ≥ threshold (semantic near-matches that would
@@ -549,12 +585,12 @@ def decontaminate_by_similarity(
     eval sets too big to broadcast, bucket both sides with
     ``embedding_near_dup_lsh``'s hyperplane keys instead.
     """
-    e = valid_vectors(eval_set, vec_col).select(
+    e = valid_vectors(eval_set, vec_col, dim).select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("evec"),
         norm(F.col(vec_col)).alias("enorm"),
     )
-    t = valid_vectors(train_set, vec_col).select(
+    t = valid_vectors(train_set, vec_col, dim).select(
         F.col(id_col).alias("train_id"),
         F.col(vec_col).alias("tvec"),
         norm(F.col(vec_col)).alias("tnorm"),
@@ -601,6 +637,7 @@ def label_centroid_outliers(
     label_col: str,
     top_k: int = 3,
     scale: int = 10_000_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-label centroid distances → the ``top_k`` farthest members of each
     label (SemDeDup/CleanLab-style outlier audit of a labeled embedding set).
@@ -636,6 +673,11 @@ def label_centroid_outliers(
         | (F.abs(x.cast("double")) >= F.lit(CENTROID_COMPONENT_DOMAIN)),
     )
     df = df.filter(F.col(vec_col).isNotNull() & ~bad)
+    if dim is not None:
+        # the ragged contract (valid_vectors): a wrong-length vector would
+        # contribute to only SOME per-(label, pos) centroid sums, skewing
+        # every same-label member's distance — and engine-ambiguously so
+        df = df.filter(F.size(F.col(vec_col)) == int(dim))
     n_part = df.sparkSession.sparkContext.defaultParallelism
     q = (
         df.repartition(n_part)
@@ -684,6 +726,7 @@ def semdedup(
     seeds: DataFrame,
     threshold: float = 0.4,
     max_cell_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering the
     embedding space and removing, within each cluster, all but the
@@ -723,7 +766,12 @@ def semdedup(
         F.col("cvec").alias("__cvec"),
         norm(F.col("cvec")).alias("__cn"),
     )
-    base = valid_vectors(df, vec_col).select(
+    # dim: the ragged contract (round 10's disclosed class — THE probe that
+    # motivated it: one 32-dim vector among 64-dim diverged 445/500 rows
+    # here, because its partial centroid distance is NULL in Spark's padded
+    # zip_with fold but a NUMBER in DuckDB's NULL-skipping list fold, so the
+    # engines put it in different cells)
+    base = valid_vectors(df, vec_col, dim).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         norm(F.col(vec_col)).alias("__n"),
@@ -860,11 +908,12 @@ def pq_encode(
     of) the raw vectors.
 
     Returns (<id_col>, code0..code{m-1} int). Invalid vectors (NULL/empty/
-    NULL-element — see ``valid_vectors``) are excluded: their sub-distances
-    are NULL and the resulting codes engine-ambiguous.
+    NULL-element/ragged — see ``valid_vectors``; the expected dimension is
+    m·dsub, derived from the codebooks themselves) are excluded: their
+    sub-distances are NULL and the resulting codes engine-ambiguous.
     """
-    df = valid_vectors(df, vec_col)
     dsub = len(codebooks[0][0])
+    df = valid_vectors(df, vec_col, len(codebooks) * dsub)
     out = [F.col(id_col)]
     for j, cb in enumerate(codebooks):
         cb_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
@@ -894,9 +943,10 @@ def pq_adc_topk(
     float vector, which is the entire point of PQ. Rank = (approx_d2 asc,
     match_id) per query, top k.
     """
-    queries = valid_vectors(queries, vec_col)
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    # ragged contract: the ADC table is defined for exactly m·dsub dims
+    queries = valid_vectors(queries, vec_col, m * dsub)
     qcols = [F.col(id_col).alias("query_id")]
     for j, cb in enumerate(codebooks):
         cb_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])

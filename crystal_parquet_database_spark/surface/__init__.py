@@ -30,147 +30,127 @@ from crystal_parquet_database_spark.surface import layout  # noqa: E402,F401
 
 # External correctness harnesses may check only the first N registered
 # queries per run (50 per round, in registration order). Rotate verification
-# coverage across rounds — ROUND-10 window: drain the round-9 deferral, then
-# the oldest evidence (the r9 verdict's Next round #1). Priority order:
-#   1. the 13-query round-9 priority-2 deferral set (gated code or oracle
-#      changed AFTER the round-9 window froze; all sweep-proven on the five
-#      adversarial corpora, but the driver has not seen the current code):
-#      the element-NULL vector contract wave (cosine/LSH/multiprobe/recall),
-#      the NULL-group-key wave (token budget, corpus pipeline, BM25's
-#      size(NULL) document-length guard, hybrid RRF), the histogram's
-#      unbucketable-NULL bin + BIGINT bucket_low, the paired-unnest
-#      explode oracle, the HOF suite's element-NULL-exact semantics, the
-#      approx-percentile and positional-window refreshes;
-#   2. the TWO queries whose plan changed in round 10's measured perf wave
-#      (materialize-once, SCALE.md round-10 A/B table) — plan-only and
-#      value-identical, so the precedent lets them keep their rows, but
-#      both are cheap and the strict no-row-predates-its-code bar is worth
-#      two slots: text_repetition_features, text_dedup_chunks_keep_first
-#      (text_bm25_topk / text_hybrid_rrf_search are already in set 1);
-#   3. ALL 11 remaining r6-row refreshes (the oldest evidence in the repo);
-#   4. 24 of the 35 remaining r7-row refreshes, heaviest plans first
-#      (measured warm sf0.1, scripts/time_queries.py, round-10 run).
-# FREEZE RULE (kept — two rounds, zero displacements): driver-gated query
+# coverage across rounds — ROUND-11 window: every query whose gated code or
+# oracle changed (the r10 deferral PLUS this round's ragged-dim contract
+# wave), then the oldest evidence. Priority order:
+#   1. the RAGGED-dimension contract wave (round 10's disclosed class, fixed
+#      at this round's head): valid_vectors/VALID_VEC_SQL now take the
+#      expected dimension and EVERY embedding call site, oracle, truth/seed
+#      arm enforces it (a 32-dim vector in a 64-dim corpus has NULL partial
+#      distances in Spark's padded zip_with fold but NUMBER partial
+#      distances in DuckDB's NULL-skipping list folds — different cells/
+#      buckets per engine, probed 445/500 diverging rows on semdedup).
+#      This covers the five r10-deferred embedding-oracle queries AND the
+#      eight whose oracles/code changed with the same contract edit this
+#      round (sim_ivf_topk is rows-only/no_oracle but its code changed);
+#   2. the two r10 degenerate-sweep fixes ('' partition refusal + F.get)
+#      whose queries were out of the r10 window: pqdb_normalize_compaction,
+#      scalar_array_functions;
+#   3. the 16 trim-oracle queries deferred from r10 (one-arg trim() strips
+#      unicode NBSP in DuckDB; every text oracle now pins trim(x, ' ') to
+#      Spark's ASCII-space semantic) — agg_cms_heavy_hitters additionally
+#      carries THIS round's ADVICE fix (its tok CTE was the one oracle the
+#      r10 wave missed; a lint test now forbids one-arg trim in oracles);
+#   4. ALL 8 remaining r7-row refreshes (the oldest evidence; the other
+#      three r7 rows are already in set 3);
+#   5. the 11 heaviest of the 30 remaining r8-row refreshes (measured warm
+#      sf0.1, scripts/time_queries.py, round-11 run).
+# FREEZE RULE (kept — three rounds, zero displacements): driver-gated query
 # and oracle code FREEZES once this window is committed; any post-freeze
-# change to a gated query defers to ROUND 11's priority-2 instead of
+# change to a gated query defers to ROUND 12's priority-2 instead of
 # displacing these refreshes. Behavior-identical plan-only refactors keep
 # their rows per the established precedent but still join the next round's
 # belt-and-braces set.
-# After round 10: no oracle-paired row predates its own code (strictly) and
-# none predates r7. Every query stays registered every round — only
+# After round 11: no oracle-paired row predates its own code or oracle, and
+# none predates r8 except the 19 lightest r8 rows (round-12 priority after
+# any changed-code set). Every query stays registered every round — only
 # iteration order changes. (Round row map: README "Verification rotation".)
 _VERIFY_FIRST = [
-    # — 1: the round-9 priority-2 deferral set (changed code/oracle) —
-    "agg_value_histogram",           # unbucketable-NULL bin + BIGINT low
-    "sim_cosine_topk_bruteforce",    # element-NULL vector contract
-    "sim_ann_lsh_topk",              # element-NULL vector contract
-    "sim_ann_multiprobe_topk",       # element-NULL vector contract
-    "sim_ann_recall_at_k",           # element-NULL vector contract
-    "text_hybrid_rrf_search",        # NULL-group-key wave + bm25 base
-    "explode_embedding_components",  # paired-unnest oracle
-    "scalar_higher_order_functions",  # element-NULL-exact HOF semantics
-    "agg_approx_percentiles",        # refreshed oracle bounds
-    "window_positional_values",      # positional frame refresh
-    "sample_token_budget_mixture",   # NULL-group-key eqNullSafe re-join
-    "llm_corpus_pipeline",           # NULL-group-key wave (composition)
-    "text_bm25_topk",                # size(NULL) dl guard + base checkpoint
-    # — 2: round-10 measured-perf plan changes (strict-bar refreshes) —
-    "text_repetition_features",      # narrow token checkpoint + gram unify
-    "text_dedup_chunks_keep_first",  # base materialize-once (0.63 A/B)
-    # — 3: ALL 11 remaining r6-row refreshes (oldest evidence) —
-    "q6_revenue_forecast",
-    "sample_upsample_by_weight",
-    "agg_argmax_customer_per_nation",
-    "join_anti_customers_without_orders",
-    "join_full_nation_accounts",
-    "join_range_bucketized_event_pairs",
-    "join_semi_recent_customers",
-    "scalar_date_functions",
+    # — 1: the ragged-dim contract wave (changed code AND oracle) —
+    "sim_decontaminate_embeddings",  # r10 deferral + dim contract
+    "sim_pq_recall_at_k",            # r10 deferral + dim contract (codebook m*dsub)
+    "sim_embedding_near_dup",        # r10 deferral + dim contract
+    "sim_embedding_near_dup_lsh",    # r10 deferral + dim contract (band dim)
+    "sim_ivf_recall_at_k",           # r10 deferral + dim contract (seed arm)
+    "dedup_semantic_semdedup",       # THE probed diverger (445/500) + seed arm
+    "sim_cosine_topk_bruteforce",    # dim contract
+    "sim_ann_lsh_topk",              # dim contract (hyperplane dim)
+    "sim_ann_multiprobe_topk",       # dim contract
+    "sim_ann_recall_at_k",           # dim contract (truth + index arms)
+    "sim_label_centroid_outliers",   # dim joins the component-domain filter
+    "text_hybrid_rrf_search",        # vector arm rides the dim contract
+    "sim_ivf_topk",                  # rows-only (no_oracle): code changed
+    # — 2: r10 degenerate-sweep fixes, out-of-window then —
+    "pqdb_normalize_compaction",     # '' partition refusal + pre-sort guard
+    "scalar_array_functions",        # element_at -> F.get on zero-length
+    # — 3: the 16 trim-oracle queries deferred from r10 —
+    "agg_cms_heavy_hitters",         # + THIS round's ADVICE one-arg-trim fix
+    "dedup_cluster_components",
     "scalar_string_functions",
-    "window_distribution_functions",
-    "window_range_frame_spend_30d",
-    # — 4: 24 r7-row refreshes, heaviest plans first (warm sf0.1 sec,
-    #      scripts/time_queries.py round-10 measurement) —
-    "dedup_ngram_jaccard",           # 7.24 (labeled quadratic baseline)
-    "dedup_cluster_representatives",  # 4.30
-    "pqdb_update_delete_read",       # 2.66 — also db.py recovery touch
-    "dedup_containment_pairs",       # 2.33
-    "scd2_asof_dimension",           # 2.31 — also db.py recovery touch
-    "dedup_simhash_near_pairs",      # 2.29
-    "dedup_prefix_filter_pairs",     # 2.14
-    "dedup_minhash_incremental",     # 2.07
-    "layout_zorder_bucketed_join",   # 1.88
-    "dedup_simhash_fingerprint",     # 1.76
-    "dedup_minhash_lsh",             # 1.45
-    "agg_stats_moments",             # 1.38
-    "q9_product_type_profit",        # 1.34
-    "q8_national_market_share",      # 1.21
-    "events_funnel_sessionized",     # 1.19
-    "q7_nation_volume",              # 1.08
-    "text_decontaminate_overlap",    # 0.95
-    "q11_important_stock",           # 0.84
-    "join_salted_skew_agg",          # 0.79
-    "q10_returned_items",            # 0.74
-    "scalar_json_extraction",        # 0.68
-    "events_session_transitions",    # 0.64
-    "q15_top_supplier",              # 0.58
-    "q19_disjunctive_revenue",       # 0.56
-    # ——— the 50-query verification window ends HERE (13 deferral +
-    # 2 perf + 11 r6 + 24 r7 = exactly 50). Entries below get NO row this
-    # round, in ROUND-11 priority order: FIRST the round-11 priority-2
-    # deferral set — the 10x null+extreme replica sweep (SCALE.md round-10)
-    # caught six embedding oracles/arms missing the invalid-vector
-    # predicate their Spark sides apply (DuckDB's list folds SKIP null
-    # elements, so a partial dot/distance is a NUMBER there while Spark's
-    # fold nulls out — invisible at sf0.001, divergent at 10x); the
-    # post-freeze fixes land now, and per the freeze rule the five
-    # OUT-of-window queries they gate defer to round 11's head:
-    # sim_decontaminate_embeddings, sim_pq_recall_at_k,
-    # sim_embedding_near_dup, sim_embedding_near_dup_lsh,
-    # sim_ivf_recall_at_k (sim_ann_lsh_topk is IN this window — its row
-    # postdates the fix, the r9 precedent). The round-10 DEGENERATE-corpus
-    # sweep (empty/whitespace/punctuation-only text, ''-group-keys,
-    # zero-norm/zero-length vectors) then added two more:
-    # pqdb_normalize_compaction (hive layout writes '' and NULL partition
-    # values to the same __HIVE_DEFAULT_PARTITION__ dir — '' silently read
-    # back as NULL; PqDB now refuses '' partition values loudly and the
-    # gate demonstrates the documented NULLIF pattern on both sides) and
-    # scalar_array_functions (element_at ANSI-aborts on a zero-LENGTH
-    # embedding while the oracle's [1] returns NULL — now F.get, the r9
-    # KLL idiom). A round-10 tokenizer-parity property test (random
-    # strings, batched cross-engine compare) then caught the TRIM sibling
-    # of the \x0b class: DuckDB's one-arg trim() strips UNICODE whitespace
-    # (NBSP) while Spark's F.trim strips ASCII space only — every oracle
-    # now pins the two-arg trim(text, ' ') to Spark's semantic
-    # (value-identical on every pre-existing corpus, none of which carried
-    # edge-NBSP text; the degenerate corpus now does). The 16
-    # changed-oracle queries NOT in the round-10 window join the round-11
-    # deferral: agg_cms_heavy_hitters, dedup_cluster_components,
-    # scalar_string_functions, text_bigram_fluency, text_chunk_dedup_ratio,
-    # text_chunk_windows, text_language_id, text_ngram_topk,
-    # text_pack_sequences, text_pack_sequences_sorted,
-    # text_quality_classifier, text_quality_quantile_filter,
-    # text_quality_scores, text_tfidf_top_terms, text_token_counts,
-    # text_token_rarity_score (the other 15 changed oracles are in-window —
-    # their rows postdate the fix). ROUND-11 MUST ALSO fix the disclosed
-    # RAGGED-vector class (SCALE.md round-10 "known open item"): a 32-dim
-    # vector in the 64-dim corpus diverges dedup_semantic_semdedup
-    # (445/500 rows probed) — extend valid_vectors/VALID_VEC_SQL with the
-    # expected dim, apply at every call site, then inject a ragged vector
-    # into the degenerate corpus. No fixture or sweep corpus carries one
-    # today, so current rows stay valid. THEN the 11 lightest r7 rows
-    # (warm times from the same measurement), freshest evidence last.
-    "text_quality_quantile_filter",  # 0.53
-    "events_path_regex_match",       # 0.46
-    "events_anomaly_hourly_zscore",  # 0.45
-    "q14_promo_revenue",             # 0.43
-    "multimodal_video_header_real",  # 0.39
-    "text_quality_scores",           # 0.37
-    "window_sessionize_events",      # 0.36
-    "nested_struct_ops_real",        # 0.36
-    "pivot_event_type_counts",       # 0.26
-    "text_token_counts",             # 0.22
-    "scalar_map_functions",          # 0.17
+    "text_bigram_fluency",
+    "text_chunk_dedup_ratio",
+    "text_chunk_windows",
+    "text_language_id",
+    "text_ngram_topk",
+    "text_pack_sequences",
+    "text_pack_sequences_sorted",
+    "text_quality_classifier",
+    "text_quality_quantile_filter",  # also an r7 row
+    "text_quality_scores",           # also an r7 row
+    "text_tfidf_top_terms",
+    "text_token_counts",             # also an r7 row
+    "text_token_rarity_score",
+    # — 4: ALL 8 remaining r7-row refreshes (oldest evidence) —
+    "events_anomaly_hourly_zscore",
+    "events_path_regex_match",
+    "multimodal_video_header_real",
+    "nested_struct_ops_real",
+    "pivot_event_type_counts",
+    "q14_promo_revenue",
+    "scalar_map_functions",
+    "window_sessionize_events",
+    # — 5: the 11 heaviest r8-row refreshes (warm sf0.1 sec, round-11
+    #      time_queries measurement) —
+    "agg_approx_count_distinct",     # 3.23
+    "agg_percentiles_by_flag",       # 2.75
+    "sql_api_revenue_by_nation",     # 2.27
+    "agg_cube_lineitem",             # 1.55
+    "q18_large_volume_orders",       # 1.46
+    "agg_hll_error_bound",           # 1.41
+    "agg_grouping_sets_explicit",    # 1.18
+    "q20_potential_promotion",       # 1.17
+    "q21_suppliers_kept_waiting",    # 1.10
+    "agg_rollup_order_stats",        # 1.04
+    "agg_distinct_counts",           # 0.88
+    # ——— the 50-query verification window ends HERE (13 ragged-dim +
+    # 2 degenerate + 16 trim + 8 r7 + 11 r8 = exactly 50; sim_ivf_topk is
+    # rows-only by design, the other 49 are oracle-paired). Entries below
+    # get NO row this round, in ROUND-12 priority order: first any query
+    # whose gated code or oracle changes post-freeze (none at commit time),
+    # then the 19 remaining r8 rows (lightest of the cohort, warm times
+    # from the round-11 time_queries run), then the r9 cohort. No corpus
+    # today carries a ragged vector outside the degenerate/scale sweeps,
+    # so rows held by out-of-window embedding queries (none — all 13 are
+    # in-window this round) need no caveat.
+    "q16_parts_supplier_count",      # 0.79
+    "q4_order_priority",             # 0.74
+    "q12_priority_shipping",         # 0.64
+    "join_right_customer_orders",    # 0.63
+    "q17_small_quantity_revenue",    # 0.56
+    "q2_min_cost_supplier",          # 0.54
+    "q13_customer_distribution",     # 0.53
+    "setop_nation_coverage",         # 0.46
+    "q22_global_sales_opportunity",  # 0.45
+    "agg_hll_sketch_distinct",       # 0.41 (rows-only by design)
+    "agg_having_brands",             # 0.31
+    "setop_union_distinct_nations",  # 0.31
+    "join_cross_region_priority",    # 0.30
+    "dedup_exact_text",              # 0.29
+    "subquery_above_avg_customers",  # 0.27
+    "sample_deterministic_stratified",  # 0.25
+    "sample_source_cap",             # 0.25
+    "sort_multikey_limit",           # 0.15
+    "unpivot_part_metrics",          # 0.14
 ]
 
 

@@ -217,10 +217,11 @@ def _sql_cos(a: str, b: str) -> str:
 
 _COS = _sql_cos("qvec", "cvec")
 # the invalid-vector contract's SQL mirror (operators/similarity.py::
-# valid_vectors): NULL / empty / NULL-element embeddings are excluded from
+# valid_vectors): NULL / empty / NULL-element / RAGGED (length ≠ _DIM —
+# round 10's disclosed mixed-encoder class) embeddings are excluded from
 # every similarity operator, so every oracle scanning `embeddings` carries
 # this predicate too
-_VALID = S.VALID_VEC_SQL("embedding")
+_VALID = S.VALID_VEC_SQL("embedding", _DIM)
 
 _TOPK_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
@@ -239,7 +240,9 @@ SELECT * FROM (
 @query("sim_cosine_topk_bruteforce", _TOPK_ORACLE)
 def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=10)
+    return S.cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=10, dim=_DIM
+    )
 
 
 def _sql_sign_bits(vec: str, planes: list[tuple[int, int]]) -> str:
@@ -304,6 +307,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10), emb, "vec_id", "embedding",
         k=10, n_cells=16, n_probe=4,
         train_hint=emb.select("vec_id", "embedding").orderBy("vec_id"),
+        dim=_DIM,
     )
 
 
@@ -401,6 +405,7 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("vec_id") < _IVF_SEED_LO + _IVF_SEED_N)
                 ),
                 "embedding",
+                _DIM,
             )
             .orderBy("vec_id")
             .select("embedding")
@@ -408,12 +413,13 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     queries_df = emb.filter(F.col("vec_id") < 10)
-    truth = S.cosine_topk(queries_df, emb, "vec_id", "embedding", k=10).select(
-        "query_id", "match_id"
-    )
+    truth = S.cosine_topk(
+        queries_df, emb, "vec_id", "embedding", k=10, dim=_DIM
+    ).select("query_id", "match_id")
     ivf = S.ivf_topk(
         queries_df, emb, "vec_id", "embedding",
         k=10, n_cells=_IVF_SEED_N, n_probe=_IVF_PROBE, centroids=cent,
+        dim=_DIM,
     ).select("query_id", F.col("match_id").alias("__ivf_match"))
     joined = truth.join(
         ivf,
@@ -451,7 +457,9 @@ SELECT * FROM (
 @query("sim_embedding_near_dup", _NEARDUP_ORACLE)
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    return S.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return S.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, dim=_DIM
+    )
 
 
 def _sql_band_key(vec: str, band: int, band_size: int = 6) -> str:
@@ -1192,6 +1200,7 @@ def sim_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         threshold=_DECON_THRESH,
+        dim=_DIM,
     )
 
 
@@ -1558,7 +1567,9 @@ from crystal_parquet_database_spark.operators.similarity import (  # noqa: E402
 
 # vectors with a NULL/NaN/out-of-domain component are excluded on BOTH
 # sides (the operator's invalid-vector contract — one 1e18 garbage
-# component would overflow the int64 fixed-point grid)
+# component would overflow the int64 fixed-point grid), and so are RAGGED
+# vectors (len ≠ _DIM): a short vector would contribute to only SOME
+# per-(label, pos) centroid sums, skewing every same-label member's score
 _CENTROID_ORACLE = f"""
 WITH x AS (
   SELECT vec_id, label,
@@ -1566,6 +1577,7 @@ WITH x AS (
          unnest(generate_series(1, len(embedding))) AS pos
   FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(embedding) = {_DIM}
     AND len(list_filter(embedding,
           v -> v IS NULL OR isnan(CAST(v AS DOUBLE))
                OR abs(CAST(v AS DOUBLE)) >= {_CENTROID_DOMAIN!r})) = 0
@@ -1606,7 +1618,7 @@ def sim_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.label_centroid_outliers(
         emb, "vec_id", "embedding", "label",
-        top_k=_CENTROID_TOPK, scale=_CENTROID_SCALE,
+        top_k=_CENTROID_TOPK, scale=_CENTROID_SCALE, dim=_DIM,
     )
 
 
@@ -1844,9 +1856,9 @@ def sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    truth = S.cosine_topk(queries_df, emb, "vec_id", "embedding", k=10).select(
-        "query_id", "match_id"
-    )
+    truth = S.cosine_topk(
+        queries_df, emb, "vec_id", "embedding", k=10, dim=_DIM
+    ).select("query_id", "match_id")
 
     def hits(frame: DataFrame, col: str) -> DataFrame:
         a = frame.select("query_id", F.col("match_id").alias(col))
@@ -1977,6 +1989,7 @@ seeds AS (
   FROM embeddings, nn
   WHERE vec_id >= {_SEM_SEED_LO}
     AND vec_id < {_SEM_SEED_LO} + GREATEST({_SEM_K}, (4 * n) // 500)
+    AND {_VALID}
 ),
 sc AS (
   SELECT e.vec_id, e.embedding, s.cell_id, {_SEM_COSC} AS cosc
@@ -2024,16 +2037,21 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     k = max(_SEM_K, (4 * n) // 500)
-    seeds = (
+    # seeds ride the invalid-vector contract like every other arm (the
+    # sim_ivf_recall_at_k precedent): a ragged/NULL-element SEED would give
+    # NULL cosc in Spark but a partial-number cosc in DuckDB for EVERY
+    # corpus vector scored against that cell
+    seeds = S.valid_vectors(
         emb.filter(
             (F.col("vec_id") >= _SEM_SEED_LO) & (F.col("vec_id") < _SEM_SEED_LO + k)
-        )
-        .select(
-            (F.col("vec_id") - _SEM_SEED_LO).cast("int").alias("cell_id"),
-            F.col("embedding").alias("cvec"),
-        )
+        ),
+        "embedding",
+        _DIM,
+    ).select(
+        (F.col("vec_id") - _SEM_SEED_LO).cast("int").alias("cell_id"),
+        F.col("embedding").alias("cvec"),
     )
-    return S.semdedup(emb, "vec_id", "embedding", seeds, threshold=_SEM_TAU)
+    return S.semdedup(emb, "vec_id", "embedding", seeds, threshold=_SEM_TAU, dim=_DIM)
 
 
 # ----------------------------------------------------------------------------
@@ -2549,7 +2567,7 @@ def _sql_sub_l2(a: str, b: str, j: int) -> str:
 _PQ_CODE_CTES = ",\n".join(
     f"""d{j} AS (
   SELECT e.vec_id, s.code, {_sql_sub_l2('e.embedding', 's.svec', j)} AS d2
-  FROM embeddings e CROSS JOIN seeds s WHERE {S.VALID_VEC_SQL('e.embedding')}
+  FROM embeddings e CROSS JOIN seeds s WHERE {S.VALID_VEC_SQL('e.embedding', _DIM)}
 ),
 kk{j} AS (
   SELECT vec_id, code AS k{j} FROM (
@@ -2607,7 +2625,7 @@ truth AS (
                               ORDER BY {_sql_l2('e.embedding', 'q.qvec')},
                                        e.vec_id) AS rank
     FROM embeddings e CROSS JOIN q
-    WHERE e.vec_id <> q.query_id AND {S.VALID_VEC_SQL('e.embedding')}
+    WHERE e.vec_id <> q.query_id AND {S.VALID_VEC_SQL('e.embedding', _DIM)}
   ) WHERE rank <= 10
 )
 SELECT t.query_id,
@@ -2644,6 +2662,7 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("vec_id") < _PQ_SEED_LO + _PQ_KSUB)
             ),
             "embedding",
+            _DIM,
         )
         .orderBy("vec_id")
         .select("embedding")
@@ -2669,7 +2688,7 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left in the ground truth would make truth and search disagree about
     # the universe being searched (DuckDB's list folds SKIP null elements —
     # a partial distance is a NUMBER there, while Spark's fold nulls out)
-    queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding")
+    queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
     pq = S.pq_adc_topk(
         queries_df, codes, "vec_id", "embedding", codebooks, k=10
     ).select("query_id", F.col("match_id").alias("__pq_match"))
@@ -2677,7 +2696,7 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = queries_df.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    c = S.valid_vectors(emb, "embedding").select(
+    c = S.valid_vectors(emb, "embedding", _DIM).select(
         F.col("vec_id").alias("match_id"), F.col("embedding").alias("cvec")
     )
     sq = (
@@ -2795,7 +2814,7 @@ def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qid").alias("vec_id"), "embedding"
     )
     vr = S.cosine_topk(
-        qv, emb, "vec_id", "embedding", k=_RRF_CAND_K, exclude_self=False
+        qv, emb, "vec_id", "embedding", k=_RRF_CAND_K, exclude_self=False, dim=_DIM
     ).select(
         "query_id",
         F.col("match_id").alias("doc_id"),

@@ -922,7 +922,7 @@ _CMS_BUCKET_CASE = " ".join(
 
 _CMS_ORACLE = rf"""
 WITH tok AS (
-  SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS term FROM documents
+  SELECT unnest(string_split_regex(TRIM(text, ' '), '\s+')) AS term FROM documents
 ),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
 exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n FROM tok GROUP BY term),

@@ -15,10 +15,18 @@ empty token, not zero tokens) in BOTH engines, empty-string group keys form a
 real group the NULL-handling never sees, a zero vector hits the cosine
 zero-norm guard (Spark NULLs via ``_cos_div``; DuckDB x/0.0 is NULL by
 engine semantics — same answer via different mechanisms, which is exactly
-the kind of lockstep that must be PROVEN, not assumed), an all-1e154 vector
-drives the dot product to +inf and the cosine to NaN (both engines sort NaN
-above +inf — again proven here, not assumed), and a 4000-char unbroken token
-stresses every chunker/packer/shingle length assumption at once.
+the kind of lockstep that must be PROVEN, not assumed), an all-+inf vector
+(the float32 image of an overflowed upstream value) drives the dot product
+to +inf and the cosine to NaN (both engines sort NaN above +inf — again
+proven here, not assumed), a 4000-char unbroken token stresses every
+chunker/packer/shingle length assumption at once, and RAGGED vectors — a
+32-dim and a 96-dim row in the 64-dim corpus, including one SEED row —
+exercise round 10's disclosed mixed-encoder class: Spark's zip_with pads
+the short side with NULLs so partial distances null out, while DuckDB's
+indexed list folds SKIP NULL elements and return a partial NUMBER, so such
+vectors must be excluded by the dimension-extended invalid-vector contract
+(valid_vectors/VALID_VEC_SQL with dim) on BOTH sides or they land in
+different cells/buckets per engine (probed at 445/500 diverging rows).
 
 Usage: python3 scripts/degenerate_sweep.py   (expect: DONE 149/149 green)
 """
@@ -90,7 +98,14 @@ def build_degenerate_corpus(dst: str) -> None:
 
     set_vec(10, 0.0)        # zero vector: cosine zero-norm guard, both sides
     set_vec(20, 0.5)        # constant vector: valid, maximal mutual cosine
-    set_vec(30, 1e154)      # dot overflows to +inf, cosine becomes NaN
+    # all-+inf vector: dot = +inf, cosine = inf/inf = NaN. Stored as inf
+    # EXPLICITLY — a finite float32 can't overflow a 64-term double fold
+    # ((3.4e38)^2 x 64 ~ 7e77 << DBL_MAX), so "overflow in the dot product"
+    # is unreachable from finite float32 elements; the honest probe is the
+    # already-overflowed upstream value a real feed would carry (the old
+    # 1e154 literal was ALSO +inf after the float32 cast, just via a noisy
+    # RuntimeWarning and an inaccurate docstring)
+    set_vec(30, float("inf"))
     set_vec(40, 5e-324)     # denormal: dot underflows to 0 -> zero norm
     idx60 = emb.index[emb["vec_id"] == 60]
     if len(idx60):
@@ -98,6 +113,23 @@ def build_degenerate_corpus(dst: str) -> None:
         # shape, and the one that ANSI-aborts element_at while DuckDB's
         # [1] quietly returns NULL
         emb.at[idx60[0], "embedding"] = []
+
+    def set_ragged(vid: int, new_dim: int) -> None:
+        """RAGGED vector (round 10's disclosed class): resize one row to a
+        different dimension — truncate, or tile-extend past 64. Must be
+        excluded by the dim-extended contract on both engines (a partial
+        distance is NULL in Spark's padded zip_with fold but a NUMBER in
+        DuckDB's NULL-skipping list fold)."""
+        idx = emb.index[emb["vec_id"] == vid]
+        if len(idx):
+            old = list(emb.at[idx[0], "embedding"])
+            vals = (old * ((new_dim // len(old)) + 1))[:new_dim]
+            emb.at[idx[0], "embedding"] = np.asarray(vals, dtype=np.float32)
+
+    set_ragged(50, 32)     # the probed shape: one 32-dim among 64-dim
+    set_ragged(70, 96)     # longer-than-corpus ragged
+    set_ragged(202, 32)    # a SEED row (semdedup cell + PQ codebook arm):
+    #                        both engines must drop the cell/codebook entry
     emb.to_parquet(os.path.join(dst, "embeddings.parquet"), index=False)
 
     ev = pd.read_parquet(os.path.join(dst, "events.parquet"))

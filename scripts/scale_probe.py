@@ -212,10 +212,15 @@ def run(sf_dir: str, label: str) -> dict[str, float]:
 
 
 def main() -> None:
-    gen_dir = os.environ.get("SCALE_PROBE_GEN_ONLY")
-    if gen_dir:  # child generation process (see below): replicate and exit
+    # child-generation dispatch rides ARGV, not an inherited env var: a
+    # SCALE_PROBE_GEN_ONLY leaking from a caller's environment (e.g.
+    # exported by a crashed run) used to make a normal probe invocation
+    # silently replicate-and-exit without measuring anything (ADVICE r10)
+    if len(sys.argv) >= 2 and sys.argv[1] == "--gen-only":
+        if len(sys.argv) != 4:
+            raise SystemExit("usage: scale_probe.py --gen-only DIR FACTOR")
         spark = get_spark(app_name="scale_probe_gen")
-        replicate(spark, int(os.environ["SCALE_PROBE_GEN_FACTOR"]), gen_dir)
+        replicate(spark, int(sys.argv[3]), sys.argv[2])
         return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     if len(sys.argv) > 2:  # optional probe subset: scale_probe.py 10 q1 q2 ...
@@ -240,13 +245,9 @@ def main() -> None:
         out_dir = tempfile.mkdtemp(prefix=f"scale{factor}x_")
         print(f"replicating sf0.1 x{factor} into {out_dir} (child process) ...", flush=True)
         subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--gen-only",
+             out_dir, str(factor)],
             check=True,
-            env=dict(
-                os.environ,
-                SCALE_PROBE_GEN_ONLY=out_dir,
-                SCALE_PROBE_GEN_FACTOR=str(factor),
-            ),
         )
 
     base = run(SRC, "base")

@@ -6,10 +6,11 @@ band-key cliques and skew-salting are all data-volume-dependent — so a
 fixture-green guard can still be scale-red (round 10 proved it: the
 element-NULL vector class was green at sf0.001 and red here). This script
 rebuilds the 10× replica of sf0.1 (scripts/scale_probe.py's key-shifted
-replication), applies the DEGENERATE, null-corpus and extreme-values
-mutations to it, and runs the ~30 scale-sensitive queries (the null sweep's
-REPEAT_3X window list plus the extreme grid's guard-wave five) through the
-hash-exact Spark-vs-DuckDB comparison at ~sf1.
+replication), applies the DEGENERATE, null-corpus, extreme-values and
+RAGGED-vector mutations to it (all four adversarial families), and runs the
+~30 scale-sensitive queries (the null sweep's REPEAT_3X window list plus
+the extreme grid's guard-wave five) through the hash-exact Spark-vs-DuckDB
+comparison at ~sf1.
 
 Usage:
   python3 scripts/scale_sweep.py                  # replicate + mutate + run
@@ -52,8 +53,8 @@ QUERIES_TO_RUN = sorted(set(REPEAT_3X) | set(EXTREME_FIVE))
 def mutate(dst: str) -> None:
     """Apply the degenerate, null-corpus and extreme-values edits to the
     replica — id-keyed exactly like the fixture sweeps (the replica's first
-    copy keeps the base ids, so doc_id 7/301/11/13 and vec_id 50/2 all
-    exist), with the synthetic no-content docs keyed PAST the replica's max
+    copy keeps the base ids, so doc_id 7/301/11/13 and vec_id 50/2/55/70/202
+    all exist), with the synthetic no-content docs keyed PAST the replica's max
     id instead of at 10001/10002 (which are real doc_ids at this scale).
     Degenerate edits go FIRST so the null edits keep winning on their
     specific ids (doc 301 is both %8==5 and the null corpus's no-content
@@ -98,8 +99,11 @@ def mutate(dst: str) -> None:
     wr(docs, "documents")
 
     emb = rd("embeddings")
-    # degenerate vectors (base copy only, disjoint from the null edits)
-    for vid, val in ((10, 0.0), (20, 0.5), (30, 1e154), (40, 5e-324)):
+    # degenerate vectors (base copy only, disjoint from the null edits);
+    # inf stored explicitly — a finite float32 cannot overflow the 64-term
+    # double fold, so the honest probe is the already-overflowed value
+    # (same ADVICE fix as degenerate_sweep.set_vec)
+    for vid, val in ((10, 0.0), (20, 0.5), (30, float("inf")), (40, 5e-324)):
         idx = emb.index[emb["vec_id"] == vid]
         if len(idx):
             dim = len(emb.at[idx[0], "embedding"])
@@ -112,6 +116,19 @@ def mutate(dst: str) -> None:
     emb.at[i2, "embedding"] = [
         None if j == 3 else v for j, v in enumerate(emb.at[i2, "embedding"])
     ]
+    # RAGGED vectors (round 10's disclosed mixed-encoder class, the fourth
+    # mutation family): a 32-dim and a 96-dim row among the 64-dim corpus,
+    # plus one SEED row (vec_id 202: a semdedup cell + PQ codebook entry) —
+    # partial distances are NULL in Spark's padded zip_with fold but
+    # NUMBERS in DuckDB's NULL-skipping list folds, so only the
+    # dim-extended contract keeps the engines aligned, and only AT SCALE do
+    # the misassigned cells produce visible divergence (the r10 lesson)
+    for vid, new_dim in ((55, 32), (70, 96), (202, 32)):
+        idx = emb.index[emb["vec_id"] == vid]
+        if len(idx):
+            old = list(emb.at[idx[0], "embedding"])
+            vals = (old * ((new_dim // len(old)) + 1))[:new_dim]
+            emb.at[idx[0], "embedding"] = np.asarray(vals, dtype=np.float32)
     wr(emb, "embeddings")
 
     ev = rd("events")
@@ -148,7 +165,7 @@ def main() -> None:
         dst = tempfile.mkdtemp(prefix="scale_sweep_")
         print(f"replicating sf0.1 x10 into {dst} ...", flush=True)
         replicate(spark, 10, dst)
-        print("mutating (null + extreme edits) ...", flush=True)
+        print("mutating (degenerate + null + extreme + ragged edits) ...", flush=True)
         mutate(dst)
     fails = []
     for name in QUERIES_TO_RUN:

@@ -449,3 +449,68 @@ def test_cosine_topk_element_null_vector_invisible(spark):
     ) | set(r["match_id"] for r in out.collect())
     assert 3 not in ids
     assert {1, 2, 4} <= ids
+
+
+def test_valid_vectors_dim_excludes_ragged(spark):
+    """Round-11: the dim-extended invalid-vector contract (round 10's
+    disclosed mixed-encoder class). With dim given, a vector of any other
+    length is invalid; with dim=None the legacy length-agnostic contract
+    holds."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        VALID_VEC_SQL,
+        valid_vectors,
+    )
+
+    rows = [
+        (1, [1.0] * 64), (2, [0.5] * 32), (3, [0.25] * 96), (4, [2.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    assert sorted(r["id"] for r in valid_vectors(df, "v", 64).collect()) == [1, 4]
+    assert sorted(r["id"] for r in valid_vectors(df, "v").collect()) == [1, 2, 3, 4]
+    assert "len(v) = 64" in VALID_VEC_SQL("v", 64)
+    assert "len(v) =" not in VALID_VEC_SQL("v")
+
+
+def test_semdedup_ragged_vector_excluded_consistently(spark):
+    """The disclosed r10 probe shape: one 32-dim vector in a 64-dim corpus
+    diverged dedup_semantic_semdedup 445/500 rows (Spark's zip_with pads ->
+    NULL centroid distance; DuckDB's indexed fold skips the NULL tail -> a
+    partial NUMBER -> different cell). With dim passed, the ragged row gets
+    NO verdict at all — deterministically, on any partitioning — and valid
+    rows' verdicts are unchanged by its presence."""
+    from crystal_parquet_database_spark.operators.similarity import semdedup
+
+    rows = [(i, [1.0 if d == (i % 2) else 0.1 * i for d in range(64)])
+            for i in range(12)]
+    rows.append((99, [1.0] * 32))  # the ragged mixed-encoder row
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(c, [1.0 if d == c else 0.0 for d in range(64)]) for c in range(2)],
+        "cell_id int, cvec array<double>",
+    )
+    out = semdedup(emb, "vec_id", "embedding", seeds, threshold=0.9, dim=64)
+    got = {r["vec_id"] for r in out.collect()}
+    assert 99 not in got
+    assert got == set(range(12))
+    clean = semdedup(
+        emb.filter("vec_id < 99"), "vec_id", "embedding", seeds,
+        threshold=0.9, dim=64,
+    )
+    key = lambda df: sorted(
+        (r["vec_id"], r["cell_id"], r["is_removed"]) for r in df.collect()
+    )
+    assert key(out) == key(clean)
+
+
+def test_pq_encode_derives_dim_from_codebooks_excludes_ragged(spark):
+    """PQ's expected dimension is m*dsub by construction — a ragged vector's
+    codes were engine-ambiguous (partial sub-distances), now it is simply
+    never encoded."""
+    from crystal_parquet_database_spark.operators.similarity import pq_encode
+
+    dim, m = 8, 2
+    rows = [(1, [1.0] * dim), (2, [0.4] * dim), (3, [1.0] * 6), (4, [1.0] * 12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codebooks = [[[0.0] * (dim // m), [1.0] * (dim // m)] for _ in range(m)]
+    coded = {r["vec_id"] for r in pq_encode(emb, "vec_id", "embedding", codebooks).collect()}
+    assert coded == {1, 2}
