@@ -130,6 +130,19 @@ def build_degenerate_corpus(dst: str) -> None:
     set_ragged(70, 96)     # longer-than-corpus ragged
     set_ragged(202, 32)    # a SEED row (semdedup cell + PQ codebook arm):
     #                        both engines must drop the cell/codebook entry
+    idx80 = emb.index[emb["vec_id"] == 80]
+    if len(idx80):
+        # NaN-ELEMENT vector (one failed dimension, value NaN not NULL):
+        # probed CONSISTENT cross-engine through parquet — NaN propagates
+        # through both engines' folds (DuckDB list_aggregate does NOT skip
+        # NaN the way it skips NULL), NaN >= τ is true and NaN sorts first
+        # under DESC in both — so unlike the NULL-element and ragged shapes
+        # this one stays VALID under the contract; the mutation pins that
+        # lockstep mechanically. (A pandas->duckdb REGISTER call nullifies
+        # NaN — parquet, the only path the gates use, preserves it.)
+        v = list(emb.at[idx80[0], "embedding"])
+        v[5] = np.float32("nan")
+        emb.at[idx80[0], "embedding"] = np.asarray(v, dtype=np.float32)
     emb.to_parquet(os.path.join(dst, "embeddings.parquet"), index=False)
 
     ev = pd.read_parquet(os.path.join(dst, "events.parquet"))

@@ -129,6 +129,15 @@ def mutate(dst: str) -> None:
             old = list(emb.at[idx[0], "embedding"])
             vals = (old * ((new_dim // len(old)) + 1))[:new_dim]
             emb.at[idx[0], "embedding"] = np.asarray(vals, dtype=np.float32)
+    idx80 = emb.index[emb["vec_id"] == 80]
+    if len(idx80):
+        # NaN-ELEMENT vector: probed cross-engine CONSISTENT via parquet
+        # (NaN propagates through both engines' folds; NaN >= τ true and
+        # NaN-first DESC in both), so it stays VALID under the contract —
+        # pinned here so the lockstep is gated at scale too
+        v = list(emb.at[idx80[0], "embedding"])
+        v[5] = np.float32("nan")
+        emb.at[idx80[0], "embedding"] = np.asarray(v, dtype=np.float32)
     wr(emb, "embeddings")
 
     ev = rd("events")
