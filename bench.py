@@ -59,6 +59,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_fingerprint",
     "dedup_simhash_near_pairs",
+    "text_duplicate_spans",        # r11: Lee-et-al substring-span dedup
+    "dedup_edit_distance_pairs",   # r11: banded typo-level near-dup
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",

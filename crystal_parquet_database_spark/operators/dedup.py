@@ -860,3 +860,207 @@ def prefix_filter_pairs(
         .select("id_a", "id_b", jaccard(F.col("__ha"), F.col("__hb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicate_token_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): find every maximal token span that
+    appears at least ``min_count`` times in the corpus — intra- OR
+    inter-document — at k-token resolution. The suffix-array construction
+    the paper uses is sequential; this is the standard distributed
+    approximation: inventory all k-token grams, keep grams occurring
+    ``min_count``+ times, and merge each document's duplicated gram
+    positions into maximal spans (a gram at position p covers tokens
+    [p, p+k-1]; runs whose covered ranges touch or overlap merge).
+
+    Returns (<id_col>, span_start, span_end, span_tokens), token positions
+    1-based inclusive.
+
+    100 TB shape: one map-side-combinable groupBy on the 60-bit gram hash
+    (shuffle volume = rows x 8 bytes, never the text), one hash-keyed join
+    back to positions (a hot gram — boilerplate headers, license blocks —
+    meets exactly ONE count row, so sort-merge join cannot explode), one
+    per-document window for the island merge. All linear; reference
+    parity: crystpqdb has no substring-dedup, this extends the LLM-pipeline
+    surface the brief's training-data section requires.
+    """
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), WS_RE)
+    base = (
+        df.where(t.isNotNull())
+        .select(F.col(id_col).alias("__id"), toks.alias("__w"))
+        .where(F.size(F.col("__w")) >= k)
+    )
+    from crystal_parquet_database_spark.functions.portable_hash import _gram
+
+    grams = base.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("__w")) - F.lit(k - 1)),
+                _gram(F.col("__w"), k),
+            )
+        ).alias("__p0", "__g"),
+    ).select(
+        "__id",
+        (F.col("__p0") + 1).alias("__pos"),  # 1-based token position
+        spark_hash_raw60(F.col("__g")).alias("__gh"),
+    )
+    dup_grams = (
+        grams.groupBy("__gh")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__gh")
+    )
+    d = grams.join(dup_grams, "__gh").select("__id", "__pos")
+    w = W.partitionBy("__id").orderBy("__pos")
+    # island break exactly when the previous covered range [p', p'+k-1] and
+    # this one [p, p+k-1] neither touch nor overlap: p > p' + k. LAG NULL on
+    # the first row -> condition NULL -> otherwise(0) in BOTH engines.
+    flag = F.when(F.col("__pos") > F.lag("__pos").over(w) + k, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    islands = d.withColumn(
+        "__isl",
+        F.sum(flag).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        islands.groupBy("__id", "__isl")
+        .agg(
+            F.min("__pos").cast("int").alias("span_start"),
+            (F.max("__pos") + F.lit(k - 1)).cast("int").alias("span_end"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).cast("int").alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def edit_distance_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 7,
+    head_len: int = 48,
+    block_w: int = 8,
+    max_df: int = 32,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs over a normalized document head
+    (the first ``head_len`` characters — the title/boilerplate proxy a real
+    pipeline keys on): pairs whose heads are within ``max_dist`` Levenshtein
+    edits. Typo-level duplicates that hash/shingle dedup miss.
+
+    Candidate generation is PassJoin-style BLOCK BANDING, not length
+    bucketing: the head splits into ``head_len/block_w`` fixed-position
+    blocks and a pair becomes a candidate iff it shares any (block_index,
+    block_content) key — one equi-join on a short string key, the same
+    plan family as MinHash LSH. The first design used length buckets, and
+    the 10x replica exposed it as a scale-killer: heads are TRUNCATED at
+    ``head_len``, so nearly every document has the same head length and
+    one bucket degenerated to the all-pairs join. Pigeonhole gives the
+    recall contract: with 8 blocks, substitution-only pairs within 7
+    edits share >=1 untouched block and are GUARANTEED candidates;
+    insertions/deletions shift block alignment, so indel recall is
+    approximate — like LSH, the operator is approximate but EXACTLY
+    specified (the oracle reproduces the identical banding, so the full
+    result is still bit-reproducible). No-content heads produce no blocks
+    and pair with nothing (the package-wide no-content contract).
+
+    ``max_df`` caps block-value frequency (the containment stop-shingle
+    precedent): a block value shared by more than ``max_df`` documents is
+    dropped from banding on BOTH sides. Measured need, not taste: on the
+    low-entropy fixture vocabulary a single first-block value ("spark ")
+    was shared by ~190 of 5 000 docs — C(190,2) pairs per hot value,
+    416k candidates total, and the hot set grows quadratically with
+    corpus size. Knobs measured on that corpus (SCALE.md round-11):
+    (block_w=6, df=64) 10.2 s, (8, 32) 1.8 s at recall 1.00 on all 256
+    true pairs, (12, 64) 1.0 s at a weaker 3-substitution guarantee —
+    the default is (8, 32). Corpus-hot blocks carry no near-dup signal (they
+    identify the LANGUAGE, not the document); true near-dups keep
+    matching through their rare blocks. The recall trade — a pair whose
+    every intact shared block is corpus-hot is missed — is the standard
+    stop-key trade, measured the same way as containment's ``max_df``.
+    Heads hot in EVERY block are mass-duplicated boilerplate: an
+    exact-duplicate clique, which is ``exact_dedup``'s linear job — the
+    same division of labor as ``lsh_candidate_pairs``' ``max_bucket_size``
+    (measured on the 10× replica: the cap hands the ~1M replica-clique
+    pairs to exact dedup and keeps the typo tail here, 21 s vs 94 s).
+
+    ASCII CONTRACT (pinned, tests/test_tokenizer_parity.py): Spark computes
+    Levenshtein over CODEPOINTS, DuckDB over BYTES — measured divergent on
+    every non-ASCII string (é: 2 vs 3 edits) — and Spark's substring counts
+    UTF-16 units where DuckDB counts codepoints, so even the HEAD would
+    disagree near an astral-plane char. Both sides therefore restrict to
+    documents whose FULL text is ASCII (byte length = char length,
+    identical semantics in both engines); the codepoint path stays
+    Spark-only and is asserted in pytest, not the oracle.
+
+    100 TB shape: block keys distribute like LSH band keys (bounded bucket
+    populations on real text; a boilerplate-hot block behaves like a hot
+    LSH bucket and is handled the same way — AQE skew join, or raise
+    ``block_w``); the O(head_len^2) DP runs only on banded candidates that
+    also pass the exact |len diff| prefilter.
+    """
+    n_blocks = head_len // block_w
+    t = F.col(text_col)
+    ascii_ok = F.octet_length(t) == F.length(t)
+    head = F.substring(F.trim(t), 1, head_len)
+    base = df.where(t.isNotNull() & ascii_ok).select(
+        F.col(id_col).alias("__id"),
+        head.alias("__h"),
+        F.length(head).alias("__l"),
+    )
+    blocks = base.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("__h"), i * block_w + 1, block_w)
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("__bi", "__blk"),
+    ).where(F.col("__blk") != "")
+    keep = (
+        blocks.groupBy("__bi", "__blk")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("__bi", "__blk")
+    )
+    blocks = blocks.join(keep, ["__bi", "__blk"])
+    a = blocks.select(
+        F.col("__id").alias("id_a"), F.col("__bi").alias("__i"), F.col("__blk").alias("__b")
+    )
+    b = blocks.select(
+        F.col("__id").alias("id_b"), F.col("__bi").alias("__i"), F.col("__blk").alias("__b")
+    )
+    cand = (
+        a.join(b, ["__i", "__b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = base.select(F.col("__id").alias("id_a"), F.col("__h").alias("__ha"), F.col("__l").alias("__la"))
+    hb = base.select(F.col("__id").alias("id_b"), F.col("__h").alias("__hb"), F.col("__l").alias("__lb"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__ha"), F.col("__hb")).cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

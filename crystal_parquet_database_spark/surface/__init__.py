@@ -125,13 +125,19 @@ _VERIFY_FIRST = [
     # ——— the 50-query verification window ends HERE (13 ragged-dim +
     # 2 degenerate + 16 trim + 8 r7 + 11 r8 = exactly 50; sim_ivf_topk is
     # rows-only by design, the other 49 are oracle-paired). Entries below
-    # get NO row this round, in ROUND-12 priority order: first any query
-    # whose gated code or oracle changes post-freeze (none at commit time),
-    # then the 19 remaining r8 rows (lightest of the cohort, warm times
-    # from the round-11 time_queries run), then the r9 cohort. No corpus
-    # today carries a ragged vector outside the degenerate/scale sweeps,
-    # so rows held by out-of-window embedding queries (none — all 13 are
-    # in-window this round) need no caveat.
+    # get NO row this round, in ROUND-12 priority order: FIRST the two
+    # queries NEW this round, added after the window froze (the r5
+    # new-query precedent — a new query displaces nothing and waits):
+    # text_duplicate_spans (Lee-et-al substring-span dedup) and
+    # dedup_edit_distance_pairs (banded typo-level near-dup, ASCII-guarded
+    # per the pinned levenshtein codepoint-vs-byte divergence) — both
+    # check_queries-green at sf0.01 and swept on all six adversarial
+    # corpora this round (sweeps run every oracle-paired query); THEN the
+    # 19 remaining r8 rows (lightest of the cohort, warm times from the
+    # round-11 time_queries run), then the r9 cohort. No corpus today
+    # carries a ragged vector outside the degenerate/scale sweeps, so rows
+    # held by out-of-window embedding queries (none — all 13 are in-window
+    # this round) need no caveat.
     "q16_parts_supplier_count",      # 0.79
     "q4_order_priority",             # 0.74
     "q12_priority_shipping",         # 0.64

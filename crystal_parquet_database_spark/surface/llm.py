@@ -2870,3 +2870,135 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_pairs(
         docs, "text", "doc_id", threshold=_PREFIX_TAU, k=_K, unit="word"
     )
+
+
+# ----------------------------------------------------------------------------
+# dedup: exact-substring span dedup (Lee et al. 2022) + edit-distance
+# near-dup — NEW in round 11; registered past the frozen 50-query window,
+# so their first driver rows land in round 12 (the r5 new-query precedent);
+# until then both are covered by the six sweep corpora (every oracle-paired
+# query runs in every sweep) and pytest.
+# ----------------------------------------------------------------------------
+
+_SPAN_K = 5
+
+from crystal_parquet_database_spark.functions.portable_hash import (  # noqa: E402
+    _sql_gram,
+)
+
+_SPAN_GRAM_HASH = sql_hash_raw60(_sql_gram(_SPAN_K))
+
+_DUP_SPANS_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+g0 AS (
+  SELECT doc_id,
+         [{_SPAN_GRAM_HASH} for i in generate_series(1, len(w) - {_SPAN_K - 1})] AS ghs
+  FROM t WHERE len(w) >= {_SPAN_K}
+),
+g AS (
+  SELECT doc_id, unnest(generate_series(1, len(ghs))) AS pos, unnest(ghs) AS gh
+  FROM g0
+),
+c AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gh)),
+fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        + {_SPAN_K} THEN 1 ELSE 0 END AS f
+  FROM d
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(f) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM fl
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INTEGER) AS span_start,
+       CAST(MAX(pos) + {_SPAN_K - 1} AS INTEGER) AS span_end,
+       CAST(MAX(pos) + {_SPAN_K - 1} - MIN(pos) + 1 AS INTEGER) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@query("text_duplicate_spans", _DUP_SPANS_ORACLE)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup at {k}-token resolution (Lee et al. 2022):
+    every maximal token span occurring 2+ times in the corpus — intra- or
+    inter-document (a 400x-repeated token collapses to ONE whole-doc span;
+    a license header shared by two docs surfaces in both). The distributed
+    shape (gram-hash inventory -> count filter -> per-doc island merge)
+    replaces the paper's sequential suffix array; see
+    operators/dedup.duplicate_token_spans for the shuffle budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_token_spans(docs, "doc_id", "text", k=_SPAN_K, min_count=2)
+
+
+_ED_DIST, _ED_HEAD, _ED_BLOCK, _ED_MAX_DF = 7, 48, 8, 32
+
+_ED_BLOCK_LIST = ", ".join(
+    f"substr(h, {i * _ED_BLOCK + 1}, {_ED_BLOCK})"
+    for i in range(_ED_HEAD // _ED_BLOCK)
+)
+
+_EDIT_DIST_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, substr(trim(text, ' '), 1, {_ED_HEAD}) AS h,
+         length(substr(trim(text, ' '), 1, {_ED_HEAD})) AS l
+  FROM documents
+  WHERE text IS NOT NULL AND strlen(text) = length(text)
+),
+blk0 AS (
+  SELECT doc_id,
+         unnest(generate_series(0, {_ED_HEAD // _ED_BLOCK - 1})) AS bi,
+         unnest([{_ED_BLOCK_LIST}]) AS blk
+  FROM d
+),
+blk1 AS (SELECT * FROM blk0 WHERE blk <> ''),
+bc AS (
+  SELECT bi, blk FROM blk1 GROUP BY bi, blk HAVING COUNT(*) <= {_ED_MAX_DF}
+),
+blk AS (SELECT b.* FROM blk1 b JOIN bc USING (bi, blk)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+  FROM blk a JOIN blk x
+    ON a.bi = x.bi AND a.blk = x.blk AND a.doc_id < x.doc_id
+)
+SELECT c.id_a, c.id_b, CAST(levenshtein(da.h, dx.h) AS INTEGER) AS dist
+FROM cand c
+JOIN d da ON da.doc_id = c.id_a
+JOIN d dx ON dx.doc_id = c.id_b
+WHERE abs(da.l - dx.l) <= {_ED_DIST} AND levenshtein(da.h, dx.h) <= {_ED_DIST}
+"""
+
+
+@query("dedup_edit_distance_pairs", _EDIT_DIST_ORACLE)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-duplicate pairs: Levenshtein <= {dist} over the
+    48-char document head. Candidates via PassJoin-style fixed-position
+    BLOCK banding — one equi-join on (block_index, 8-char block content),
+    the MinHash-LSH plan family; the first (length-bucket) design
+    degenerated to all-pairs on the 10x replica because truncated heads
+    all share one length, caught and replaced the same round. Pigeonhole:
+    substitution-only pairs touching <=5 of the 6 blocks share >=1 —
+    guaranteed candidates; indel recall approximate but the banding is
+    reproduced EXACTLY by this oracle, so the result is bit-deterministic
+    (the LSH precedent). ASCII-only on BOTH sides by contract: Spark's
+    levenshtein counts codepoints, DuckDB's counts bytes (measured
+    divergent on every non-ASCII string — pinned in
+    tests/test_tokenizer_parity.py), so the cross-engine check runs on the
+    byte==codepoint subset and the codepoint path is asserted in pytest.
+    Block values hotter than max_df={df} docs are dropped from banding on
+    both sides (the containment stop-shingle precedent — measured 416k
+    candidates from 5k docs without it on the low-entropy fixture
+    vocabulary; corpus-hot blocks identify the language, not the
+    document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.edit_distance_near_dup_pairs(
+        docs, "doc_id", "text",
+        max_dist=_ED_DIST, head_len=_ED_HEAD, block_w=_ED_BLOCK,
+        max_df=_ED_MAX_DF,
+    )

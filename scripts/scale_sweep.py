@@ -47,7 +47,14 @@ EXTREME_FIVE = [
     "sim_label_centroid_outliers",
 ]
 
-QUERIES_TO_RUN = sorted(set(REPEAT_3X) | set(EXTREME_FIVE))
+# round-11 additions: both new text-dedup operators are scale-sensitive
+# (gram-inventory shuffle sized by corpus; length-bucket candidate counts)
+NEW_R11 = [
+    "text_duplicate_spans",
+    "dedup_edit_distance_pairs",
+]
+
+QUERIES_TO_RUN = sorted(set(REPEAT_3X) | set(EXTREME_FIVE) | set(NEW_R11))
 
 
 def mutate(dst: str) -> None:

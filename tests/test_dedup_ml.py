@@ -192,3 +192,99 @@ def test_exact_dedup_null_text_pairs_with_nothing(spark):
 
     kept = TrainingDataPipeline(df, id_col="doc_id", text_col="text").dedup_exact().df
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 10, 11, 12]
+
+
+def test_duplicate_token_spans_inter_and_intra_doc(spark):
+    """Lee-et-al-style span dedup: a shared 6-token license header surfaces
+    as one span in BOTH carriers; a 400x-repeated token collapses to one
+    whole-doc span; overlapping duplicated grams merge into ONE maximal
+    span; a unique document reports nothing."""
+    from crystal_parquet_database_spark.operators.dedup import (
+        duplicate_token_spans,
+    )
+
+    header = "licensed under the apache license version two"  # 7 tokens
+    rows = [
+        (1, header + " alpha beta gamma delta unique one"),
+        (2, header + " epsilon zeta eta theta unique two"),
+        (3, ("spam " * 400).strip()),
+        (4, "totally unique text with no repeated grams at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_token_spans(df, "doc_id", "text", k=5, min_count=2)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    # docs 1 and 2 share the 7-token header: duplicated 5-gram positions
+    # 1..3, covered range [1, 7], merged into one span each
+    assert spans[1] == [(1, 7, 7)]
+    assert spans[2] == [(1, 7, 7)]
+    # doc 3 is one giant self-repetition: every 5-gram identical
+    assert spans[3] == [(1, 400, 400)]
+    assert 4 not in spans
+
+
+def test_duplicate_token_spans_split_islands(spark):
+    """Two duplicated regions separated by enough unique tokens must NOT
+    merge: the island break fires exactly when covered ranges neither touch
+    nor overlap."""
+    from crystal_parquet_database_spark.operators.dedup import (
+        duplicate_token_spans,
+    )
+
+    shared_a = "one two three four five"            # 5 tokens
+    shared_b = "six seven eight nine ten"           # 5 tokens
+    gap = "u1 u2 u3 u4 u5 u6 u7 u8"                 # 8 unique tokens
+    rows = [
+        (1, f"{shared_a} {gap} {shared_b}"),
+        (2, f"{shared_a} w1 w2 w3 w4 w5 w6 w7 w8 {shared_b}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_token_spans(df, "doc_id", "text", k=5, min_count=2)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    assert sorted(spans[1]) == [(1, 5), (14, 18)]
+    assert sorted(spans[2]) == [(1, 5), (14, 18)]
+
+
+def test_edit_distance_near_dup_finds_typos_and_excludes_unicode(spark):
+    """Typo-level near-dups that hashing misses; non-ASCII docs are excluded
+    by contract (Spark levenshtein counts codepoints, DuckDB bytes — pinned
+    in test_tokenizer_parity); the length-bucket banding must not lose a
+    cross-bucket pair within max_dist."""
+    from crystal_parquet_database_spark.operators.dedup import (
+        edit_distance_near_dup_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps ovr the lazy dog today"),   # 2 edits
+        (3, "a completely different document body text here now"),
+        (4, "thé quick brown fox jumps over the lazy dog today"),  # non-ASCII
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_near_dup_pairs(
+            df, "doc_id", "text", max_dist=8, head_len=48
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] <= 2
+    assert all(4 not in pair for pair in out)  # unicode doc excluded
+    assert all(3 not in pair for pair in out)  # distant doc not paired
+
+
+def test_edit_distance_codepoint_semantics_spark_side(spark):
+    """The Spark-only codepoint path (what the operator would do WITHOUT
+    the ASCII oracle guard): one accented substitution is ONE edit — the
+    byte-counting engine would say two. Asserted here because the oracle
+    cannot check it."""
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        F.levenshtein(F.lit("héllo"), F.lit("hello")).alias("d")
+    ).collect()[0]
+    assert row["d"] == 1

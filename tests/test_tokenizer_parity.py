@@ -259,3 +259,42 @@ def test_no_one_arg_trim_in_any_oracle():
         if sql and (sites := _one_arg_trim_sites(sql))
     }
     assert not offenders, f"one-arg trim() in oracles: {offenders}"
+
+
+def test_levenshtein_ascii_parity_and_unicode_divergence(spark):
+    """Levenshtein: Spark counts CODEPOINT edits, DuckDB counts BYTE edits —
+    measured divergent on every non-ASCII string (é: 1 vs 2 substitutions
+    worth of bytes; 中文字 vs 中文: 1 vs 3). THE CONTRACT
+    (dedup_edit_distance_pairs): cross-engine edit distance is checked only
+    where bytes == codepoints (ASCII, via strlen = length on both sides);
+    the codepoint path stays Spark-side, asserted in test_dedup_ml. These
+    assertions pin the measured divergence so an engine change surfaces."""
+    cases = [
+        ("kitten", "sitting"), ("", "abc"), ("", ""), ("a b c", "a  b c"),
+        ("héllo", "hello"), ("中文字", "中文"), ("🚀x", "x"),
+        ("\u00e9", "e\u0301"),  # composed vs decomposed é — neither engine
+        #                         unicode-normalizes, but they count the
+        #                         difference in different units
+    ]
+    pdf = pd.DataFrame(
+        {"i": range(len(cases)), "a": [c[0] for c in cases], "b": [c[1] for c in cases]}
+    )
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", F.levenshtein("a", "b").alias("d"))
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute("SELECT i, levenshtein(a, b) AS d FROM t ORDER BY i").fetchall()
+    ascii_only = lambda s: all(ord(ch) < 128 for ch in s)
+    diverged = 0
+    for g, w in zip(got, want):
+        a, b = cases[g["i"]]
+        if ascii_only(a) and ascii_only(b):
+            assert g["d"] == w[1], f"ASCII levenshtein diverges on {(a, b)!r}"
+        else:
+            assert g["d"] != w[1], f"non-ASCII unexpectedly agrees on {(a, b)!r}"
+            diverged += 1
+    assert diverged == 4  # every non-ASCII case in the table diverges today
