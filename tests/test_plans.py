@@ -320,3 +320,27 @@ def test_scan_read_schemas_raises_on_truncation():
     ):
         with pytest.raises(ValueError, match="truncated"):
             scan_read_schemas(None, plan=bad)
+
+
+def test_round11_dedup_ops_plan_no_cartesian(spark, sf_dir):
+    """The round-11 operators must keep their banded equi-join shape: the
+    edit-distance op's FIRST design degenerated to an effective all-pairs
+    join at 10x (length-bucketed truncated heads all landed in one
+    bucket) — this asserts the replacement (block banding + df cap) and
+    the span op's gram join never regress to a cartesian/broadcast-nested
+    plan, the same guard the LSH family carries."""
+    from crystal_parquet_database_spark.operators.dedup import (
+        duplicate_token_spans,
+        edit_distance_near_dup_pairs,
+    )
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+    from crystal_parquet_database_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        duplicate_token_spans(docs, "doc_id", "text"),
+        edit_distance_near_dup_pairs(docs, "doc_id", "text"),
+    ):
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
