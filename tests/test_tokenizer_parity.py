@@ -298,3 +298,60 @@ def test_levenshtein_ascii_parity_and_unicode_divergence(spark):
             assert g["d"] != w[1], f"non-ASCII unexpectedly agrees on {(a, b)!r}"
             diverged += 1
     assert diverged == 4  # every non-ASCII case in the table diverges today
+
+
+def test_round_on_double_parity_and_pinned_divergence(spark):
+    """round(double, d) cross-engine: at d=0 the engines agree on the
+    half-away grid (2.5 -> 3, -2.5 -> -3 in BOTH; the only difference is
+    -0.0 vs 0.0, which integer casts erase) — which is why the single
+    oracle ROUND( use, agg_argmax's CAST(ROUND(c_acctbal*100) AS BIGINT),
+    is safe. At d>0 they DIVERGE: Spark rounds the shortest decimal
+    representation (1.005 -> 1.01) while DuckDB rounds the binary double
+    (1.005 is stored below 1.005 -> 1.0). THE CONTRACT (verify-skill rule,
+    now measured): never round doubles at d>0 in an oracle-paired path;
+    route exact aggregates through decimal instead (functions/exact.py)."""
+    vals = [2.5, 3.5, -2.5, -3.5, 0.5, -0.5, 1.005, 2.675]
+    pdf = pd.DataFrame({"i": range(len(vals)), "x": vals})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(
+            "i",
+            F.round("x", 0).alias("r0"),
+            F.round("x", 2).alias("r2"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        "SELECT i, round(x, 0) AS r0, round(x, 2) AS r2 FROM t ORDER BY i"
+    ).fetchall()
+    diverged_d2 = 0
+    for g, w in zip(got, want):
+        x = vals[g["i"]]
+        # d=0: values equal after normalizing -0.0 (casts erase the sign)
+        assert g["r0"] + 0.0 == w[1] + 0.0, f"round(.,0) diverges on {x}"
+        if g["r2"] != w[2]:
+            diverged_d2 += 1
+    # measured: 1.005 diverges (1.01 vs 1.0); 2.675 happens to agree on
+    # this engine pair — the class needs only one witness to stay pinned
+    assert diverged_d2 >= 1, "the d=2 binary-representation divergence healed?"
+
+
+def test_negative_modulo_parity(spark):
+    """% follows the dividend's sign in BOTH engines (C semantics) — so %
+    is safe in oracles without a pmod workaround; pmod stays Spark-side
+    for non-negative bucketing."""
+    got = (
+        spark.range(1)
+        .select(
+            (F.lit(-7) % F.lit(3)).alias("a"),
+            (F.lit(7) % F.lit(-3)).alias("b"),
+            (F.lit(-7) % F.lit(-3)).alias("c"),
+        )
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    w = con.execute("SELECT -7 % 3, 7 % -3, -7 % -3").fetchone()
+    assert (got["a"], got["b"], got["c"]) == w == (-1, 1, -1)
