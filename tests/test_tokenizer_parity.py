@@ -355,3 +355,31 @@ def test_negative_modulo_parity(spark):
     con = duckdb.connect()
     w = con.execute("SELECT -7 % 3, 7 % -3, -7 % -3").fetchone()
     assert (got["a"], got["b"], got["c"]) == w == (-1, 1, -1)
+
+
+def test_oracle_lints_for_pinned_divergence_classes():
+    """Mechanical enforcement of the round-11 pinned contracts, the
+    one-arg-trim-lint pattern: (1) LOWER()/UPPER() in an oracle must never
+    touch the corpus `text` column (case folding diverges on
+    full/context-sensitive mappings; TPC-H ASCII columns are fine);
+    (2) any oracle using levenshtein() must carry the ASCII guard
+    (strlen = length) — byte-vs-codepoint counting diverges otherwise."""
+    import re
+
+    from crystal_parquet_database_spark.surface import ORACLES
+
+    case_offenders, lev_offenders = {}, []
+    for name, sql in ORACLES.items():
+        if not sql:
+            continue
+        low = sql.lower()
+        hits = [
+            m.group(0)
+            for m in re.finditer(r"\b(lower|upper)\(\s*[a-z_.]*text", low)
+        ]
+        if hits:
+            case_offenders[name] = hits
+        if "levenshtein(" in low and "strlen(text) = length(text)" not in low:
+            lev_offenders.append(name)
+    assert not case_offenders, f"case folding on corpus text: {case_offenders}"
+    assert not lev_offenders, f"levenshtein without ASCII guard: {lev_offenders}"
