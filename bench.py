@@ -143,6 +143,39 @@ HEADLINE = [
 ]
 
 
+def compute_baseline_guard(
+    times: dict[str, float],
+    prev_warm: dict[str, float],
+    shared_now: float,
+    prev_shared: float,
+) -> dict | None:
+    """AMBIENT-CONTENTION GUARD decision (SCALE.md round-11: two of five
+    suite runs inflated 1.4-1.8x across the board with clean guest vitals —
+    host contention, not code). The separating signature: the TOTAL balloons
+    (contention taxes the heavy, total-dominating queries) while the
+    PER-QUERY MEDIAN ratio stays flat (most queries unaffected; a code
+    change moves specific queries coherently and drags the median). Rule
+    per the round-11 verdict: tripped iff total-ratio > 1.25 while the
+    median per-query ratio < 1.05. Pure function so the rule is unit-tested
+    without a Spark run."""
+    ratios = sorted(
+        times[n] / prev_warm[n]
+        for n in times
+        if n in prev_warm and prev_warm[n] > 0.05  # sub-50ms rows are jitter
+    )
+    if not ratios or not prev_shared or prev_shared <= 0:
+        return None
+    mid = len(ratios) // 2
+    med = ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2.0
+    tot = shared_now / prev_shared
+    return {
+        "total_ratio": round(tot, 4),
+        "median_ratio": round(med, 4),
+        "tripped": tot > 1.25 and med < 1.05,
+        "forced": bool(os.environ.get("BENCH_FORCE_BASELINE")),
+    }
+
+
 def main() -> None:
     # Optional isolated mode: `python3 bench.py <name>...` benches only the
     # named queries (fresh process = the honest number when the full
@@ -241,6 +274,7 @@ def main() -> None:
     )
     shared_now = prev_shared = None
     prev_producer = None
+    guard = None  # ambient-contention baseline guard (round-12, see below)
     if not isolated:
         # isolated probes cover only a subset — a subset total under the
         # suite-comparison keys would read as suite-level progress, so the
@@ -263,6 +297,13 @@ def main() -> None:
             if common:
                 shared_now = round(sum(times[n] for n in common), 4)
                 prev_shared = round(sum(prev_warm[n] for n in common), 4)
+                # the ambient-contention baseline guard — the decision rule
+                # lives in compute_baseline_guard (unit-tested); a tripped
+                # run is refused the BENCH_DETAIL baseline stamp below.
+                # Override after human adjudication: BENCH_FORCE_BASELINE=1.
+                guard = compute_baseline_guard(
+                    times, prev_warm, shared_now, prev_shared
+                )
                 # WHICH run produced the baseline (r10 verdict: the 108.45 s
                 # prev_shared vs BENCH_r09's 88.26 s headline took judge
                 # archaeology to attribute — now the provenance rides along)
@@ -306,13 +347,34 @@ def main() -> None:
         "producer": producer,
         "methodology": "two passes at target sf in one process; value=2nd (steady-state) pass, cold_value=1st pass",
     }
+    if guard is not None:
+        detail["baseline_guard"] = guard
     # Isolated probe runs must NOT clobber the full-suite detail file — it is
     # the baseline the next full run's shared_with_prev reads. (The file is
     # deliberately NOT in git — it is per-machine state; on a machine with no
     # prior full run the comparison is simply absent, noted on stderr above.)
+    # A guard-tripped run is likewise refused the baseline stamp: its numbers
+    # print and land in BENCH_DETAIL.rejected.json for the adjudication trail,
+    # but the next run still compares against the last CLEAN baseline.
+    guard_refused = bool(guard and guard["tripped"] and not guard["forced"])
+    if guard_refused:
+        print(
+            "bench: baseline guard TRIPPED (total "
+            f"{guard['total_ratio']}x vs prev while per-query median "
+            f"{guard['median_ratio']}x — ambient-contention signature); "
+            "BENCH_DETAIL.json left as-is, run saved to "
+            "BENCH_DETAIL.rejected.json. Re-run, or force with "
+            "BENCH_FORCE_BASELINE=1 after adjudication.",
+            file=sys.stderr,
+        )
     if not isolated:
         try:
-            with open(detail_path, "w") as fh:
+            with open(
+                detail_path.replace(".json", ".rejected.json")
+                if guard_refused
+                else detail_path,
+                "w",
+            ) as fh:
                 json.dump(detail, fh, indent=1)
         except OSError:
             pass

@@ -969,12 +969,18 @@ def edit_distance_near_dup_pairs(
     the 10x replica exposed it as a scale-killer: heads are TRUNCATED at
     ``head_len``, so nearly every document has the same head length and
     one bucket degenerated to the all-pairs join. Pigeonhole gives the
-    recall contract: with 8 blocks, substitution-only pairs within 7
-    edits share >=1 untouched block and are GUARANTEED candidates;
-    insertions/deletions shift block alignment, so indel recall is
-    approximate — like LSH, the operator is approximate but EXACTLY
-    specified (the oracle reproduces the identical banding, so the full
-    result is still bit-reproducible). No-content heads produce no blocks
+    recall contract, per the GEOMETRY: ``head_len/block_w`` blocks
+    guarantee substitution-only pairs within ``n_blocks - 1`` edits share
+    >=1 untouched block. The shipped default (48, 8) is 6 blocks — a
+    GUARANTEE for <=5 substitutions; 6-7-substitution pairs at
+    ``max_dist=7`` are found only when the edits happen to cluster
+    (measured recall 1.00 on the fixture's 256 true pairs regardless —
+    the guarantee is the floor, not the measured rate). The full 7-edit
+    guarantee needs block_w=6 (8 blocks), the (6, 64) row in the knob
+    table below. Insertions/deletions shift block alignment, so indel
+    recall is approximate — like LSH, the operator is approximate but
+    EXACTLY specified (the oracle reproduces the identical banding, so
+    the full result is still bit-reproducible). No-content heads produce no blocks
     and pair with nothing (the package-wide no-content contract).
 
     ``max_df`` caps block-value frequency (the containment stop-shingle
@@ -983,9 +989,11 @@ def edit_distance_near_dup_pairs(
     low-entropy fixture vocabulary a single first-block value ("spark ")
     was shared by ~190 of 5 000 docs — C(190,2) pairs per hot value,
     416k candidates total, and the hot set grows quadratically with
-    corpus size. Knobs measured on that corpus (SCALE.md round-11):
-    (block_w=6, df=64) 10.2 s, (8, 32) 1.8 s at recall 1.00 on all 256
-    true pairs, (12, 64) 1.0 s at a weaker 3-substitution guarantee —
+    corpus size. Knobs: see the round-11 sensitivity table in SCALE.md
+    (produced by scripts/edit_distance_sensitivity.py — the one source of
+    truth for these numbers): (block_w=6, df=64) 6.96 s at the full
+    7-substitution guarantee, (8, 32) 1.64 s at recall 1.00 on all 256
+    true pairs, (12, 64) 0.94 s at a weaker 3-substitution guarantee —
     the default is (8, 32). Corpus-hot blocks carry no near-dup signal (they
     identify the LANGUAGE, not the document); true near-dups keep
     matching through their rare blocks. The recall trade — a pair whose

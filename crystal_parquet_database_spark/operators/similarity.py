@@ -757,6 +757,13 @@ def semdedup(
     asserted in tests/test_similarity_ann.py), the same graceful trade the
     paper makes by raising the cluster count.
     """
+    # The invalid-vector contract applies to the SEEDS too, inside the
+    # operator — not just at call sites: a ragged/NULL-element seed gives
+    # NULL cosc in Spark's padded zip_with fold but a partial NUMBER in
+    # DuckDB's NULL-skipping list fold for EVERY corpus vector scored
+    # against that cell, so the operator must be safe by construction
+    # (registered callers already pre-filter; this is idempotent there).
+    seeds = valid_vectors(seeds, "cvec", dim)
     # Norms are computed ONCE per vector here and reused by every pair below
     # (norm(a)*norm(b) is the identical expression tree to the inline form,
     # so oracle exactness is unchanged — same trick as

@@ -30,114 +30,44 @@ from crystal_parquet_database_spark.surface import layout  # noqa: E402,F401
 
 # External correctness harnesses may check only the first N registered
 # queries per run (50 per round, in registration order). Rotate verification
-# coverage across rounds — ROUND-11 window: every query whose gated code or
-# oracle changed (the r10 deferral PLUS this round's ragged-dim contract
-# wave), then the oldest evidence. Priority order:
-#   1. the RAGGED-dimension contract wave (round 10's disclosed class, fixed
-#      at this round's head): valid_vectors/VALID_VEC_SQL now take the
-#      expected dimension and EVERY embedding call site, oracle, truth/seed
-#      arm enforces it (a 32-dim vector in a 64-dim corpus has NULL partial
-#      distances in Spark's padded zip_with fold but NUMBER partial
-#      distances in DuckDB's NULL-skipping list folds — different cells/
-#      buckets per engine, probed 445/500 diverging rows on semdedup).
-#      This covers the five r10-deferred embedding-oracle queries AND the
-#      eight whose oracles/code changed with the same contract edit this
-#      round (sim_ivf_topk is rows-only/no_oracle but its code changed);
-#   2. the two r10 degenerate-sweep fixes ('' partition refusal + F.get)
-#      whose queries were out of the r10 window: pqdb_normalize_compaction,
-#      scalar_array_functions;
-#   3. the 16 trim-oracle queries deferred from r10 (one-arg trim() strips
-#      unicode NBSP in DuckDB; every text oracle now pins trim(x, ' ') to
-#      Spark's ASCII-space semantic) — agg_cms_heavy_hitters additionally
-#      carries THIS round's ADVICE fix (its tok CTE was the one oracle the
-#      r10 wave missed; a lint test now forbids one-arg trim in oracles);
-#   4. ALL 8 remaining r7-row refreshes (the oldest evidence; the other
-#      three r7 rows are already in set 3);
-#   5. the 11 heaviest of the 30 remaining r8-row refreshes (measured warm
-#      sf0.1, scripts/time_queries.py, round-11 run).
-# FREEZE RULE (kept — three rounds, zero displacements): driver-gated query
+# coverage across rounds — ROUND-12 window, exactly as the round-11 verdict
+# ordered it: the two operators NEW in round 11 (added after that window
+# froze; the r5 new-query precedent), then the oldest evidence. Priority:
+#   1. FIRST DRIVER ROWS for the two round-11 additions — the only
+#      oracle-paired queries the driver has never checked:
+#      text_duplicate_spans (Lee-et-al exact-substring span dedup) and
+#      dedup_edit_distance_pairs (PassJoin-banded edit-distance near-dup).
+#      Both were check_queries-green at sf0.01 and swept on all six
+#      adversarial corpora in round 11; until their rows land the
+#      "every operator has a green CORRECTNESS row" bar is unmet.
+#   2. ALL 18 remaining oracle-paired r8 rows (the oldest evidence;
+#      heaviest-first by the round-11 time_queries warm sf0.1 numbers).
+#      agg_hll_sketch_distinct also holds an r8 row but is rows-only by
+#      design with a green exact companion — lowest priority, below the
+#      fold.
+#   3. the 30 HEAVIEST of the 38 r9 rows (warm sf0.1, round-11
+#      BENCH_DETAIL warm_queries merged with a round-12-head
+#      scripts/time_queries.py run for the 11 queries outside the bench
+#      headline set). 2 + 18 + 30 = exactly 50. The 8 lightest r9 rows
+#      (stream_running_user_stats 0.38 .. scalar_conditional_expressions
+#      0.20) are round-13 priority.
+# FREEZE RULE (kept — fourth round, zero displacements): driver-gated query
 # and oracle code FREEZES once this window is committed; any post-freeze
-# change to a gated query defers to ROUND 12's priority-2 instead of
+# change to a gated query defers to ROUND 13's changed-code set instead of
 # displacing these refreshes. Behavior-identical plan-only refactors keep
 # their rows per the established precedent but still join the next round's
 # belt-and-braces set.
-# After round 11: no oracle-paired row predates its own code or oracle, and
-# none predates r8 except the 19 lightest r8 rows (round-12 priority after
-# any changed-code set). Every query stays registered every round — only
-# iteration order changes. (Round row map: README "Verification rotation".)
+# After round 12: every registered oracle-paired query has a driver row, no
+# oracle-paired row predates r9, and the oldest evidence is the 8 lightest
+# r9 rows (round-13 priority after any changed-code set). Every query stays
+# registered every round — only iteration order changes. (Round row map:
+# README "Verification rotation".)
 _VERIFY_FIRST = [
-    # — 1: the ragged-dim contract wave (changed code AND oracle) —
-    "sim_decontaminate_embeddings",  # r10 deferral + dim contract
-    "sim_pq_recall_at_k",            # r10 deferral + dim contract (codebook m*dsub)
-    "sim_embedding_near_dup",        # r10 deferral + dim contract
-    "sim_embedding_near_dup_lsh",    # r10 deferral + dim contract (band dim)
-    "sim_ivf_recall_at_k",           # r10 deferral + dim contract (seed arm)
-    "dedup_semantic_semdedup",       # THE probed diverger (445/500) + seed arm
-    "sim_cosine_topk_bruteforce",    # dim contract
-    "sim_ann_lsh_topk",              # dim contract (hyperplane dim)
-    "sim_ann_multiprobe_topk",       # dim contract
-    "sim_ann_recall_at_k",           # dim contract (truth + index arms)
-    "sim_label_centroid_outliers",   # dim joins the component-domain filter
-    "text_hybrid_rrf_search",        # vector arm rides the dim contract
-    "sim_ivf_topk",                  # rows-only (no_oracle): code changed
-    # — 2: r10 degenerate-sweep fixes, out-of-window then —
-    "pqdb_normalize_compaction",     # '' partition refusal + pre-sort guard
-    "scalar_array_functions",        # element_at -> F.get on zero-length
-    # — 3: the 16 trim-oracle queries deferred from r10 —
-    "agg_cms_heavy_hitters",         # + THIS round's ADVICE one-arg-trim fix
-    "dedup_cluster_components",
-    "scalar_string_functions",
-    "text_bigram_fluency",
-    "text_chunk_dedup_ratio",
-    "text_chunk_windows",
-    "text_language_id",
-    "text_ngram_topk",
-    "text_pack_sequences",
-    "text_pack_sequences_sorted",
-    "text_quality_classifier",
-    "text_quality_quantile_filter",  # also an r7 row
-    "text_quality_scores",           # also an r7 row
-    "text_tfidf_top_terms",
-    "text_token_counts",             # also an r7 row
-    "text_token_rarity_score",
-    # — 4: ALL 8 remaining r7-row refreshes (oldest evidence) —
-    "events_anomaly_hourly_zscore",
-    "events_path_regex_match",
-    "multimodal_video_header_real",
-    "nested_struct_ops_real",
-    "pivot_event_type_counts",
-    "q14_promo_revenue",
-    "scalar_map_functions",
-    "window_sessionize_events",
-    # — 5: the 11 heaviest r8-row refreshes (warm sf0.1 sec, round-11
-    #      time_queries measurement) —
-    "agg_approx_count_distinct",     # 3.23
-    "agg_percentiles_by_flag",       # 2.75
-    "sql_api_revenue_by_nation",     # 2.27
-    "agg_cube_lineitem",             # 1.55
-    "q18_large_volume_orders",       # 1.46
-    "agg_hll_error_bound",           # 1.41
-    "agg_grouping_sets_explicit",    # 1.18
-    "q20_potential_promotion",       # 1.17
-    "q21_suppliers_kept_waiting",    # 1.10
-    "agg_rollup_order_stats",        # 1.04
-    "agg_distinct_counts",           # 0.88
-    # ——— the 50-query verification window ends HERE (13 ragged-dim +
-    # 2 degenerate + 16 trim + 8 r7 + 11 r8 = exactly 50; sim_ivf_topk is
-    # rows-only by design, the other 49 are oracle-paired). Entries below
-    # get NO row this round, in ROUND-12 priority order: FIRST the two
-    # queries NEW this round, added after the window froze (the r5
-    # new-query precedent — a new query displaces nothing and waits):
-    # text_duplicate_spans (Lee-et-al substring-span dedup) and
-    # dedup_edit_distance_pairs (banded typo-level near-dup, ASCII-guarded
-    # per the pinned levenshtein codepoint-vs-byte divergence) — both
-    # check_queries-green at sf0.01 and swept on all six adversarial
-    # corpora this round (sweeps run every oracle-paired query); THEN the
-    # 19 remaining r8 rows (lightest of the cohort, warm times from the
-    # round-11 time_queries run), then the r9 cohort. No corpus today
-    # carries a ragged vector outside the degenerate/scale sweeps, so rows
-    # held by out-of-window embedding queries (none — all 13 are in-window
-    # this round) need no caveat.
+    # — 1: first driver rows for the round-11 additions —
+    "text_duplicate_spans",          # Lee-et-al substring-span dedup, NEW r11
+    "dedup_edit_distance_pairs",     # PassJoin banded near-dup, NEW r11
+    # — 2: all 18 oracle-paired r8 rows, heaviest-first (warm sf0.1 sec,
+    #      round-11 time_queries run) —
     "q16_parts_supplier_count",      # 0.79
     "q4_order_priority",             # 0.74
     "q12_priority_shipping",         # 0.64
@@ -147,7 +77,6 @@ _VERIFY_FIRST = [
     "q13_customer_distribution",     # 0.53
     "setop_nation_coverage",         # 0.46
     "q22_global_sales_opportunity",  # 0.45
-    "agg_hll_sketch_distinct",       # 0.41 (rows-only by design)
     "agg_having_brands",             # 0.31
     "setop_union_distinct_nations",  # 0.31
     "join_cross_region_priority",    # 0.30
@@ -157,6 +86,52 @@ _VERIFY_FIRST = [
     "sample_source_cap",             # 0.25
     "sort_multikey_limit",           # 0.15
     "unpivot_part_metrics",          # 0.14
+    # — 3: the 30 heaviest r9 rows (warm sf0.1 sec; BENCH_DETAIL r11 warm
+    #      merged with the round-12-head time_queries run) —
+    "q1_pricing_summary",            # 1.41
+    "agg_kll_quantile_bound",        # 1.11
+    "q3_shipping_priority",          # 0.91
+    "q5_local_supplier_volume",      # 0.86
+    "events_multires_rollup",        # 0.77
+    "multimodal_image_pipeline",     # 0.76
+    "events_funnel_conversion",      # 0.70
+    "stream_windowed_approx_distinct",  # 0.69
+    "multimodal_image_header_real",  # 0.69
+    "events_dau_wau",                # 0.68
+    "stream_session_windows",        # 0.66
+    "sample_global_shuffle",         # 0.64
+    "agg_mode_per_group",            # 0.63
+    "stream_windowed_distinct_keys", # 0.60
+    "window_running_spend",          # 0.60
+    "join_asof_purchase_attribution",  # 0.60
+    "stream_tumbling_window_counts", # 0.58
+    "multimodal_audio_pipeline",     # 0.58
+    "cif_parse_real",                # 0.56
+    "quality_profile_orders",        # 0.55
+    "stream_view_purchase_full_join",  # 0.50 (also the r11 1.25x drift watch)
+    "events_retention_cohorts",      # 0.44
+    "text_fingerprint",              # 0.43
+    "stream_first_event_per_key",    # 0.43
+    "stream_view_purchase_join",     # 0.42
+    "dedup_incremental_new_vs_index",  # 0.41
+    "window_topk_orders_per_customer",  # 0.41
+    "agg_collect_sorted_list",       # 0.40
+    "events_trending_types_hourly",  # 0.40
+    "stream_view_purchase_left_join",  # 0.39
+    # ——— the 50-query verification window ends HERE (2 new + 18 r8 +
+    # 30 r9 = exactly 50; all 50 oracle-paired). Entries below get NO row
+    # this round, in ROUND-13 priority order: first the 8 lightest r9 rows,
+    # then agg_hll_sketch_distinct (rows-only by design, green exact
+    # companion agg_hll_error_bound refreshed r11), then the r10 cohort.
+    "stream_running_user_stats",     # 0.38
+    "stream_enrich_static_join",     # 0.37
+    "stream_sliding_window_counts",  # 0.34
+    "text_pii_redact",               # 0.27
+    "sample_language_mixture",       # 0.26
+    "scalar_math_functions",         # 0.21
+    "sample_train_val_test_split",   # 0.21
+    "scalar_conditional_expressions",  # 0.20
+    "agg_hll_sketch_distinct",       # rows-only by design
 ]
 
 

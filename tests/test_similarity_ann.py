@@ -502,6 +502,41 @@ def test_semdedup_ragged_vector_excluded_consistently(spark):
     assert key(out) == key(clean)
 
 
+def test_semdedup_seed_contract_inside_operator(spark):
+    """The round-11 ADVICE medium: the invalid-vector contract must bind the
+    SEEDS inside the operator, not only at the llm.py call site — a ragged
+    or NULL-element seed gives NULL cosc in Spark but a partial NUMBER in
+    DuckDB for every corpus vector scored against that cell. Raw seeds
+    (ragged + NULL-element rows mixed in) must now yield the identical
+    result to pre-filtered seeds — proving (a) the operator is safe by
+    construction and (b) the change is behavior-identical where call sites
+    already filter (the gated dedup_semantic_semdedup keeps its r11 row)."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        semdedup,
+        valid_vectors,
+    )
+
+    rows = [(i, [1.0 if d == (i % 2) else 0.1 * i for d in range(64)])
+            for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seed_rows = [
+        (c, [1.0 if d == c else 0.0 for d in range(64)]) for c in range(2)
+    ]
+    seed_rows.append((7, [1.0] * 32))                      # ragged seed
+    seed_rows.append((8, [1.0] * 32 + [None] * 32))        # NULL-element seed
+    raw = spark.createDataFrame(seed_rows, "cell_id int, cvec array<double>")
+    key = lambda df: sorted(
+        (r["vec_id"], r["cell_id"], r["is_removed"]) for r in df.collect()
+    )
+    with_raw = semdedup(emb, "vec_id", "embedding", raw, threshold=0.9, dim=64)
+    with_filtered = semdedup(
+        emb, "vec_id", "embedding", valid_vectors(raw, "cvec", 64),
+        threshold=0.9, dim=64,
+    )
+    assert key(with_raw) == key(with_filtered)
+    assert {r[1] for r in key(with_raw)} <= {0, 1}  # bad cells never assigned
+
+
 def test_pq_encode_derives_dim_from_codebooks_excludes_ragged(spark):
     """PQ's expected dimension is m*dsub by construction — a ragged vector's
     codes were engine-ambiguous (partial sub-distances), now it is simply

@@ -1,4 +1,4 @@
-"""Batched random-string cross-engine parity for the tokenizer contract —
+r"""Batched random-string cross-engine parity for the tokenizer contract —
 the foundation every word-level oracle rests on: ws_tokens (the explicit
 WS_RE class), spark_word_shingles vs sql_word_shingles, and the BPE-ish
 regex token count, compared Spark-vs-DuckDB over ~100 adversarial random
@@ -222,7 +222,10 @@ def test_split_trailing_empties_parity(spark):
 def _one_arg_trim_sites(sql: str) -> list[str]:
     """Paren-aware scan for one-argument trim( calls: DuckDB's one-arg
     trim() strips UNICODE whitespace (NBSP) while Spark's F.trim strips
-    ASCII space only — every text oracle must pin two-arg trim(x, ' ')."""
+    ASCII space only — every text oracle must pin two-arg trim(x, ' ').
+    Word-boundary guarded: ltrim(/rtrim( are a DIFFERENT class (their
+    one-arg forms strip ASCII space only in both engines) and must not be
+    flagged — or mis-reported — by this lint."""
     out = []
     low = sql.lower()
     pos = 0
@@ -230,6 +233,9 @@ def _one_arg_trim_sites(sql: str) -> list[str]:
         j = low.find("trim(", pos)
         if j < 0:
             return out
+        if j > 0 and (low[j - 1].isalnum() or low[j - 1] == "_"):
+            pos = j + 1  # ltrim(/rtrim(/xtrim( — not the bare trim() class
+            continue
         k = j + len("trim(")
         depth, top_comma = 1, False
         while k < len(sql) and depth:
