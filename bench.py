@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_simhash_near_pairs",
     "text_duplicate_spans",        # r11: Lee-et-al substring-span dedup
     "dedup_edit_distance_pairs",   # r11: banded typo-level near-dup
+    "dedup_edit_distance_full",    # r12: full-text verify mode (PassJoin filter-verify)
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",

@@ -955,6 +955,7 @@ def edit_distance_near_dup_pairs(
     head_len: int = 48,
     block_w: int = 8,
     max_df: int = 32,
+    full_text: bool = False,
 ) -> DataFrame:
     """Edit-distance near-duplicate pairs over a normalized document head
     (the first ``head_len`` characters — the title/boilerplate proxy a real
@@ -1014,20 +1015,43 @@ def edit_distance_near_dup_pairs(
     identical semantics in both engines); the codepoint path stays
     Spark-only and is asserted in pytest, not the oracle.
 
+    ``full_text=True`` (round-12, the verdict-6 extension): the head stays
+    the BLOCKING key, but verification runs on the FULL trimmed text —
+    PassJoin's filter-verify split (Li et al. 2011 partition the full
+    string; here the head is a deliberate blocking proxy, so the recall
+    contract is "pairs whose HEADS survive the banding" — a pair whose
+    first ``head_len`` chars differ by more substitutions than the
+    pigeonhole bound is not a candidate regardless of the tail; see the
+    mode-choice note in SCALE.md round-12). Verification cost is bounded
+    two ways: the exact full-length |len diff| <= max_dist prefilter, and
+    Spark's THRESHOLDED levenshtein (banded DP, O(max_dist * len) not
+    O(len^2) — returns -1 past the threshold, so the filter is
+    ``dist != -1`` and the reported distance is exact for every emitted
+    pair). Full text rides the candidate join only (candidates are banded
+    and df-capped — bounded), never the banding shuffle.
+
     100 TB shape: block keys distribute like LSH band keys (bounded bucket
     populations on real text; a boilerplate-hot block behaves like a hot
     LSH bucket and is handled the same way — AQE skew join, or raise
-    ``block_w``); the O(head_len^2) DP runs only on banded candidates that
-    also pass the exact |len diff| prefilter.
+    ``block_w``); the O(head_len^2) DP (or the O(max_dist*len) banded DP
+    in full-text mode) runs only on banded candidates that also pass the
+    exact |len diff| prefilter.
     """
     n_blocks = head_len // block_w
     t = F.col(text_col)
     ascii_ok = F.octet_length(t) == F.length(t)
-    head = F.substring(F.trim(t), 1, head_len)
+    trimmed = F.trim(t)
+    head = F.substring(trimmed, 1, head_len)
+    # head mode keeps the exact round-11 plan (the frozen driver-gated
+    # query). In full-text mode __h carries the FULL trimmed text instead:
+    # the banding stage below reads only positions 1..head_len of __h, and
+    # those chars are identical whether __h is the head or the full text —
+    # so blocking is shared verbatim and only the verify join changes.
+    verify = trimmed if full_text else head
     base = df.where(t.isNotNull() & ascii_ok).select(
         F.col(id_col).alias("__id"),
-        head.alias("__h"),
-        F.length(head).alias("__l"),
+        verify.alias("__h"),
+        F.length(verify).alias("__l"),
     )
     blocks = base.select(
         "__id",
@@ -1061,11 +1085,26 @@ def edit_distance_near_dup_pairs(
     )
     ha = base.select(F.col("__id").alias("id_a"), F.col("__h").alias("__ha"), F.col("__l").alias("__la"))
     hb = base.select(F.col("__id").alias("id_b"), F.col("__h").alias("__hb"), F.col("__l").alias("__lb"))
+    verified = cand.join(ha, "id_a").join(hb, "id_b").filter(
+        F.abs(F.col("__la") - F.col("__lb")) <= max_dist
+    )
+    if full_text:
+        # banded DP: O(max_dist * len), returns -1 past the threshold — the
+        # emitted distance is exact for every surviving pair, so the head
+        # path's <= max_dist filter and this one select identical pairs
+        # for identical inputs
+        return (
+            verified.select(
+                "id_a",
+                "id_b",
+                F.levenshtein(F.col("__ha"), F.col("__hb"), max_dist)
+                .cast("int")
+                .alias("dist"),
+            )
+            .filter(F.col("dist") != -1)
+        )
     return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
-        .select(
+        verified.select(
             "id_a",
             "id_b",
             F.levenshtein(F.col("__ha"), F.col("__hb")).cast("int").alias("dist"),

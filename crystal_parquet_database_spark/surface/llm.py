@@ -2975,6 +2975,60 @@ WHERE abs(da.l - dx.l) <= {_ED_DIST} AND levenshtein(da.h, dx.h) <= {_ED_DIST}
 """
 
 
+_EDIT_DIST_FULL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, trim(text, ' ') AS h, length(trim(text, ' ')) AS l
+  FROM documents
+  WHERE text IS NOT NULL AND strlen(text) = length(text)
+),
+blk0 AS (
+  SELECT doc_id,
+         unnest(generate_series(0, {_ED_HEAD // _ED_BLOCK - 1})) AS bi,
+         unnest([{_ED_BLOCK_LIST}]) AS blk
+  FROM d
+),
+blk1 AS (SELECT * FROM blk0 WHERE blk <> ''),
+bc AS (
+  SELECT bi, blk FROM blk1 GROUP BY bi, blk HAVING COUNT(*) <= {_ED_MAX_DF}
+),
+blk AS (SELECT b.* FROM blk1 b JOIN bc USING (bi, blk)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+  FROM blk a JOIN blk x
+    ON a.bi = x.bi AND a.blk = x.blk AND a.doc_id < x.doc_id
+)
+SELECT c.id_a, c.id_b, CAST(levenshtein(da.h, dx.h) AS INTEGER) AS dist
+FROM cand c
+JOIN d da ON da.doc_id = c.id_a
+JOIN d dx ON dx.doc_id = c.id_b
+WHERE abs(da.l - dx.l) <= {_ED_DIST} AND levenshtein(da.h, dx.h) <= {_ED_DIST}
+"""
+
+
+@query("dedup_edit_distance_full", _EDIT_DIST_FULL_ORACLE)
+def dedup_edit_distance_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text edit-distance near-dup pairs (round-12, the verdict-6
+    extension of dedup_edit_distance_pairs): the 48-char head stays the
+    PassJoin blocking key, but candidates are verified with Levenshtein
+    over the FULL trimmed document — PassJoin's filter-verify split (Li et
+    al. 2011). Two bounds keep verification linear-ish: the exact
+    full-length |len diff| <= {dist} prefilter, and Spark's THRESHOLDED
+    levenshtein (banded DP, O(max_dist*len), -1 past the threshold — the
+    emitted distance is exact for every surviving pair, matching the
+    oracle's plain levenshtein filter). Same ASCII contract and max_df
+    block-frequency cap as the head query; the oracle reproduces the
+    identical head banding, so the result is bit-deterministic. The head
+    query remains the product default for title/boilerplate near-dup
+    (SCALE.md round-12 records the mode-choice note and the measured 10x
+    replica point for this mode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.edit_distance_near_dup_pairs(
+        docs, "doc_id", "text",
+        max_dist=_ED_DIST, head_len=_ED_HEAD, block_w=_ED_BLOCK,
+        max_df=_ED_MAX_DF, full_text=True,
+    )
+
+
 @query("dedup_edit_distance_pairs", _EDIT_DIST_ORACLE)
 def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-level near-duplicate pairs: Levenshtein <= {dist} over the

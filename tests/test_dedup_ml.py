@@ -277,6 +277,56 @@ def test_edit_distance_near_dup_finds_typos_and_excludes_unicode(spark):
     assert all(3 not in pair for pair in out)  # distant doc not paired
 
 
+def test_edit_distance_full_text_mode(spark):
+    """full_text=True (round-12): the head stays the blocking key, but
+    verification runs on the FULL trimmed text with Spark's thresholded
+    levenshtein — a pair identical in the head but divergent past it must
+    flip from near-dup (head mode) to excluded (full mode), and a pair
+    whose only edits sit inside the head must carry the SAME distance in
+    both modes when the tails are identical."""
+    from crystal_parquet_database_spark.operators.dedup import (
+        edit_distance_near_dup_pairs,
+    )
+
+    same_head = "the quick brown fox jumps over the lazy dog okay"  # 48 chars
+    rows = [
+        # identical 48-char heads, wildly different tails
+        (1, same_head + " and then a very long common tail follows here"),
+        (2, same_head + " but everything after the head is unrelated text"),
+        # 2 head SUBSTITUTIONS (same length — an indel would shift the
+        # 48-char truncation boundary and legitimately change the head
+        # distance), identical tails
+        (3, "the quick brown fox jumps ovur the lazy dug okay" + " shared tail"),
+        (4, "the quick brown fox jumps over the lazy dog okay" + " shared tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(max_dist=7, head_len=48, block_w=8)
+    head_out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_near_dup_pairs(df, "doc_id", "text", **kw).collect()
+    }
+    full_out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_near_dup_pairs(
+            df, "doc_id", "text", full_text=True, **kw
+        ).collect()
+    }
+    assert (1, 2) in head_out and head_out[(1, 2)] == 0  # heads identical
+    assert (1, 2) not in full_out                        # tails diverge > 7
+    assert head_out.get((3, 4)) == full_out.get((3, 4))  # edits in head only
+    assert full_out[(3, 4)] <= 2
+    # thresholded levenshtein semantics the full mode rests on: exact
+    # distance at/below the threshold, -1 past it — pinned so a Spark
+    # upgrade changing the contract fails loudly here, not in the oracle
+    from pyspark.sql import functions as F
+
+    r = spark.range(1).select(
+        F.levenshtein(F.lit("abcdef"), F.lit("abcxyz"), 3).alias("at"),
+        F.levenshtein(F.lit("abcdef"), F.lit("xyzxyz"), 3).alias("past"),
+    ).collect()[0]
+    assert r["at"] == 3 and r["past"] == -1
+
+
 def test_edit_distance_codepoint_semantics_spark_side(spark):
     """The Spark-only codepoint path (what the operator would do WITHOUT
     the ASCII oracle guard): one accented substitution is ONE edit — the

@@ -340,6 +340,7 @@ def test_round11_dedup_ops_plan_no_cartesian(spark, sf_dir):
     for df in (
         duplicate_token_spans(docs, "doc_id", "text"),
         edit_distance_near_dup_pairs(docs, "doc_id", "text"),
+        edit_distance_near_dup_pairs(docs, "doc_id", "text", full_text=True),
     ):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
