@@ -62,6 +62,7 @@ HEADLINE = [
     "text_duplicate_spans",        # r11: Lee-et-al substring-span dedup
     "dedup_edit_distance_pairs",   # r11: banded typo-level near-dup
     "dedup_edit_distance_full",    # r12: full-text verify mode (PassJoin filter-verify)
+    "eval_classifier_auc",         # r12: rank-sum ROC-AUC via two-phase prefix sum
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",

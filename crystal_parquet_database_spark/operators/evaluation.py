@@ -1,0 +1,149 @@
+"""Model-evaluation operators for the training-data pipeline: once a quality
+classifier (or any per-document scorer) runs over the corpus, the pipeline
+needs to know whether the scores actually SEPARATE good from bad before the
+filter threshold is committed — at corpus scale, not on a sampled sidecar.
+
+Reference parity note: the reference engine (crystpqdb) has no evaluation
+surface; these are part of the LLM-data-pipeline extension the build brief
+asks for, alongside dedup/similarity/text (same status as operators/dedup.py
+and operators/similarity.py).
+
+Exactness contract (package-wide): every cross-row reduction is computed on
+integers (counts, rank sums doubled to clear the .5 tie term) so it is exact
+and order-independent in both engines; the only double arithmetic is the
+final division, with the identical expression shape on the oracle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def binary_classifier_eval(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Exact corpus-scale evaluation of a binary scorer: tie-corrected
+    rank-sum ROC-AUC (Mann-Whitney U) plus deterministic precision@``k``.
+
+    ``label_col`` must be 0/1 (int); rows with a NULL score or NULL label
+    are excluded up front (a NULL score has no rank in either engine's
+    order; the count of scored rows is emitted so exclusions are visible).
+
+    Returns ONE row: (n_scored, n_pos, n_neg, auc, hits_at_k,
+    precision_at_k).
+
+    AUC without a global sort: AUC = P(score_pos > score_neg) + 0.5 *
+    P(tie), i.e. (sum over distinct scores s of pos(s) * (2*neg_below(s)
+    + neg(s))) / (2 * n_pos * n_neg). The per-score (pos, neg) table comes
+    from one groupBy on the score — a parallel shuffle, NOT a global rank
+    window (``Window.orderBy`` with no partition key plans a
+    single-partition exchange — the one shape this module bans; see
+    text.pack_sequences for the precedent). ``neg_below`` is the classic
+    two-phase prefix sum over that (much smaller) table: range-partition
+    by score, per-partition running sum, broadcast per-partition base
+    offsets. The doubled numerator is an exact bigint (ties contribute the
+    integer pos*neg instead of a .5 term); only the final division runs in
+    double, with the identical expression on the oracle side.
+
+    precision@k: positives among the global top-``k`` by (score DESC,
+    id ASC) — the id tiebreak makes the cut deterministic; Spark plans
+    orderBy+limit as TakeOrderedAndProject (per-partition top-k, merge on
+    the driver — no full sort). Denominator is min(k, n_scored).
+
+    100 TB shape: two linear shuffles (per-score groupBy; range exchange
+    over DISTINCT scores — bounded by score cardinality, at worst corpus
+    rows but 3 small columns, never text) plus a broadcast of one row per
+    partition. No collect, no cartesian, no Python.
+    """
+    scored = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("bigint").alias("__y"),
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+
+    # per-distinct-score class counts — the only pass over the corpus
+    g = scored.groupBy("__s").agg(
+        F.sum("__y").alias("__pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__neg"),
+    )
+
+    # two-phase prefix sum of negatives strictly below each score
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        g.repartitionByRange(n_part, F.col("__s").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning: 2 consumers below
+    )
+    within = F.coalesce(
+        F.sum("__neg").over(
+            W.partitionBy("__pid").orderBy(F.col("__s").asc())
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    psums = (
+        d.groupBy("__pid")
+        .agg(F.sum("__neg").alias("__p"))
+        .withColumn(
+            "__base",
+            F.coalesce(
+                F.sum("__p").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__base")
+    )
+    ranked = (
+        d.withColumn("__below_in_part", within)
+        .join(F.broadcast(psums), "__pid")
+        .select(
+            "__pos",
+            "__neg",
+            (F.col("__below_in_part") + F.col("__base")).alias("__neg_below"),
+        )
+    )
+    totals = ranked.agg(
+        F.sum("__pos").alias("n_pos"),
+        F.sum("__neg").alias("n_neg"),
+        F.sum(
+            F.col("__pos") * (F.lit(2) * F.col("__neg_below") + F.col("__neg"))
+        ).alias("__won_x2"),
+    )
+
+    # deterministic global top-k (TakeOrderedAndProject, not a full sort)
+    topk = scored.orderBy(F.col("__s").desc(), F.col("__id").asc()).limit(int(k))
+    hits = topk.agg(
+        F.sum("__y").alias("hits_at_k"), F.count("*").alias("__k_eff")
+    )
+
+    def _safe_div(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+    n_scored = scored.agg(F.count("*").alias("n_scored"))
+    return (
+        n_scored.crossJoin(totals)  # three one-row frames — a literal join
+        .crossJoin(hits)
+        .select(
+            F.col("n_scored").cast("bigint").alias("n_scored"),
+            # empty input: SUM over zero rows is NULL in both engines —
+            # report 0 so the empty-corpus sweep sees a well-typed row
+            F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+            F.coalesce(F.col("n_neg"), F.lit(0)).cast("bigint").alias("n_neg"),
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("__won_x2").cast("double")
+                / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            ).alias("auc"),
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("bigint").alias("hits_at_k"),
+            _safe_div(
+                F.coalesce(F.col("hits_at_k"), F.lit(0)), F.col("__k_eff")
+            ).alias("precision_at_k"),
+        )
+    )

@@ -972,3 +972,151 @@ def pq_adc_topk(
     # plain ascending is NULLS FIRST, unlike the desc orderings of the
     # cosine-ranked siblings where NULLs already landed last.
     return _topk(scored, [F.asc_nulls_last("approx_d2"), F.asc("match_id")], k)
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared L2 distance in double — same evaluation
+    order as the oracle's generate_series list fold, hence bit-identical
+    (the ``dot`` precedent)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seeds: DataFrame,
+    iters: int = 2,
+    scale: int = 10_000_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the TRAINING
+    pass behind every quantizer this module otherwise takes as pinned input
+    (``ivf_topk``'s coarse quantizer, ``semdedup``'s cluster seeds, PQ's
+    per-subspace codebooks are all k-means products in production — FAISS's
+    train step). ``seeds`` is the (cell_id, cvec) init; the operator runs
+    ``iters`` fixed assignment→update rounds and returns the FINAL
+    assignment: (<id_col>, cell_id, dist2) per valid vector.
+
+    DETERMINISM (what makes a float-iterative algorithm oracle-exact):
+    * assignment — squared L2 via the sequential ``sqdist`` fold on doubles
+      (bit-identical cross-engine, the ``dot`` precedent); argmin as
+      min(struct(d2, cell)) ≡ the oracle's ROW_NUMBER(ORDER BY d2, cell),
+      ties to the smallest cell (the semdedup pattern, map-side partials).
+    * update — a centroid is a cross-row float mean, order-dependent in
+      double, so components are fixed-point quantized first
+      (``floor(x*scale)`` int64 — the label_centroid_outliers machinery):
+      integer sums are exact and order-independent; the new component
+      ``(S/n)/scale`` divides exact integers in double with the identical
+      expression on the oracle side, so ITERATION 2 starts from
+      bit-identical centroids in both engines. No rounding fudge anywhere.
+    * empty cells keep their previous centroid (left-join + coalesce), the
+      FAISS behavior, deterministically.
+
+    Invalid-vector contract: NULL/empty/NULL-element/ragged vectors are
+    excluded via ``valid_vectors`` and — because the update runs on the
+    int64 grid — so are vectors carrying a NaN or out-of-domain component
+    (|x| ≥ CENTROID_COMPONENT_DOMAIN would overflow the grid; the
+    label_centroid_outliers contract, same SQL mirror). Seeds ride the
+    identical contract (the semdedup safe-by-construction precedent).
+
+    100 TB shape: per iteration — one broadcast of k·dim centroid floats
+    (a few MB at FAISS-scale k, the semdedup argument), one map-side
+    argmin whose partials carry (d2, cell) only (vectors re-attach by an
+    n-row equi-join), one posexplode shuffle keyed (cell, pos) whose
+    output is k·dim rows, and one k-row groupBy to rebuild arrays. All
+    linear, no collect (centroids stay a DataFrame; even the broadcast is
+    planned, not driver-materialized). Int64-grid overflow bound:
+    n_cell_members · scale · max|component| < 2^63 — at the default grid
+    (1e7 · 1e3) that is ~9e8 rows per cell; shrink ``scale`` for fatter
+    cells. Iterations are a driver-side Python loop over DataFrame ops —
+    lineage grows linearly with ``iters``; checkpoint between rounds if
+    training deep (the cluster-propagation precedent).
+
+    Reference parity: the reference engine has no ANN/quantizer surface;
+    this extends the LLM-pipeline similarity stack (SURVEY §2 extension,
+    same status as ivf_topk/pq_topk).
+    """
+    dom_ok = lambda c: ~F.exists(  # noqa: E731 — label_centroid_outliers' guard
+        c,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) >= F.lit(CENTROID_COMPONENT_DOMAIN)),
+    )
+    base = (
+        valid_vectors(df, vec_col, dim)
+        .where(dom_ok(F.col(vec_col)))
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    )
+    cent = (
+        valid_vectors(seeds, "cvec", dim)
+        .where(dom_ok(F.col("cvec")))
+        .select(F.col("cell_id").alias("__cell"), F.col("cvec").alias("__cvec"))
+    )
+
+    def _assign(c: DataFrame) -> DataFrame:
+        scored = base.crossJoin(F.broadcast(c)).select(
+            "__id",
+            F.col("__cell"),
+            sqdist(F.col("__vec"), F.col("__cvec")).alias("__d2"),
+        )
+        return (
+            scored.groupBy("__id")
+            .agg(
+                F.min(
+                    F.struct(F.col("__d2").alias("d2"), F.col("__cell").alias("cell"))
+                ).alias("__b")
+            )
+            .select(
+                "__id",
+                F.col("__b.cell").alias("cell_id"),
+                F.col("__b.d2").alias("dist2"),
+            )
+        )
+
+    for _ in range(max(0, int(iters) - 1)):
+        assigned = _assign(cent).join(base, "__id")
+        comp = (
+            assigned.select(
+                "cell_id", F.posexplode(F.col("__vec")).alias("__pos", "__x")
+            )
+            .withColumn(
+                "__q", F.floor(F.col("__x").cast("double") * scale).cast("bigint")
+            )
+            .groupBy("cell_id", "__pos")
+            .agg(F.sum("__q").alias("__s"), F.count("*").alias("__n"))
+            .withColumn(
+                "__c",
+                F.col("__s").cast("double")
+                / F.col("__n").cast("double")
+                / F.lit(float(scale)),
+            )
+        )
+        fresh = comp.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("__c").alias("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("__fresh")
+        )
+        cent = (
+            cent.join(
+                fresh.select(F.col("cell_id").alias("__cell"), "__fresh"),
+                "__cell",
+                "left",
+            )
+            .select(
+                "__cell", F.coalesce(F.col("__fresh"), F.col("__cvec")).alias("__cvec")
+            )
+        )
+    return _assign(cent).select(F.col("__id").alias(id_col), "cell_id", "dist2")

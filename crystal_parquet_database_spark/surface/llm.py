@@ -2090,6 +2090,89 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------------
+# evaluation: does the quality score actually separate classes? (round 12)
+# ----------------------------------------------------------------------------
+
+_EVAL_K = 100
+
+_CLF_EVAL_ORACLE = rf"""
+WITH x AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+') AS w FROM documents
+),
+sc AS (
+  SELECT doc_id,
+         CAST(CAST(list_aggregate(list_transform(w, t -> {_CLF_W}), 'sum') AS BIGINT)
+              AS DOUBLE) / CAST(LEN(w) AS DOUBLE) AS s
+  FROM x
+),
+s AS (
+  SELECT d.doc_id, sc.s,
+         CASE WHEN d.lang IS NULL THEN NULL
+              WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM sc JOIN documents d USING (doc_id)
+  WHERE sc.s IS NOT NULL AND d.lang IS NOT NULL
+),
+g AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM s GROUP BY s),
+r AS (
+  SELECT pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM g
+),
+t AS (
+  SELECT SUM(pos) AS n_pos, SUM(neg) AS n_neg,
+         SUM(pos * (2 * neg_below + neg)) AS won_x2
+  FROM r
+),
+k AS (
+  SELECT SUM(y) AS hits, COUNT(*) AS k_eff
+  FROM (SELECT y FROM s ORDER BY s DESC, doc_id ASC LIMIT {_EVAL_K})
+),
+n AS (SELECT COUNT(*) AS n_scored FROM s)
+SELECT CAST(n.n_scored AS BIGINT) AS n_scored,
+       CAST(COALESCE(t.n_pos, 0) AS BIGINT) AS n_pos,
+       CAST(COALESCE(t.n_neg, 0) AS BIGINT) AS n_neg,
+       CASE WHEN t.n_pos > 0 AND t.n_neg > 0
+            THEN CAST(t.won_x2 AS DOUBLE)
+                 / (2.0 * CAST(t.n_pos AS DOUBLE) * CAST(t.n_neg AS DOUBLE))
+       END AS auc,
+       CAST(COALESCE(k.hits, 0) AS BIGINT) AS hits_at_k,
+       CASE WHEN k.k_eff > 0
+            THEN CAST(COALESCE(k.hits, 0) AS DOUBLE) / CAST(k.k_eff AS DOUBLE)
+       END AS precision_at_k
+FROM n, t, k
+"""
+
+
+@query("eval_classifier_auc", _CLF_EVAL_ORACLE)
+def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale classifier evaluation (round 12): tie-corrected rank-sum
+    ROC-AUC + deterministic precision@{k} of the hashed-linear quality
+    score against the language-ID proxy label (is-English) — the check a
+    pipeline runs BEFORE committing a filter threshold. The AUC numerator
+    is an exact doubled bigint rank sum computed with a per-score groupBy
+    plus the two-phase distributed prefix sum (NO single-partition global
+    rank window — the pack_sequences precedent); see
+    operators/evaluation.binary_classifier_eval for the shuffle budget."""
+    from crystal_parquet_database_spark.operators import evaluation as E
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.quality_classifier_score(docs, "text", "doc_id").select(
+        "doc_id", "avg_score"
+    )
+    labeled = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "avg_score",
+        F.when(F.col("lang").isNotNull(), (F.col("lang") == "en").cast("int")).alias(
+            "is_en"
+        ),
+    )
+    return E.binary_classifier_eval(
+        labeled, "avg_score", "is_en", "doc_id", k=_EVAL_K
+    )
+
+
+# ----------------------------------------------------------------------------
 # dedup: asymmetric containment (quotation / boilerplate-wrapper detection)
 # ----------------------------------------------------------------------------
 

@@ -142,6 +142,23 @@ def test_global_shuffle_rank_no_single_partition_corpus_window(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
+def test_classifier_eval_no_single_partition_corpus_window(spark, sf_dir):
+    """The AUC rank sum must come from the per-score groupBy + two-phase
+    prefix sum, never a global rank Window over the corpus. Allowed
+    SinglePartition exchanges: the one-row-per-partition base-offset table
+    and the final three one-row aggregates (n/totals/topk) being joined."""
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["eval_classifier_auc"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the corpus-wide stages: scan -> per-score groupBy -> range exchange;
+    # every SinglePartition exchange must sit above an aggregation that has
+    # already reduced to bounded rows. TakeOrderedAndProject (not a global
+    # Sort) must serve the top-k.
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange SinglePartition") <= 4
+
+
 def test_upsample_is_pure_map_stage(spark, sf_dir):
     """Epoch replication is explode over a row-local multiplier: no shuffle."""
     assert num_shuffles(QUERIES["sample_upsample_by_weight"](spark, sf_dir)) == 0
