@@ -63,6 +63,8 @@ HEADLINE = [
     "dedup_edit_distance_pairs",   # r11: banded typo-level near-dup
     "dedup_edit_distance_full",    # r12: full-text verify mode (PassJoin filter-verify)
     "eval_classifier_auc",         # r12: rank-sum ROC-AUC via two-phase prefix sum
+    "sim_kmeans_train_assign",     # r12: deterministic distributed k-means training
+    "sample_importance_reweight",  # r12: DSIR-style hashed-feature importance weights
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",

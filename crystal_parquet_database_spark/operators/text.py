@@ -1109,3 +1109,100 @@ def bigram_fluency(
             F.coalesce(F.col("novel_ratio"), F.lit(0.0)).alias("novel_ratio"),
         )
     )
+
+
+IR_DIM = 4096  # hashed-feature buckets for importance reweighting (DSIR uses ~10k)
+
+
+def importance_reweight(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    tau: float = 1.0,
+    smooth: int = 1,
+) -> DataFrame:
+    """DSIR-style data selection via hashed-feature importance weights (Xie
+    et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much its token distribution
+    looks like a TARGET domain relative to the raw source pool, then keep
+    the above-``tau`` slice. ``target_col`` is a boolean/0-1 column marking
+    the target-domain exemplar documents (in production: a trusted
+    high-quality subcorpus; here any labeled slice).
+
+    Per document: features are md5-hashed token buckets (``IR_DIM``; the
+    quality_classifier hash idiom), num = Σ over the doc's token
+    occurrences of the TARGET corpus count of that bucket, den = the same
+    against the WHOLE pool, weight = (num + smooth)/(den + smooth).
+    LOG-FREE BY DESIGN: literal DSIR weights are products of per-feature
+    probability ratios (a log-sum) — ln is not correctly-rounded across
+    engines, so this uses the pooled rational form instead (the
+    bigram_fluency / BM25 rational-idf precedent): both sums are exact
+    int64, ONE final double division, oracle bit-exact. The pooled form
+    preserves the decision DSIR needs — documents whose mass sits in
+    target-heavy buckets score high — while trading the per-feature
+    product's dynamic range for cross-engine exactness (trade documented
+    here, mirrored in the registered oracle).
+
+    Returns (<id_col>, is_target, n_feats, num, den, weight, keep):
+    no-content documents (NULL text / no tokens) carry n_feats=0, NULL
+    weight, keep=false — the package-wide no-content contract.
+
+    100 TB shape: the feature model is ``IR_DIM`` rows — a groupBy with
+    map-side partials whose exchange carries at most IR_DIM·partitions
+    rows, then a BROADCAST to the scoring pass (hash buckets are few and
+    Zipf-hot, so an equi-join on the bucket key would be a skewed
+    corpus-stream shuffle; broadcasting the tiny model makes scoring
+    map-side). One corpus shuffle total: the per-doc re-aggregation,
+    keyed on the id.
+    """
+    bucket = lambda t: (  # noqa: E731 — mirrors the SQL oracle 1:1
+        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint") % IR_DIM
+    )
+    base = _spread(df).select(
+        F.col(id_col),
+        F.col(text_col).alias("__txt"),
+        F.coalesce(F.col(target_col).cast("int"), F.lit(0)).alias("is_target"),
+    )
+    occ = (
+        base.select(
+            F.col(id_col),
+            "is_target",
+            F.explode(ws_tokens(F.col("__txt"))).alias("__tok"),
+        )
+        .withColumn("__f", bucket(F.col("__tok")))
+        # model aggregation AND scoring both consume the exploded stream —
+        # materialize once (the bigram_fluency pattern)
+        .localCheckpoint(eager=True)
+    )
+    model = occ.groupBy("__f").agg(
+        F.sum("is_target").cast("bigint").alias("__ct"),
+        F.count("*").cast("bigint").alias("__cs"),
+    )
+    scored = (
+        occ.join(F.broadcast(model), "__f")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("__ct").cast("bigint").alias("num"),
+            F.sum("__cs").cast("bigint").alias("den"),
+        )
+    )
+    weight = (F.col("num") + F.lit(smooth)).cast("double") / (
+        F.col("den") + F.lit(smooth)
+    ).cast("double")
+    return (
+        base.join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            "is_target",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("bigint").alias("n_feats"),
+            "num",
+            "den",
+            F.when(F.col("n_feats") > 0, weight).alias("weight"),
+            F.coalesce(
+                F.when(F.col("n_feats") > 0, weight) >= F.lit(float(tau)),
+                F.lit(False),
+            ).alias("keep"),
+        )
+    )

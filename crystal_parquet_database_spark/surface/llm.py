@@ -2090,6 +2090,181 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------------
+# sampling: DSIR-style hashed-feature importance reweighting (round 12)
+# ----------------------------------------------------------------------------
+
+# target exemplars: documents mentioning the anchor term — the fixture's
+# languages share ONE synthetic vocabulary (lang is a label, not a lexical
+# domain — probed: en-vs-rest weights separate by <0.002), so the anchor
+# term is what creates a real distributional target here; tau picked off
+# the measured weight split (371/385 targets >= 0.845, 91/115 non-targets
+# below — a live confusion matrix, not a degenerate all-keep/all-drop)
+_IR_TAU = 0.845
+
+_IR_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS is_target
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(tok), 1, 4))::BIGINT % {T.IR_DIM} AS f
+  FROM (SELECT doc_id, is_target,
+               unnest(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+')) AS tok
+        FROM base)
+),
+model AS (
+  SELECT f, CAST(SUM(is_target) AS BIGINT) AS ct,
+         CAST(COUNT(*) AS BIGINT) AS cs
+  FROM occ GROUP BY f
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(ct) AS BIGINT) AS num, CAST(SUM(cs) AS BIGINT) AS den
+  FROM occ JOIN model USING (f) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.is_target AS INTEGER) AS is_target,
+       CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+       s.num, s.den,
+       CASE WHEN s.n_feats > 0
+            THEN CAST(s.num + 1 AS DOUBLE) / CAST(s.den + 1 AS DOUBLE)
+       END AS weight,
+       COALESCE(CASE WHEN s.n_feats > 0
+                     THEN CAST(s.num + 1 AS DOUBLE) / CAST(s.den + 1 AS DOUBLE)
+                END >= {_IR_TAU}, false) AS keep
+FROM base b LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@query("sample_importance_reweight", _IR_ORACLE)
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance reweighting (round 12): every document scored
+    by how target-like its hashed token distribution is (target exemplars:
+    documents mentioning the anchor term — see _IR_TAU's note on why the
+    fixture's lang labels cannot anchor a lexical target), keep iff
+    weight >= {tau}. Log-free pooled rational form — exact int64 sums, one
+    double division (see operators/text.importance_reweight for the
+    DSIR-vs-exactness trade and the broadcast-model scale shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.importance_reweight(
+        docs.withColumn("is_anchor", F.col("text").contains("spark")),
+        "text", "doc_id", "is_anchor", tau=_IR_TAU,
+    )
+
+
+# ----------------------------------------------------------------------------
+# quantizer training: deterministic distributed k-means (round 12)
+# ----------------------------------------------------------------------------
+
+_KM_SEED_LO, _KM_K, _KM_SCALE, _KM_ITERS = 100, 8, 10_000_000, 2
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    """Squared-L2 SQL mirror of operators/similarity.sqdist — the same
+    generate_series fold the dot-product oracles use, term (a-b)*(a-b)."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {_DIM}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), 'sum')"
+    )
+
+
+# the k-means vector contract: valid_vectors(dim) PLUS the int64-grid
+# domain guard (NaN / |x| >= 1e3 components — label_centroid_outliers'
+# contract, needed here because the UPDATE step runs on the fixed-point
+# grid; one 1e18 garbage component would overflow the integer sums)
+_KM_VALID = (
+    f"({_VALID} AND len(list_filter(embedding, "
+    f"v -> isnan(CAST(v AS DOUBLE)) "
+    f"OR abs(CAST(v AS DOUBLE)) >= {_CENTROID_DOMAIN!r})) = 0)"
+)
+
+_KMEANS_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {_KM_VALID}
+),
+c0 AS (
+  SELECT CAST(vec_id - {_KM_SEED_LO} AS INTEGER) AS cell, embedding AS cvec
+  FROM embeddings
+  WHERE vec_id >= {_KM_SEED_LO} AND vec_id < {_KM_SEED_LO + _KM_K}
+    AND {_KM_VALID}
+),
+a1 AS (
+  SELECT vec_id, cell, embedding,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {_sql_sqdist('embedding', 'cvec')}, cell) AS rn
+  FROM v CROSS JOIN c0
+),
+m1 AS (SELECT vec_id, cell, embedding FROM a1 WHERE rn = 1),
+x1 AS (
+  SELECT cell,
+         unnest(embedding) AS e,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM m1
+),
+s1 AS (
+  SELECT cell, pos,
+         SUM(CAST(FLOOR(CAST(e AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM x1 GROUP BY cell, pos
+),
+u1 AS (
+  SELECT cell,
+         list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / {_KM_SCALE}.0
+              ORDER BY pos) AS arr
+  FROM s1 GROUP BY cell
+),
+c1 AS (
+  SELECT c0.cell, COALESCE(u1.arr, c0.cvec) AS cvec
+  FROM c0 LEFT JOIN u1 USING (cell)
+),
+a2 AS (
+  SELECT vec_id, cell,
+         {_sql_sqdist('embedding', 'cvec')} AS d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {_sql_sqdist('embedding', 'cvec')}, cell) AS rn
+  FROM v CROSS JOIN c1
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell_id, d2 AS dist2
+FROM a2 WHERE rn = 1
+"""
+
+
+@query("sim_kmeans_train_assign", _KMEANS_ORACLE)
+def sim_kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means (round 12): {iters} Lloyd rounds
+    from {k} pinned seed centroids, returning the final per-vector
+    assignment — the TRAINING pass behind the IVF coarse quantizer, the
+    SemDeDup cells, and the PQ codebooks this module otherwise takes as
+    pinned input (FAISS's train step). Oracle-exact despite being a
+    float-ITERATIVE algorithm: assignments use the sequential sqdist fold
+    (bit-identical cross-engine), centroid updates run on the int64
+    fixed-point grid (exact, order-independent sums; the
+    label_centroid_outliers machinery), so iteration 2 starts from
+    bit-identical centroids in both engines. See
+    operators/similarity.kmeans_lloyd_assign for the per-iteration
+    shuffle budget."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = S.valid_vectors(
+        emb.filter(
+            (F.col("vec_id") >= _KM_SEED_LO)
+            & (F.col("vec_id") < _KM_SEED_LO + _KM_K)
+        ),
+        "embedding",
+        _DIM,
+    ).select(
+        (F.col("vec_id") - _KM_SEED_LO).cast("int").alias("cell_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    return S.kmeans_lloyd_assign(
+        emb, "vec_id", "embedding", seeds,
+        iters=_KM_ITERS, scale=_KM_SCALE, dim=_DIM,
+    )
+
+
+# ----------------------------------------------------------------------------
 # evaluation: does the quality score actually separate classes? (round 12)
 # ----------------------------------------------------------------------------
 

@@ -608,3 +608,67 @@ def test_sessionize_sql_mirror_null_ts_parity(spark):
         r["event_id"]: r["session_seq"] for r in with_session_seq(sdf, 30).collect()
     }
     assert got == duck == {100: None, 101: 1, 102: 1, 103: 2, 104: None}
+
+
+def test_importance_reweight_separates_domains(spark):
+    """DSIR-style reweighting on a corpus with two genuinely distinct
+    vocabularies (unlike the shared-vocabulary fixture): target-domain
+    docs must score near 1.0, off-domain docs near the smoothing floor,
+    and the keep flag must split them at any tau in between."""
+    from crystal_parquet_database_spark.operators.text import importance_reweight
+
+    med = [f"patient dose trial symptom clinic{i % 3}" for i in range(6)]
+    code = [f"compiler lambda pointer stack heap{i % 3}" for i in range(6)]
+    rows = [(i, t, True) for i, t in enumerate(med)]
+    rows += [(10 + i, t, False) for i, t in enumerate(code)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r
+        for r in importance_reweight(df, "text", "doc_id", "tgt", tau=0.5).collect()
+    }
+    assert len(out) == 12
+    # medical tokens appear ONLY in target docs -> num == den -> weight 1.0
+    for i in range(6):
+        assert out[i]["weight"] == 1.0 and out[i]["keep"] is True
+    # code tokens never appear in target docs -> num 0, weight = 1/(den+1)
+    for i in range(6):
+        r = out[10 + i]
+        assert r["num"] == 0 and r["weight"] < 0.2 and r["keep"] is False
+
+
+def test_importance_reweight_no_content_and_null_target(spark):
+    """No-content docs: n_feats 0, NULL weight, keep false. NULL target
+    flags count as non-target (coalesced), not an error."""
+    from crystal_parquet_database_spark.operators.text import importance_reweight
+
+    rows = [
+        (1, "alpha beta", True),
+        (2, None, True),
+        (3, "alpha gamma", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r
+        for r in importance_reweight(df, "text", "doc_id", "tgt", tau=0.5).collect()
+    }
+    assert out[2]["n_feats"] == 0 and out[2]["weight"] is None
+    assert out[2]["keep"] is False
+    assert out[3]["is_target"] == 0 and out[3]["n_feats"] == 2
+    # doc 1 is the only target: its own tokens dominate -> weight >= 1/2
+    assert out[1]["keep"] is True
+
+
+def test_importance_reweight_model_is_broadcast(spark):
+    """The IR_DIM-bucket model must reach the scoring pass by broadcast —
+    an equi-join shuffle on ~4k Zipf-hot bucket keys would re-shuffle the
+    whole corpus occurrence stream on a skewed key."""
+    from crystal_parquet_database_spark.operators.text import importance_reweight
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 7}", i % 2 == 0) for i in range(20)],
+        "doc_id long, text string, tgt boolean",
+    )
+    plan = formatted_plan(importance_reweight(df, "text", "doc_id", "tgt"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -549,3 +549,124 @@ def test_pq_encode_derives_dim_from_codebooks_excludes_ragged(spark):
     codebooks = [[[0.0] * (dim // m), [1.0] * (dim // m)] for _ in range(m)]
     coded = {r["vec_id"] for r in pq_encode(emb, "vec_id", "embedding", codebooks).collect()}
     assert coded == {1, 2}
+
+
+def test_kmeans_lloyd_recovers_separated_clusters(spark):
+    """Two tight clusters at opposite corners, both seeds started INSIDE
+    cluster A: after one update round the second centroid must migrate and
+    the final assignment must split the clusters correctly — i.e. the
+    update step demonstrably moves centroids (iters=1 vs iters=2 differ)."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        kmeans_lloyd_assign,
+    )
+
+    dim = 8
+    a = [[1.0 + 0.01 * i] * dim for i in range(5)]           # cluster A ~1.0
+    b = [[-1.0 - 0.01 * i] * dim for i in range(5)]          # cluster B ~-1.0
+    rows = [(i, v) for i, v in enumerate(a)] + [
+        (10 + i, v) for i, v in enumerate(b)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # both seeds near cluster A, one slightly toward B
+    seeds = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [0.5] * dim)],
+        "cell_id int, cvec array<double>",
+    )
+    one = {
+        r["vec_id"]: (r["cell_id"], r["dist2"])
+        for r in kmeans_lloyd_assign(
+            emb, "vec_id", "embedding", seeds, iters=1, dim=dim
+        ).collect()
+    }
+    two = {
+        r["vec_id"]: (r["cell_id"], r["dist2"])
+        for r in kmeans_lloyd_assign(
+            emb, "vec_id", "embedding", seeds, iters=2, dim=dim
+        ).collect()
+    }
+    # iters=1 is the pure seed assignment — it already splits A=0/B=1
+    # (seed 0.5 is nearer every B point than seed 1.0), but cell 1's
+    # centroid still sits at 0.5; the update must move it to B's mean,
+    # collapsing every B member's dist2
+    assert {c for c, _ in two.values()} == {0, 1}
+    assert {two[i][0] for i in range(5)} == {0}
+    assert {two[10 + i][0] for i in range(5)} == {1}
+    for i in range(5):
+        assert two[10 + i][1] < one[10 + i][1] / 100  # centroid moved to B
+
+
+def test_kmeans_empty_cell_keeps_seed_centroid(spark):
+    """A seed with no members after assignment must keep its previous
+    centroid (the FAISS behavior), not vanish or go NULL — asserted by the
+    cell staying assignable in the final round."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        kmeans_lloyd_assign,
+    )
+
+    dim = 4
+    emb = spark.createDataFrame(
+        [(i, [1.0] * dim) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [900.0] * dim)],  # seed 1 in-domain but far
+        "cell_id int, cvec array<double>",
+    )
+    out = kmeans_lloyd_assign(emb, "vec_id", "embedding", seeds, iters=3, dim=dim)
+    rows = out.collect()
+    assert len(rows) == 4
+    assert {r["cell_id"] for r in rows} == {0}
+    assert all(r["dist2"] == 0.0 for r in rows)  # centroid converged exactly
+
+
+def test_kmeans_invalid_vector_contract(spark):
+    """Ragged / NULL-element / NaN-component / out-of-domain vectors and
+    seeds are excluded by the operator itself (valid_vectors + the
+    label_centroid_outliers int64-grid domain guard — one 1e18 component
+    would overflow the fixed-point update sums)."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        kmeans_lloyd_assign,
+    )
+
+    dim = 4
+    rows = [
+        (1, [1.0] * dim),
+        (2, [1.1] * dim),
+        (3, [1.0] * 2),                      # ragged
+        (4, [1.0, None, 1.0, 1.0]),          # NULL element
+        (5, [float("nan")] * dim),           # NaN component
+        (6, [1e18] * dim),                   # out of int64-grid domain
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [1e18] * dim)],  # second seed out of domain
+        "cell_id int, cvec array<double>",
+    )
+    out = kmeans_lloyd_assign(emb, "vec_id", "embedding", seeds, iters=2, dim=dim)
+    got = {r["vec_id"]: r["cell_id"] for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert set(got.values()) == {0}
+
+
+def test_kmeans_plan_no_cartesian_and_bounded_shuffles(spark):
+    """Centroids must reach the corpus via broadcast (BroadcastNestedLoop
+    over the tiny seed frame is the semdedup pattern), never a
+    CartesianProduct; the update shuffles key on (cell, pos) only."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        kmeans_lloyd_assign,
+    )
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    dim = 4
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * dim) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = spark.createDataFrame(
+        [(0, [0.0] * dim), (1, [5.0] * dim)],
+        "cell_id int, cvec array<double>",
+    )
+    plan = formatted_plan(
+        kmeans_lloyd_assign(emb, "vec_id", "embedding", seeds, iters=2, dim=dim)
+    )
+    assert "CartesianProduct" not in plan
