@@ -65,6 +65,7 @@ HEADLINE = [
     "eval_classifier_auc",         # r12: rank-sum ROC-AUC via two-phase prefix sum
     "sim_kmeans_train_assign",     # r12: deterministic distributed k-means training
     "sample_importance_reweight",  # r12: DSIR-style hashed-feature importance weights
+    "eval_classifier_calibration", # r12: equal-population rank bins via prefix sums
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",

@@ -147,3 +147,87 @@ def binary_classifier_eval(
             ).alias("precision_at_k"),
         )
     )
+
+
+def binary_classifier_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Calibration table for a binary scorer: rows ranked by (score, id)
+    are cut into ``bins`` equal-population rank bins; each bin reports its
+    population, positive count, positive rate, and score range — the
+    corpus-scale "does the score's top decile actually contain better
+    documents" check that pairs with ``binary_classifier_eval``'s AUC.
+
+    Returns (bin, n, n_pos, pos_rate, min_score, max_score), one row per
+    NON-EMPTY bin, ordered ascending by bin (bin 0 = lowest scores).
+
+    DETERMINISM: the rank is over the TOTAL order (score, id) — a tie
+    group never straddles a bin boundary engine-dependently because the id
+    tiebreak makes every row's rank unique and identical cross-engine. The
+    bin index floor((rank-1)*bins/n) divides exact integers in double
+    (both < 2^53, one correctly-rounded division — identical both sides).
+
+    100 TB shape: the rank is the two-phase prefix sum again — range
+    exchange on (score, id), per-partition ROW_NUMBER, one-row-per-
+    partition offsets broadcast back (carrying the global total in the
+    same tiny frame); then one ``bins``-row groupBy. NO global
+    single-partition rank window, NO NTILE (Spark plans both as a
+    SinglePartition exchange of the corpus).
+    """
+    scored = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("bigint").alias("__y"),
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        scored.repartitionByRange(n_part, F.col("__s").asc(), F.col("__id").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning: 2 consumers below
+    )
+    within = F.row_number().over(
+        W.partitionBy("__pid").orderBy(F.col("__s").asc(), F.col("__id").asc())
+    )
+    counts = d.groupBy("__pid").agg(F.count("*").alias("__c"))
+    psums = counts.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__c").over(W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__base"),
+        F.sum("__c").over(
+            W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("__n"),
+    )
+    ranked = (
+        d.withColumn("__w", within)
+        .join(F.broadcast(psums), "__pid")
+        .select(
+            "__s",
+            "__y",
+            (F.col("__w") + F.col("__base")).alias("__rk"),
+            "__n",
+        )
+    )
+    bin_col = F.floor(
+        ((F.col("__rk") - 1) * F.lit(int(bins))).cast("double")
+        / F.col("__n").cast("double")
+    ).cast("int")
+    return (
+        ranked.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("__y").cast("bigint").alias("n_pos"),
+            (F.sum("__y").cast("double") / F.count("*").cast("double")).alias(
+                "pos_rate"
+            ),
+            F.min("__s").alias("min_score"),
+            F.max("__s").alias("max_score"),
+        )
+        .orderBy("bin")
+    )

@@ -2347,6 +2347,67 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLF_CALIB_ORACLE = rf"""
+WITH x AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+') AS w FROM documents
+),
+sc AS (
+  SELECT doc_id,
+         CAST(CAST(list_aggregate(list_transform(w, t -> {_CLF_W}), 'sum') AS BIGINT)
+              AS DOUBLE) / CAST(LEN(w) AS DOUBLE) AS s
+  FROM x
+),
+s AS (
+  SELECT d.doc_id, sc.s,
+         CASE WHEN d.lang IS NULL THEN NULL
+              WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM sc JOIN documents d USING (doc_id)
+  WHERE sc.s IS NOT NULL AND d.lang IS NOT NULL
+),
+r AS (
+  SELECT s, y,
+         ROW_NUMBER() OVER (ORDER BY s, doc_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM s
+)
+SELECT CAST(FLOOR(CAST((rk - 1) * 10 AS DOUBLE) / CAST(n AS DOUBLE)) AS INTEGER)
+         AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+       MIN(s) AS min_score,
+       MAX(s) AS max_score
+FROM r GROUP BY 1
+"""
+
+
+@query("eval_classifier_calibration", _CLF_CALIB_ORACLE)
+def eval_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table (round 12) companion to eval_classifier_auc: the
+    quality score's rows cut into 10 equal-population rank bins (total
+    order (score, id) — ties never straddle a boundary engine-dependently),
+    per-bin population / positive rate / score range. The rank is the
+    two-phase distributed prefix sum, NOT a global ROW_NUMBER window or
+    NTILE (both plan a SinglePartition exchange of the corpus); see
+    operators/evaluation.binary_classifier_calibration."""
+    from crystal_parquet_database_spark.operators import evaluation as E
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.quality_classifier_score(docs, "text", "doc_id").select(
+        "doc_id", "avg_score"
+    )
+    labeled = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "avg_score",
+        F.when(F.col("lang").isNotNull(), (F.col("lang") == "en").cast("int")).alias(
+            "is_en"
+        ),
+    )
+    return E.binary_classifier_calibration(
+        labeled, "avg_score", "is_en", "doc_id", bins=10
+    )
+
+
 # ----------------------------------------------------------------------------
 # dedup: asymmetric containment (quotation / boilerplate-wrapper detection)
 # ----------------------------------------------------------------------------

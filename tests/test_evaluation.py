@@ -90,3 +90,54 @@ def test_matches_sklearn_style_reference(spark):
     expect = won / (len(pos) * len(neg))
     r = _eval(spark, rows, k=10)
     assert r["auc"] == pytest.approx(expect, abs=1e-12)
+
+
+def test_calibration_bins_partition_rows_deterministically(spark):
+    from crystal_parquet_database_spark.operators.evaluation import (
+        binary_classifier_calibration,
+    )
+
+    # 20 rows, scores 0..19 scaled, positives are the top half
+    rows = [(i, i / 20.0, 1 if i >= 10 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    out = binary_classifier_calibration(df, "s", "y", "id", bins=10).collect()
+    assert [r["bin"] for r in out] == list(range(10))
+    assert all(r["n"] == 2 for r in out)
+    # bottom 5 bins all-negative, top 5 all-positive
+    assert [r["pos_rate"] for r in out] == [0.0] * 5 + [1.0] * 5
+    assert out[0]["min_score"] == 0.0 and out[9]["max_score"] == 19 / 20.0
+    # repartitioned input -> identical table (rank is a total order)
+    again = binary_classifier_calibration(
+        df.repartition(7), "s", "y", "id", bins=10
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_calibration_tie_group_split_is_stable(spark):
+    """All rows share one score: bins are decided purely by the id
+    tiebreak — deterministic, and every bin still holds n/bins rows."""
+    from crystal_parquet_database_spark.operators.evaluation import (
+        binary_classifier_calibration,
+    )
+
+    rows = [(i, 0.5, i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    out = binary_classifier_calibration(df, "s", "y", "id", bins=5).collect()
+    assert [r["n"] for r in out] == [2] * 5
+    # ids 0..9 in order, two per bin -> each bin has exactly one positive
+    assert all(r["n_pos"] == 1 for r in out)
+
+
+def test_calibration_empty_and_null_exclusion(spark):
+    from crystal_parquet_database_spark.operators.evaluation import (
+        binary_classifier_calibration,
+    )
+
+    empty = spark.createDataFrame([], "id long, s double, y int")
+    assert binary_classifier_calibration(empty, "s", "y", "id").collect() == []
+    df = spark.createDataFrame(
+        [(1, None, 1), (2, 0.3, None), (3, 0.7, 1)],
+        "id long, s double, y int",
+    )
+    out = binary_classifier_calibration(df, "s", "y", "id", bins=2).collect()
+    assert sum(r["n"] for r in out) == 1  # only the fully-populated row
