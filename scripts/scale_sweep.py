@@ -54,7 +54,22 @@ NEW_R11 = [
     "dedup_edit_distance_pairs",
 ]
 
-QUERIES_TO_RUN = sorted(set(REPEAT_3X) | set(EXTREME_FIVE) | set(NEW_R11))
+# round-12 additions, each size-coupled: k-means updates run on the int64
+# fixed-point grid (overflow bound ∝ cell population); both evaluation ops
+# rest on two-phase prefix sums whose partition offsets scale with data;
+# the importance model's broadcast and hot-bucket counts grow with the
+# corpus; the full-text verify mode's banded-DP cost tracks candidate count
+NEW_R12 = [
+    "sim_kmeans_train_assign",
+    "eval_classifier_auc",
+    "eval_classifier_calibration",
+    "sample_importance_reweight",
+    "dedup_edit_distance_full",
+]
+
+QUERIES_TO_RUN = sorted(
+    set(REPEAT_3X) | set(EXTREME_FIVE) | set(NEW_R11) | set(NEW_R12)
+)
 
 
 def mutate(dst: str) -> None:
