@@ -389,3 +389,42 @@ def test_oracle_lints_for_pinned_divergence_classes():
             lev_offenders.append(name)
     assert not case_offenders, f"case folding on corpus text: {case_offenders}"
     assert not lev_offenders, f"levenshtein without ASCII guard: {lev_offenders}"
+
+
+def test_floor_of_integer_ratio_parity(spark):
+    """The round-12 bin/centroid contract: floor(CAST(a AS DOUBLE) /
+    CAST(b AS DOUBLE)) on int64 inputs below 2^53 — one correctly-rounded
+    IEEE division then floor — must agree cross-engine EVERYWHERE,
+    including exact-multiple boundaries (a = k*b, where a 1-ulp division
+    error would flip the bin) and near-boundary a = k*b ± 1. Both the
+    calibration bin index floor((rk-1)*bins/n) and the k-means centroid
+    component floor-quantization rest on it."""
+    import duckdb
+
+    cases = []
+    for b in (1, 3, 7, 10, 11, 4096, 999_983, 2**31 - 1):
+        for k in (0, 1, 2, 5, 1000):
+            base = k * b
+            for a in (base - 1, base, base + 1):
+                if a >= 0:
+                    cases.append((a, b))
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = (
+        df.select(
+            "a", "b",
+            F.floor(F.col("a").cast("double") / F.col("b").cast("double")).alias("f"),
+        )
+        .orderBy("a", "b")
+        .collect()
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b})" for a, b in sorted(cases))
+    want = con.execute(
+        f"SELECT a, b, CAST(FLOOR(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) AS BIGINT)"
+        f" FROM (VALUES {vals}) t(a, b) ORDER BY a, b"
+    ).fetchall()
+    assert [(r["a"], r["b"], r["f"]) for r in got] == [tuple(w) for w in want]
+    # and the exact boundary is bit-clean: a = k*b floors to exactly k
+    for r in got:
+        if r["a"] % r["b"] == 0:
+            assert r["f"] == r["a"] // r["b"]
