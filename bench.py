@@ -66,6 +66,8 @@ HEADLINE = [
     "sim_kmeans_train_assign",     # r12: deterministic distributed k-means training
     "sample_importance_reweight",  # r12: DSIR-style hashed-feature importance weights
     "eval_classifier_calibration", # r12: equal-population rank bins via prefix sums
+    "dedup_edit_distance_clusters",  # r12: typo pairs -> connected components
+    "text_duplication_fraction",   # r12: Lee-et-al per-doc duplicated-token filter signal
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",

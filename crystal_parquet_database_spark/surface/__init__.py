@@ -120,9 +120,17 @@ _VERIFY_FIRST = [
     "stream_view_purchase_left_join",  # 0.39
     # ——— the 50-query verification window ends HERE (2 new + 18 r8 +
     # 30 r9 = exactly 50; all 50 oracle-paired). Entries below get NO row
-    # this round, in ROUND-13 priority order: first the 8 lightest r9 rows,
-    # then agg_hll_sketch_distinct (rows-only by design, green exact
-    # companion agg_hll_error_bound refreshed r11), then the r10 cohort.
+    # this round. ROUND-13 priority order: FIRST the SEVEN queries NEW in
+    # round 12, added after this window froze (the r5 new-query precedent;
+    # all seven hash-exact at sf0.01 AND at the 30x fresh replica, in every
+    # adversarial sweep, but never driver-checked):
+    # dedup_edit_distance_full, sim_kmeans_train_assign,
+    # eval_classifier_auc, eval_classifier_calibration,
+    # sample_importance_reweight, dedup_edit_distance_clusters,
+    # text_duplication_fraction. THEN the 8 lightest r9 rows below, then
+    # agg_hll_sketch_distinct (rows-only by design, green exact companion
+    # agg_hll_error_bound refreshed r11), then the r10 cohort
+    # heaviest-first (7 + 8 + 35 r10-rows = exactly 50).
     "stream_running_user_stats",     # 0.38
     "stream_enrich_static_join",     # 0.37
     "stream_sliding_window_counts",  # 0.34

@@ -3256,6 +3256,61 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_token_spans(docs, "doc_id", "text", k=_SPAN_K, min_count=2)
 
 
+_DUP_FRAC_ORACLE = rf"""
+WITH spans AS ({_DUP_SPANS_ORACLE.strip()}),
+dup AS (
+  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL
+              THEN CAST(LEN(string_split_regex(trim(text, ' '), '\s+')) AS INTEGER)
+         END AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN b.n_tokens IS NOT NULL
+            THEN CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE)
+                 / CAST(b.n_tokens AS DOUBLE)
+       END AS dup_fraction
+FROM base b LEFT JOIN dup d USING (doc_id)
+"""
+
+
+@query("text_duplication_fraction", _DUP_FRAC_ORACLE)
+def text_duplication_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token fraction (round 12) — the FILTER signal
+    Lee et al. 2022 actually act on: the maximal duplicate spans from
+    text_duplicate_spans summed per document over its token count (spans
+    are disjoint after the island merge, so the sum is the exact duplicated
+    token count). A pipeline drops or trims documents above a threshold;
+    no-content docs carry NULL n_tokens / NULL fraction (package
+    convention). Same three linear shuffles as the span operator plus one
+    per-doc aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = D.duplicate_token_spans(docs, "doc_id", "text", k=_SPAN_K, min_count=2)
+    dup = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens")
+    )
+    t = F.col("text")
+    base = docs.select(
+        "doc_id",
+        F.when(t.isNotNull(), F.size(T.ws_tokens(t))).cast("int").alias("n_tokens"),
+    )
+    return base.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens").isNotNull(),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+        ).alias("dup_fraction"),
+    )
+
+
 _ED_DIST, _ED_HEAD, _ED_BLOCK, _ED_MAX_DF = 7, 48, 8, 32
 
 _ED_BLOCK_LIST = ", ".join(
@@ -3346,6 +3401,72 @@ def dedup_edit_distance_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=_ED_DIST, head_len=_ED_HEAD, block_w=_ED_BLOCK,
         max_df=_ED_MAX_DF, full_text=True,
     )
+
+
+_EDIT_CC_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, substr(trim(text, ' '), 1, {_ED_HEAD}) AS h,
+         length(substr(trim(text, ' '), 1, {_ED_HEAD})) AS l
+  FROM documents
+  WHERE text IS NOT NULL AND strlen(text) = length(text)
+),
+blk0 AS (
+  SELECT doc_id,
+         unnest(generate_series(0, {_ED_HEAD // _ED_BLOCK - 1})) AS bi,
+         unnest([{_ED_BLOCK_LIST}]) AS blk
+  FROM d
+),
+blk1 AS (SELECT * FROM blk0 WHERE blk <> ''),
+bc AS (
+  SELECT bi, blk FROM blk1 GROUP BY bi, blk HAVING COUNT(*) <= {_ED_MAX_DF}
+),
+blk AS (SELECT b.* FROM blk1 b JOIN bc USING (bi, blk)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+  FROM blk a JOIN blk x
+    ON a.bi = x.bi AND a.blk = x.blk AND a.doc_id < x.doc_id
+),
+p AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN d da ON da.doc_id = c.id_a
+  JOIN d dx ON dx.doc_id = c.id_b
+  WHERE abs(da.l - dx.l) <= {_ED_DIST}
+    AND levenshtein(da.h, dx.h) <= {_ED_DIST}
+),
+ed AS (SELECT id_a AS src, id_b AS dst FROM p
+       UNION ALL SELECT id_b, id_a FROM p),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT ed.dst, reach.lab FROM reach JOIN ed ON ed.src = reach.id
+)
+SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@query("dedup_edit_distance_clusters", _EDIT_CC_ORACLE)
+def dedup_edit_distance_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level dedup GROUPS (round 12): the PassJoin-banded edit-distance
+    pair graph collapsed to connected components — near-identical heads
+    chained through intermediate variants land in ONE cluster (A~B, B~C
+    groups A,B,C even when A-C exceeds max_dist alone), which is what the
+    keep-one policy needs and what a pair list cannot express. Same
+    machinery as dedup_cluster_components (edge-incident min-label
+    propagation, O(diameter) rounds); node set = the ASCII-contract
+    documents the pair stage scans, so singletons label themselves and
+    excluded (non-ASCII / NULL) docs are absent on BOTH sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.edit_distance_near_dup_pairs(
+        docs, "doc_id", "text",
+        max_dist=_ED_DIST, head_len=_ED_HEAD, block_w=_ED_BLOCK,
+        max_df=_ED_MAX_DF,
+    ).select("id_a", "id_b")
+    t = F.col("text")
+    nodes = docs.where(
+        t.isNotNull() & (F.octet_length(t) == F.length(t))
+    ).select("doc_id")
+    return D.connected_components(pairs, nodes, "doc_id")
 
 
 @query("dedup_edit_distance_pairs", _EDIT_DIST_ORACLE)

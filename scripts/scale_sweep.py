@@ -65,6 +65,8 @@ NEW_R12 = [
     "eval_classifier_calibration",
     "sample_importance_reweight",
     "dedup_edit_distance_full",
+    "dedup_edit_distance_clusters",  # iterative CC rounds scale with diameter
+    "text_duplication_fraction",     # rides the corpus-sized gram inventory
 ]
 
 QUERIES_TO_RUN = sorted(

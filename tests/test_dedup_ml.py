@@ -338,3 +338,77 @@ def test_edit_distance_codepoint_semantics_spark_side(spark):
         F.levenshtein(F.lit("héllo"), F.lit("hello")).alias("d")
     ).collect()[0]
     assert row["d"] == 1
+
+
+def test_edit_distance_clusters_chain_transitivity(spark):
+    """A~B and B~C must land in ONE cluster even when A-C alone exceeds
+    max_dist (the pair list cannot express this); non-ASCII docs are
+    outside the node set entirely; untouched docs label themselves."""
+    from crystal_parquet_database_spark.operators.dedup import (
+        connected_components,
+        edit_distance_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog okay"
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "quack").replace("lazy", "hazy")),   # ~2 of A
+        (3, base.replace("quick", "quack").replace("lazy", "hazy")
+               .replace("brown", "braun").replace("jumps", "bumps")),  # ~2 of B, 4 of A
+        (4, "a completely different unrelated document body here"),
+        (5, "thé quick brown fox jumps over the lazy dog okay"),       # non-ASCII
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = edit_distance_near_dup_pairs(
+        df, "doc_id", "text", max_dist=3, head_len=48, block_w=8
+    ).select("id_a", "id_b")
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs
+    assert (1, 3) not in got_pairs  # 4 edits > max_dist: only the chain links
+    from pyspark.sql import functions as F
+
+    t = F.col("text")
+    nodes = df.where(t.isNotNull() & (F.octet_length(t) == F.length(t))).select(
+        "doc_id"
+    )
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes, "doc_id").collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1  # chained into one cluster
+    assert comp[4] == 4                        # singleton labels itself
+    assert 5 not in comp                       # non-ASCII outside the node set
+
+
+def test_duplication_fraction_signal(spark):
+    """The Lee-et-al filter signal: a doc that is one big repeated span
+    scores ~1.0, a unique doc scores 0.0, a NULL doc reports NULLs."""
+    from crystal_parquet_database_spark.operators.dedup import (
+        duplicate_token_spans,
+    )
+    from crystal_parquet_database_spark.operators.text import ws_tokens
+    from pyspark.sql import functions as F
+
+    lic = "permission is hereby granted free of charge to any person"
+    rows = [
+        (1, lic + " alpha unique tail one"),
+        (2, lic + " beta different tail two"),
+        (3, "entirely novel text with no repeats anywhere at all today"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_token_spans(df, "doc_id", "text", k=5, min_count=2)
+    dup = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("d"))
+    t = F.col("text")
+    base = df.select(
+        "doc_id", F.when(t.isNotNull(), F.size(ws_tokens(t))).alias("n")
+    )
+    out = {
+        r["doc_id"]: (r["n"], r["d"])
+        for r in base.join(dup, "doc_id", "left").collect()
+    }
+    # docs 1/2 share the 10-token license prefix; their unique tails are 4
+    # tokens, so duplicated fraction = 10/14
+    assert out[1] == (14, 10) and out[2] == (14, 10)
+    assert out[3][1] is None      # no duplicated span at all
+    assert out[4] == (None, None)

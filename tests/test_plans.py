@@ -354,10 +354,13 @@ def test_round11_dedup_ops_plan_no_cartesian(spark, sf_dir):
     from crystal_parquet_database_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    from crystal_parquet_database_spark.surface import QUERIES
+
     for df in (
         duplicate_token_spans(docs, "doc_id", "text"),
         edit_distance_near_dup_pairs(docs, "doc_id", "text"),
         edit_distance_near_dup_pairs(docs, "doc_id", "text", full_text=True),
+        QUERIES["text_duplication_fraction"](spark, sf_dir),
     ):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
