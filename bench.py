@@ -150,6 +150,72 @@ HEADLINE = [
 ]
 
 
+def _env_flag(name: str) -> bool:
+    """True only for an explicit affirmative value ('1'/'true'/'yes'/'on',
+    case-insensitive). Bare truthiness treated BENCH_FORCE_BASELINE=0 as
+    forced — an operator exporting '0' or 'false' would have silently
+    stamped a tripped run (round-12 ADVICE)."""
+    return os.environ.get(name, "").strip().lower() in {"1", "true", "yes", "on"}
+
+
+def read_machine_snapshot() -> dict:
+    """System state at RUN START, stamped into the producer record: 1-min
+    loadavg, cpu count, and the number of busy sibling processes (other
+    JVMs / pytest / harness scripts). The uniform-inflation contamination
+    case (SCALE.md round-12: a sharded pytest ran beside the bench and
+    inflated EVERY query ~uniformly, which the median/total guard is
+    deliberately blind to) is only catchable by looking at the machine,
+    not the numbers. Called before get_spark(), so our own JVM never
+    counts as a sibling."""
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = None
+    cpus = os.cpu_count() or 1
+    busy = 0
+    markers = ("java", "pytest", "driver_sim.py", "check_queries.py",
+               "time_queries.py", "user_sim.py", "spark-submit")
+    try:
+        me = str(os.getpid())
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or pid == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    cmd = fh.read().replace(b"\0", b" ").decode("utf-8", "replace")
+            except OSError:
+                continue
+            if any(mk in cmd for mk in markers):
+                busy += 1
+    except OSError:
+        busy = 0
+    return {"load1": round(load1, 2) if load1 is not None else None,
+            "cpus": cpus, "busy_siblings": busy}
+
+
+def compute_quiet_guard(snapshot: dict, forced: bool) -> dict:
+    """NOT-QUIET-AT-START decision (round-12 verdict ask #5): refuse the
+    baseline stamp when the machine demonstrably wasn't idle when the run
+    began — a busy sibling process (another JVM, a pytest shard, a harness
+    script) or a 1-min load above max(4, cpus/4). Conservative by design:
+    a refusal loses nothing (the run still prints and lands in
+    BENCH_DETAIL.rejected.json); a contaminated baseline poisons every
+    later comparison. Pure function over the snapshot — unit-tested
+    without a Spark run (the compute_baseline_guard pattern)."""
+    load1 = snapshot.get("load1")
+    cpus = snapshot.get("cpus") or 1
+    busy = snapshot.get("busy_siblings") or 0
+    load_cap = max(4.0, cpus / 4.0)
+    quiet = busy == 0 and (load1 is None or load1 <= load_cap)
+    return {
+        "quiet": quiet,
+        "load_cap": round(load_cap, 2),
+        "busy_siblings": busy,
+        "load1": load1,
+        "forced": forced,
+    }
+
+
 def compute_baseline_guard(
     times: dict[str, float],
     prev_warm: dict[str, float],
@@ -179,7 +245,7 @@ def compute_baseline_guard(
         "total_ratio": round(tot, 4),
         "median_ratio": round(med, 4),
         "tripped": tot > 1.25 and med < 1.05,
-        "forced": bool(os.environ.get("BENCH_FORCE_BASELINE")),
+        "forced": _env_flag("BENCH_FORCE_BASELINE"),
     }
 
 
@@ -205,6 +271,12 @@ def main() -> None:
     # dir like sf0.1.bak and crash float() before any benching
     m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Machine snapshot BEFORE our own JVM exists: the "nothing beside bench"
+    # rule, mechanized (round-12 verdict ask #5 — the contaminated-baseline
+    # incident). Rides the producer stamp; a not-quiet full run is refused
+    # the baseline stamp below.
+    machine = read_machine_snapshot()
+    quiet_guard = compute_quiet_guard(machine, _env_flag("BENCH_FORCE_BASELINE"))
     # Bench inputs are single small files; shrink split size so scans use all
     # cores. (Deliberately NOT an engine default — at real scale the 128MB
     # default is right and these would oversplit.)
@@ -346,6 +418,7 @@ def main() -> None:
         "commit": commit,
         "context": f"full-suite sf={sf} pid={os.getpid()}",
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "machine": machine,
     }
     detail = {
         "cold_value": round(sum(cold.values()), 4),
@@ -356,6 +429,7 @@ def main() -> None:
     }
     if guard is not None:
         detail["baseline_guard"] = guard
+    detail["quiet_guard"] = quiet_guard
     # Isolated probe runs must NOT clobber the full-suite detail file — it is
     # the baseline the next full run's shared_with_prev reads. (The file is
     # deliberately NOT in git — it is per-machine state; on a machine with no
@@ -374,6 +448,18 @@ def main() -> None:
             "BENCH_FORCE_BASELINE=1 after adjudication.",
             file=sys.stderr,
         )
+    quiet_refused = not quiet_guard["quiet"] and not quiet_guard["forced"]
+    if quiet_refused and not isolated:
+        print(
+            "bench: machine NOT QUIET at run start (load1="
+            f"{quiet_guard['load1']} cap={quiet_guard['load_cap']}, "
+            f"busy_siblings={quiet_guard['busy_siblings']}) — baseline "
+            "stamp refused, run saved to BENCH_DETAIL.rejected.json. "
+            "Re-run on an idle machine, or force with "
+            "BENCH_FORCE_BASELINE=1 after adjudication.",
+            file=sys.stderr,
+        )
+    guard_refused = guard_refused or quiet_refused
     if not isolated:
         try:
             with open(

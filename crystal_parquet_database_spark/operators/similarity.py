@@ -990,6 +990,130 @@ def sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def _km_frames(
+    df: DataFrame, id_col: str, vec_col: str, seeds: DataFrame, dim: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Domain-guarded (base, cent) inputs shared by the k-means entry points.
+
+    ``dim`` is REQUIRED: without it ragged vectors pass ``valid_vectors``,
+    the (cell, pos) update builds a mixed-length centroid, and ``sqdist``'s
+    zip_with yields NULL d2 whose min(struct) argmin is undefined — the
+    docstring's invalid-vector contract only holds under a fixed dim.
+    """
+    if dim is None:
+        raise ValueError(
+            "kmeans: dim is required — the invalid-vector contract "
+            "(ragged rows excluded, centroids fixed-length) is undefined "
+            "without an expected vector length"
+        )
+    dom_ok = lambda c: ~F.exists(  # noqa: E731 — label_centroid_outliers' guard
+        c,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) >= F.lit(CENTROID_COMPONENT_DOMAIN)),
+    )
+    base = (
+        valid_vectors(df, vec_col, dim)
+        .where(dom_ok(F.col(vec_col)))
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    )
+    cent = (
+        valid_vectors(seeds, "cvec", dim)
+        .where(dom_ok(F.col("cvec")))
+        .select(F.col("cell_id").alias("__cell"), F.col("cvec").alias("__cvec"))
+    )
+    return base, cent
+
+
+def _km_assign(base: DataFrame, cent: DataFrame) -> DataFrame:
+    """One assignment pass: per-row argmin of sqdist over broadcast
+    centroids — min(struct(d2, cell)), ties to the smallest cell."""
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "__id",
+        F.col("__cell"),
+        sqdist(F.col("__vec"), F.col("__cvec")).alias("__d2"),
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.min(
+                F.struct(F.col("__d2").alias("d2"), F.col("__cell").alias("cell"))
+            ).alias("__b")
+        )
+        .select(
+            "__id",
+            F.col("__b.cell").alias("cell_id"),
+            F.col("__b.d2").alias("dist2"),
+        )
+    )
+
+
+def kmeans_lloyd_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seeds: DataFrame,
+    iters: int = 2,
+    scale: int = 10_000_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """The TRAINED CODEBOOK half of deterministic Lloyd's k-means: run the
+    same ``iters - 1`` fixed-point update rounds as ``kmeans_lloyd_assign``
+    and return the final centroids (cell_id, cvec) — the frame an IVF coarse
+    quantizer or a PQ per-subspace codebook consumes (FAISS ``train()``
+    returning the index's centroid table rather than the assignments).
+
+    Determinism is identical to ``kmeans_lloyd_assign`` (sequential sqdist
+    fold for assignment, int64 fixed-point grid for the mean update, empty
+    cells keep their previous centroid), so the returned centroid
+    components are bit-identical to what a SQL oracle recomputes — which is
+    what makes a TRAINED-quantizer search oracle-pairable end to end. k·dim
+    floats: small enough to collect as a pinned codebook literal (the
+    ``ivf_topk(centroids=...)`` / ``pq_encode(codebooks=...)`` shape — the
+    same scale argument as any broadcast literal).
+    """
+    base, cent = _km_frames(df, id_col, vec_col, seeds, dim)
+    for _ in range(max(0, int(iters) - 1)):
+        assigned = _km_assign(base, cent).join(base, "__id")
+        comp = (
+            assigned.select(
+                "cell_id", F.posexplode(F.col("__vec")).alias("__pos", "__x")
+            )
+            .withColumn(
+                "__q", F.floor(F.col("__x").cast("double") * scale).cast("bigint")
+            )
+            .groupBy("cell_id", "__pos")
+            .agg(F.sum("__q").alias("__s"), F.count("*").alias("__n"))
+            .withColumn(
+                "__c",
+                F.col("__s").cast("double")
+                / F.col("__n").cast("double")
+                / F.lit(float(scale)),
+            )
+        )
+        fresh = comp.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("__c").alias("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("__fresh")
+        )
+        cent = (
+            cent.join(
+                fresh.select(F.col("cell_id").alias("__cell"), "__fresh"),
+                "__cell",
+                "left",
+            )
+            .select(
+                "__cell", F.coalesce(F.col("__fresh"), F.col("__cvec")).alias("__cvec")
+            )
+        )
+    return cent.select(
+        F.col("__cell").alias("cell_id"), F.col("__cvec").alias("cvec")
+    )
+
+
 def kmeans_lloyd_assign(
     df: DataFrame,
     id_col: str,
@@ -1005,7 +1129,9 @@ def kmeans_lloyd_assign(
     per-subspace codebooks are all k-means products in production — FAISS's
     train step). ``seeds`` is the (cell_id, cvec) init; the operator runs
     ``iters`` fixed assignment→update rounds and returns the FINAL
-    assignment: (<id_col>, cell_id, dist2) per valid vector.
+    assignment: (<id_col>, cell_id, dist2) per valid vector. ``dim`` is
+    required (see ``_km_frames``); the trained codebook itself is exposed
+    by ``kmeans_lloyd_centroids``.
 
     DETERMINISM (what makes a float-iterative algorithm oracle-exact):
     * assignment — squared L2 via the sequential ``sqdist`` fold on doubles
@@ -1046,77 +1172,10 @@ def kmeans_lloyd_assign(
     this extends the LLM-pipeline similarity stack (SURVEY §2 extension,
     same status as ivf_topk/pq_topk).
     """
-    dom_ok = lambda c: ~F.exists(  # noqa: E731 — label_centroid_outliers' guard
-        c,
-        lambda x: x.isNull()
-        | F.isnan(x.cast("double"))
-        | (F.abs(x.cast("double")) >= F.lit(CENTROID_COMPONENT_DOMAIN)),
+    base, _ = _km_frames(df, id_col, vec_col, seeds, dim)
+    cent = kmeans_lloyd_centroids(
+        df, id_col, vec_col, seeds, iters=iters, scale=scale, dim=dim
+    ).select(F.col("cell_id").alias("__cell"), F.col("cvec").alias("__cvec"))
+    return _km_assign(base, cent).select(
+        F.col("__id").alias(id_col), "cell_id", "dist2"
     )
-    base = (
-        valid_vectors(df, vec_col, dim)
-        .where(dom_ok(F.col(vec_col)))
-        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
-    )
-    cent = (
-        valid_vectors(seeds, "cvec", dim)
-        .where(dom_ok(F.col("cvec")))
-        .select(F.col("cell_id").alias("__cell"), F.col("cvec").alias("__cvec"))
-    )
-
-    def _assign(c: DataFrame) -> DataFrame:
-        scored = base.crossJoin(F.broadcast(c)).select(
-            "__id",
-            F.col("__cell"),
-            sqdist(F.col("__vec"), F.col("__cvec")).alias("__d2"),
-        )
-        return (
-            scored.groupBy("__id")
-            .agg(
-                F.min(
-                    F.struct(F.col("__d2").alias("d2"), F.col("__cell").alias("cell"))
-                ).alias("__b")
-            )
-            .select(
-                "__id",
-                F.col("__b.cell").alias("cell_id"),
-                F.col("__b.d2").alias("dist2"),
-            )
-        )
-
-    for _ in range(max(0, int(iters) - 1)):
-        assigned = _assign(cent).join(base, "__id")
-        comp = (
-            assigned.select(
-                "cell_id", F.posexplode(F.col("__vec")).alias("__pos", "__x")
-            )
-            .withColumn(
-                "__q", F.floor(F.col("__x").cast("double") * scale).cast("bigint")
-            )
-            .groupBy("cell_id", "__pos")
-            .agg(F.sum("__q").alias("__s"), F.count("*").alias("__n"))
-            .withColumn(
-                "__c",
-                F.col("__s").cast("double")
-                / F.col("__n").cast("double")
-                / F.lit(float(scale)),
-            )
-        )
-        fresh = comp.groupBy("cell_id").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("__c").alias("c")))
-                ),
-                lambda s: s["c"],
-            ).alias("__fresh")
-        )
-        cent = (
-            cent.join(
-                fresh.select(F.col("cell_id").alias("__cell"), "__fresh"),
-                "__cell",
-                "left",
-            )
-            .select(
-                "__cell", F.coalesce(F.col("__fresh"), F.col("__cvec")).alias("__cvec")
-            )
-        )
-    return _assign(cent).select(F.col("__id").alias(id_col), "cell_id", "dist2")

@@ -76,3 +76,74 @@ def test_guard_force_override(monkeypatch):
     now, old = _shared(times, prev)
     g = compute_baseline_guard(times, prev, now, old)
     assert g["tripped"] is True and g["forced"] is True
+
+
+def test_force_flag_parses_value_not_truthiness(monkeypatch):
+    # round-12 ADVICE: BENCH_FORCE_BASELINE=0 (an operator's "off") must NOT
+    # count as forced — only an explicit affirmative does
+    for val, want in [("0", False), ("false", False), ("no", False),
+                      ("", False), ("1", True), ("true", True),
+                      ("YES", True), ("On", True)]:
+        monkeypatch.setenv("BENCH_FORCE_BASELINE", val)
+        assert bench_mod._env_flag("BENCH_FORCE_BASELINE") is want, val
+    monkeypatch.delenv("BENCH_FORCE_BASELINE")
+    assert bench_mod._env_flag("BENCH_FORCE_BASELINE") is False
+
+
+# ---------------------------------------------------------------------------
+# not-quiet-at-start guard (round-13; the round-12 verdict's ask #5 —
+# mechanize the "nothing beside bench" rule the contaminated-baseline
+# incident taught). Pure decision function over the machine snapshot.
+# ---------------------------------------------------------------------------
+
+compute_quiet_guard = bench_mod.compute_quiet_guard
+
+
+def test_quiet_guard_accepts_idle_machine():
+    g = compute_quiet_guard({"load1": 0.4, "cpus": 32, "busy_siblings": 0}, False)
+    assert g["quiet"] is True
+
+
+def test_quiet_guard_refuses_busy_sibling():
+    # one concurrent JVM/pytest is exactly the round-12 contamination case —
+    # uniform inflation the median/total guard cannot see
+    g = compute_quiet_guard({"load1": 0.4, "cpus": 32, "busy_siblings": 1}, False)
+    assert g["quiet"] is False
+
+
+def test_quiet_guard_refuses_high_load():
+    # cap = max(4, cpus/4) → 8 on a 32-cpu box; a decaying post-pytest load
+    # above it refuses (conservative by design — a refusal loses nothing)
+    g = compute_quiet_guard({"load1": 12.0, "cpus": 32, "busy_siblings": 0}, False)
+    assert g["quiet"] is False and g["load_cap"] == 8.0
+    assert compute_quiet_guard(
+        {"load1": 7.9, "cpus": 32, "busy_siblings": 0}, False
+    )["quiet"] is True
+    # small box: the floor of 4 applies, not cpus/4
+    assert compute_quiet_guard(
+        {"load1": 3.5, "cpus": 4, "busy_siblings": 0}, False
+    )["quiet"] is True
+
+
+def test_quiet_guard_missing_load_abstains_on_load_only():
+    # /proc-less platform (getloadavg OSError): load criterion abstains,
+    # sibling criterion still applies
+    assert compute_quiet_guard(
+        {"load1": None, "cpus": 8, "busy_siblings": 0}, False
+    )["quiet"] is True
+    assert compute_quiet_guard(
+        {"load1": None, "cpus": 8, "busy_siblings": 2}, False
+    )["quiet"] is False
+
+
+def test_quiet_guard_forced_rides_along():
+    g = compute_quiet_guard({"load1": 50.0, "cpus": 8, "busy_siblings": 3}, True)
+    assert g["quiet"] is False and g["forced"] is True
+
+
+def test_machine_snapshot_shape():
+    # live read on this machine: keys present, self not counted as a sibling
+    snap = bench_mod.read_machine_snapshot()
+    assert set(snap) == {"load1", "cpus", "busy_siblings"}
+    assert snap["cpus"] >= 1
+    assert isinstance(snap["busy_siblings"], int)

@@ -670,3 +670,67 @@ def test_kmeans_plan_no_cartesian_and_bounded_shuffles(spark):
         kmeans_lloyd_assign(emb, "vec_id", "embedding", seeds, iters=2, dim=dim)
     )
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_requires_dim(spark):
+    """dim=None is a contract error, not a latent footgun (round-12 ADVICE):
+    without it ragged vectors pass valid_vectors and the mixed-length
+    centroid update makes sqdist NULL with an undefined argmin."""
+    import pytest
+
+    from crystal_parquet_database_spark.operators.similarity import (
+        kmeans_lloyd_assign,
+        kmeans_lloyd_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    seeds = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "cell_id int, cvec array<double>"
+    )
+    with pytest.raises(ValueError, match="dim is required"):
+        kmeans_lloyd_assign(emb, "vec_id", "embedding", seeds)
+    with pytest.raises(ValueError, match="dim is required"):
+        kmeans_lloyd_centroids(emb, "vec_id", "embedding", seeds)
+
+
+def test_kmeans_centroids_are_the_assignments_codebook(spark):
+    """kmeans_lloyd_centroids exposes the exact codebook kmeans_lloyd_assign
+    assigns against: re-running a single pure-assignment round (iters=1)
+    from the TRAINED centroids as seeds must reproduce the trained
+    assignment bit-for-bit — the property the trained-IVF/PQ compositions
+    rely on."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        kmeans_lloyd_assign,
+        kmeans_lloyd_centroids,
+    )
+
+    dim = 4
+    rows = [(i, [float(i % 3) + 0.1 * i] * dim) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [0.0] * dim), (1, [2.0] * dim)],
+        "cell_id int, cvec array<double>",
+    )
+    trained = kmeans_lloyd_centroids(
+        emb, "vec_id", "embedding", seeds, iters=3, dim=dim
+    )
+    cent_rows = {r["cell_id"]: list(r["cvec"]) for r in trained.collect()}
+    assert set(cent_rows) == {0, 1}
+    # the update must have moved at least one centroid off its seed
+    assert cent_rows[0] != [0.0] * dim or cent_rows[1] != [2.0] * dim
+    want = {
+        (r["vec_id"], r["cell_id"], r["dist2"])
+        for r in kmeans_lloyd_assign(
+            emb, "vec_id", "embedding", seeds, iters=3, dim=dim
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], r["cell_id"], r["dist2"])
+        for r in kmeans_lloyd_assign(
+            emb, "vec_id", "embedding", trained.select("cell_id", "cvec"),
+            iters=1, dim=dim,
+        ).collect()
+    }
+    assert got == want
