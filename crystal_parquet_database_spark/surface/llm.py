@@ -2265,6 +2265,217 @@ def sim_kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------------
+# train → index → search, end to end (round 13): the IVF coarse quantizer is
+# no longer pinned input — it is TRAINED by the deterministic k-means above
+# and the search runs over the trained centroids, oracle-exact throughout
+# (the round-12 verdict's composition ask).
+# ----------------------------------------------------------------------------
+
+
+def _sql_km_valid(vec: str, dim: int) -> str:
+    """valid_vectors(dim) + the int64-grid domain guard for an arbitrary
+    vector EXPRESSION — the `_KM_VALID` predicate generalized so subvector
+    slices (the per-subspace PQ training) ride the identical contract."""
+    return (
+        f"({S.VALID_VEC_SQL(vec, dim)} AND len(list_filter({vec}, "
+        f"v -> isnan(CAST(v AS DOUBLE)) "
+        f"OR abs(CAST(v AS DOUBLE)) >= {_CENTROID_DOMAIN!r})) = 0)"
+    )
+
+
+def _sql_sqdist_d(a: str, b: str, dim: int) -> str:
+    """`_sql_sqdist` for an explicit dimension (subspace training needs
+    folds over dsub, not the corpus _DIM)."""
+    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {dim}), "
+        f"i -> {diff} * {diff}), 'sum')"
+    )
+
+
+def _sql_km_c1(
+    p: str, seed_lo: int, k: int, vec: str, dim: int, scale: int,
+    seed_valid: str | None = None,
+) -> str:
+    """CTE-chain text training ``k`` centroids from the pinned seed rows
+    [seed_lo, seed_lo+k) for ONE fixed-point update round (iters=2) over the
+    vector EXPRESSION ``vec`` — the SQL mirror of
+    ``operators/similarity.kmeans_lloyd_centroids``, byte-for-byte the
+    `_KMEANS_ORACLE` machinery with the CTE names prefixed ``p`` so several
+    independent trainings (the m PQ subspaces) compose in one WITH. The
+    consumer reads ``{p}c1 (cell, cvec)``. ``seed_valid`` overrides the
+    SEED-row predicate (the PQ trainings admit a seed row uniformly — full
+    embedding clean — so all m codebooks share the same cell set)."""
+    valid = _sql_km_valid(vec, dim)
+    d2 = _sql_sqdist_d("kvec", "cvec", dim)
+    return f"""{p}v AS (
+  SELECT vec_id, {vec} AS kvec FROM embeddings WHERE {valid}
+),
+{p}c0 AS (
+  SELECT CAST(vec_id - {seed_lo} AS INTEGER) AS cell, {vec} AS cvec
+  FROM embeddings
+  WHERE vec_id >= {seed_lo} AND vec_id < {seed_lo + k} AND {seed_valid or valid}
+),
+{p}a1 AS (
+  SELECT vec_id, cell, kvec,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {d2}, cell) AS rn
+  FROM {p}v CROSS JOIN {p}c0
+),
+{p}m1 AS (SELECT cell, kvec FROM {p}a1 WHERE rn = 1),
+{p}x1 AS (
+  SELECT cell,
+         unnest(kvec) AS e,
+         unnest(generate_series(1, len(kvec))) AS pos
+  FROM {p}m1
+),
+{p}s1 AS (
+  SELECT cell, pos,
+         SUM(CAST(FLOOR(CAST(e AS DOUBLE) * {scale}) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM {p}x1 GROUP BY cell, pos
+),
+{p}u1 AS (
+  SELECT cell,
+         list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / {scale}.0
+              ORDER BY pos) AS arr
+  FROM {p}s1 GROUP BY cell
+),
+{p}c1 AS (
+  SELECT {p}c0.cell, COALESCE({p}u1.arr, {p}c0.cvec) AS cvec
+  FROM {p}c0 LEFT JOIN {p}u1 USING (cell)
+)"""
+
+
+_TIVF_K = 16  # trained coarse-quantizer cells (seeds = the sim_ivf pinned rows)
+
+_IVF_TRAINED_ORACLE = f"""
+WITH {_sql_km_c1("t", _IVF_SEED_LO, _TIVF_K, "embedding", _DIM, _KM_SCALE)},
+d AS (
+  SELECT e.vec_id, t.cell AS cell_id, {_sql_l2('e.embedding', 't.cvec')} AS d2
+  FROM embeddings e CROSS JOIN tc1 t
+  WHERE {_VALID.replace("embedding", "e.embedding")}
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM d) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM d WHERE vec_id < 10) WHERE rn <= {_IVF_PROBE}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < 10 AND {_VALID}),
+c AS (SELECT e.vec_id AS match_id, e.embedding AS cvec, a.cell_id
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+ivf AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, c.match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS} DESC, c.match_id) AS rank
+    FROM c
+    JOIN probes p ON c.cell_id = p.cell_id
+    JOIN q ON q.query_id = p.query_id
+    WHERE c.match_id <> q.query_id
+  ) WHERE rank <= 10
+),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, c.match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS} DESC, c.match_id) AS rank
+    FROM c CROSS JOIN q WHERE c.match_id <> q.query_id
+  ) WHERE rank <= 10
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(i.match_id) AS BIGINT) AS n_hit_ivf,
+       CAST(CAST(COUNT(i.match_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DOUBLE)
+         AS recall_ivf
+FROM truth t
+LEFT JOIN ivf i ON t.query_id = i.query_id AND t.match_id = i.match_id
+GROUP BY t.query_id
+"""
+
+
+@query("sim_ivf_trained_recall_at_k", _IVF_TRAINED_ORACLE)
+def sim_ivf_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train→index→search loop END TO END (round 13): the IVF coarse
+    quantizer is TRAINED with the deterministic distributed k-means
+    (kmeans_lloyd_centroids — {k} cells from the pinned seed rows, the
+    fixed-point-grid update that makes an iterative float training
+    bit-identical cross-engine), then the search runs over the TRAINED
+    centroids: assign → probe {p} nearest cells → candidate join → rank,
+    recall@10 measured against exact brute force as integer hit counts.
+    Closes the "quantizers take pinned input" gap — this is FAISS
+    train()+add()+search() as one oracle-exact query.
+
+    Scale shape: training is the kmeans_lloyd_centroids budget (one
+    broadcast + three linear shuffles per iteration); the k·dim trained
+    codebook collects to a pinned literal exactly like the ivf_topk
+    explicit-centroids path (a broadcast-literal-sized collect — the FAISS
+    practice); the search is the proven ivf_topk machinery (inlined
+    centroid expressions, broadcast probes, cell-key equi-join — no
+    cartesian anywhere). Cell ids are positional over the collected
+    codebook: a monotone renumbering of the oracle's seed-offset cells, so
+    (d2, cell) tie-breaks agree engine-to-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = S.valid_vectors(
+        emb.filter(
+            (F.col("vec_id") >= _IVF_SEED_LO)
+            & (F.col("vec_id") < _IVF_SEED_LO + _TIVF_K)
+        ),
+        "embedding",
+        _DIM,
+    ).select(
+        (F.col("vec_id") - _IVF_SEED_LO).cast("int").alias("cell_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    trained = S.kmeans_lloyd_centroids(
+        emb, "vec_id", "embedding", seeds,
+        iters=_KM_ITERS, scale=_KM_SCALE, dim=_DIM,
+    )
+    cent = [list(r["cvec"]) for r in trained.orderBy("cell_id").collect()]
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    truth = S.cosine_topk(
+        queries_df, emb, "vec_id", "embedding", k=10, dim=_DIM
+    ).select("query_id", "match_id")
+    ivf = S.ivf_topk(
+        queries_df, emb, "vec_id", "embedding",
+        k=10, n_cells=_TIVF_K, n_probe=_IVF_PROBE, centroids=cent,
+        dim=_DIM,
+    ).select("query_id", F.col("match_id").alias("__ivf_match"))
+    joined = truth.join(
+        ivf,
+        (truth.query_id == ivf.query_id) & (truth.match_id == ivf.__ivf_match),
+        "left",
+    ).drop(ivf.query_id)
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.count("__ivf_match").cast("bigint").alias("n_hit_ivf"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit_ivf",
+            (F.col("n_hit_ivf").cast("double") / F.col("n_true").cast("double")).alias(
+                "recall_ivf"
+            ),
+        )
+    )
+
+
+sim_ivf_trained_recall_at_k.__doc__ = sim_ivf_trained_recall_at_k.__doc__.format(
+    k=_TIVF_K, p=_IVF_PROBE
+)
+
+
+# ----------------------------------------------------------------------------
 # evaluation: does the quality score actually separate classes? (round 12)
 # ----------------------------------------------------------------------------
 
@@ -3030,6 +3241,200 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asc_nulls_last: same NULLS-FIRST trap the r7 _topk fix closed in the
     # OPERATOR — a NULL-embedding corpus row must sink, not win truth rank 1
     wnd = W.partitionBy("query_id").orderBy(F.col("__d2").asc_nulls_last(), F.col("match_id"))
+    truth = (
+        sq.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "match_id")
+    )
+    joined = truth.join(
+        pq,
+        (truth.query_id == pq.query_id) & (truth.match_id == pq.__pq_match),
+        "left",
+    ).drop(pq.query_id)
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_true"),
+        F.count("__pq_match").cast("bigint").alias("n_hit_pq"),
+        (
+            F.count("__pq_match").cast("double") / F.count("*").cast("double")
+        ).alias("recall_pq"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# trained PQ (round 13): m independent per-subspace k-means trainings →
+# codebooks → encode → ADC search → recall — the other half of the
+# train→index→search composition (FAISS ProductQuantizer.train()).
+# ----------------------------------------------------------------------------
+
+
+def _sql_sub_l2_t(a: str, c: str, j: int) -> str:
+    """Squared L2 between subspace ``j`` of full vector ``a`` and a
+    dsub-dim codebook centroid ``c`` — `_sql_sub_l2`'s fold with the offset
+    moved into the index (the centroid is already a subvector here)."""
+    diff = f"(CAST({a}[{j * _PQ_DSUB} + i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {_PQ_DSUB}), "
+        f"i -> {diff} * {diff}), 'sum')"
+    )
+
+
+_TPQ_TRAIN_CTES = ",\n".join(
+    _sql_km_c1(
+        f"p{j}_", _PQ_SEED_LO, _PQ_KSUB,
+        f"list_slice(embedding, {j * _PQ_DSUB + 1}, {(j + 1) * _PQ_DSUB})",
+        _PQ_DSUB, _KM_SCALE, seed_valid=_KM_VALID,
+    )
+    for j in range(_PQ_M)
+)
+
+_TPQ_CODE_CTES = ",\n".join(
+    f"""td{j} AS (
+  SELECT e.vec_id, t.cell AS code, {_sql_sub_l2_t('e.embedding', 't.cvec', j)} AS d2
+  FROM embeddings e CROSS JOIN p{j}_c1 t WHERE {S.VALID_VEC_SQL('e.embedding', _DIM)}
+),
+tk{j} AS (
+  SELECT vec_id, code AS k{j} FROM (
+    SELECT vec_id, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+    FROM td{j}) WHERE rn = 1
+)"""
+    for j in range(_PQ_M)
+)
+
+_TPQ_ADC_SUM = " + ".join(
+    _sql_sub_l2_t("q.qvec", f"s{j}.cvec", j) for j in range(_PQ_M)
+)
+_TPQ_CB_JOINS = "\n  ".join(
+    f"JOIN p{j}_c1 s{j} ON s{j}.cell = c.k{j}" for j in range(_PQ_M)
+)
+_TPQ_CODE_COLS = ", ".join(f"k{j}" for j in range(_PQ_M))
+_TPQ_CODE_JOIN = " ".join(f"JOIN tk{j} USING (vec_id)" for j in range(1, _PQ_M))
+
+_PQ_TRAINED_ORACLE = f"""
+WITH {_TPQ_TRAIN_CTES},
+{_TPQ_CODE_CTES},
+codes AS (
+  SELECT tk0.vec_id, {_TPQ_CODE_COLS}
+  FROM tk0 {_TPQ_CODE_JOIN}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < 10 AND {_VALID}),
+adc AS (
+  SELECT q.query_id, c.vec_id AS match_id, {_TPQ_ADC_SUM} AS approx_d2
+  FROM codes c CROSS JOIN q
+  {_TPQ_CB_JOINS}
+  WHERE c.vec_id <> q.query_id
+),
+pq AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_d2, match_id) AS rank
+    FROM adc) WHERE rank <= 10
+),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, e.vec_id AS match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_l2('e.embedding', 'q.qvec')},
+                                       e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id AND {S.VALID_VEC_SQL('e.embedding', _DIM)}
+  ) WHERE rank <= 10
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(p.match_id) AS BIGINT) AS n_hit_pq,
+       CAST(CAST(COUNT(p.match_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DOUBLE)
+         AS recall_pq
+FROM truth t
+LEFT JOIN pq p ON t.query_id = p.query_id AND t.match_id = p.match_id
+GROUP BY t.query_id
+"""
+
+
+@query("sim_pq_trained_recall_at_k", _PQ_TRAINED_ORACLE)
+def sim_pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED product quantization (round 13): the codebooks are no longer
+    pinned seed slices — each of the m subspaces runs its own deterministic
+    k-means (kmeans_lloyd_centroids over the subvector slice, the same
+    fixed-point-grid machinery as the IVF coarse quantizer, initialized
+    from the pinned seed rows) and the ADC search + recall run over the
+    TRAINED codebooks: FAISS ProductQuantizer.train() → compute_codes() →
+    search(), all oracle-exact. Seed rows are admitted UNIFORMLY (full
+    embedding clean) so every subspace codebook shares one cell set;
+    corpus rows train each subspace independently per the slice-level
+    invalid-vector contract.
+
+    Scale shape: m small independent trainings (each the
+    kmeans_lloyd_centroids linear-shuffle budget over dsub-wide slices),
+    m·ksub·dsub trained floats collected as the codebook literal (the
+    pq_encode shape), then the proven codes-only ADC scan. At 100 TB the
+    trainings run once on a sample at ingest; the per-row cost of the
+    composition is unchanged from the pinned sibling."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dom_ok = ~F.exists(
+        F.col("embedding"),
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) >= F.lit(S.CENTROID_COMPONENT_DOMAIN)),
+    )
+    seed_base = S.valid_vectors(
+        emb.filter(
+            (F.col("vec_id") >= _PQ_SEED_LO)
+            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_KSUB)
+        ),
+        "embedding",
+        _DIM,
+    ).where(dom_ok)
+    codebooks = []
+    for j in range(_PQ_M):
+        sub = F.slice(F.col("embedding"), j * _PQ_DSUB + 1, _PQ_DSUB)
+        trained = S.kmeans_lloyd_centroids(
+            emb.select("vec_id", sub.alias("subvec")),
+            "vec_id", "subvec",
+            seed_base.select(
+                (F.col("vec_id") - _PQ_SEED_LO).cast("int").alias("cell_id"),
+                sub.alias("cvec"),
+            ),
+            iters=_KM_ITERS, scale=_KM_SCALE, dim=_PQ_DSUB,
+        )
+        codebooks.append(
+            [list(r["cvec"]) for r in trained.orderBy("cell_id").collect()]
+        )
+    if not codebooks[0]:
+        # no valid seed rows (empty corpus): nothing to train or search —
+        # the oracle's CTEs are all empty too (the sim_pq_recall_at_k
+        # empty-corpus precedent). Uniform seed admission means cell sets
+        # match across subspaces, so checking subspace 0 checks them all.
+        return spark.createDataFrame(
+            [], "query_id bigint, n_true bigint, n_hit_pq bigint, recall_pq double"
+        )
+    codes = S.pq_encode(emb, "vec_id", "embedding", codebooks).localCheckpoint(
+        eager=True
+    )
+    queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
+    pq = S.pq_adc_topk(
+        queries_df, codes, "vec_id", "embedding", codebooks, k=10
+    ).select("query_id", F.col("match_id").alias("__pq_match"))
+    q = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = S.valid_vectors(emb, "embedding", _DIM).select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("cvec")
+    )
+    sq = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            S._sub_l2(F.col("cvec"), F.col("qvec")).alias("__d2"),
+        )
+    )
+    wnd = W.partitionBy("query_id").orderBy(
+        F.col("__d2").asc_nulls_last(), F.col("match_id")
+    )
     truth = (
         sq.withColumn("rank", F.row_number().over(wnd))
         .filter(F.col("rank") <= 10)
