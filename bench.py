@@ -68,6 +68,11 @@ HEADLINE = [
     "eval_classifier_calibration", # r12: equal-population rank bins via prefix sums
     "dedup_edit_distance_clusters",  # r12: typo pairs -> connected components
     "text_duplication_fraction",   # r12: Lee-et-al per-doc duplicated-token filter signal
+    "sim_ivf_trained_recall_at_k",  # r13: k-means-trained coarse quantizer, end to end
+    "sim_pq_trained_recall_at_k",   # r13: per-subspace-trained PQ codebooks + ADC
+    "sim_ivfpq_trained_recall_at_k",  # r13: full trained IVF-PQ (probe-restricted ADC)
+    "text_boilerplate_chunks",     # r13: cross-corpus repeated-block removal (C4/RefinedWeb)
+    "sample_temperature_mixture",  # r13: mT5 alpha-temperature mixture weights
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",

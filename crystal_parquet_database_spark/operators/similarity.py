@@ -974,6 +974,100 @@ def pq_adc_topk(
     return _topk(scored, [F.asc_nulls_last("approx_d2"), F.asc("match_id")], k)
 
 
+def ivfpq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ ANN — the full FAISS ``IndexIVFPQ`` read path in one operator:
+    a coarse quantizer (``centroids``) partitions the corpus into cells and
+    each vector is PQ-compressed to m codes (``codebooks``); a query probes
+    its ``n_probe`` nearest cells and ranks ONLY the probed candidates by
+    the ADC approximation (sum of per-subspace lookup-table distances).
+    Composes ``ivf_topk``'s cell/probe machinery with ``pq_adc_topk``'s
+    table scan — both proven oracle-exact individually; the codebooks are
+    typically ``kmeans_lloyd_centroids`` products (the trained composition).
+
+    100 TB shape: cell id + codes are computed once at ingest (a pure map
+    stage over inlined literals — here materialized via localCheckpoint, the
+    ivf_topk precedent) and stored as m ints + 1 int per vector; the query
+    side (probe list + m ADC tables, a few KB per query) broadcasts; the
+    candidate join is a cell-key equi-join touching ~n_probe/n_cells of the
+    CODES — never the float vectors. No cartesian anywhere.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    centers_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    cb_arrs = [
+        F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
+        for cb in codebooks
+    ]
+
+    def dists(vec: Column) -> Column:
+        return _subspace_dists(vec, centers_arr)
+
+    def cell_of(vec: Column) -> Column:
+        ds = dists(vec)
+        return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+    # ingest side: cell + codes per corpus vector (checkpointed — the
+    # materialization IS the index, and it keeps the inlined-literal trees
+    # out of join planning, the ivf_topk lesson)
+    ccols = [
+        F.col(id_col).alias("match_id"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    ]
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        ds = _subspace_dists(sub, cb_arrs[j])
+        ccols.append(
+            (F.array_position(ds, F.array_min(ds)) - 1).cast("int").alias(f"code{j}")
+        )
+    assigned = valid_vectors(corpus, vec_col, dim).select(*ccols).localCheckpoint(
+        eager=True
+    )
+
+    def probe_cells(vec: Column) -> Column:
+        entries = F.transform(
+            dists(vec), lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+        )
+        return F.slice(F.array_sort(entries), 1, n_probe)
+
+    qcols = [
+        F.col(id_col).alias("query_id"),
+        probe_cells(F.col(vec_col)).alias("__probes"),
+    ]
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        qcols.append(_subspace_dists(sub, cb_arrs[j]).alias(f"__qt{j}"))
+    q = valid_vectors(queries, vec_col, dim).select(*qcols)
+    probes = q.select(
+        "query_id",
+        *[f"__qt{j}" for j in range(m)],
+        F.explode("__probes.cell").alias("cell"),
+    ).localCheckpoint(eager=True)
+
+    joined = assigned.join(F.broadcast(probes), "cell")
+    # explicit left-to-right m-term addition — fixed FP order, the
+    # pq_adc_topk oracle-bit-exactness contract
+    approx = F.element_at(F.col("__qt0"), F.col("code0") + 1)
+    for j in range(1, m):
+        approx = approx + F.element_at(F.col(f"__qt{j}"), F.col(f"code{j}") + 1)
+    scored = joined.select("query_id", "match_id", approx.alias("approx_d2"))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("match_id"))
+    return _topk(scored, [F.asc_nulls_last("approx_d2"), F.asc("match_id")], k)
+
+
 def sqdist(a: Column, b: Column) -> Column:
     """Sequential left-fold squared L2 distance in double — same evaluation
     order as the oracle's generate_series list fold, hence bit-identical

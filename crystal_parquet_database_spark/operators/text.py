@@ -874,6 +874,184 @@ def dedup_chunks_keep_first(
     )
 
 
+def boilerplate_chunks(
+    df: DataFrame, text_col: str, id_col: str, width: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """RefinedWeb/C4-style cross-corpus BOILERPLATE removal: split each
+    document into ``width``-token blocks and remove EVERY occurrence of any
+    block whose exact text appears in ≥ ``min_docs`` DISTINCT documents —
+    the "discard any line occurring repeatedly across the corpus" rule
+    (C4's three-sentence-span filter, RefinedWeb's line dedup), as opposed
+    to ``dedup_chunks_keep_first`` where the first occurrence survives: a
+    boilerplate header/footer should not survive even once.
+
+    Returns (id, n_chunks, n_boiler, boiler_fraction, cleaned_md5) — counts
+    per document, the removed-mass fraction (the per-doc filter signal), and
+    the md5 of the rebuilt text (surviving blocks in order plus the always-
+    kept tail remainder, the keep-first sibling's convention).
+
+    Scale shape: one chunk-hash-keyed shuffle for the document-frequency
+    count (countDistinct's two-phase partial aggregation — mass-duplicated
+    boilerplate collapses map-side), one equi-join of the exploded chunks
+    against the per-hash frequencies, one id-keyed reassembly aggregation.
+    All linear; the 60-bit block hash is the full-width identity
+    (``dedup_chunks_keep_first``'s collision argument: a 31-bit collision
+    would delete another document's unrelated block).
+    """
+    df = _spread(df)
+    toks = ws_tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__nf", (F.size("__t") / width).cast("int")
+    )
+
+    def block(i: Column) -> Column:
+        return F.array_join(F.slice(F.col("__t"), i * width + 1, width), " ")
+
+    chunks = F.when(
+        F.col("__nf") >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__nf") - 1),
+            lambda i: F.struct(i.alias("pos"), block(i).alias("ctext")),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,ctext:string>>"))
+    tail = F.array_join(
+        F.slice(
+            F.col("__t"),
+            F.col("__nf") * width + 1,
+            F.greatest(F.size("__t") - F.col("__nf") * width, F.lit(0)),
+        ),
+        " ",
+    )
+    # materialized once for the same two consumers as the keep-first sibling
+    # (chunk explode + reassembly join re-run tokenize→slice otherwise)
+    base = d.select(
+        F.col(id_col), tail.alias("__tail"), chunks.alias("__c")
+    ).localCheckpoint(eager=True)
+
+    ch = (
+        base.select(F.col(id_col), F.explode("__c").alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c.pos").alias("pos"),
+            F.col("c.ctext").alias("ctext"),
+        )
+        .withColumn("chash", spark_hash_raw60(F.col("ctext")))
+        .localCheckpoint(eager=True)
+    )
+    docfreq = ch.groupBy("chash").agg(
+        F.countDistinct(F.col(id_col)).alias("__df")
+    )
+    flagged = ch.join(docfreq, "chash").withColumn(
+        "__boiler", F.col("__df") >= int(min_docs)
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("__boiler"), 1).otherwise(0)).alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__boiler"),
+                            F.struct(F.col("pos"), F.col("ctext")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("ctext"),
+            ),
+            " ",
+        ).alias("__kept_text"),
+    )
+    joined = base.join(per_doc, id_col, "left")
+    cleaned = F.when(
+        F.coalesce(F.col("__kept_text"), F.lit("")) == "", F.col("__tail")
+    ).otherwise(
+        F.when(F.col("__tail") == "", F.col("__kept_text")).otherwise(
+            F.concat(F.col("__kept_text"), F.lit(" "), F.col("__tail"))
+        )
+    )
+    n_chunks = F.coalesce(F.col("n_chunks"), F.lit(0)).cast("bigint")
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint")
+    return joined.select(
+        F.col(id_col),
+        n_chunks.alias("n_chunks"),
+        n_boiler.alias("n_boiler"),
+        F.when(
+            n_chunks > 0, n_boiler.cast("double") / n_chunks.cast("double")
+        ).alias("boiler_fraction"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    id_col: str,
+    budget_docs: int = 1000,
+) -> DataFrame:
+    """Temperature-resampled mixture weights over a grouping column (mT5 /
+    multilingual-T5 α-sampling with α = 1/2): each group's sampling weight
+    is sqrt(token_count) normalized over all groups, which upsamples
+    low-resource groups relative to their raw token share. α = 1/2 is the
+    one temperature that can be ORACLE-EXACT: IEEE 754 requires sqrt to be
+    correctly rounded (unlike pow/exp/ln — the DSIR log-free argument), so
+    sqrt over an exact int64 token sum is bit-identical cross-engine.
+
+    The normalizing denominator is a SEQUENTIAL fold over the per-group
+    sqrts in group order (collect_list sorted, then the left-fold sum the
+    exactness contract uses everywhere) — a plain SUM() would be
+    order-nondeterministic in double. Rows with a NULL group carry no
+    sampling weight (unlabeled docs are not a mixture component).
+
+    Output per group: token/doc counts (exact), weight (double), and
+    target_docs = floor(weight · budget_docs) — the per-group allocation a
+    sampler would draw.
+
+    Scale shape: one groupBy on the group key (cardinality = #languages /
+    #sources — tiny), one single-row fold over the group table, one
+    broadcast join back. The corpus is touched exactly once.
+    """
+    toks = F.when(
+        F.col(text_col).isNotNull(), F.size(ws_tokens(F.col(text_col)))
+    )
+    g = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), toks.alias("__n"))
+        .groupBy("grp")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .withColumn(
+            "__s", F.sqrt(F.coalesce(F.col("n_tokens"), F.lit(0)).cast("double"))
+        )
+    )
+    den = g.select(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("grp"), F.col("__s").alias("s")))
+                ),
+                lambda x: x.getField("s"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__den")
+    )
+    out = g.crossJoin(F.broadcast(den))
+    weight = F.when(F.col("__den") > 0.0, F.col("__s") / F.col("__den"))
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_docs",
+        weight.alias("weight"),
+        F.floor(weight * F.lit(float(budget_docs))).cast("bigint").alias(
+            "target_docs"
+        ),
+    )
+
+
 # Hashed-linear-classifier constants: feature dim, multiplier (Knuth's
 # 32-bit golden-ratio constant), weight modulus/offset. Shared with the
 # oracle SQL in surface/llm.py so both engines score identically.

@@ -1483,6 +1483,74 @@ def text_dedup_chunks_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------------
+# cross-corpus boilerplate removal (round 13): remove EVERY occurrence of a
+# block frequent across documents — C4's repeated-span discard / RefinedWeb's
+# line dedup, vs the keep-first rule above.
+# ----------------------------------------------------------------------------
+
+_BP_W, _BP_MIN = 8, 2
+
+_BP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, w, len(w) // {_BP_W} AS nf
+  FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '\\s+') AS w FROM documents)
+),
+base AS (
+  SELECT doc_id, nf,
+         CASE WHEN w IS NULL THEN NULL
+              ELSE COALESCE(array_to_string(w[nf*{_BP_W}+1:len(w)], ' '), '') END AS tail
+  FROM t
+),
+c AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(w[u.i*{_BP_W}+1:u.i*{_BP_W}+{_BP_W}], ' ') AS ctext
+  FROM t, LATERAL unnest(range(nf)) AS u(i)
+),
+h AS (SELECT doc_id, pos, ctext, {sql_hash_raw60('ctext')} AS chash FROM c),
+fq AS (SELECT chash, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+k AS (
+  SELECT h.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN fq.df >= {_BP_MIN} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         COALESCE(string_agg(CASE WHEN fq.df < {_BP_MIN} THEN h.ctext END,
+                             ' ' ORDER BY h.pos), '') AS kept_text
+  FROM h JOIN fq USING (chash)
+  GROUP BY h.doc_id
+)
+SELECT b.doc_id,
+       COALESCE(k.n_chunks, 0) AS n_chunks,
+       COALESCE(k.n_boiler, 0) AS n_boiler,
+       CASE WHEN COALESCE(k.n_chunks, 0) > 0
+            THEN CAST(k.n_boiler AS DOUBLE) / CAST(k.n_chunks AS DOUBLE)
+       END AS boiler_fraction,
+       md5(CASE WHEN COALESCE(k.kept_text, '') = '' THEN b.tail
+                WHEN b.tail = '' THEN k.kept_text
+                ELSE k.kept_text || ' ' || b.tail END) AS cleaned_md5
+FROM base b LEFT JOIN k USING (doc_id)
+"""
+
+
+@query("text_boilerplate_chunks", _BP_ORACLE)
+def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate removal (round 13): any {w}-token block
+    whose exact text occurs in >= {m} distinct documents is removed from
+    EVERY document (C4's repeated-span discard; RefinedWeb's line dedup) —
+    the complement of text_dedup_chunks_keep_first's keep-first rule.
+    Output: per-doc chunk counts, the removed-mass fraction (the filter
+    signal), and the rebuilt text's md5. See operators/text.
+    boilerplate_chunks for the three-linear-shuffle scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.boilerplate_chunks(
+        docs, "text", "doc_id", width=_BP_W, min_docs=_BP_MIN
+    )
+
+
+text_boilerplate_chunks.__doc__ = text_boilerplate_chunks.__doc__.format(
+    w=_BP_W, m=_BP_MIN
+)
+
+
+# ----------------------------------------------------------------------------
 # sampling: per-source token budgets (mixture specified in tokens, not docs)
 # ----------------------------------------------------------------------------
 
@@ -1517,6 +1585,58 @@ def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_budget_per_group(
         docs, "text", "doc_id", "source", budget=_BUDGET_TOKENS
     )
+
+
+# ----------------------------------------------------------------------------
+# sampling: temperature-resampled mixture weights (round 13) — mT5-style
+# α-sampling at the one oracle-exact temperature (α = 1/2: IEEE sqrt is
+# correctly rounded; pow/exp/ln are not — the DSIR log-free argument).
+# ----------------------------------------------------------------------------
+
+_TEMP_BUDGET = 1000
+
+_TEMP_ORACLE = rf"""
+WITH t AS (
+  SELECT lang AS grp,
+         LEN(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+')) AS n
+  FROM documents WHERE lang IS NOT NULL
+),
+g AS (
+  SELECT grp,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         sqrt(CAST(COALESCE(SUM(n), 0) AS DOUBLE)) AS s
+  FROM t GROUP BY grp
+),
+d AS (SELECT list_aggregate(list(s ORDER BY grp), 'sum') AS den FROM g)
+SELECT lang, n_tokens, n_docs, weight,
+       CAST(FLOOR(weight * {_TEMP_BUDGET}.0) AS BIGINT) AS target_docs
+FROM (
+  SELECT g.grp AS lang, g.n_tokens, g.n_docs,
+         CASE WHEN d.den > 0.0 THEN g.s / d.den END AS weight
+  FROM g, d
+)
+"""
+
+
+@query("sample_temperature_mixture", _TEMP_ORACLE)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled language mixture (round 13): per-language
+    sampling weight = sqrt(token_count) normalized over languages (mT5
+    α-sampling, α = 1/2 — the one temperature IEEE guarantees correctly
+    rounded, hence oracle-exact), plus the per-language document allocation
+    under a {b}-doc budget. The denominator is a sequential group-ordered
+    fold, never an order-nondeterministic SUM over doubles. See
+    operators/text.temperature_mixture for the one-pass scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.temperature_mixture(
+        docs, "lang", "text", "doc_id", budget_docs=_TEMP_BUDGET
+    )
+
+
+sample_temperature_mixture.__doc__ = sample_temperature_mixture.__doc__.format(
+    b=_TEMP_BUDGET
+)
 
 
 # ----------------------------------------------------------------------------
@@ -2348,6 +2468,30 @@ def _sql_km_c1(
 
 _TIVF_K = 16  # trained coarse-quantizer cells (seeds = the sim_ivf pinned rows)
 
+
+def _trained_ivf_centroids(emb: DataFrame) -> list[list[float]]:
+    """Train the {_TIVF_K}-cell coarse quantizer from the pinned seed rows
+    and collect the codebook in cell order — positional cell ids are a
+    monotone renumbering of the oracle's seed-offset cells, so (d2, cell)
+    tie-breaks agree engine-to-engine. Shared by the trained-IVF and
+    trained-IVFPQ recall queries."""
+    seeds = S.valid_vectors(
+        emb.filter(
+            (F.col("vec_id") >= _IVF_SEED_LO)
+            & (F.col("vec_id") < _IVF_SEED_LO + _TIVF_K)
+        ),
+        "embedding",
+        _DIM,
+    ).select(
+        (F.col("vec_id") - _IVF_SEED_LO).cast("int").alias("cell_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    trained = S.kmeans_lloyd_centroids(
+        emb, "vec_id", "embedding", seeds,
+        iters=_KM_ITERS, scale=_KM_SCALE, dim=_DIM,
+    )
+    return [list(r["cvec"]) for r in trained.orderBy("cell_id").collect()]
+
 _IVF_TRAINED_ORACLE = f"""
 WITH {_sql_km_c1("t", _IVF_SEED_LO, _TIVF_K, "embedding", _DIM, _KM_SCALE)},
 d AS (
@@ -2423,22 +2567,7 @@ def sim_ivf_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook: a monotone renumbering of the oracle's seed-offset cells, so
     (d2, cell) tie-breaks agree engine-to-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = S.valid_vectors(
-        emb.filter(
-            (F.col("vec_id") >= _IVF_SEED_LO)
-            & (F.col("vec_id") < _IVF_SEED_LO + _TIVF_K)
-        ),
-        "embedding",
-        _DIM,
-    ).select(
-        (F.col("vec_id") - _IVF_SEED_LO).cast("int").alias("cell_id"),
-        F.col("embedding").alias("cvec"),
-    )
-    trained = S.kmeans_lloyd_centroids(
-        emb, "vec_id", "embedding", seeds,
-        iters=_KM_ITERS, scale=_KM_SCALE, dim=_DIM,
-    )
-    cent = [list(r["cvec"]) for r in trained.orderBy("cell_id").collect()]
+    cent = _trained_ivf_centroids(emb)
     queries_df = emb.filter(F.col("vec_id") < 10)
     truth = S.cosine_topk(
         queries_df, emb, "vec_id", "embedding", k=10, dim=_DIM
@@ -3278,6 +3407,43 @@ def _sql_sub_l2_t(a: str, c: str, j: int) -> str:
     )
 
 
+def _trained_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+    """Train the m per-subspace PQ codebooks (one deterministic k-means per
+    subvector slice, seeds admitted uniformly on the FULL embedding so all
+    m codebooks share one cell set) and collect them in cell order. Shared
+    by the trained-PQ and trained-IVFPQ recall queries."""
+    dom_ok = ~F.exists(
+        F.col("embedding"),
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) >= F.lit(S.CENTROID_COMPONENT_DOMAIN)),
+    )
+    seed_base = S.valid_vectors(
+        emb.filter(
+            (F.col("vec_id") >= _PQ_SEED_LO)
+            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_KSUB)
+        ),
+        "embedding",
+        _DIM,
+    ).where(dom_ok)
+    codebooks = []
+    for j in range(_PQ_M):
+        sub = F.slice(F.col("embedding"), j * _PQ_DSUB + 1, _PQ_DSUB)
+        trained = S.kmeans_lloyd_centroids(
+            emb.select("vec_id", sub.alias("subvec")),
+            "vec_id", "subvec",
+            seed_base.select(
+                (F.col("vec_id") - _PQ_SEED_LO).cast("int").alias("cell_id"),
+                sub.alias("cvec"),
+            ),
+            iters=_KM_ITERS, scale=_KM_SCALE, dim=_PQ_DSUB,
+        )
+        codebooks.append(
+            [list(r["cvec"]) for r in trained.orderBy("cell_id").collect()]
+        )
+    return codebooks
+
+
 _TPQ_TRAIN_CTES = ",\n".join(
     _sql_km_c1(
         f"p{j}_", _PQ_SEED_LO, _PQ_KSUB,
@@ -3373,35 +3539,7 @@ def sim_pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainings run once on a sample at ingest; the per-row cost of the
     composition is unchanged from the pinned sibling."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dom_ok = ~F.exists(
-        F.col("embedding"),
-        lambda x: x.isNull()
-        | F.isnan(x.cast("double"))
-        | (F.abs(x.cast("double")) >= F.lit(S.CENTROID_COMPONENT_DOMAIN)),
-    )
-    seed_base = S.valid_vectors(
-        emb.filter(
-            (F.col("vec_id") >= _PQ_SEED_LO)
-            & (F.col("vec_id") < _PQ_SEED_LO + _PQ_KSUB)
-        ),
-        "embedding",
-        _DIM,
-    ).where(dom_ok)
-    codebooks = []
-    for j in range(_PQ_M):
-        sub = F.slice(F.col("embedding"), j * _PQ_DSUB + 1, _PQ_DSUB)
-        trained = S.kmeans_lloyd_centroids(
-            emb.select("vec_id", sub.alias("subvec")),
-            "vec_id", "subvec",
-            seed_base.select(
-                (F.col("vec_id") - _PQ_SEED_LO).cast("int").alias("cell_id"),
-                sub.alias("cvec"),
-            ),
-            iters=_KM_ITERS, scale=_KM_SCALE, dim=_PQ_DSUB,
-        )
-        codebooks.append(
-            [list(r["cvec"]) for r in trained.orderBy("cell_id").collect()]
-        )
+    codebooks = _trained_pq_codebooks(emb)
     if not codebooks[0]:
         # no valid seed rows (empty corpus): nothing to train or search —
         # the oracle's CTEs are all empty too (the sim_pq_recall_at_k
@@ -3417,6 +3555,13 @@ def sim_pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = S.pq_adc_topk(
         queries_df, codes, "vec_id", "embedding", codebooks, k=10
     ).select("query_id", F.col("match_id").alias("__pq_match"))
+    return _recall_vs_l2_truth(queries_df, emb, pq, "__pq_match", "pq")
+
+
+def _l2_truth_top10(queries_df: DataFrame, emb: DataFrame) -> DataFrame:
+    """Exact-L2 ground-truth top-10 per query (the sim_pq_recall_at_k truth
+    arm, factored for the trained-quantizer compositions): same fold shape
+    as the oracle's _sql_l2, NULLs sunk (the r7 _topk NULLS-FIRST trap)."""
     q = queries_df.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -3435,23 +3580,135 @@ def sim_pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     wnd = W.partitionBy("query_id").orderBy(
         F.col("__d2").asc_nulls_last(), F.col("match_id")
     )
-    truth = (
+    return (
         sq.withColumn("rank", F.row_number().over(wnd))
         .filter(F.col("rank") <= 10)
         .select("query_id", "match_id")
     )
+
+
+def _recall_vs_l2_truth(
+    queries_df: DataFrame, emb: DataFrame, approx: DataFrame,
+    match_col: str, suffix: str,
+) -> DataFrame:
+    """Hit-count recall of an approximate top-10 against exact-L2 truth —
+    output (query_id, n_true, n_hit_<suffix>, recall_<suffix>) as exact
+    integer counts plus one double division."""
+    truth = _l2_truth_top10(queries_df, emb)
     joined = truth.join(
-        pq,
-        (truth.query_id == pq.query_id) & (truth.match_id == pq.__pq_match),
+        approx,
+        (truth.query_id == approx.query_id)
+        & (truth.match_id == approx[match_col]),
         "left",
-    ).drop(pq.query_id)
+    ).drop(approx.query_id)
     return joined.groupBy("query_id").agg(
         F.count("*").cast("bigint").alias("n_true"),
-        F.count("__pq_match").cast("bigint").alias("n_hit_pq"),
+        F.count(match_col).cast("bigint").alias(f"n_hit_{suffix}"),
         (
-            F.count("__pq_match").cast("double") / F.count("*").cast("double")
-        ).alias("recall_pq"),
+            F.count(match_col).cast("double") / F.count("*").cast("double")
+        ).alias(f"recall_{suffix}"),
     )
+
+
+# ----------------------------------------------------------------------------
+# trained IVF-PQ (round 13): the FULL composition — trained coarse cells,
+# trained codebooks, probe-restricted ADC scan. FAISS IndexIVFPQ end to end.
+# ----------------------------------------------------------------------------
+
+_IVFPQ_TRAINED_ORACLE = f"""
+WITH {_sql_km_c1("t", _IVF_SEED_LO, _TIVF_K, "embedding", _DIM, _KM_SCALE)},
+{_TPQ_TRAIN_CTES},
+{_TPQ_CODE_CTES},
+codes AS (
+  SELECT tk0.vec_id, {_TPQ_CODE_COLS}
+  FROM tk0 {_TPQ_CODE_JOIN}
+),
+d AS (
+  SELECT e.vec_id, t.cell AS cell_id, {_sql_l2('e.embedding', 't.cvec')} AS d2
+  FROM embeddings e CROSS JOIN tc1 t
+  WHERE {_VALID.replace("embedding", "e.embedding")}
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM d) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM d WHERE vec_id < 10) WHERE rn <= {_IVF_PROBE}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < 10 AND {_VALID}),
+cand AS (
+  SELECT a.vec_id, a.cell_id, {_TPQ_CODE_COLS}
+  FROM assign a JOIN codes USING (vec_id)
+),
+adc AS (
+  SELECT q.query_id, c.vec_id AS match_id, {_TPQ_ADC_SUM} AS approx_d2
+  FROM cand c
+  JOIN probes p ON c.cell_id = p.cell_id
+  JOIN q ON q.query_id = p.query_id
+  {_TPQ_CB_JOINS}
+  WHERE c.vec_id <> q.query_id
+),
+ivfpq AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_d2, match_id) AS rank
+    FROM adc) WHERE rank <= 10
+),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, e.vec_id AS match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_l2('e.embedding', 'q.qvec')},
+                                       e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id AND {S.VALID_VEC_SQL('e.embedding', _DIM)}
+  ) WHERE rank <= 10
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(p.match_id) AS BIGINT) AS n_hit_ivfpq,
+       CAST(CAST(COUNT(p.match_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DOUBLE)
+         AS recall_ivfpq
+FROM truth t
+LEFT JOIN ivfpq p ON t.query_id = p.query_id AND t.match_id = p.match_id
+GROUP BY t.query_id
+"""
+
+
+@query("sim_ivfpq_trained_recall_at_k", _IVFPQ_TRAINED_ORACLE)
+def sim_ivfpq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS IndexIVFPQ end to end, fully TRAINED and oracle-exact (round
+    13): the coarse quantizer is the k-means-trained 16-cell codebook, the
+    m PQ codebooks are per-subspace k-means products, and the search probes
+    the 4 nearest trained cells and ranks ONLY the probed candidates by the
+    codes-only ADC approximation (operators/similarity.ivfpq_adc_topk).
+    Recall@10 vs exact-L2 ground truth as integer hit counts. This is the
+    complete production ANN shape — train → assign+encode at ingest →
+    probe-restricted code scan at query time — with every stage (iterative
+    training included) recomputed bit-for-bit by the SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _trained_ivf_centroids(emb)
+    codebooks = _trained_pq_codebooks(emb)
+    if not cent or not codebooks[0]:
+        # empty corpus: nothing trained, nothing to search (the
+        # sim_pq_recall_at_k empty-corpus precedent)
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, n_true bigint, n_hit_ivfpq bigint, recall_ivfpq double",
+        )
+    queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
+    approx = S.ivfpq_adc_topk(
+        queries_df, emb, "vec_id", "embedding", cent, codebooks,
+        k=10, n_probe=_IVF_PROBE,
+    ).select("query_id", F.col("match_id").alias("__ivfpq_match"))
+    return _recall_vs_l2_truth(queries_df, emb, approx, "__ivfpq_match", "ivfpq")
 
 
 # ----------------------------------------------------------------------------

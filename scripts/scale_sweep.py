@@ -69,8 +69,24 @@ NEW_R12 = [
     "text_duplication_fraction",     # rides the corpus-sized gram inventory
 ]
 
+# round-13 additions: the trained-quantizer compositions are size-coupled
+# through the k-means trainings (int64 fixed-point grid, cell-population
+# overflow bound) AND the probe/candidate joins (cell occupancy grows with
+# the corpus while the codebooks stay fixed)
+NEW_R13 = [
+    "sim_ivf_trained_recall_at_k",
+    "sim_pq_trained_recall_at_k",
+    "sim_ivfpq_trained_recall_at_k",
+    # cross-corpus boilerplate removal rides a corpus-sized chunk-hash
+    # inventory (size-coupled like the keep-first sibling).
+    # sample_temperature_mixture is deliberately absent: a 5-group
+    # aggregate has no size-coupled failure class; the six fixture sweeps
+    # already run it on every adversarial corpus.
+    "text_boilerplate_chunks",
+]
+
 QUERIES_TO_RUN = sorted(
-    set(REPEAT_3X) | set(EXTREME_FIVE) | set(NEW_R11) | set(NEW_R12)
+    set(REPEAT_3X) | set(EXTREME_FIVE) | set(NEW_R11) | set(NEW_R12) | set(NEW_R13)
 )
 
 

@@ -672,3 +672,59 @@ def test_importance_reweight_model_is_broadcast(spark):
     plan = formatted_plan(importance_reweight(df, "text", "doc_id", "tgt"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_chunks_removes_every_occurrence(spark):
+    """The cross-doc rule vs keep-first: a block shared by >= min_docs
+    documents vanishes from ALL of them (including the first), while blocks
+    repeated only WITHIN one document survive (df counts distinct docs)."""
+    import hashlib
+
+    from crystal_parquet_database_spark.operators.text import boilerplate_chunks
+
+    w = 2
+    rows = [
+        (1, "a b u1 u2"),      # "a b" shared with doc 2 → removed from both
+        (2, "a b v1 v2"),
+        (3, "c d c d"),        # repeated within ONE doc only → kept (df=1)
+        (4, "e f g"),          # unique block + tail
+        (5, None),             # NULL text → NULL md5 (module convention)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_chunks(df, "text", "doc_id", width=w, min_docs=2).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1]["n_boiler"] == 1 and got[1]["cleaned_md5"] == md5("u1 u2")
+    assert got[2]["n_boiler"] == 1 and got[2]["cleaned_md5"] == md5("v1 v2")
+    assert got[3]["n_boiler"] == 0 and got[3]["cleaned_md5"] == md5("c d c d")
+    assert got[4]["n_chunks"] == 1 and got[4]["cleaned_md5"] == md5("e f g")
+    assert got[4]["boiler_fraction"] == 0.0
+    assert got[5]["n_chunks"] == 0 and got[5]["cleaned_md5"] is None
+    assert got[5]["boiler_fraction"] is None
+    assert got[1]["boiler_fraction"] == 0.5
+
+
+def test_temperature_mixture_upweights_low_resource(spark):
+    """α = 1/2 flattens the distribution: the small group's weight share
+    must exceed its raw token share; weights sum to ~1; NULL groups carry
+    no weight; target_docs allocates the budget."""
+    from crystal_parquet_database_spark.operators.text import temperature_mixture
+
+    rows = [(i, "en", "w " * 99 + "w") for i in range(10)]     # 100 tokens ea
+    rows += [(100, "mi", "w " * 3 + "w")]                       # 4 tokens
+    rows += [(200, None, "w w w")]                              # unlabeled
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in temperature_mixture(df, "lang", "text", "doc_id").collect()}
+    assert set(got) == {"en", "mi"}
+    en, mi = got["en"], got["mi"]
+    assert en["n_tokens"] == 1000 and mi["n_tokens"] == 4
+    raw_share = 4 / 1004
+    assert mi["weight"] > raw_share                       # upweighted
+    assert abs(en["weight"] + mi["weight"] - 1.0) < 1e-12
+    assert en["target_docs"] + mi["target_docs"] <= 1000  # floor never overshoots
+    # zero-token corpus: weights are NULL, not a crash or a div-by-zero inf
+    z = spark.createDataFrame([(1, "en", None)], "doc_id long, lang string, text string")
+    zr = temperature_mixture(z, "lang", "text", "doc_id").collect()
+    assert len(zr) == 1 and zr[0]["weight"] is None and zr[0]["target_docs"] is None

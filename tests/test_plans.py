@@ -365,3 +365,19 @@ def test_round11_dedup_ops_plan_no_cartesian(spark, sf_dir):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trained_quantizer_queries_no_cartesian(spark, sf_dir):
+    """The round-13 trained compositions (k-means -> IVF / PQ / IVF-PQ
+    search): training is the kmeans broadcast loop, search is the proven
+    inlined-literal machinery — no CartesianProduct may appear anywhere in
+    the final (post-checkpoint) search+recall plan."""
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    for name in (
+        "sim_ivf_trained_recall_at_k",
+        "sim_pq_trained_recall_at_k",
+        "sim_ivfpq_trained_recall_at_k",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name

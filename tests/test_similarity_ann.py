@@ -734,3 +734,67 @@ def test_kmeans_centroids_are_the_assignments_codebook(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ivfpq_candidates_come_from_probed_cells_only(spark):
+    """IVF-PQ must never rank a candidate outside the query's probed cells —
+    the probe restriction IS the operator (vs a full-corpus ADC scan)."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    dim, m, dsub = 8, 2, 4
+    # two far-apart blobs; centroids on each blob → n_probe=1 restricts the
+    # scan to the query's own blob
+    rows = [(i, [0.0 + 0.01 * i] * dim) for i in range(10)]
+    rows += [(100 + i, [50.0 + 0.01 * i] * dim) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [[0.0] * dim, [50.0] * dim]
+    codebooks = [
+        [[0.0] * dsub, [50.0] * dsub],
+        [[0.0] * dsub, [50.0] * dsub],
+    ]
+    got = ivfpq_adc_topk(
+        emb.filter(F.col("vec_id") == 0), emb, "vec_id", "embedding",
+        centroids, codebooks, k=20, n_probe=1,
+    ).collect()
+    # every match sits in blob 0 (the probed cell); blob 1 is invisible
+    assert got and all(r["match_id"] < 100 for r in got)
+    # with both cells probed the result equals the full ADC scan
+    full = pq_adc_topk(
+        emb.filter(F.col("vec_id") == 0),
+        pq_encode(emb, "vec_id", "embedding", codebooks),
+        "vec_id", "embedding", codebooks, k=20,
+    )
+    both = ivfpq_adc_topk(
+        emb.filter(F.col("vec_id") == 0), emb, "vec_id", "embedding",
+        centroids, codebooks, k=20, n_probe=2,
+    )
+    assert {(r["query_id"], r["match_id"], r["rank"]) for r in both.collect()} == {
+        (r["query_id"], r["match_id"], r["rank"]) for r in full.collect()
+    }
+
+
+def test_ivfpq_plan_no_cartesian_and_codes_only_scan(spark):
+    """The candidate join must be a cell-key equi-join over broadcast probes
+    (never CartesianProduct), per the ivf_topk/pq_adc_topk contracts."""
+    from crystal_parquet_database_spark.operators.similarity import ivfpq_adc_topk
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    dim, dsub = 8, 4
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * dim) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = formatted_plan(
+        ivfpq_adc_topk(
+            emb.filter(F.col("vec_id") < 2), emb, "vec_id", "embedding",
+            [[0.0] * dim, [5.0] * dim],
+            [[[0.0] * dsub, [5.0] * dsub], [[0.0] * dsub, [5.0] * dsub]],
+            k=3, n_probe=1,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
