@@ -405,9 +405,9 @@ def ivf_topk(
         return _subspace_dists(vec, centers_arr)
 
     def cell_of(vec: Column) -> Column:
-        """argmin over inlined centroids; first-min tie-break (deterministic)."""
-        ds = dists(vec)
-        return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+        """argmin over inlined centroids (_argmin_code — the shared
+        first-min tie-break definition)."""
+        return _argmin_code(dists(vec))
 
     # The inverted file IS a materialization (FAISS builds it at add()-time;
     # at 100 TB it's an ingest-time partition key) — checkpointing here both
@@ -897,6 +897,15 @@ def _subspace_dists(sub: Column, cb_arr: Column) -> Column:
     return F.transform(cb_arr, lambda c: _sub_l2(sub, c))
 
 
+def _argmin_code(ds: Column) -> Column:
+    """First-min argmin over a distance array as a 0-based int code — THE
+    tie-break definition (≡ the oracles' ROW_NUMBER(ORDER BY d2, cell)),
+    one definition shared by ivf_topk's cell assignment, pq_encode's code
+    argmin and ivfpq_adc_topk (the module's one-definition rule: a NaN- or
+    tie-handling fix here must reach every quantizer at once)."""
+    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str,
@@ -926,7 +935,7 @@ def pq_encode(
         cb_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
         sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
         ds = _subspace_dists(sub, cb_arr)
-        out.append((F.array_position(ds, F.array_min(ds)) - 1).cast("int").alias(f"code{j}"))
+        out.append(_argmin_code(ds).alias(f"code{j}"))
     return df.select(*out)
 
 
@@ -1016,8 +1025,7 @@ def ivfpq_adc_topk(
         return _subspace_dists(vec, centers_arr)
 
     def cell_of(vec: Column) -> Column:
-        ds = dists(vec)
-        return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+        return _argmin_code(dists(vec))
 
     # ingest side: cell + codes per corpus vector (checkpointed — the
     # materialization IS the index, and it keeps the inlined-literal trees
@@ -1029,9 +1037,7 @@ def ivfpq_adc_topk(
     for j in range(m):
         sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
         ds = _subspace_dists(sub, cb_arrs[j])
-        ccols.append(
-            (F.array_position(ds, F.array_min(ds)) - 1).cast("int").alias(f"code{j}")
-        )
+        ccols.append(_argmin_code(ds).alias(f"code{j}"))
     assigned = valid_vectors(corpus, vec_col, dim).select(*ccols).localCheckpoint(
         eager=True
     )

@@ -60,7 +60,15 @@ from crystal_parquet_database_spark.surface import layout  # noqa: E402,F401
 # established precedent but still join the next round's belt-and-braces
 # set. This round's changed-code set: kmeans_lloyd_assign was refactored
 # (codebook exposure) — its gated query sim_kmeans_train_assign is in the
-# window above; no other gated query's code changed.
+# window above. A round-13-head code review then caught an oracle
+# divergence in the three trained-quantizer queries' all-seeds-invalid
+# degenerate path (fixed + pinned in pytest before any driver row existed;
+# they are in-window, so their fresh rows certify the fixed code directly
+# — the r12 precedent), and the same review's one-definition cleanup
+# (_argmin_code, _recall_hits) touched ivf_topk/pq_encode
+# behavior-identically: sim_ivf_recall_at_k, sim_pq_recall_at_k and
+# sim_ivf_topk keep their rows per the plan-only precedent and join the
+# round-14 belt-and-braces set.
 # After round 13: every registered oracle-paired query has a driver row,
 # no oracle-paired row predates r10, and the oldest evidence is the 15
 # lightest r10 rows (round-14 priority after any changed-code set:

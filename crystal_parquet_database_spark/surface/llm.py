@@ -2568,6 +2568,15 @@ def sim_ivf_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d2, cell) tie-breaks agree engine-to-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _trained_ivf_centroids(emb)
+    if not cent:
+        # no valid seed rows: the oracle's tc1 is empty, so its assign —
+        # and therefore BOTH the ivf and truth CTEs, which are built on the
+        # assigned corpus — emit zero rows. Must NOT fall through to
+        # ivf_topk's exact-search fallback (recall-1.0 rows the oracle
+        # never produces — review-caught divergence, round 13).
+        return spark.createDataFrame(
+            [], "query_id bigint, n_true bigint, n_hit_ivf bigint, recall_ivf double"
+        )
     queries_df = emb.filter(F.col("vec_id") < 10)
     truth = S.cosine_topk(
         queries_df, emb, "vec_id", "embedding", k=10, dim=_DIM
@@ -2577,26 +2586,7 @@ def sim_ivf_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10, n_cells=_TIVF_K, n_probe=_IVF_PROBE, centroids=cent,
         dim=_DIM,
     ).select("query_id", F.col("match_id").alias("__ivf_match"))
-    joined = truth.join(
-        ivf,
-        (truth.query_id == ivf.query_id) & (truth.match_id == ivf.__ivf_match),
-        "left",
-    ).drop(ivf.query_id)
-    return (
-        joined.groupBy("query_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_true"),
-            F.count("__ivf_match").cast("bigint").alias("n_hit_ivf"),
-        )
-        .select(
-            "query_id",
-            "n_true",
-            "n_hit_ivf",
-            (F.col("n_hit_ivf").cast("double") / F.col("n_true").cast("double")).alias(
-                "recall_ivf"
-            ),
-        )
-    )
+    return _recall_hits(truth, ivf, "__ivf_match", "ivf")
 
 
 sim_ivf_trained_recall_at_k.__doc__ = sim_ivf_trained_recall_at_k.__doc__.format(
@@ -3540,18 +3530,19 @@ def sim_pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition is unchanged from the pinned sibling."""
     emb = load_table(spark, sf_dir, "embeddings")
     codebooks = _trained_pq_codebooks(emb)
+    queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
     if not codebooks[0]:
-        # no valid seed rows (empty corpus): nothing to train or search —
-        # the oracle's CTEs are all empty too (the sim_pq_recall_at_k
-        # empty-corpus precedent). Uniform seed admission means cell sets
+        # no valid seed rows: nothing trained, so the oracle's codes/adc/pq
+        # CTEs are empty — but its TRUTH CTE is training-INDEPENDENT
+        # (embeddings CROSS JOIN q), so the right degenerate output is the
+        # truth rows with ZERO hits, not an empty frame (review-caught
+        # divergence, round 13). Uniform seed admission means cell sets
         # match across subspaces, so checking subspace 0 checks them all.
-        return spark.createDataFrame(
-            [], "query_id bigint, n_true bigint, n_hit_pq bigint, recall_pq double"
-        )
+        no_hits = spark.createDataFrame([], "query_id bigint, __pq_match bigint")
+        return _recall_vs_l2_truth(queries_df, emb, no_hits, "__pq_match", "pq")
     codes = S.pq_encode(emb, "vec_id", "embedding", codebooks).localCheckpoint(
         eager=True
     )
-    queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
     pq = S.pq_adc_topk(
         queries_df, codes, "vec_id", "embedding", codebooks, k=10
     ).select("query_id", F.col("match_id").alias("__pq_match"))
@@ -3587,14 +3578,15 @@ def _l2_truth_top10(queries_df: DataFrame, emb: DataFrame) -> DataFrame:
     )
 
 
-def _recall_vs_l2_truth(
-    queries_df: DataFrame, emb: DataFrame, approx: DataFrame,
-    match_col: str, suffix: str,
+def _recall_hits(
+    truth: DataFrame, approx: DataFrame, match_col: str, suffix: str
 ) -> DataFrame:
-    """Hit-count recall of an approximate top-10 against exact-L2 truth —
-    output (query_id, n_true, n_hit_<suffix>, recall_<suffix>) as exact
-    integer counts plus one double division."""
-    truth = _l2_truth_top10(queries_df, emb)
+    """Hit-count recall of an approximate top-10 against a (query_id,
+    match_id) ground-truth frame — output (query_id, n_true,
+    n_hit_<suffix>, recall_<suffix>) as exact integer counts plus one
+    double division. ONE definition of the left-join + count tail (the
+    module's one-definition rule: three hand copies of this epilogue had
+    accumulated by round 13)."""
     joined = truth.join(
         approx,
         (truth.query_id == approx.query_id)
@@ -3608,6 +3600,14 @@ def _recall_vs_l2_truth(
             F.count(match_col).cast("double") / F.count("*").cast("double")
         ).alias(f"recall_{suffix}"),
     )
+
+
+def _recall_vs_l2_truth(
+    queries_df: DataFrame, emb: DataFrame, approx: DataFrame,
+    match_col: str, suffix: str,
+) -> DataFrame:
+    """`_recall_hits` against the exact-L2 ground truth."""
+    return _recall_hits(_l2_truth_top10(queries_df, emb), approx, match_col, suffix)
 
 
 # ----------------------------------------------------------------------------
@@ -3696,14 +3696,16 @@ def sim_ivfpq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _trained_ivf_centroids(emb)
     codebooks = _trained_pq_codebooks(emb)
-    if not cent or not codebooks[0]:
-        # empty corpus: nothing trained, nothing to search (the
-        # sim_pq_recall_at_k empty-corpus precedent)
-        return spark.createDataFrame(
-            [],
-            "query_id bigint, n_true bigint, n_hit_ivfpq bigint, recall_ivfpq double",
-        )
     queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
+    if not cent or not codebooks[0]:
+        # either training emptied: the oracle's cand/adc/ivfpq chain is
+        # empty but its TRUTH CTE is training-INDEPENDENT, so the right
+        # degenerate output is truth rows with ZERO hits (review-caught
+        # divergence, round 13 — the trained-PQ sibling's reasoning; note
+        # the trained-IVF sibling differs: ITS oracle truth ranks only the
+        # ASSIGNED corpus, so there the empty frame is correct).
+        no_hits = spark.createDataFrame([], "query_id bigint, __ivfpq_match bigint")
+        return _recall_vs_l2_truth(queries_df, emb, no_hits, "__ivfpq_match", "ivfpq")
     approx = S.ivfpq_adc_topk(
         queries_df, emb, "vec_id", "embedding", cent, codebooks,
         k=10, n_probe=_IVF_PROBE,

@@ -798,3 +798,42 @@ def test_ivfpq_plan_no_cartesian_and_codes_only_scan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_trained_quantizers_all_seeds_invalid_matches_oracle(spark):
+    """The review-caught degenerate class (round 13): when EVERY seed row of
+    a training window is invalid (here: truncated to 32 dims), the three
+    trained-quantizer queries must reproduce their oracles' exact degenerate
+    shapes — trained-IVF emits ZERO rows (its oracle's truth ranks only the
+    assigned corpus, which is empty without centroids), while trained-PQ and
+    trained-IVFPQ emit the full truth rows with ZERO hits (their oracles'
+    truth CTEs are training-independent)."""
+    import os
+    import shutil
+    import tempfile
+
+    from crystal_parquet_database_spark.testing import compare_query
+
+    import pandas as pd
+
+    src, dst = "/root/testdata/sf0.01", tempfile.mkdtemp(prefix="allbadseeds_")
+    try:
+        for f in os.listdir(src):
+            shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+        emb = pd.read_parquet(os.path.join(dst, "embeddings.parquet"))
+        mask = ((emb.vec_id >= 100) & (emb.vec_id < 116)) | (
+            (emb.vec_id >= 200) & (emb.vec_id < 216)
+        )
+        emb.loc[mask, "embedding"] = emb.loc[mask, "embedding"].apply(
+            lambda v: v[:32]
+        )
+        emb.to_parquet(os.path.join(dst, "embeddings.parquet"), index=False)
+        for name in (
+            "sim_ivf_trained_recall_at_k",
+            "sim_pq_trained_recall_at_k",
+            "sim_ivfpq_trained_recall_at_k",
+        ):
+            ok, msg = compare_query(spark, name, dst)
+            assert ok, msg
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
