@@ -1091,7 +1091,8 @@ def sqdist(a: Column, b: Column) -> Column:
 
 
 def _km_frames(
-    df: DataFrame, id_col: str, vec_col: str, seeds: DataFrame, dim: int | None
+    df: DataFrame, id_col: str, vec_col: str, seeds: DataFrame, dim: int | None,
+    group_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Domain-guarded (base, cent) inputs shared by the k-means entry points.
 
@@ -1099,6 +1100,14 @@ def _km_frames(
     the (cell, pos) update builds a mixed-length centroid, and ``sqdist``'s
     zip_with yields NULL d2 whose min(struct) argmin is undefined — the
     docstring's invalid-vector contract only holds under a fixed dim.
+
+    ``group_col`` (present in BOTH df and seeds) trains one independent
+    k-means per group IN ONE PASS — the PQ per-subspace trainings stack
+    their m subvector frames and train all m codebooks with a single
+    broadcast + shuffle budget instead of m sequential jobs. Ungrouped
+    callers get a constant group, making the group equi-join the exact
+    cross join the single-training path always used. Rows with a NULL
+    group carry no training group and are excluded (equi-join semantics).
     """
     if dim is None:
         raise ValueError(
@@ -1112,35 +1121,48 @@ def _km_frames(
         | F.isnan(x.cast("double"))
         | (F.abs(x.cast("double")) >= F.lit(CENTROID_COMPONENT_DOMAIN)),
     )
+    grp = (lambda: F.col(group_col)) if group_col else (lambda: F.lit(0))
     base = (
         valid_vectors(df, vec_col, dim)
         .where(dom_ok(F.col(vec_col)))
-        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+        .select(
+            grp().alias("__grp"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+        )
     )
     cent = (
         valid_vectors(seeds, "cvec", dim)
         .where(dom_ok(F.col("cvec")))
-        .select(F.col("cell_id").alias("__cell"), F.col("cvec").alias("__cvec"))
+        .select(
+            grp().alias("__grp"),
+            F.col("cell_id").alias("__cell"),
+            F.col("cvec").alias("__cvec"),
+        )
     )
     return base, cent
 
 
 def _km_assign(base: DataFrame, cent: DataFrame) -> DataFrame:
-    """One assignment pass: per-row argmin of sqdist over broadcast
-    centroids — min(struct(d2, cell)), ties to the smallest cell."""
-    scored = base.crossJoin(F.broadcast(cent)).select(
+    """One assignment pass: per-(group, row) argmin of sqdist over the
+    broadcast centroids of that row's group — min(struct(d2, cell)), ties
+    to the smallest cell. Ungrouped training is the constant group, where
+    the group equi-join degenerates to the cross join."""
+    scored = base.join(F.broadcast(cent), "__grp").select(
+        "__grp",
         "__id",
         F.col("__cell"),
         sqdist(F.col("__vec"), F.col("__cvec")).alias("__d2"),
     )
     return (
-        scored.groupBy("__id")
+        scored.groupBy("__grp", "__id")
         .agg(
             F.min(
                 F.struct(F.col("__d2").alias("d2"), F.col("__cell").alias("cell"))
             ).alias("__b")
         )
         .select(
+            "__grp",
             "__id",
             F.col("__b.cell").alias("cell_id"),
             F.col("__b.d2").alias("dist2"),
@@ -1156,6 +1178,7 @@ def kmeans_lloyd_centroids(
     iters: int = 2,
     scale: int = 10_000_000,
     dim: int | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """The TRAINED CODEBOOK half of deterministic Lloyd's k-means: run the
     same ``iters - 1`` fixed-point update rounds as ``kmeans_lloyd_assign``
@@ -1171,18 +1194,25 @@ def kmeans_lloyd_centroids(
     floats: small enough to collect as a pinned codebook literal (the
     ``ivf_topk(centroids=...)`` / ``pq_encode(codebooks=...)`` shape — the
     same scale argument as any broadcast literal).
+
+    ``group_col``: train one INDEPENDENT k-means per group value in a
+    single pass (see ``_km_frames``) — the m per-subspace PQ trainings
+    stack into one frame and pay one broadcast + one shuffle family
+    total instead of m sequential training jobs; output gains the group
+    column. Per-group results are bit-identical to m separate calls
+    (every aggregation below keys on the group).
     """
-    base, cent = _km_frames(df, id_col, vec_col, seeds, dim)
+    base, cent = _km_frames(df, id_col, vec_col, seeds, dim, group_col)
     for _ in range(max(0, int(iters) - 1)):
-        assigned = _km_assign(base, cent).join(base, "__id")
+        assigned = _km_assign(base, cent).join(base, ["__grp", "__id"])
         comp = (
             assigned.select(
-                "cell_id", F.posexplode(F.col("__vec")).alias("__pos", "__x")
+                "__grp", "cell_id", F.posexplode(F.col("__vec")).alias("__pos", "__x")
             )
             .withColumn(
                 "__q", F.floor(F.col("__x").cast("double") * scale).cast("bigint")
             )
-            .groupBy("cell_id", "__pos")
+            .groupBy("__grp", "cell_id", "__pos")
             .agg(F.sum("__q").alias("__s"), F.count("*").alias("__n"))
             .withColumn(
                 "__c",
@@ -1191,7 +1221,7 @@ def kmeans_lloyd_centroids(
                 / F.lit(float(scale)),
             )
         )
-        fresh = comp.groupBy("cell_id").agg(
+        fresh = comp.groupBy("__grp", "cell_id").agg(
             F.transform(
                 F.array_sort(
                     F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("__c").alias("c")))
@@ -1201,17 +1231,20 @@ def kmeans_lloyd_centroids(
         )
         cent = (
             cent.join(
-                fresh.select(F.col("cell_id").alias("__cell"), "__fresh"),
-                "__cell",
+                fresh.select("__grp", F.col("cell_id").alias("__cell"), "__fresh"),
+                ["__grp", "__cell"],
                 "left",
             )
             .select(
-                "__cell", F.coalesce(F.col("__fresh"), F.col("__cvec")).alias("__cvec")
+                "__grp",
+                "__cell",
+                F.coalesce(F.col("__fresh"), F.col("__cvec")).alias("__cvec"),
             )
         )
-    return cent.select(
-        F.col("__cell").alias("cell_id"), F.col("__cvec").alias("cvec")
-    )
+    out = [F.col("__cell").alias("cell_id"), F.col("__cvec").alias("cvec")]
+    if group_col:
+        out.insert(0, F.col("__grp").alias(group_col))
+    return cent.select(*out)
 
 
 def kmeans_lloyd_assign(
@@ -1275,7 +1308,11 @@ def kmeans_lloyd_assign(
     base, _ = _km_frames(df, id_col, vec_col, seeds, dim)
     cent = kmeans_lloyd_centroids(
         df, id_col, vec_col, seeds, iters=iters, scale=scale, dim=dim
-    ).select(F.col("cell_id").alias("__cell"), F.col("cvec").alias("__cvec"))
+    ).select(
+        F.lit(0).alias("__grp"),  # the ungrouped constant group (_km_frames)
+        F.col("cell_id").alias("__cell"),
+        F.col("cvec").alias("__cvec"),
+    )
     return _km_assign(base, cent).select(
         F.col("__id").alias(id_col), "cell_id", "dist2"
     )

@@ -3401,7 +3401,18 @@ def _trained_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     """Train the m per-subspace PQ codebooks (one deterministic k-means per
     subvector slice, seeds admitted uniformly on the FULL embedding so all
     m codebooks share one cell set) and collect them in cell order. Shared
-    by the trained-PQ and trained-IVFPQ recall queries."""
+    by the trained-PQ and trained-IVFPQ recall queries.
+
+    The m trainings run as ONE grouped k-means pass: the subvector frames
+    stack with a subspace group key and ``kmeans_lloyd_centroids(
+    group_col=...)`` trains all m codebooks with a single broadcast + one
+    shuffle family + one collect (per-group results bit-identical to m
+    separate calls — every training aggregation keys on the group), instead
+    of m sequential blocking jobs (review-caught wall-clock finding, round
+    13: the sequential form made the trained-PQ/IVFPQ queries the most
+    expensive in the bench suite)."""
+    from functools import reduce
+
     dom_ok = ~F.exists(
         F.col("embedding"),
         lambda x: x.isNull()
@@ -3416,21 +3427,37 @@ def _trained_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
         "embedding",
         _DIM,
     ).where(dom_ok)
-    codebooks = []
-    for j in range(_PQ_M):
-        sub = F.slice(F.col("embedding"), j * _PQ_DSUB + 1, _PQ_DSUB)
-        trained = S.kmeans_lloyd_centroids(
-            emb.select("vec_id", sub.alias("subvec")),
-            "vec_id", "subvec",
+
+    def sub(j: int):
+        return F.slice(F.col("embedding"), j * _PQ_DSUB + 1, _PQ_DSUB)
+
+    stacked = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            emb.select(
+                F.lit(j).alias("__sub"), "vec_id", sub(j).alias("subvec")
+            )
+            for j in range(_PQ_M)
+        ],
+    )
+    seeds = reduce(
+        lambda a, b: a.unionByName(b),
+        [
             seed_base.select(
+                F.lit(j).alias("__sub"),
                 (F.col("vec_id") - _PQ_SEED_LO).cast("int").alias("cell_id"),
-                sub.alias("cvec"),
-            ),
-            iters=_KM_ITERS, scale=_KM_SCALE, dim=_PQ_DSUB,
-        )
-        codebooks.append(
-            [list(r["cvec"]) for r in trained.orderBy("cell_id").collect()]
-        )
+                sub(j).alias("cvec"),
+            )
+            for j in range(_PQ_M)
+        ],
+    )
+    trained = S.kmeans_lloyd_centroids(
+        stacked, "vec_id", "subvec", seeds,
+        iters=_KM_ITERS, scale=_KM_SCALE, dim=_PQ_DSUB, group_col="__sub",
+    )
+    codebooks: list[list[list[float]]] = [[] for _ in range(_PQ_M)]
+    for r in trained.orderBy("__sub", "cell_id").collect():
+        codebooks[r["__sub"]].append(list(r["cvec"]))
     return codebooks
 
 

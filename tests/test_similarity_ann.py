@@ -837,3 +837,39 @@ def test_trained_quantizers_all_seeds_invalid_matches_oracle(spark):
             assert ok, msg
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_kmeans_grouped_equals_sequential_trainings(spark):
+    """group_col trains one INDEPENDENT k-means per group: the grouped
+    single-pass result must be bit-identical to separate per-group calls
+    (the PQ stacked-subspace contract)."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        kmeans_lloyd_centroids,
+    )
+
+    dim = 4
+    rows = [(g, i, [float(i % 3) + 0.5 * g + 0.01 * i] * dim)
+            for g in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "g int, vec_id long, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(g, c, [float(c) + 0.5 * g] * dim) for g in range(3) for c in range(2)],
+        "g int, cell_id int, cvec array<double>",
+    )
+    grouped = {
+        (r["g"], r["cell_id"]): list(r["cvec"])
+        for r in kmeans_lloyd_centroids(
+            df, "vec_id", "embedding", seeds, iters=3, dim=dim, group_col="g"
+        ).collect()
+    }
+    for g in range(3):
+        solo = {
+            r["cell_id"]: list(r["cvec"])
+            for r in kmeans_lloyd_centroids(
+                df.filter(F.col("g") == g),
+                "vec_id", "embedding",
+                seeds.filter(F.col("g") == g).select("cell_id", "cvec"),
+                iters=3, dim=dim,
+            ).collect()
+        }
+        for c, v in solo.items():
+            assert grouped[(g, c)] == v, (g, c)
