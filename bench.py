@@ -73,6 +73,8 @@ HEADLINE = [
     "sim_ivfpq_trained_recall_at_k",  # r13: full trained IVF-PQ (probe-restricted ADC)
     "text_boilerplate_chunks",     # r13: cross-corpus repeated-block removal (C4/RefinedWeb)
     "sample_temperature_mixture",  # r13: mT5 alpha-temperature mixture weights
+    "sim_ivfpq_trained_mrr",       # r13: true-NN reciprocal rank in the trained index
+    "eval_lsh_pair_recall",        # r13: banding recall vs exact-Jaccard pair truth
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",

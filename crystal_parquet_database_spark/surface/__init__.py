@@ -141,8 +141,15 @@ _VERIFY_FIRST = [
     "join_range_bucketized_event_pairs",  # 0.68
     # ——— the 50-query verification window ends HERE (5 new + 7 r12-new +
     # 8 r9 + 1 rows-only + 29 r10 = exactly 50). Entries below get NO row
-    # this round; the 15 lightest r10 rows listed in the header comment are
-    # round-14 priority.
+    # this round. ROUND-14 priority order: FIRST the TWO queries added
+    # after this window froze (the r5 precedent — both hash-exact at
+    # sf0.01 and in every end-of-round battery this round):
+    # sim_ivfpq_trained_mrr (true-NN reciprocal rank in the trained
+    # index) and eval_lsh_pair_recall (banding recall vs exact-Jaccard
+    # pair truth). THEN the belt-and-braces trio (sim_ivf_recall_at_k,
+    # sim_pq_recall_at_k, sim_ivf_topk — the _argmin_code/_recall_hits
+    # refactor), then the 15 lightest r10 rows listed in the header
+    # comment, then the r11 cohort heaviest-first.
 ]
 
 

@@ -127,6 +127,102 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------------
+# dedup-config evaluation (round 13, registered below the fold → first
+# driver row at the round-14 head per the r5 precedent): banding recall of
+# the MinHash-LSH pair search against exact all-pairs Jaccard truth at the
+# SAME threshold — the (bands, rows) S-curve check a pipeline runs before
+# trusting its dedup config, the dedup counterpart of recall@k for ANN.
+# ----------------------------------------------------------------------------
+
+_LSH_EVAL_ORACLE = f"""
+WITH {_HS_CTE},
+truth AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACC} AS jaccard
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= {_THRESH}
+),
+sig AS (SELECT doc_id, hs, [{_SIG_LIST}] AS sig FROM hs),
+bands AS (
+  SELECT doc_id, g.i AS band,
+         array_to_string(list_transform(list_slice(sig, g.i*{_ROWS}+1, g.i*{_ROWS}+{_ROWS}),
+                                        x -> CAST(x AS VARCHAR)), '-') AS key
+  FROM sig, generate_series(0, {_BANDS - 1}) g(i)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+),
+found AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, {_JACC} AS jaccard
+    FROM cand JOIN hs a ON cand.id_a = a.doc_id JOIN hs b ON cand.id_b = b.doc_id
+  ) WHERE jaccard >= {_THRESH}
+),
+t AS (SELECT COUNT(*) AS n_true FROM truth),
+f AS (SELECT COUNT(*) AS n_found FROM found),
+h AS (SELECT COUNT(*) AS n_hit
+      FROM truth tr JOIN found fo ON tr.id_a = fo.id_a AND tr.id_b = fo.id_b)
+SELECT CAST(t.n_true AS BIGINT) AS n_true,
+       CAST(f.n_found AS BIGINT) AS n_found,
+       CAST(h.n_hit AS BIGINT) AS n_hit,
+       CASE WHEN t.n_true > 0
+            THEN CAST(h.n_hit AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+       END AS pair_recall,
+       CASE WHEN f.n_found > 0
+            THEN CAST(h.n_hit AS DOUBLE) / CAST(f.n_found AS DOUBLE)
+       END AS pair_precision
+FROM t, f, h
+"""
+
+
+@query("eval_lsh_pair_recall", _LSH_EVAL_ORACLE)
+def eval_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH banding quality (round 13): exact all-pairs Jaccard ≥ τ
+    is the pair ground truth; the production MinHash-LSH path (same
+    threshold, same shingles) is the approximation; output is ONE row of
+    exact confusion counts plus recall/precision of the banded search —
+    the check that tells you whether (bands, rows) sits on the right part
+    of the S-curve BEFORE a dedup run deletes data. Precision < 1 is
+    possible only via minhash/banding hash collisions (the verify stage
+    recomputes exact Jaccard on candidates); recall < 1 is missed bands —
+    the number this query exists to measure. Like every exact-companion
+    measurement (the sim_ann_recall_at_k precedent) the quadratic truth
+    arm runs on a sample at scale; the LSH arm is the production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=_THRESH, k=_K
+    ).select("id_a", "id_b")
+    found = D.minhash_lsh_dedup(
+        docs, "text", "doc_id", threshold=_THRESH, k=_K, n_hashes=N_MINHASH,
+        n_bands=_BANDS, unit="word",
+    ).select(F.col("id_a").alias("__fa"), F.col("id_b").alias("__fb"))
+    t = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    f = found.agg(F.count("*").cast("bigint").alias("n_found"))
+    h = truth.join(
+        found,
+        (truth.id_a == found.__fa) & (truth.id_b == found.__fb),
+    ).agg(F.count("*").cast("bigint").alias("n_hit"))
+    return (
+        t.crossJoin(f)
+        .crossJoin(h)
+        .select(
+            "n_true",
+            "n_found",
+            "n_hit",
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+            ).alias("pair_recall"),
+            F.when(
+                F.col("n_found") > 0,
+                F.col("n_hit").cast("double") / F.col("n_found").cast("double"),
+            ).alias("pair_precision"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
 # dedup: SimHash fingerprints + near pairs
 # ----------------------------------------------------------------------------
 
@@ -3576,10 +3672,14 @@ def sim_pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_l2_truth(queries_df, emb, pq, "__pq_match", "pq")
 
 
-def _l2_truth_top10(queries_df: DataFrame, emb: DataFrame) -> DataFrame:
+def _l2_truth_top10(
+    queries_df: DataFrame, emb: DataFrame, with_rank: bool = False
+) -> DataFrame:
     """Exact-L2 ground-truth top-10 per query (the sim_pq_recall_at_k truth
     arm, factored for the trained-quantizer compositions): same fold shape
-    as the oracle's _sql_l2, NULLs sunk (the r7 _topk NULLS-FIRST trap)."""
+    as the oracle's _sql_l2, NULLs sunk (the r7 _topk NULLS-FIRST trap).
+    ``with_rank`` keeps the truth rank column (the MRR query needs rank-1);
+    default drops it, output-identical to the pre-param shape."""
     q = queries_df.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -3598,11 +3698,11 @@ def _l2_truth_top10(queries_df: DataFrame, emb: DataFrame) -> DataFrame:
     wnd = W.partitionBy("query_id").orderBy(
         F.col("__d2").asc_nulls_last(), F.col("match_id")
     )
-    return (
-        sq.withColumn("rank", F.row_number().over(wnd))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "match_id")
+    ranked = sq.withColumn("rank", F.row_number().over(wnd)).filter(
+        F.col("rank") <= 10
     )
+    cols = ["query_id", "match_id"] + (["rank"] if with_rank else [])
+    return ranked.select(*cols)
 
 
 def _recall_hits(
@@ -3738,6 +3838,126 @@ def sim_ivfpq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame
         k=10, n_probe=_IVF_PROBE,
     ).select("query_id", F.col("match_id").alias("__ivfpq_match"))
     return _recall_vs_l2_truth(queries_df, emb, approx, "__ivfpq_match", "ivfpq")
+
+
+# ----------------------------------------------------------------------------
+# trained IVF-PQ reciprocal rank (round 13, registered below the fold →
+# first driver row at the round-14 head per the r5 precedent): at what rank
+# does the approximate index surface the TRUE nearest neighbor? The
+# position-sensitive complement of recall@10 (a rank-1 hit and a rank-10
+# hit count the same there).
+# ----------------------------------------------------------------------------
+
+_IVFPQ_MRR_ORACLE = f"""
+WITH {_sql_km_c1("t", _IVF_SEED_LO, _TIVF_K, "embedding", _DIM, _KM_SCALE)},
+{_TPQ_TRAIN_CTES},
+{_TPQ_CODE_CTES},
+codes AS (
+  SELECT tk0.vec_id, {_TPQ_CODE_COLS}
+  FROM tk0 {_TPQ_CODE_JOIN}
+),
+d AS (
+  SELECT e.vec_id, t.cell AS cell_id, {_sql_l2('e.embedding', 't.cvec')} AS d2
+  FROM embeddings e CROSS JOIN tc1 t
+  WHERE {_VALID.replace("embedding", "e.embedding")}
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM d) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM d WHERE vec_id < 10) WHERE rn <= {_IVF_PROBE}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < 10 AND {_VALID}),
+cand AS (
+  SELECT a.vec_id, a.cell_id, {_TPQ_CODE_COLS}
+  FROM assign a JOIN codes USING (vec_id)
+),
+adc AS (
+  SELECT q.query_id, c.vec_id AS match_id, {_TPQ_ADC_SUM} AS approx_d2
+  FROM cand c
+  JOIN probes p ON c.cell_id = p.cell_id
+  JOIN q ON q.query_id = p.query_id
+  {_TPQ_CB_JOINS}
+  WHERE c.vec_id <> q.query_id
+),
+ivfpqr AS (
+  SELECT query_id, match_id, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT query_id, match_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_d2, match_id) AS rank
+    FROM adc) WHERE rank <= 10
+),
+nn AS (
+  SELECT query_id, match_id AS true_nn FROM (
+    SELECT q.query_id, e.vec_id AS match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_l2('e.embedding', 'q.qvec')},
+                                       e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id AND {S.VALID_VEC_SQL('e.embedding', _DIM)}
+  ) WHERE rank = 1
+)
+SELECT n.query_id, n.true_nn,
+       (i.rank IS NOT NULL) AS found,
+       i.rank AS rank,
+       COALESCE(CAST(1.0 AS DOUBLE) / CAST(i.rank AS DOUBLE), CAST(0.0 AS DOUBLE))
+         AS rr
+FROM nn n
+LEFT JOIN ivfpqr i ON n.query_id = i.query_id AND n.true_nn = i.match_id
+"""
+
+
+@query("sim_ivfpq_trained_mrr", _IVFPQ_MRR_ORACLE)
+def sim_ivfpq_trained_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the TRUE nearest neighbor inside the trained
+    IVF-PQ top-10 (round 13): recall@10 counts a rank-1 hit and a rank-10
+    hit the same; retrieval pipelines tune on MRR precisely because they
+    are not. Per query: the exact-L2 rank-1 neighbor, whether the trained
+    index surfaced it, at what rank, and rr = 1/rank (0.0 on a miss —
+    exact single division, oracle bit-exact). Training, encoding, probing
+    and ranking all ride the proven trained-IVFPQ machinery; the truth arm
+    is the rank-1 row of the exact companion. Degenerate all-seeds-invalid
+    corpora agree by construction: both engines emit every truth row with
+    found=false, rr=0.0 (nn is training-independent on both sides)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _trained_ivf_centroids(emb)
+    codebooks = _trained_pq_codebooks(emb)
+    queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
+    nn = (
+        _l2_truth_top10(queries_df, emb, with_rank=True)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("match_id").alias("true_nn"))
+    )
+    if not cent or not codebooks[0]:
+        appr = spark.createDataFrame(
+            [], "query_id bigint, match_id bigint, rank int"
+        )
+    else:
+        appr = S.ivfpq_adc_topk(
+            queries_df, emb, "vec_id", "embedding", cent, codebooks,
+            k=10, n_probe=_IVF_PROBE,
+        ).select("query_id", "match_id", "rank")
+    joined = nn.join(
+        appr,
+        (nn.query_id == appr.query_id) & (nn.true_nn == appr.match_id),
+        "left",
+    ).drop(appr.query_id)
+    return joined.select(
+        "query_id",
+        "true_nn",
+        F.col("rank").isNotNull().alias("found"),
+        F.col("rank"),
+        F.coalesce(
+            F.lit(1.0) / F.col("rank").cast("double"), F.lit(0.0)
+        ).alias("rr"),
+    )
 
 
 # ----------------------------------------------------------------------------

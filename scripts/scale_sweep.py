@@ -83,6 +83,12 @@ NEW_R13 = [
     # aggregate has no size-coupled failure class; the six fixture sweeps
     # already run it on every adversarial corpus.
     "text_boilerplate_chunks",
+    # true-NN reciprocal rank rides the full trained-IVFPQ chain (cell
+    # occupancy and candidate counts grow with the corpus)
+    "sim_ivfpq_trained_mrr",
+    # banding recall's candidate cliques and the quadratic truth arm both
+    # interact with size (the minhash bucket-cap class)
+    "eval_lsh_pair_recall",
 ]
 
 QUERIES_TO_RUN = sorted(

@@ -832,6 +832,10 @@ def test_trained_quantizers_all_seeds_invalid_matches_oracle(spark):
             "sim_ivf_trained_recall_at_k",
             "sim_pq_trained_recall_at_k",
             "sim_ivfpq_trained_recall_at_k",
+            # MRR over the same degenerate class: every truth row must come
+            # back found=false, rr=0.0 in BOTH engines (nn is
+            # training-independent on both sides)
+            "sim_ivfpq_trained_mrr",
         ):
             ok, msg = compare_query(spark, name, dst)
             assert ok, msg
