@@ -74,7 +74,10 @@ HEADLINE = [
     "text_boilerplate_chunks",     # r13: cross-corpus repeated-block removal (C4/RefinedWeb)
     "sample_temperature_mixture",  # r13: mT5 alpha-temperature mixture weights
     "sim_ivfpq_trained_mrr",       # r13: true-NN reciprocal rank in the trained index
-    "eval_lsh_pair_recall",        # r13: banding recall vs exact-Jaccard pair truth
+    # eval_lsh_pair_recall is deliberately ABSENT: its truth arm is the
+    # all-pairs exact-Jaccard baseline — the same labeled quadratic the
+    # inclusion rule excludes via dedup_ngram_jaccard (its cost is
+    # validation, not the operator; at scale the measurement runs sampled)
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ivf_topk",

@@ -86,9 +86,11 @@ NEW_R13 = [
     # true-NN reciprocal rank rides the full trained-IVFPQ chain (cell
     # occupancy and candidate counts grow with the corpus)
     "sim_ivfpq_trained_mrr",
-    # banding recall's candidate cliques and the quadratic truth arm both
-    # interact with size (the minhash bucket-cap class)
-    "eval_lsh_pair_recall",
+    # eval_lsh_pair_recall is deliberately ABSENT: its truth arm is the
+    # all-pairs exact-Jaccard baseline — quadratic in the corpus by
+    # design (50k docs -> 2.5e9 pair evaluations here), the same class
+    # the battery already excludes via dedup_ngram_jaccard. Its LSH arm's
+    # scale behavior is covered by dedup_minhash_lsh's own battery seat.
 ]
 
 QUERIES_TO_RUN = sorted(
