@@ -728,3 +728,44 @@ def test_temperature_mixture_upweights_low_resource(spark):
     z = spark.createDataFrame([(1, "en", None)], "doc_id long, lang string, text string")
     zr = temperature_mixture(z, "lang", "text", "doc_id").collect()
     assert len(zr) == 1 and zr[0]["weight"] is None and zr[0]["target_docs"] is None
+
+
+def test_boilerplate_chunks_all_identical_corpus(spark):
+    """Every full-width block shared by the whole corpus: all blocks
+    removed everywhere, rebuilt text is the tail alone, fraction 1.0."""
+    import hashlib
+
+    from crystal_parquet_database_spark.operators.text import boilerplate_chunks
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(4)], "doc_id long, text string"
+    )
+    got = boilerplate_chunks(docs, "text", "doc_id", width=2, min_docs=2).collect()
+    md5 = hashlib.md5(b"e").hexdigest()
+    for r in got:
+        assert r["n_chunks"] == 2 and r["n_boiler"] == 2
+        assert r["boiler_fraction"] == 1.0
+        assert r["cleaned_md5"] == md5  # tail "e" survives
+
+
+def test_temperature_mixture_single_group_gets_everything(spark):
+    from crystal_parquet_database_spark.operators.text import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(1, "en", "w w w"), (2, "en", "w")], "doc_id long, lang string, text string"
+    )
+    [r] = temperature_mixture(df, "lang", "text", "doc_id", budget_docs=700).collect()
+    assert r["weight"] == 1.0 and r["target_docs"] == 700
+    assert r["n_tokens"] == 4 and r["n_docs"] == 2
+
+
+def test_boilerplate_and_lsh_eval_plans_no_cartesian(spark, sf_dir):
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    for name in ("text_boilerplate_chunks", "eval_lsh_pair_recall"):
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        # eval_lsh's two 1-row count frames legitimately cross-join at the
+        # very top (BroadcastNestedLoop over single rows); a raw
+        # CartesianProduct node anywhere is still the forbidden shape
+        assert "CartesianProduct" not in plan, name
