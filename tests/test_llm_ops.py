@@ -769,3 +769,35 @@ def test_boilerplate_and_lsh_eval_plans_no_cartesian(spark, sf_dir):
         # very top (BroadcastNestedLoop over single rows); a raw
         # CartesianProduct node anywhere is still the forbidden shape
         assert "CartesianProduct" not in plan, name
+
+
+def test_temperature_mixture_matches_python_oracle_randomized(spark):
+    """Randomized (seeded) bit-exactness against a pure-Python oracle:
+    exact int64 token sums, math.sqrt (IEEE-correctly-rounded like both
+    engines), group-ordered left-fold denominator, one division — every
+    weight must match Spark's to the last bit."""
+    import math
+    import random
+
+    from crystal_parquet_database_spark.operators.text import temperature_mixture
+
+    rng = random.Random(29)
+    langs = ["aa", "bb", "cc", "dd"]
+    rows, tok = [], {}
+    for i in range(60):
+        lang = rng.choice(langs + [None])
+        n = rng.randint(0, 30)
+        rows.append((i, lang, " ".join("w" for _ in range(n)) if n else None))
+        if lang is not None:
+            # empty text -> NULL text above; NULL text counts no tokens but
+            # still counts the doc (the operator's SUM-skips-NULL contract)
+            tok[lang] = tok.get(lang, 0) + n
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in temperature_mixture(df, "lang", "text", "doc_id").collect()}
+    sqrts = {g: math.sqrt(float(tok.get(g, 0))) for g in got}
+    den = 0.0
+    for g in sorted(sqrts):
+        den = den + sqrts[g]
+    for g, r in got.items():
+        want = sqrts[g] / den if den > 0 else None
+        assert r["weight"] == want, (g, r["weight"], want)

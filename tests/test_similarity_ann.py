@@ -877,3 +877,44 @@ def test_kmeans_grouped_equals_sequential_trainings(spark):
         }
         for c, v in solo.items():
             assert grouped[(g, c)] == v, (g, c)
+
+
+def test_kmeans_grouped_equals_sequential_randomized(spark):
+    """Randomized (seeded) grouped-vs-solo equivalence: for corpora with
+    random vectors, random seed placements and deliberately colliding
+    values across groups, the grouped single-pass training must stay
+    bit-identical per group to separate calls — the delicate piece is the
+    group key riding EVERY join and aggregation in the update loop."""
+    import random
+
+    from crystal_parquet_database_spark.operators.similarity import (
+        kmeans_lloyd_centroids,
+    )
+
+    rng = random.Random(13)
+    dim, n_groups, k = 3, 3, 2
+    rows, seeds = [], []
+    for g in range(n_groups):
+        for i in range(rng.randint(5, 14)):
+            rows.append((g, i, [round(rng.uniform(-5, 5), 3) for _ in range(dim)]))
+        for c in range(k):
+            seeds.append((g, c, [round(rng.uniform(-5, 5), 3) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "g int, vec_id long, embedding array<double>")
+    sf = spark.createDataFrame(seeds, "g int, cell_id int, cvec array<double>")
+    grouped = {
+        (r["g"], r["cell_id"]): list(r["cvec"])
+        for r in kmeans_lloyd_centroids(
+            df, "vec_id", "embedding", sf, iters=3, dim=dim, group_col="g"
+        ).collect()
+    }
+    for g in range(n_groups):
+        solo = {
+            r["cell_id"]: list(r["cvec"])
+            for r in kmeans_lloyd_centroids(
+                df.filter(F.col("g") == g),
+                "vec_id", "embedding",
+                sf.filter(F.col("g") == g).select("cell_id", "cvec"),
+                iters=3, dim=dim,
+            ).collect()
+        }
+        assert solo == {c: grouped[(g, c)] for c in solo}, g
