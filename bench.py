@@ -168,6 +168,33 @@ def _env_flag(name: str) -> bool:
     return os.environ.get(name, "").strip().lower() in {"1", "true", "yes", "on"}
 
 
+# Busy-sibling classification (round-13 ADVICE): match on TOKEN BASENAMES,
+# not substring-anywhere over the joined cmdline — a service whose binary
+# path merely CONTAINS 'java' (e.g. /opt/javatools/agent) must not
+# permanently refuse the baseline stamp on a shared host. Executables match
+# on argv[0]'s basename; harness scripts match on ANY token's basename
+# (they run as `python scripts/driver_sim.py`, where argv[0] is python).
+_BUSY_EXECUTABLES = frozenset({"java", "pytest", "spark-submit"})
+_BUSY_SCRIPTS = frozenset({
+    "pytest", "driver_sim.py", "check_queries.py", "time_queries.py",
+    "user_sim.py", "scale_sweep.py", "bench.py",
+})
+
+
+def _is_busy_sibling(argv: list[str]) -> bool:
+    """True iff a /proc cmdline (already NUL-split) names a known bench
+    contaminator: a JVM / pytest / spark-submit executable (argv[0]
+    basename) or one of the harness scripts anywhere in the argv (token
+    basename — they launch as `python scripts/x.py`). Pure function,
+    unit-tested against the false-positive cases from the round-13
+    ADVICE (paths merely containing 'java')."""
+    if not argv:
+        return False
+    if os.path.basename(argv[0]) in _BUSY_EXECUTABLES:
+        return True
+    return any(os.path.basename(tok) in _BUSY_SCRIPTS for tok in argv)
+
+
 def read_machine_snapshot() -> dict:
     """System state at RUN START, stamped into the producer record: 1-min
     loadavg, cpu count, and the number of busy sibling processes (other
@@ -183,8 +210,6 @@ def read_machine_snapshot() -> dict:
         load1 = None
     cpus = os.cpu_count() or 1
     busy = 0
-    markers = ("java", "pytest", "driver_sim.py", "check_queries.py",
-               "time_queries.py", "user_sim.py", "spark-submit")
     try:
         me = str(os.getpid())
         for pid in os.listdir("/proc"):
@@ -192,10 +217,11 @@ def read_machine_snapshot() -> dict:
                 continue
             try:
                 with open(f"/proc/{pid}/cmdline", "rb") as fh:
-                    cmd = fh.read().replace(b"\0", b" ").decode("utf-8", "replace")
+                    argv = [a.decode("utf-8", "replace")
+                            for a in fh.read().split(b"\0") if a]
             except OSError:
                 continue
-            if any(mk in cmd for mk in markers):
+            if _is_busy_sibling(argv):
                 busy += 1
     except OSError:
         busy = 0

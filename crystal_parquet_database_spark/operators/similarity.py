@@ -1140,6 +1140,15 @@ def _km_frames(
             F.col("cvec").alias("__cvec"),
         )
     )
+    if group_col:
+        # Round-13 ADVICE: a NULL-group SEED never matches the update
+        # equi-join, so it would ride through every iteration untouched
+        # and emerge in the codebook with a NULL group — enforce the
+        # documented "NULL group rows are excluded" contract on the cent
+        # side too (base NULL-group rows already vanish in the assign
+        # equi-join; the filter just prunes them at the scan).
+        base = base.where(F.col("__grp").isNotNull())
+        cent = cent.where(F.col("__grp").isNotNull())
     return base, cent
 
 
@@ -1203,6 +1212,21 @@ def kmeans_lloyd_centroids(
     (every aggregation below keys on the group).
     """
     base, cent = _km_frames(df, id_col, vec_col, seeds, dim, group_col)
+    cent = _km_train(base, cent, iters=iters, scale=scale)
+    out = [F.col("__cell").alias("cell_id"), F.col("__cvec").alias("cvec")]
+    if group_col:
+        out.insert(0, F.col("__grp").alias(group_col))
+    return cent.select(*out)
+
+
+def _km_train(
+    base: DataFrame, cent: DataFrame, iters: int, scale: int
+) -> DataFrame:
+    """The Lloyd update loop over prebuilt ``_km_frames`` — shared by
+    ``kmeans_lloyd_centroids`` and ``kmeans_lloyd_assign`` so the assign
+    entry point builds the validity/domain-filtered base lineage ONCE
+    (round-13 ADVICE: it previously re-derived the same frame twice in one
+    plan). Returns the final (__grp, __cell, __cvec) centroid frame."""
     for _ in range(max(0, int(iters) - 1)):
         assigned = _km_assign(base, cent).join(base, ["__grp", "__id"])
         comp = (
@@ -1241,10 +1265,7 @@ def kmeans_lloyd_centroids(
                 F.coalesce(F.col("__fresh"), F.col("__cvec")).alias("__cvec"),
             )
         )
-    out = [F.col("__cell").alias("cell_id"), F.col("__cvec").alias("cvec")]
-    if group_col:
-        out.insert(0, F.col("__grp").alias(group_col))
-    return cent.select(*out)
+    return cent
 
 
 def kmeans_lloyd_assign(
@@ -1305,14 +1326,8 @@ def kmeans_lloyd_assign(
     this extends the LLM-pipeline similarity stack (SURVEY §2 extension,
     same status as ivf_topk/pq_topk).
     """
-    base, _ = _km_frames(df, id_col, vec_col, seeds, dim)
-    cent = kmeans_lloyd_centroids(
-        df, id_col, vec_col, seeds, iters=iters, scale=scale, dim=dim
-    ).select(
-        F.lit(0).alias("__grp"),  # the ungrouped constant group (_km_frames)
-        F.col("cell_id").alias("__cell"),
-        F.col("cvec").alias("__cvec"),
-    )
+    base, cent = _km_frames(df, id_col, vec_col, seeds, dim)
+    cent = _km_train(base, cent, iters=iters, scale=scale)
     return _km_assign(base, cent).select(
         F.col("__id").alias(id_col), "cell_id", "dist2"
     )

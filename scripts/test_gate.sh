@@ -14,6 +14,13 @@ cd "$(dirname "$0")/.."
 
 mapfile -t FILES < <(ls tests/test_*.py | sort)
 N=${#FILES[@]}
+# Round-13 ADVICE: if the glob ever matches nothing (unexpected cwd, moved
+# tree), shard A would run pytest with NO file args and silently collect
+# everything while shard B runs nothing — fail loudly instead.
+if [ "$N" -eq 0 ]; then
+    echo "test_gate: no tests/test_*.py found from $(pwd) — refusing to run" >&2
+    exit 1
+fi
 HALF=$(((N + 1) / 2))
 
 echo "== test gate: shard A (${HALF}/${N} files) =="

@@ -147,3 +147,24 @@ def test_machine_snapshot_shape():
     assert set(snap) == {"load1", "cpus", "busy_siblings"}
     assert snap["cpus"] >= 1
     assert isinstance(snap["busy_siblings"], int)
+
+
+def test_busy_sibling_matches_basenames_not_substrings():
+    """Round-13 ADVICE: a long-lived service whose path merely CONTAINS
+    'java' must not count as a busy sibling; real contaminators (a JVM,
+    `python -m pytest`, a harness script run as `python scripts/x.py`)
+    must."""
+    is_busy = bench_mod._is_busy_sibling
+    # false positives the substring matcher had:
+    assert not is_busy(["/opt/javatools/agent", "--serve"])
+    assert not is_busy(["/usr/bin/monitor", "--log", "/var/log/javawatch.log"])
+    assert not is_busy(["node", "/srv/pytest-dashboard/server.js"])
+    # real contaminators:
+    assert is_busy(["/usr/lib/jvm/java-17/bin/java", "-cp", "x", "Main"])
+    assert is_busy(["java"])
+    assert is_busy(["python", "-m", "pytest", "tests/", "-q"])
+    assert is_busy(["/usr/bin/python3", "scripts/driver_sim.py"])
+    assert is_busy(["python3", "/root/repo/scripts/check_queries.py", "q1"])
+    assert is_busy(["/opt/spark/bin/spark-submit", "job.py"])
+    assert is_busy(["python3", "bench.py"])
+    assert not is_busy([])

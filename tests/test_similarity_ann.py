@@ -918,3 +918,32 @@ def test_kmeans_grouped_equals_sequential_randomized(spark):
             ).collect()
         }
         assert solo == {c: grouped[(g, c)] for c in solo}, g
+
+
+def test_kmeans_grouped_null_group_rows_excluded(spark):
+    """Round-13 ADVICE: NULL-group SEEDS must be excluded in grouped mode,
+    not ride through the update loop untouched and surface with a NULL
+    group — the documented contract is 'NULL group rows are excluded' on
+    BOTH sides of the training."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        kmeans_lloyd_centroids,
+    )
+
+    dim = 3
+    df = spark.createDataFrame(
+        [(0, 1, [1.0] * dim), (0, 2, [2.0] * dim),
+         (None, 3, [9.0] * dim)],  # NULL-group corpus row: excluded
+        "g int, vec_id long, embedding array<double>",
+    )
+    seeds = spark.createDataFrame(
+        [(0, 0, [0.0] * dim), (None, 1, [5.0] * dim)],  # NULL-group seed
+        "g int, cell_id int, cvec array<double>",
+    )
+    out = kmeans_lloyd_centroids(
+        df, "vec_id", "embedding", seeds, iters=3, dim=dim, group_col="g"
+    ).collect()
+    assert all(r["g"] is not None for r in out)
+    assert {r["cell_id"] for r in out} == {0}
+    # the surviving group-0 training is unaffected by the excluded rows:
+    # mean of [1,2] on the fixed-point grid = 1.5 per component
+    assert list(out[0]["cvec"]) == [1.5] * dim
