@@ -74,6 +74,8 @@ HEADLINE = [
     "text_boilerplate_chunks",     # r13: cross-corpus repeated-block removal (C4/RefinedWeb)
     "sample_temperature_mixture",  # r13: mT5 alpha-temperature mixture weights
     "sim_ivfpq_trained_mrr",       # r13: true-NN reciprocal rank in the trained index
+    "dedup_semantic_semdedup_trained",  # r14: k-means-trained SemDeDup codebook
+    "text_hybrid_rrf_trained",     # r14: hybrid RRF over the trained IVF-PQ index
     # eval_lsh_pair_recall is deliberately ABSENT: its truth arm is the
     # all-pairs exact-Jaccard baseline — the same labeled quadratic the
     # inclusion rule excludes via dedup_ngram_jaccard (its cost is
@@ -252,6 +254,104 @@ def compute_quiet_guard(snapshot: dict, forced: bool) -> dict:
     }
 
 
+# Pinned-canary self-adjudication (round-13 verdict ask #6): the r13 official
+# artifact was ambient-inflated (load1 5.0 in its own stamp) and the clean
+# number lived only in a second, builder-run measurement. These four probes —
+# two TPC-H staples + the two LLM-op staples the drift protocol already pins —
+# re-measure in ONE fresh taskset-pinned subprocess after the suite, so every
+# full-run artifact carries the isolated evidence needed to classify its own
+# total as clean or ambient without a second run.
+CANARIES = [
+    "q1_pricing_summary",
+    "q8_national_market_share",
+    "dedup_minhash_lsh",
+    "text_bm25_topk",
+]
+
+
+def run_canary_probe(sf_dir: str) -> dict:
+    """Run the four canaries in one FRESH subprocess (isolated bench mode),
+    taskset-pinned to cores 0-15 (clamped to the machine), median-of-5 after
+    2 warmups — the drift protocol's pinned measurement, mechanized. Returns
+    {"medians": {...}} or {"error": ...}; never raises (a canary failure
+    must not lose the suite numbers already measured)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    out_path = None
+    try:
+        fd, out_path = tempfile.mkstemp(prefix="bench_canary_", suffix=".json")
+        os.close(fd)
+        env = dict(
+            os.environ,
+            BENCH_REPEATS="5", BENCH_WARMUP="2", BENCH_STAT="median",
+            BENCH_CANARY_OUT=out_path,
+        )
+        cmd = [sys.executable, os.path.abspath(__file__), *CANARIES]
+        if shutil.which("taskset"):
+            hi = min(15, (os.cpu_count() or 16) - 1)
+            cmd = ["taskset", "-c", f"0-{hi}"] + cmd
+        res = subprocess.run(
+            cmd, env=env, timeout=900,
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
+        )
+        if res.returncode != 0:
+            return {"error": f"canary subprocess rc={res.returncode}: "
+                             f"{(res.stderr or '')[-300:]}"}
+        with open(out_path) as fh:
+            medians = json.load(fh).get("warm_queries", {})
+        return {"medians": {n: medians[n] for n in CANARIES if n in medians}}
+    except Exception as exc:  # noqa: BLE001 — stamp the failure, keep the run
+        return {"error": f"{type(exc).__name__}: {exc}"}
+    finally:
+        if out_path:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+
+
+def compute_canary_block(
+    probe: dict, prev_canaries: dict | None, total_ratio: float | None
+) -> dict:
+    """Pure self-adjudication decision over the canary probe (unit-tested
+    without a Spark run, the quiet/baseline-guard pattern). The separating
+    rule is the drift protocol's: isolated pinned medians are the evidence
+    that survives ambient load — a suite total >1.25x while the canary
+    median ratio stays inside the 0.90-1.10 noise band is the AMBIENT
+    signature (the load hit the long unpinned sequence, not the code); a
+    coherent code regression moves the canaries too."""
+    block = dict(probe)
+    block["protocol"] = (
+        "fresh taskset-pinned subprocess, median-of-5 after 2 warmups"
+    )
+    medians = probe.get("medians") or {}
+    prev = (prev_canaries or {}).get("medians") or {}
+    ratios = sorted(
+        medians[n] / prev[n]
+        for n in medians
+        if n in prev and prev[n] and prev[n] > 0.05
+    )
+    if ratios:
+        mid = len(ratios) // 2
+        med = (
+            ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2.0
+        )
+        block["vs_prev_median_ratio"] = round(med, 4)
+        if total_ratio is None:
+            block["self_adjudication"] = "no-suite-baseline"
+        elif total_ratio > 1.25 and med <= 1.10:
+            block["self_adjudication"] = "ambient-inflation"
+        elif total_ratio > 1.25:
+            block["self_adjudication"] = "coherent-regression"
+        else:
+            block["self_adjudication"] = "clean"
+    else:
+        block["self_adjudication"] = "no-canary-baseline"
+    return block
+
+
 def compute_baseline_guard(
     times: dict[str, float],
     prev_warm: dict[str, float],
@@ -379,6 +479,14 @@ def main() -> None:
         release_all_session_blocks(spark)
         gc.collect()
 
+    # Canary-probe child protocol: an isolated run launched by
+    # run_canary_probe hands its warm numbers back through a file (stdout is
+    # not a stable channel — the child prints human-facing lines too).
+    canary_out = os.environ.get("BENCH_CANARY_OUT")
+    if isolated and canary_out:
+        with open(canary_out, "w") as fh:
+            json.dump({"warm_queries": times}, fh)
+
     # Round-over-round comparison on the SHARED query set: the headline total
     # moves whenever queries join the suite, so the number that shows real
     # progress is this run's total restricted to queries the PREVIOUS full
@@ -389,6 +497,7 @@ def main() -> None:
     )
     shared_now = prev_shared = None
     prev_producer = None
+    prev_canaries = None
     guard = None  # ambient-contention baseline guard (round-12, see below)
     if not isolated:
         # isolated probes cover only a subset — a subset total under the
@@ -424,6 +533,8 @@ def main() -> None:
                 # archaeology to attribute — now the provenance rides along)
                 if isinstance(prev_detail, dict):
                     prev_producer = prev_detail.get("producer")
+            if isinstance(prev_detail, dict):
+                prev_canaries = prev_detail.get("canaries")
         except (OSError, ValueError):
             # BENCH_DETAIL.json is per-machine state (gitignored): first full
             # run on a machine has no baseline — say so rather than silently
@@ -432,6 +543,18 @@ def main() -> None:
                 "bench: no prior BENCH_DETAIL.json — shared_with_prev omitted",
                 file=sys.stderr,
             )
+
+    # Pinned-canary self-adjudication (round-13 verdict ask #6) — full runs
+    # only: stop the suite JVM first so the fresh pinned subprocess measures
+    # on a machine as close to idle as this process controls.
+    canary_block = None
+    if not isolated:
+        spark.stop()
+        canary_block = compute_canary_block(
+            run_canary_probe(sf_dir),
+            prev_canaries,
+            guard["total_ratio"] if guard else None,
+        )
 
     # The driver captures the tail of stdout and parses the FINAL line as the
     # headline JSON. Keep that line compact (contract keys only, value first);
@@ -466,6 +589,11 @@ def main() -> None:
     if guard is not None:
         detail["baseline_guard"] = guard
     detail["quiet_guard"] = quiet_guard
+    if canary_block is not None:
+        # added LAST so the block lands at the END of the detail stdout line
+        # — inside the driver's bounded tail capture even when the line head
+        # truncates (the BENCH_r13 artifact pattern)
+        detail["canaries"] = canary_block
     # Isolated probe runs must NOT clobber the full-suite detail file — it is
     # the baseline the next full run's shared_with_prev reads. (The file is
     # deliberately NOT in git — it is per-machine state; on a machine with no
@@ -508,6 +636,11 @@ def main() -> None:
         except OSError:
             pass
     print(json.dumps(detail))
+    if canary_block is not None:
+        # a dedicated compact line right before the final one: guaranteed
+        # inside any bounded tail capture, so every official artifact
+        # carries its own isolated-probe evidence
+        print(json.dumps({"canaries": canary_block}))
     # FINAL stdout line: contract keys ONLY (~90 bytes). The driver captures a
     # bounded tail of stdout and parses the final line as the headline JSON —
     # embedding the per-query dict here overflows that window and truncates

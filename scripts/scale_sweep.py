@@ -93,8 +93,19 @@ NEW_R13 = [
     # scale behavior is covered by dedup_minhash_lsh's own battery seat.
 ]
 
+# round-14 compositions, both size-coupled: trained SemDeDup's K grows with
+# the corpus (K = max(8, 4n/500) — the cluster-count-∝-corpus design IS the
+# scale contract) on top of the k-means fixed-point grid; the trained
+# hybrid rides the full trained-IVFPQ chain plus BM25's corpus-sized df
+# statistics
+NEW_R14 = [
+    "dedup_semantic_semdedup_trained",
+    "text_hybrid_rrf_trained",
+]
+
 QUERIES_TO_RUN = sorted(
-    set(REPEAT_3X) | set(EXTREME_FIVE) | set(NEW_R11) | set(NEW_R12) | set(NEW_R13)
+    set(REPEAT_3X) | set(EXTREME_FIVE) | set(NEW_R11) | set(NEW_R12)
+    | set(NEW_R13) | set(NEW_R14)
 )
 
 

@@ -168,3 +168,51 @@ def test_busy_sibling_matches_basenames_not_substrings():
     assert is_busy(["/opt/spark/bin/spark-submit", "job.py"])
     assert is_busy(["python3", "bench.py"])
     assert not is_busy([])
+
+
+# ---------------------------------------------------------------------------
+# Pinned-canary self-adjudication (round-13 verdict ask #6): every full-run
+# artifact carries its own isolated-probe evidence. Pure decision function.
+# ---------------------------------------------------------------------------
+
+
+def test_canary_names_are_registered_queries():
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    assert all(n in QUERIES for n in bench_mod.CANARIES)
+    assert len(bench_mod.CANARIES) == 4
+
+
+def test_canary_block_classifies_ambient_inflation():
+    # the round-13 case: suite total 1.40x while the pinned canaries sit in
+    # the noise band — the artifact self-adjudicates as ambient
+    probe = {"medians": {"q1_pricing_summary": 1.25, "q8_national_market_share": 1.29,
+                         "dedup_minhash_lsh": 1.22, "text_bm25_topk": 0.93}}
+    prev = {"medians": {"q1_pricing_summary": 1.41, "q8_national_market_share": 1.32,
+                        "dedup_minhash_lsh": 1.80, "text_bm25_topk": 1.57}}
+    block = bench_mod.compute_canary_block(probe, prev, total_ratio=1.40)
+    assert block["self_adjudication"] == "ambient-inflation"
+    assert block["vs_prev_median_ratio"] < 1.0
+
+
+def test_canary_block_classifies_coherent_regression():
+    # canaries move WITH the total: a real code regression, not ambient
+    probe = {"medians": {"q1_pricing_summary": 2.0, "text_bm25_topk": 2.2}}
+    prev = {"medians": {"q1_pricing_summary": 1.0, "text_bm25_topk": 1.1}}
+    block = bench_mod.compute_canary_block(probe, prev, total_ratio=1.5)
+    assert block["self_adjudication"] == "coherent-regression"
+
+
+def test_canary_block_clean_and_missing_baselines():
+    probe = {"medians": {"q1_pricing_summary": 1.0}}
+    prev = {"medians": {"q1_pricing_summary": 1.0}}
+    assert bench_mod.compute_canary_block(probe, prev, 1.01)[
+        "self_adjudication"] == "clean"
+    # no canary baseline (first stamped run) and no suite baseline
+    assert bench_mod.compute_canary_block(probe, None, 1.01)[
+        "self_adjudication"] == "no-canary-baseline"
+    assert bench_mod.compute_canary_block(probe, prev, None)[
+        "self_adjudication"] == "no-suite-baseline"
+    # probe failure is stamped, never raises
+    blk = bench_mod.compute_canary_block({"error": "rc=1"}, prev, 1.4)
+    assert blk["self_adjudication"] == "no-canary-baseline" and "error" in blk

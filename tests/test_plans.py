@@ -381,3 +381,23 @@ def test_trained_quantizer_queries_no_cartesian(spark, sf_dir):
     ):
         plan = formatted_plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_round14_trained_compositions_plan_shape(spark, sf_dir, monkeypatch):
+    """Round-14 compositions: trained SemDeDup's assignment must broadcast
+    the TRAINED centroid frame (BroadcastNestedLoopJoin, never a data-sized
+    CartesianProduct), and the trained-hybrid RRF's probe/candidate joins
+    stay equi-joins like the trained trio. Checkpoint stubbed to identity
+    so the assignment stage is visible in the plan."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    monkeypatch.setattr(ClassicDF, "localCheckpoint", lambda self, eager=True: self)
+    plan = formatted_plan(
+        QUERIES["dedup_semantic_semdedup_trained"](spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan = formatted_plan(QUERIES["text_hybrid_rrf_trained"](spark, sf_dir))
+    assert "CartesianProduct" not in plan

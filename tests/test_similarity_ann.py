@@ -836,6 +836,13 @@ def test_trained_quantizers_all_seeds_invalid_matches_oracle(spark):
             # back found=false, rr=0.0 in BOTH engines (nn is
             # training-independent on both sides)
             "sim_ivfpq_trained_mrr",
+            # round 14: trained SemDeDup seeds live in the [200,216) window
+            # too (K = max(8, 4n/500) = 8 at this sf) — nothing trains, so
+            # BOTH engines emit the EMPTY frame (assignment requires a
+            # centroid); trained-hybrid RRF degrades to BM25-only (vector
+            # arm empty, its RRF term coalesces to 0)
+            "dedup_semantic_semdedup_trained",
+            "text_hybrid_rrf_trained",
         ):
             ok, msg = compare_query(spark, name, dst)
             assert ok, msg
