@@ -76,6 +76,10 @@ HEADLINE = [
     "sim_ivfpq_trained_mrr",       # r13: true-NN reciprocal rank in the trained index
     "dedup_semantic_semdedup_trained",  # r14: k-means-trained SemDeDup codebook
     "text_hybrid_rrf_trained",     # r14: hybrid RRF over the trained IVF-PQ index
+    "sim_ivfpq_residual_recall_at_k",  # r14: FAISS by_residual encoding, trained
+    "text_ccnet_perplexity_buckets",  # r14: CCNet head/middle/tail split per language
+    "sim_knn_label_vote",          # r14: k-NN label vote embedding-quality eval
+    "text_gopher_quality_flags",   # r14: Gopher structural quality gate
     # eval_lsh_pair_recall is deliberately ABSENT: its truth arm is the
     # all-pairs exact-Jaccard baseline — the same labeled quadratic the
     # inclusion rule excludes via dedup_ngram_jaccard (its cost is

@@ -1074,6 +1074,131 @@ def ivfpq_adc_topk(
     return _topk(scored, [F.asc_nulls_last("approx_d2"), F.asc("match_id")], k)
 
 
+def _residual_sub(vec: Column, centers_arr: Column, cell: Column,
+                  j: int, dsub: int) -> Column:
+    """Sub-vector ``j`` of the RESIDUAL ``vec - centers[cell]`` — the
+    element-wise exact double subtraction FAISS's ``by_residual`` encoding
+    is built on. No fold, so no ordering concern: each component is one
+    IEEE subtraction, bit-identical to the oracle's
+    ``CAST(x[i] AS DOUBLE) - cvec[i]``."""
+    sub = F.slice(vec, j * dsub + 1, dsub)
+    csub = F.slice(F.element_at(centers_arr, cell + 1), j * dsub + 1, dsub)
+    return F.zip_with(sub, csub, lambda a, b: a.cast("double") - b)
+
+
+def ivfpq_residual_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — FAISS ``IndexIVFPQ``'s actual
+    default (``by_residual=True``): the PQ codes compress ``x - c(cell)``,
+    not the raw vector, so one shared codebook describes every cell's
+    local neighborhood and quantization error drops without growing the
+    code. The read path changes in one place: the ADC lookup tables become
+    per-(query, probed cell) — the query's residual against THAT cell's
+    centroid — which is exactly FAISS's precomputed-tables trade
+    (n_probe·m·ksub doubles per query instead of m·ksub; still KBs).
+
+    ``codebooks`` must be residual-trained (see the trained-query
+    composition); with an all-zero coarse quantizer the residual IS the
+    vector and this operator degenerates to ``ivfpq_adc_topk`` exactly —
+    pinned in tests as the equivalence oracle.
+
+    100 TB shape: identical to ``ivfpq_adc_topk`` — cell + codes are an
+    ingest-time map stage over inlined literals, the query side broadcasts,
+    the candidate join is a cell-key equi-join touching codes only. The
+    residual subtraction is element-wise (no fold), so oracle
+    bit-exactness needs no new machinery.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    centers_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    cb_arrs = [
+        F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
+        for cb in codebooks
+    ]
+
+    def dists(vec: Column) -> Column:
+        return _subspace_dists(vec, centers_arr)
+
+    # ingest side: cell + RESIDUAL codes per corpus vector
+    cell_col = _argmin_code(dists(F.col(vec_col)))
+    ccols = [F.col(id_col).alias("match_id"), cell_col.alias("cell")]
+    for j in range(m):
+        rsub = _residual_sub(F.col(vec_col), centers_arr, cell_col, j, dsub)
+        ccols.append(_argmin_code(_subspace_dists(rsub, cb_arrs[j])).alias(f"code{j}"))
+    assigned = valid_vectors(corpus, vec_col, dim).select(*ccols).localCheckpoint(
+        eager=True
+    )
+
+    def probe_cells(vec: Column) -> Column:
+        entries = F.transform(
+            dists(vec), lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+        )
+        return F.slice(F.array_sort(entries), 1, n_probe)
+
+    # query side: explode probes FIRST, then build the per-(query, cell)
+    # residual ADC tables — the one structural difference vs the
+    # raw-encoding sibling, where tables are per-query
+    q = valid_vectors(queries, vec_col, dim).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        probe_cells(F.col(vec_col)).alias("__probes"),
+    )
+    exploded = q.select(
+        "query_id", "__qv", F.explode("__probes.cell").alias("cell")
+    )
+    pcols = [F.col("query_id"), F.col("cell")]
+    for j in range(m):
+        rq = _residual_sub(F.col("__qv"), centers_arr, F.col("cell"), j, dsub)
+        pcols.append(_subspace_dists(rq, cb_arrs[j]).alias(f"__qt{j}"))
+    probes = exploded.select(*pcols).localCheckpoint(eager=True)
+
+    joined = assigned.join(F.broadcast(probes), "cell")
+    approx = F.element_at(F.col("__qt0"), F.col("code0") + 1)
+    for j in range(1, m):
+        approx = approx + F.element_at(F.col(f"__qt{j}"), F.col(f"code{j}") + 1)
+    scored = joined.select("query_id", "match_id", approx.alias("approx_d2"))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("match_id"))
+    return _topk(scored, [F.asc_nulls_last("approx_d2"), F.asc("match_id")], k)
+
+
+def residual_vectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """(id, rvec) residuals against an inlined coarse codebook — the
+    training input for residual-PQ codebooks (FAISS trains the PQ on
+    ``x - c(assign(x))``). Element-wise exact; assignment is the shared
+    ``_argmin_code`` tie-break."""
+    dim = len(centroids[0])
+    centers_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    cell_col = _argmin_code(_subspace_dists(F.col(vec_col), centers_arr))
+    return valid_vectors(df, vec_col, dim).select(
+        F.col(id_col),
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(centers_arr, cell_col + 1),
+            lambda a, b: a.cast("double") - b,
+        ).alias("rvec"),
+    )
+
+
 def sqdist(a: Column, b: Column) -> Column:
     """Sequential left-fold squared L2 distance in double — same evaluation
     order as the oracle's generate_series list fold, hence bit-identical

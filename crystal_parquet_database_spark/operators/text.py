@@ -1384,3 +1384,120 @@ def importance_reweight(
             ).alias("keep"),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# Gopher structural quality rules (Rae et al. 2021, Table A1) — round 14
+# ----------------------------------------------------------------------------
+
+# the Gopher paper's stop-word presence set ("must contain >= 2 of ...")
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The Gopher/MassiveText STRUCTURAL document filters (Rae et al. 2021,
+    Table A1) as per-document boolean flags plus the conjunction — the
+    repetition-signal half already lives in ``repetition_features``; this is
+    the other half of that paper's quality gate:
+
+    * word count within [50, 100000]
+    * mean word length within [3, 10]
+    * symbol-to-word ratio ('#' chars + '...'/'…' runs) <= 0.1
+    * <= 90% of (non-empty) lines start with a bullet ('-', '*', '•')
+    * <= 30% of lines end with an ellipsis
+    * >= 80% of words contain an alphabetic character
+    * >= 2 distinct Gopher stop-words present
+
+    Cross-engine exactness: tokenization is the established
+    ``ws_tokens``/STRING_SPLIT_REGEX pair with empty tokens filtered; all
+    counts are integers; every ratio is a single exact-integer division in
+    double mirrored verbatim by the oracle; ellipsis counting uses
+    REPLACE-based arithmetic (no regex engine in the hot predicate). NULL
+    text yields NULL everywhere (the ``token_counts`` convention —
+    ``size(split(NULL))`` is -1 in Spark but LEN(NULL) is NULL in SQL).
+
+    100 TB shape: pure map stage — one pass over the text with no shuffle,
+    joins or UDFs; every expression is whole-stage-codegen'd. The
+    deliberate `_spread` repartition is the module's small-file pattern.
+    """
+    t = F.col(text_col)
+    df = _spread(df).withColumn(
+        "__w", F.filter(ws_tokens(t), lambda x: x != F.lit(""))
+    )
+    words = F.col("__w")
+    letters = _string.ascii_letters
+    n_words = F.when(t.isNotNull(), F.size(words))
+    nw1 = F.greatest(F.coalesce(n_words, F.lit(0)), F.lit(1)).cast("double")
+    mean_wlen = F.when(
+        t.isNotNull(),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x)), F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double") / nw1,
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    ).cast("bigint")
+    symbol_ratio = F.when(
+        t.isNotNull(), (n_hash + n_ell).cast("double") / nw1
+    )
+    n_alpha = F.size(
+        F.filter(
+            words,
+            lambda x: F.length(F.translate(x, letters, "")) < F.length(x),
+        )
+    )
+    alpha_frac = F.when(t.isNotNull(), n_alpha.cast("double") / nw1)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.when(
+        t.isNotNull(),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines,
+    )
+    ell_line_frac = F.when(
+        t.isNotNull(),
+        F.size(
+            F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+        ).cast("double")
+        / n_lines,
+    )
+    sw_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.when(
+        t.isNotNull(),
+        F.size(F.filter(sw_arr, lambda s: F.array_contains(words, s))),
+    )
+    flags = {
+        "flag_word_count": (F.col("n_words") >= 50) & (F.col("n_words") <= 100000),
+        "flag_mean_word_length": (F.col("mean_word_length") >= 3.0)
+        & (F.col("mean_word_length") <= 10.0),
+        "flag_symbol_ratio": F.col("symbol_word_ratio") <= 0.1,
+        "flag_bullet_lines": F.col("bullet_line_frac") <= 0.9,
+        "flag_ellipsis_lines": F.col("ellipsis_line_frac") <= 0.3,
+        "flag_alpha_words": F.col("alpha_word_frac") >= 0.8,
+        "flag_stopwords": F.col("n_gopher_stopwords") >= 2,
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_length"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_line_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_gopher_stopwords"),
+    ).withColumns(flags)
+    passes = None
+    for name in flags:
+        passes = out[name] if passes is None else (passes & out[name])
+    return out.withColumn("pass_gopher", passes)

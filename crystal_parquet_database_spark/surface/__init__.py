@@ -147,8 +147,14 @@ _VERIFY_FIRST = [
     # ——— the 50-query verification window ends HERE (2 new + 2
     # post-freeze + 5 changed-code + 3 belt-and-braces + 15 r10 + 23 r11
     # = exactly 50). Entries below get NO row this round. ROUND-15
-    # priority order: the 23 lightest r11 rows listed in the header
-    # comment, then the r12 cohort heaviest-first.
+    # priority order: FIRST the FOUR queries registered after this window
+    # froze (the r5 precedent — each hash-exact at sf0.01 and swept on
+    # every adversarial corpus this round): sim_ivfpq_residual_recall_at_k
+    # (FAISS by_residual trained end to end), text_ccnet_perplexity_buckets
+    # (CCNet head/middle/tail split), sim_knn_label_vote (k-NN label-vote
+    # embedding eval), text_gopher_quality_flags (Gopher structural gate).
+    # THEN the 23 lightest r11 rows listed in the header comment, then the
+    # r12 cohort heaviest-first.
 ]
 
 

@@ -2512,6 +2512,7 @@ def _sql_sqdist_d(a: str, b: str, dim: int) -> str:
 def _sql_km_c1(
     p: str, seed_lo: int, k: int, vec: str, dim: int, scale: int,
     seed_valid: str | None = None, k_sql: str | None = None,
+    src: str = "embeddings",
 ) -> str:
     """CTE-chain text training ``k`` centroids from the pinned seed rows
     [seed_lo, seed_lo+k) for ONE fixed-point update round (iters=2) over the
@@ -2525,16 +2526,18 @@ def _sql_km_c1(
     ``k_sql``: a scalar-subquery expression replacing the STATIC ``k`` in
     the seed range — the corpus-proportional cluster counts (SemDeDup's
     K = max(8, 4n/500)) train against a K the oracle recomputes from
-    COUNT(*); emitted text is byte-identical to before when unset."""
+    COUNT(*). ``src``: the CTE/table the training reads (residual-PQ
+    trains over a residual CTE, not the base table). Emitted text is
+    byte-identical to before when both are unset."""
     valid = _sql_km_valid(vec, dim)
     d2 = _sql_sqdist_d("kvec", "cvec", dim)
     k_hi = f"{seed_lo} + {k_sql}" if k_sql is not None else f"{seed_lo + k}"
     return f"""{p}v AS (
-  SELECT vec_id, {vec} AS kvec FROM embeddings WHERE {valid}
+  SELECT vec_id, {vec} AS kvec FROM {src} WHERE {valid}
 ),
 {p}c0 AS (
   SELECT CAST(vec_id - {seed_lo} AS INTEGER) AS cell, {vec} AS cvec
-  FROM embeddings
+  FROM {src}
   WHERE vec_id >= {seed_lo} AND vec_id < {k_hi} AND {seed_valid or valid}
 ),
 {p}a1 AS (
@@ -3029,8 +3032,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text: corpus bigram-LM fluency / novelty (exact-integer LM signal)
 # ----------------------------------------------------------------------------
 
-_BIGRAM_ORACLE = rf"""
-WITH bg AS (
+# the corpus-bigram-LM core (bg/model/ctx/sc CTEs) is shared verbatim by the
+# fluency query and the CCNet-style bucket query below — one definition
+_BIGRAM_CORE_CTES = rf"""bg AS (
   SELECT doc_id, unnest({sql_word_ngrams('text', 2)}) AS bg FROM documents
 ),
 model AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
@@ -3047,7 +3051,10 @@ sc AS (
   FROM (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg) o
   JOIN model USING (bg) JOIN ctx USING (w1)
   GROUP BY o.doc_id
-)
+)"""
+
+_BIGRAM_ORACLE = rf"""
+WITH {_BIGRAM_CORE_CTES}
 SELECT d.doc_id,
        COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
        COALESCE(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE), 0.0) AS fluency,
@@ -4639,3 +4646,486 @@ def text_hybrid_rrf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_hybrid_rrf_trained.__doc__ = text_hybrid_rrf_trained.__doc__.format(
     ck=_RRF_CAND_K, p=_IVF_PROBE
 )
+
+
+# ----------------------------------------------------------------------------
+# trained RESIDUAL IVF-PQ (round 14) — FAISS IndexIVFPQ's actual default
+# (by_residual=True): the PQ codebooks are trained on x - c(assign(x)) and
+# the codes compress the residual, so one shared codebook describes every
+# cell's local neighborhood. The last fidelity gap between this module's
+# IVF-PQ and the FAISS read path, closed oracle-exact end to end.
+# ----------------------------------------------------------------------------
+
+
+def _sql_rsub_l2(a: str, c: str, j: int) -> str:
+    """Squared L2 between subspace ``j`` of a full RESIDUAL vector ``a``
+    and a dsub-dim codebook centroid ``c`` — `_sql_sub_l2_t`'s fold over
+    the residual list (whose elements are already exact doubles)."""
+    diff = f"(CAST({a}[{j * _PQ_DSUB} + i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {_PQ_DSUB}), "
+        f"i -> {diff} * {diff}), 'sum')"
+    )
+
+
+def _trained_residual_pq_codebooks(
+    emb: DataFrame, cent: list[list[float]]
+) -> list[list[list[float]]]:
+    """Train the m per-subspace PQ codebooks ON RESIDUALS against the
+    trained coarse quantizer (FAISS ``by_residual`` training), as one
+    grouped k-means pass (the `_trained_pq_codebooks` machinery over the
+    residual frame). Seed admission is PER-SLICE (the `_km_frames`
+    validity/domain contract on each residual subvector) — deliberately
+    unlike the raw sibling's uniform full-embedding rule, because a clean
+    embedding does NOT imply a domain-clean residual (|x|,|c| < D only
+    bounds |x-c| < 2D); the oracle applies the identical per-slice
+    predicate, so admission stays bit-symmetric."""
+    from functools import reduce
+
+    res = S.residual_vectors(emb, "vec_id", "embedding", cent)
+
+    def sub(j: int):
+        return F.slice(F.col("rvec"), j * _PQ_DSUB + 1, _PQ_DSUB)
+
+    stacked = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            res.select(F.lit(j).alias("__sub"), "vec_id", sub(j).alias("subvec"))
+            for j in range(_PQ_M)
+        ],
+    )
+    seed_res = res.filter(
+        (F.col("vec_id") >= _PQ_SEED_LO)
+        & (F.col("vec_id") < _PQ_SEED_LO + _PQ_KSUB)
+    )
+    seeds = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            seed_res.select(
+                F.lit(j).alias("__sub"),
+                (F.col("vec_id") - _PQ_SEED_LO).cast("int").alias("cell_id"),
+                sub(j).alias("cvec"),
+            )
+            for j in range(_PQ_M)
+        ],
+    )
+    trained = S.kmeans_lloyd_centroids(
+        stacked, "vec_id", "subvec", seeds,
+        iters=_KM_ITERS, scale=_KM_SCALE, dim=_PQ_DSUB, group_col="__sub",
+    )
+    codebooks: list[list[list[float]]] = [[] for _ in range(_PQ_M)]
+    for r in trained.orderBy("__sub", "cell_id").collect():
+        codebooks[r["__sub"]].append(list(r["cvec"]))
+    return codebooks
+
+
+_RES_CTE = f"""res AS (
+  SELECT a.vec_id,
+         list_transform(generate_series(1, {_DIM}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) - t.cvec[i]) AS rvec
+  FROM assign a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN tc1 t ON t.cell = a.cell_id
+)"""
+
+_RPQ_TRAIN_CTES = ",\n".join(
+    _sql_km_c1(
+        f"rp{j}_", _PQ_SEED_LO, _PQ_KSUB,
+        f"list_slice(rvec, {j * _PQ_DSUB + 1}, {(j + 1) * _PQ_DSUB})",
+        _PQ_DSUB, _KM_SCALE, src="res",
+    )
+    for j in range(_PQ_M)
+)
+
+_RPQ_CODE_CTES = ",\n".join(
+    f"""rtd{j} AS (
+  SELECT r.vec_id, t.cell AS code, {_sql_rsub_l2('r.rvec', 't.cvec', j)} AS d2
+  FROM res r CROSS JOIN rp{j}_c1 t
+),
+rtk{j} AS (
+  SELECT vec_id, code AS k{j} FROM (
+    SELECT vec_id, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+    FROM rtd{j}) WHERE rn = 1
+)"""
+    for j in range(_PQ_M)
+)
+
+_RPQ_CODE_JOIN = " ".join(f"JOIN rtk{j} USING (vec_id)" for j in range(1, _PQ_M))
+_RPQ_CB_JOINS = "\n  ".join(
+    f"JOIN rp{j}_c1 s{j} ON s{j}.cell = c.k{j}" for j in range(_PQ_M)
+)
+
+
+def _sql_radc_term(j: int) -> str:
+    """One subspace's ADC term: the QUERY residual against the probed
+    cell's centroid, distanced to candidate code ``j``'s centroid — the
+    per-(query, cell) lookup table FAISS precomputes, as one fold."""
+    diff = (
+        f"((CAST(q.qvec[{j * _PQ_DSUB} + i] AS DOUBLE) "
+        f"- tq.cvec[{j * _PQ_DSUB} + i]) - CAST(s{j}.cvec[i] AS DOUBLE))"
+    )
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {_PQ_DSUB}), "
+        f"i -> {diff} * {diff}), 'sum')"
+    )
+
+
+_RADC_SUM = " + ".join(_sql_radc_term(j) for j in range(_PQ_M))
+
+_IVFPQ_RESIDUAL_ORACLE = f"""
+WITH {_sql_km_c1("t", _IVF_SEED_LO, _TIVF_K, "embedding", _DIM, _KM_SCALE)},
+d AS (
+  SELECT e.vec_id, t.cell AS cell_id, {_sql_l2('e.embedding', 't.cvec')} AS d2
+  FROM embeddings e CROSS JOIN tc1 t
+  WHERE {_VALID.replace("embedding", "e.embedding")}
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM d) WHERE rn = 1
+),
+{_RES_CTE},
+{_RPQ_TRAIN_CTES},
+{_RPQ_CODE_CTES},
+rcodes AS (
+  SELECT rtk0.vec_id, {_TPQ_CODE_COLS}
+  FROM rtk0 {_RPQ_CODE_JOIN}
+),
+probes AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM d WHERE vec_id < 10) WHERE rn <= {_IVF_PROBE}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < 10 AND {_VALID}),
+rcand AS (
+  SELECT a.vec_id, a.cell_id, {_TPQ_CODE_COLS}
+  FROM assign a JOIN rcodes USING (vec_id)
+),
+radc AS (
+  SELECT q.query_id, c.vec_id AS match_id, {_RADC_SUM} AS approx_d2
+  FROM rcand c
+  JOIN probes p ON c.cell_id = p.cell_id
+  JOIN q ON q.query_id = p.query_id
+  JOIN tc1 tq ON tq.cell = p.cell_id
+  {_RPQ_CB_JOINS}
+  WHERE c.vec_id <> q.query_id
+),
+rivfpq AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_d2, match_id) AS rank
+    FROM radc) WHERE rank <= 10
+),
+truth AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, e.vec_id AS match_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_l2('e.embedding', 'q.qvec')},
+                                       e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id AND {S.VALID_VEC_SQL('e.embedding', _DIM)}
+  ) WHERE rank <= 10
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(p.match_id) AS BIGINT) AS n_hit_rivfpq,
+       CAST(CAST(COUNT(p.match_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DOUBLE)
+         AS recall_rivfpq
+FROM truth t
+LEFT JOIN rivfpq p ON t.query_id = p.query_id AND t.match_id = p.match_id
+GROUP BY t.query_id
+"""
+
+
+@query("sim_ivfpq_residual_recall_at_k", _IVFPQ_RESIDUAL_ORACLE)
+def sim_ivfpq_residual_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS ``IndexIVFPQ`` with RESIDUAL encoding, fully trained and
+    oracle-exact (round 14): coarse cells are k-means-trained, the m PQ
+    codebooks are k-means-trained ON THE RESIDUALS x − c(assign(x))
+    (``by_residual=True``, the FAISS default the round-13 raw-encoding
+    composition deliberately deferred), and the search probes the trained
+    cells ranking candidates by per-(query, probed-cell) residual ADC
+    tables (operators/similarity.ivfpq_residual_adc_topk). Recall@10 vs
+    exact-L2 ground truth as integer hit counts.
+
+    Exactness: the residual is an element-wise IEEE subtraction (no fold,
+    no ordering), so every downstream stage — residual k-means on the
+    int64 fixed-point grid, code argmin, ADC sums — rides the proven
+    bit-identical machinery unchanged. Degenerate all-seeds-invalid
+    corpora: nothing trains (coarse empty ⇒ res empty; PQ seeds invalid ⇒
+    rcodes inner-join empty), and BOTH engines emit the truth rows with
+    zero hits — the truth CTE is training-independent, the trained-PQ
+    sibling's reasoning.
+
+    Scale shape: identical to the raw trained sibling plus one ingest-time
+    element-wise map (the residual); the query side broadcasts
+    n_probe·m·ksub table doubles per query instead of m·ksub — FAISS's own
+    precomputed-tables trade, still KBs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _trained_ivf_centroids(emb)
+    queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
+    codebooks = _trained_residual_pq_codebooks(emb, cent) if cent else []
+    if not cent or not all(codebooks):
+        # any empty training empties the oracle's rcodes/radc chain (inner
+        # joins), but its truth CTE is training-independent: truth rows,
+        # zero hits
+        no_hits = spark.createDataFrame([], "query_id bigint, __r_match bigint")
+        return _recall_vs_l2_truth(queries_df, emb, no_hits, "__r_match", "rivfpq")
+    approx = S.ivfpq_residual_adc_topk(
+        queries_df, emb, "vec_id", "embedding", cent, codebooks,
+        k=10, n_probe=_IVF_PROBE,
+    ).select("query_id", F.col("match_id").alias("__r_match"))
+    return _recall_vs_l2_truth(queries_df, emb, approx, "__r_match", "rivfpq")
+
+
+# ----------------------------------------------------------------------------
+# text: CCNet-style per-language perplexity bucketing (round 14) — split
+# every language's corpus into head/middle/tail thirds by the (log-free)
+# LM fluency signal, the Wenzek et al. 2020 curation move that LLaMA's
+# CommonCrawl pipeline reused. Bucketing is rank arithmetic over an
+# already-exact score, so the whole query stays oracle hash-exact.
+# ----------------------------------------------------------------------------
+
+_CCNET_ORACLE = rf"""
+WITH {_BIGRAM_CORE_CTES},
+fl AS (
+  SELECT d.doc_id, d.lang,
+         COALESCE(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE), 0.0) AS fluency
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+)
+SELECT doc_id, lang, fluency,
+       CASE NTILE(3) OVER (PARTITION BY lang ORDER BY fluency DESC, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM fl
+"""
+
+
+@query("text_ccnet_perplexity_buckets", _CCNET_ORACLE)
+def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020): per LANGUAGE,
+    rank every document by LM quality and cut the corpus into thirds —
+    head = most in-distribution (lowest perplexity), tail = noisiest; the
+    downstream pipeline keeps head+middle. The perplexity stand-in is the
+    corpus bigram-LM fluency signal (text_bigram_fluency's exact rational
+    s2/s1 — ln/KenLM perplexities are NOT correctly-rounded cross-engine,
+    ranks of an exact monotone surrogate are), and the split is
+    NTILE(3) over (fluency DESC, doc_id) — pure rank arithmetic, so the
+    bucket labels are bit-deterministic in both engines.
+
+    100 TB shape: the LM is the bigram_fluency budget (two corpus-keyed
+    aggregations + one join back — at scale the model tables are computed
+    once and reused); the bucketing adds ONE lang-keyed window whose
+    partition count equals the language count, the same shuffle family as
+    sample_language_mixture. No new quadratic anywhere; docs with no
+    bigrams score 0.0 and sink into the tail deterministically."""
+    docs = load_table(spark, sf_dir, "documents")
+    fl = T.bigram_fluency(
+        docs.select("doc_id", "text"), "text", "doc_id", rare_max_count=1
+    ).select("doc_id", "fluency")
+    j = fl.join(docs.select("doc_id", "lang"), "doc_id")
+    w = W.partitionBy("lang").orderBy(F.desc("fluency"), F.col("doc_id"))
+    return j.select(
+        "doc_id",
+        "lang",
+        "fluency",
+        F.when(F.ntile(3).over(w) == 1, F.lit("head"))
+        .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# evaluation: k-NN label vote (round 14) — the standard embedding-quality
+# probe: if an embedding space is good, a vector's exact nearest neighbors
+# share its label. Majority vote over the exact cosine top-k, reported per
+# query with the prediction and correctness — the eval a pipeline runs
+# after training/ingesting a new embedding model, before trusting ANN
+# indexes built on it.
+# ----------------------------------------------------------------------------
+
+_KNN_K, _KNN_NQ = 10, 50
+
+_KNN_VOTE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS true_label
+  FROM embeddings WHERE vec_id < {_KNN_NQ} AND {_VALID}
+),
+nn AS (
+  SELECT query_id, match_id, mlabel FROM (
+    SELECT q.query_id, e.vec_id AS match_id, e.label AS mlabel,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_cos('e.embedding', 'q.qvec')} DESC,
+                                       e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id AND {_VALID.replace("embedding", "e.embedding")}
+  ) WHERE rank <= {_KNN_K}
+),
+votes AS (
+  SELECT query_id, mlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM nn GROUP BY query_id, mlabel
+),
+pred AS (
+  SELECT query_id, label AS pred_label, n_votes FROM (
+    SELECT query_id, label, n_votes,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY n_votes DESC, label) AS rk
+    FROM votes) WHERE rk = 1
+)
+SELECT q.query_id, q.true_label, p.pred_label, p.n_votes,
+       (p.pred_label = q.true_label) AS correct
+FROM q JOIN pred p ON p.query_id = q.query_id
+"""
+
+
+@query("sim_knn_label_vote", _KNN_VOTE_ORACLE)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label vote over the exact cosine top-{k}: per query vector, the
+    majority label among its {k} nearest neighbors (ties to the smallest
+    label — the deterministic argmax-as-max(struct) rule), the true label,
+    and whether they agree. Vote counts are integers and the neighbor set
+    comes from the proven exact cosine ranking, so the whole eval is
+    oracle hash-exact.
+
+    100 TB shape: the neighbor stage is the cosine_topk scale path (ANN
+    replaces brute force at scale — swapping in ivf/ivfpq_topk composes
+    unchanged because the vote only consumes (query_id, neighbor label));
+    the vote is a (query, label)-keyed count whose partials combine
+    map-side, then a per-query argmax over ≤ k rows. Queries broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = S.valid_vectors(
+        emb.filter(F.col("vec_id") < _KNN_NQ), "embedding", _DIM
+    ).select("vec_id", "embedding", F.col("label").alias("true_label"))
+    nn = S.cosine_topk(
+        q.select("vec_id", "embedding"), emb, "vec_id", "embedding",
+        k=_KNN_K, dim=_DIM,
+    ).select("query_id", "match_id")
+    votes = (
+        nn.join(
+            emb.select(
+                F.col("vec_id").alias("match_id"), F.col("label").alias("mlabel")
+            ),
+            "match_id",
+        )
+        .groupBy("query_id", "mlabel")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    pred = (
+        votes.groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_votes").alias("n"),
+                    (-F.col("mlabel")).alias("neg"),
+                    F.col("mlabel").alias("label"),
+                )
+            ).alias("__b")
+        )
+        .select(
+            "query_id",
+            F.col("__b.label").alias("pred_label"),
+            F.col("__b.n").alias("n_votes"),
+        )
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"), "true_label")
+        .join(pred, "query_id")
+        .select(
+            "query_id", "true_label", "pred_label", "n_votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+sim_knn_label_vote.__doc__ = sim_knn_label_vote.__doc__.format(k=_KNN_K)
+
+
+# ----------------------------------------------------------------------------
+# text: Gopher structural quality rules (round 14) — the MassiveText
+# document-level gate (Rae et al. 2021, Table A1). The repetition half
+# already ships as text_repetition_features; this adds the structural
+# rules + per-rule flags + the conjunction, all exact-integer arithmetic.
+# ----------------------------------------------------------------------------
+
+_GOPHER_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_GOPHER_SW_SQL = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
+
+_GOPHER_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text, ' '), '\s+'),
+                     w -> w <> '') AS w,
+         LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10)),
+                                    l -> TRIM(l, ' ')), l -> l <> '') AS nl
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    CAST(LEN(w) AS INTEGER) AS n_words,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      CAST(COALESCE(list_aggregate(list_transform(w, x -> LENGTH(x)), 'sum'),
+                    0) AS DOUBLE)
+      / CAST(GREATEST(COALESCE(LEN(w), 0), 1) AS DOUBLE) END
+      AS mean_word_length,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+           + CAST(((LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+                   + (LENGTH(text) - LENGTH(REPLACE(text, '…', ''))))
+                  AS BIGINT) AS DOUBLE)
+      / CAST(GREATEST(COALESCE(LEN(w), 0), 1) AS DOUBLE) END
+      AS symbol_word_ratio,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      CAST(LEN(LIST_FILTER(nl, l -> starts_with(l, '-')
+                                OR starts_with(l, '*')
+                                OR starts_with(l, '•'))) AS DOUBLE)
+      / CAST(GREATEST(LEN(nl), 1) AS DOUBLE) END AS bullet_line_frac,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      CAST(LEN(LIST_FILTER(nl, l -> ends_with(l, '...')
+                                OR ends_with(l, '…'))) AS DOUBLE)
+      / CAST(GREATEST(LEN(nl), 1) AS DOUBLE) END AS ellipsis_line_frac,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      CAST(LEN(LIST_FILTER(w,
+             x -> LENGTH(TRANSLATE(x, '{_GOPHER_LETTERS}', '')) < LENGTH(x)))
+           AS DOUBLE)
+      / CAST(GREATEST(COALESCE(LEN(w), 0), 1) AS DOUBLE) END
+      AS alpha_word_frac,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      CAST(LEN(LIST_FILTER([{_GOPHER_SW_SQL}],
+                           s -> LIST_CONTAINS(w, s))) AS INTEGER) END
+      AS n_gopher_stopwords
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_length, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       n_gopher_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+       (mean_word_length >= 3.0 AND mean_word_length <= 10.0)
+         AS flag_mean_word_length,
+       (symbol_word_ratio <= 0.1) AS flag_symbol_ratio,
+       (bullet_line_frac <= 0.9) AS flag_bullet_lines,
+       (ellipsis_line_frac <= 0.3) AS flag_ellipsis_lines,
+       (alpha_word_frac >= 0.8) AS flag_alpha_words,
+       (n_gopher_stopwords >= 2) AS flag_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_length >= 3.0 AND mean_word_length <= 10.0)
+        AND (symbol_word_ratio <= 0.1)
+        AND (bullet_line_frac <= 0.9)
+        AND (ellipsis_line_frac <= 0.3)
+        AND (alpha_word_frac >= 0.8)
+        AND (n_gopher_stopwords >= 2)) AS pass_gopher
+FROM feat
+"""
+
+
+@query("text_gopher_quality_flags", _GOPHER_ORACLE)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText structural quality gate (Rae et al. 2021) — see
+    operators/text.gopher_quality_flags for the rules, the exactness
+    contract and the 100 TB (pure map stage) shape."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.gopher_quality_flags(docs, "text", "doc_id")

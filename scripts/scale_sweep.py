@@ -101,6 +101,18 @@ NEW_R13 = [
 NEW_R14 = [
     "dedup_semantic_semdedup_trained",
     "text_hybrid_rrf_trained",
+    # residual encoding stacks a second size-coupled training (residual
+    # k-means per subspace) on the trained-IVFPQ chain
+    "sim_ivfpq_residual_recall_at_k",
+    # per-language NTILE bucketing over the corpus-sized bigram model —
+    # partition populations (and therefore every bucket boundary) move
+    # with the corpus
+    "text_ccnet_perplexity_buckets",
+    # neighbor sets (and therefore vote outcomes) shift with corpus size
+    "sim_knn_label_vote",
+    # text_gopher_quality_flags is deliberately absent: a pure per-row map
+    # stage has no size-coupled failure class (the sample_temperature_mixture
+    # rule); the six fixture sweeps run it on every adversarial corpus.
 ]
 
 QUERIES_TO_RUN = sorted(

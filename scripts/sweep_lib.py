@@ -40,7 +40,16 @@ def run_sweep(
     build_corpus(dst)
     spark = get_spark()
     fails = []
-    for name in ORACLES:
+    # SWEEP_ONLY=a,b,c: restrict to named queries — the targeted mid-round
+    # mode for stressing a new query against an adversarial corpus without
+    # the full 8-minute pass. The end-of-round gate runs WITHOUT it.
+    only = {
+        n.strip()
+        for n in os.environ.get("SWEEP_ONLY", "").split(",")
+        if n.strip()
+    }
+    todo = [n for n in ORACLES if not only or n in only]
+    for name in todo:
         reps = 3 if name in repeat_3x else 1
         for rep in range(reps):
             try:
@@ -56,7 +65,7 @@ def run_sweep(
                 print("FAIL", fails[-1], flush=True)
                 break
     print(
-        f"DONE {len(ORACLES) - len(fails)}/{len(ORACLES)} green on {banner} corpus; dir={dst}"
+        f"DONE {len(todo) - len(fails)}/{len(todo)} green on {banner} corpus; dir={dst}"
     )
     if fails:
         raise SystemExit(1)

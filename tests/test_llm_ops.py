@@ -801,3 +801,83 @@ def test_temperature_mixture_matches_python_oracle_randomized(spark):
     for g, r in got.items():
         want = sqrts[g] / den if den > 0 else None
         assert r["weight"] == want, (g, r["weight"], want)
+
+
+def test_ccnet_buckets_per_language_thirds_and_order(spark):
+    """CCNet bucketing invariants: every doc labeled exactly once; within a
+    language the three buckets differ in size by at most 1 (NTILE), and no
+    tail doc outscores a head doc (monotone split on the fluency rank)."""
+    from crystal_parquet_database_spark.surface import QUERIES
+
+    out = QUERIES["text_ccnet_perplexity_buckets"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 500 and len({r["doc_id"] for r in out}) == 500
+    bylang = {}
+    for r in out:
+        bylang.setdefault(r["lang"], []).append(r)
+    for lang, rows in bylang.items():
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rows:
+            counts[r["ppl_bucket"]] += 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (lang, counts)
+        heads = [r["fluency"] for r in rows if r["ppl_bucket"] == "head"]
+        tails = [r["fluency"] for r in rows if r["ppl_bucket"] == "tail"]
+        if heads and tails:
+            assert min(heads) >= max(tails), lang
+
+
+def test_gopher_flags_hand_cases(spark):
+    """Hand-built documents hitting each Gopher rule boundary."""
+    from crystal_parquet_database_spark.operators.text import gopher_quality_flags
+
+    good = " ".join(["the be to of and that have with"] + ["word also here"] * 20)
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ells = "\n".join(f"line {i}..." for i in range(10))
+    symbols = "# " * 30
+    numeric = " ".join(str(i) for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, good),          # passes word-count/stopword/alpha rules
+            (2, bullets),       # 100% bullet lines
+            (3, ells),          # 100% ellipsis lines
+            (4, symbols),       # symbol ratio 1.0
+            (5, numeric),       # no alphabetic words
+            (6, None),          # NULL text -> NULL everywhere
+            (7, ""),            # empty text -> zero words, fails count rule
+            (8, "tiny doc"),    # < 50 words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_flags(df, "text", "doc_id").collect()}
+    assert got[1]["flag_word_count"] and got[1]["flag_stopwords"]
+    assert got[1]["flag_alpha_words"] and got[1]["pass_gopher"] is not None
+    assert got[2]["bullet_line_frac"] == 1.0 and not got[2]["flag_bullet_lines"]
+    assert got[3]["ellipsis_line_frac"] == 1.0 and not got[3]["flag_ellipsis_lines"]
+    assert got[4]["symbol_word_ratio"] == 1.0 and not got[4]["flag_symbol_ratio"]
+    assert got[5]["alpha_word_frac"] == 0.0 and not got[5]["flag_alpha_words"]
+    assert all(got[6][c] is None for c in got[6].asDict() if c != "doc_id")
+    assert got[7]["n_words"] == 0 and not got[7]["flag_word_count"]
+    assert got[7]["pass_gopher"] is False
+    assert not got[8]["flag_word_count"] and got[8]["pass_gopher"] is False
+
+
+def test_knn_label_vote_planted_clusters(spark, monkeypatch):
+    """Two tight label clusters: every query's neighbors share its label, so
+    the vote must be unanimous and correct."""
+    import crystal_parquet_database_spark.surface.llm as L
+    import os, tempfile
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [0.0 + 0.001 * i] * 8 + [1.0] * 56, 1))
+        rows.append((100 + i, [50.0 + 0.001 * i] * 8 + [-1.0] * 56, 2))
+    import pandas as pd
+    dst = tempfile.mkdtemp(prefix="knn_vote_")
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        os.path.join(dst, "embeddings.parquet"), index=False
+    )
+    out = {r["query_id"]: r for r in L.sim_knn_label_vote(spark, dst).collect()}
+    assert set(out) == set(range(20))  # vec_id < 50 queries present
+    for qid, r in out.items():
+        assert r["pred_label"] == 1 and r["correct"] and r["n_votes"] == 10

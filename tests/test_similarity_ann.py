@@ -843,6 +843,10 @@ def test_trained_quantizers_all_seeds_invalid_matches_oracle(spark):
             # arm empty, its RRF term coalesces to 0)
             "dedup_semantic_semdedup_trained",
             "text_hybrid_rrf_trained",
+            # residual IVF-PQ: coarse seeds invalid ⇒ res is empty; PQ
+            # seeds invalid ⇒ rcodes inner-join empties — truth rows with
+            # zero hits on both sides (truth is training-independent)
+            "sim_ivfpq_residual_recall_at_k",
         ):
             ok, msg = compare_query(spark, name, dst)
             assert ok, msg
@@ -954,3 +958,85 @@ def test_kmeans_grouped_null_group_rows_excluded(spark):
     # the surviving group-0 training is unaffected by the excluded rows:
     # mean of [1,2] on the fixed-point grid = 1.5 per component
     assert list(out[0]["cvec"]) == [1.5] * dim
+
+
+def test_ivfpq_residual_zero_coarse_equals_raw_pq(spark):
+    """With a single all-zero coarse centroid the residual IS the vector
+    (x - 0), so residual IVF-PQ with n_probe=1 must reproduce the raw
+    full-scan ADC ranking exactly — the equivalence oracle for the
+    by_residual read path."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        ivfpq_residual_adc_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    dim, dsub = 8, 4
+    rows = [(i, [float(i % 5) + 0.1 * i, -0.3 * i] * (dim // 2)) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codebooks = [
+        [[0.0] * dsub, [3.0] * dsub, [-2.0] * dsub],
+        [[0.0] * dsub, [-1.5] * dsub, [2.5] * dsub],
+    ]
+    q = emb.filter(F.col("vec_id") < 3)
+    res = ivfpq_residual_adc_topk(
+        q, emb, "vec_id", "embedding", [[0.0] * dim], codebooks,
+        k=12, n_probe=1,
+    )
+    raw = pq_adc_topk(
+        q, pq_encode(emb, "vec_id", "embedding", codebooks),
+        "vec_id", "embedding", codebooks, k=12,
+    )
+    key = lambda df: {  # noqa: E731
+        (r["query_id"], r["match_id"], r["rank"], r["approx_d2"])
+        for r in df.collect()
+    }
+    assert key(res) == key(raw)
+
+
+def test_ivfpq_residual_probe_restriction(spark):
+    """Residual IVF-PQ must never rank a candidate outside the query's
+    probed cells; residual encoding moves both blobs onto the SAME
+    codebook (their residuals coincide), which is by_residual's point."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        ivfpq_residual_adc_topk,
+    )
+
+    dim, dsub = 8, 4
+    rows = [(i, [0.0 + 0.01 * i] * dim) for i in range(10)]
+    rows += [(100 + i, [50.0 + 0.01 * i] * dim) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [[0.0] * dim, [50.0] * dim]
+    # residuals in BOTH cells land near [0, 0.1] — one shared codebook
+    codebooks = [
+        [[0.0] * dsub, [0.05] * dsub],
+        [[0.0] * dsub, [0.05] * dsub],
+    ]
+    got = ivfpq_residual_adc_topk(
+        emb.filter(F.col("vec_id") == 0), emb, "vec_id", "embedding",
+        centroids, codebooks, k=20, n_probe=1,
+    ).collect()
+    assert got and all(r["match_id"] < 100 for r in got)
+
+
+def test_ivfpq_residual_plan_no_cartesian(spark):
+    from crystal_parquet_database_spark.operators.similarity import (
+        ivfpq_residual_adc_topk,
+    )
+    from crystal_parquet_database_spark.plans.inspect import formatted_plan
+
+    dim, dsub = 8, 4
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * dim) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = formatted_plan(
+        ivfpq_residual_adc_topk(
+            emb.filter(F.col("vec_id") < 2), emb, "vec_id", "embedding",
+            [[0.0] * dim, [5.0] * dim],
+            [[[0.0] * dsub, [5.0] * dsub], [[0.0] * dsub, [5.0] * dsub]],
+            k=3, n_probe=1,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
