@@ -4719,7 +4719,7 @@ def _trained_residual_pq_codebooks(
     return codebooks
 
 
-_RES_CTE = f"""res AS (
+_RES_CTE = f"""res AS MATERIALIZED (
   SELECT a.vec_id,
          list_transform(generate_series(1, {_DIM}),
                         i -> CAST(e.embedding[i] AS DOUBLE) - t.cvec[i]) AS rvec
@@ -4773,14 +4773,19 @@ def _sql_radc_term(j: int) -> str:
 
 _RADC_SUM = " + ".join(_sql_radc_term(j) for j in range(_PQ_M))
 
+# d/assign/res/rcodes are MATERIALIZED: DuckDB inlines plain CTEs per
+# reference, and this oracle references the assignment chain from ~12 sites
+# (m trainings x 2 + m encodes + the ADC) - measured 45 GB of spill at the
+# 30x replica before materialization pinned each to one evaluation.
+# Planner-only hint; results are identical.
 _IVFPQ_RESIDUAL_ORACLE = f"""
 WITH {_sql_km_c1("t", _IVF_SEED_LO, _TIVF_K, "embedding", _DIM, _KM_SCALE)},
-d AS (
+d AS MATERIALIZED (
   SELECT e.vec_id, t.cell AS cell_id, {_sql_l2('e.embedding', 't.cvec')} AS d2
   FROM embeddings e CROSS JOIN tc1 t
   WHERE {_VALID.replace("embedding", "e.embedding")}
 ),
-assign AS (
+assign AS MATERIALIZED (
   SELECT vec_id, cell_id FROM (
     SELECT vec_id, cell_id,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
@@ -4789,7 +4794,7 @@ assign AS (
 {_RES_CTE},
 {_RPQ_TRAIN_CTES},
 {_RPQ_CODE_CTES},
-rcodes AS (
+rcodes AS MATERIALIZED (
   SELECT rtk0.vec_id, {_TPQ_CODE_COLS}
   FROM rtk0 {_RPQ_CODE_JOIN}
 ),
