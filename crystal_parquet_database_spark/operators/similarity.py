@@ -1074,18 +1074,6 @@ def ivfpq_adc_topk(
     return _topk(scored, [F.asc_nulls_last("approx_d2"), F.asc("match_id")], k)
 
 
-def _residual_sub(vec: Column, centers_arr: Column, cell: Column,
-                  j: int, dsub: int) -> Column:
-    """Sub-vector ``j`` of the RESIDUAL ``vec - centers[cell]`` — the
-    element-wise exact double subtraction FAISS's ``by_residual`` encoding
-    is built on. No fold, so no ordering concern: each component is one
-    IEEE subtraction, bit-identical to the oracle's
-    ``CAST(x[i] AS DOUBLE) - cvec[i]``."""
-    sub = F.slice(vec, j * dsub + 1, dsub)
-    csub = F.slice(F.element_at(centers_arr, cell + 1), j * dsub + 1, dsub)
-    return F.zip_with(sub, csub, lambda a, b: a.cast("double") - b)
-
-
 def ivfpq_residual_adc_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1131,15 +1119,34 @@ def ivfpq_residual_adc_topk(
     def dists(vec: Column) -> Column:
         return _subspace_dists(vec, centers_arr)
 
-    # ingest side: cell + RESIDUAL codes per corpus vector
+    # ingest side: cell + RESIDUAL codes per corpus vector. The residual is
+    # computed ONCE per row and MATERIALIZED before the m code argmins are
+    # derived from slices of it: inlining `x - c(cell)` (which itself embeds
+    # the k·dim centroid literal array twice, plus the argmin's own copy)
+    # into every one of the m per-subspace distance transforms made the
+    # analyzed tree ~quarter-million nodes and Catalyst analysis dominated
+    # the query (measured 60s+ of driver-side planning at sf0.1 vs <1s
+    # execution — round-14 optimization; the ivf_topk "keep inlined-literal
+    # trees out of join planning" lesson applied one level deeper).
+    # slice(x - c) ≡ (slice(x) - slice(c)) element-wise, so the codes are
+    # bit-identical to the previous per-subspace residual construction.
     cell_col = _argmin_code(dists(F.col(vec_col)))
-    ccols = [F.col(id_col).alias("match_id"), cell_col.alias("cell")]
+    res = valid_vectors(corpus, vec_col, dim).select(
+        F.col(id_col).alias("match_id"),
+        cell_col.alias("cell"),
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(centers_arr, cell_col + 1),
+            lambda a, b: a.cast("double") - b,
+        ).alias("__rv"),
+    ).localCheckpoint(eager=True)
+    ccols = [F.col("match_id"), F.col("cell")]
     for j in range(m):
-        rsub = _residual_sub(F.col(vec_col), centers_arr, cell_col, j, dsub)
+        rsub = F.slice(F.col("__rv"), j * dsub + 1, dsub)
         ccols.append(_argmin_code(_subspace_dists(rsub, cb_arrs[j])).alias(f"code{j}"))
-    assigned = valid_vectors(corpus, vec_col, dim).select(*ccols).localCheckpoint(
-        eager=True
-    )
+    # no second checkpoint: over the materialized residual the code argmins
+    # are a small-plan map stage the final job runs once
+    assigned = res.select(*ccols)
 
     def probe_cells(vec: Column) -> Column:
         entries = F.transform(
@@ -1149,7 +1156,9 @@ def ivfpq_residual_adc_topk(
 
     # query side: explode probes FIRST, then build the per-(query, cell)
     # residual ADC tables — the one structural difference vs the
-    # raw-encoding sibling, where tables are per-query
+    # raw-encoding sibling, where tables are per-query. Same
+    # materialize-the-residual move as the ingest side: one full-width
+    # query residual per (query, probed cell), tables from slices of it.
     q = valid_vectors(queries, vec_col, dim).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -1157,10 +1166,18 @@ def ivfpq_residual_adc_topk(
     )
     exploded = q.select(
         "query_id", "__qv", F.explode("__probes.cell").alias("cell")
+    ).select(
+        "query_id",
+        "cell",
+        F.zip_with(
+            F.col("__qv"),
+            F.element_at(centers_arr, F.col("cell") + 1),
+            lambda a, b: a.cast("double") - b,
+        ).alias("__rq"),
     )
     pcols = [F.col("query_id"), F.col("cell")]
     for j in range(m):
-        rq = _residual_sub(F.col("__qv"), centers_arr, F.col("cell"), j, dsub)
+        rq = F.slice(F.col("__rq"), j * dsub + 1, dsub)
         pcols.append(_subspace_dists(rq, cb_arrs[j]).alias(f"__qt{j}"))
     probes = exploded.select(*pcols).localCheckpoint(eager=True)
 

@@ -24,6 +24,7 @@ from crystal_parquet_database_spark.functions.portable_hash import (
 from crystal_parquet_database_spark.operators import dedup as D
 from crystal_parquet_database_spark.operators import similarity as S
 from crystal_parquet_database_spark.operators import text as T
+from crystal_parquet_database_spark.runtime import release_local_checkpoint
 from crystal_parquet_database_spark.surface.registry import query
 from crystal_parquet_database_spark.tables import load_table
 
@@ -4682,7 +4683,17 @@ def _trained_residual_pq_codebooks(
     predicate, so admission stays bit-symmetric."""
     from functools import reduce
 
-    res = S.residual_vectors(emb, "vec_id", "embedding", cent)
+    # MATERIALIZE the residual frame before the 2m subspace slices fan out
+    # of it: left as a plan, every slice re-embeds the rvec expression with
+    # its k·dim inlined centroid array, the grouped trainer's unions and
+    # iteration re-analyze those trees per rule, and Catalyst planning
+    # dominated the training (measured 38s vs the raw sibling's 6s at
+    # sf0.1, round-14 optimization). The frame is n·dim doubles — the same
+    # footprint every other checkpointed index side carries; blocks are
+    # released right after the codebook collect below.
+    res = S.residual_vectors(emb, "vec_id", "embedding", cent).localCheckpoint(
+        eager=True
+    )
 
     def sub(j: int):
         return F.slice(F.col("rvec"), j * _PQ_DSUB + 1, _PQ_DSUB)
@@ -4716,6 +4727,10 @@ def _trained_residual_pq_codebooks(
     codebooks: list[list[list[float]]] = [[] for _ in range(_PQ_M)]
     for r in trained.orderBy("__sub", "cell_id").collect():
         codebooks[r["__sub"]].append(list(r["cvec"]))
+    # the trained codebooks are now plain Python literals; the residual
+    # blocks have no further reader — release them deterministically
+    # (runtime.py) instead of waiting for harness-level hygiene
+    release_local_checkpoint(res)
     return codebooks
 
 
