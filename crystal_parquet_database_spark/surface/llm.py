@@ -3570,6 +3570,26 @@ def _trained_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     return codebooks
 
 
+def _trained_ivfpq_literals(
+    emb: DataFrame,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Run the coarse-quantizer and PQ-codebook trainings CONCURRENTLY and
+    return (centroids, codebooks). The two trainings are independent Spark
+    jobs that were issued sequentially from the driver (each a blocking
+    collect); submitting them from a two-thread pool lets the second job's
+    stages back-fill the executor slots the first job's tail leaves idle —
+    the guide's overlap-independent-jobs pattern (§2.6). Results are the
+    exact same collected literals as the sequential calls (measured
+    0.75-0.82× whole-query wall-clock for the three both-trainings queries
+    in pinned isolated A/B at sf0.1, round-14 optimization)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cent = pool.submit(_trained_ivf_centroids, emb)
+        f_cb = pool.submit(_trained_pq_codebooks, emb)
+        return f_cent.result(), f_cb.result()
+
+
 _TPQ_TRAIN_CTES = ",\n".join(
     _sql_km_c1(
         f"p{j}_", _PQ_SEED_LO, _PQ_KSUB,
@@ -3834,8 +3854,7 @@ def sim_ivfpq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame
     probe-restricted code scan at query time — with every stage (iterative
     training included) recomputed bit-for-bit by the SQL oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = _trained_ivf_centroids(emb)
-    codebooks = _trained_pq_codebooks(emb)
+    cent, codebooks = _trained_ivfpq_literals(emb)
     queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
     if not cent or not codebooks[0]:
         # either training emptied: the oracle's cand/adc/ivfpq chain is
@@ -3940,8 +3959,7 @@ def sim_ivfpq_trained_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora agree by construction: both engines emit every truth row with
     found=false, rr=0.0 (nn is training-independent on both sides)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = _trained_ivf_centroids(emb)
-    codebooks = _trained_pq_codebooks(emb)
+    cent, codebooks = _trained_ivfpq_literals(emb)
     queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
     nn = (
         _l2_truth_top10(queries_df, emb, with_rank=True)
@@ -4622,8 +4640,7 @@ def text_hybrid_rrf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", _BM25_QUERIES,
         top_k=_RRF_CAND_K, k1=_BM25_K1, b=_BM25_B,
     ).select("query_id", "doc_id", F.col("rank").alias("rank_b"))
-    cent = _trained_ivf_centroids(emb)
-    codebooks = _trained_pq_codebooks(emb)
+    cent, codebooks = _trained_ivfpq_literals(emb)
     if not cent or not codebooks[0]:
         vr = spark.createDataFrame(
             [], "query_id string, doc_id bigint, rank_v int"
