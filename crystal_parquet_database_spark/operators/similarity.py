@@ -1294,30 +1294,56 @@ def _km_frames(
     return base, cent
 
 
-def _km_assign(base: DataFrame, cent: DataFrame) -> DataFrame:
+def _km_assign(
+    base: DataFrame, cent: DataFrame, carry_vec: bool = False
+) -> DataFrame:
     """One assignment pass: per-(group, row) argmin of sqdist over the
     broadcast centroids of that row's group — min(struct(d2, cell)), ties
     to the smallest cell. Ungrouped training is the constant group, where
-    the group equi-join degenerates to the cross join."""
-    scored = base.join(F.broadcast(cent), "__grp").select(
+    the group equi-join degenerates to the cross join.
+
+    Round-14 optimization (guide §2.4 remove-shuffles + §3.3): the former
+    shape exploded base × centroids into n·k rows, hash-aggregated the
+    argmin back down, then SORT-MERGE-JOINED the winners against ``base``
+    to recover the vectors for the update step — one exchange for the
+    aggregation plus an exchange pair per Lloyd iteration for the re-join.
+    Now each group's centroids are packed into ONE row (k·dim floats — the
+    same broadcast-codebook scale argument as the FAISS train-then-
+    broadcast practice), broadcast, and the argmin is a single
+    ``array_min(transform(...))`` projection per base row: NO exchange at
+    all for assignment, no n·k intermediate rows, and ``carry_vec`` is a
+    free column select instead of a join.
+
+    Bit-identical to the aggregation form: ``sqdist`` is the same
+    expression, and ``array_min`` over ``struct(d2, cell)`` is the same
+    order-independent lexicographic min — ties to the smallest cell —
+    that ``min(struct(d2, cell))`` computed (collect_list order is
+    irrelevant to a min). Groups with no valid centroid drop their rows in
+    the equi-join exactly as before."""
+    packed = cent.groupBy("__grp").agg(
+        F.collect_list(F.struct(F.col("__cell"), F.col("__cvec"))).alias("__cands")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("__cands"),
+            lambda c: F.struct(
+                sqdist(F.col("__vec"), c["__cvec"]).alias("d2"),
+                c["__cell"].alias("cell"),
+            ),
+        )
+    )
+    out = [
         "__grp",
         "__id",
-        F.col("__cell"),
-        sqdist(F.col("__vec"), F.col("__cvec")).alias("__d2"),
-    )
+        F.col("__b.cell").alias("cell_id"),
+        F.col("__b.d2").alias("dist2"),
+    ]
+    if carry_vec:
+        out.append("__vec")
     return (
-        scored.groupBy("__grp", "__id")
-        .agg(
-            F.min(
-                F.struct(F.col("__d2").alias("d2"), F.col("__cell").alias("cell"))
-            ).alias("__b")
-        )
-        .select(
-            "__grp",
-            "__id",
-            F.col("__b.cell").alias("cell_id"),
-            F.col("__b.d2").alias("dist2"),
-        )
+        base.join(F.broadcast(packed), "__grp")
+        .withColumn("__b", best)
+        .select(*out)
     )
 
 
@@ -1370,7 +1396,7 @@ def _km_train(
     (round-13 ADVICE: it previously re-derived the same frame twice in one
     plan). Returns the final (__grp, __cell, __cvec) centroid frame."""
     for _ in range(max(0, int(iters) - 1)):
-        assigned = _km_assign(base, cent).join(base, ["__grp", "__id"])
+        assigned = _km_assign(base, cent, carry_vec=True)
         comp = (
             assigned.select(
                 "__grp", "cell_id", F.posexplode(F.col("__vec")).alias("__pos", "__x")
@@ -1396,8 +1422,16 @@ def _km_train(
             ).alias("__fresh")
         )
         cent = (
+            # fresh is k·dim rows by construction — broadcast it so the
+            # centroid refresh is a BroadcastHashJoin instead of the
+            # sort-merge (exchange+sort pair over two k-row frames) the
+            # planner picked from its size estimates (guide §3.1)
             cent.join(
-                fresh.select("__grp", F.col("cell_id").alias("__cell"), "__fresh"),
+                F.broadcast(
+                    fresh.select(
+                        "__grp", F.col("cell_id").alias("__cell"), "__fresh"
+                    )
+                ),
                 ["__grp", "__cell"],
                 "left",
             )
@@ -1452,9 +1486,10 @@ def kmeans_lloyd_assign(
     identical contract (the semdedup safe-by-construction precedent).
 
     100 TB shape: per iteration — one broadcast of k·dim centroid floats
-    (a few MB at FAISS-scale k, the semdedup argument), one map-side
-    argmin whose partials carry (d2, cell) only (vectors re-attach by an
-    n-row equi-join), one posexplode shuffle keyed (cell, pos) whose
+    (a few MB at FAISS-scale k, the semdedup argument), an argmin that is
+    a pure per-row projection over the broadcast codebook (NO exchange,
+    no n·k intermediate rows — see ``_km_assign``), one posexplode
+    shuffle keyed (cell, pos) whose
     output is k·dim rows, and one k-row groupBy to rebuild arrays. All
     linear, no collect (centroids stay a DataFrame; even the broadcast is
     planned, not driver-materialized). Int64-grid overflow bound:
