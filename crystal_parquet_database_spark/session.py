@@ -36,11 +36,34 @@ def get_spark(
     # far too small for a 32-core harness (a single wide shuffle OOMs it).
     # Only effective at JVM launch; a no-op if a session already exists. On a
     # real cluster this is superseded by spark-submit's --driver-memory.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    #
+    # The heap is FIXED (-Xms == -Xmx) and pre-touched at JVM start
+    # (-XX:+AlwaysPreTouch), the standard production setting for
+    # latency-sensitive JVMs: every heap page is faulted in once during
+    # startup, so G1 heap expansion mid-query never stalls on first-touch
+    # page faults and the committed heap is never uncommitted/refaulted.
+    # Measured on the round-14 harness (a microVM whose first-touch faults
+    # degrade to ~17 MB/s past a few-GB burst budget): with the default
+    # lazy heap, heap-growth events mid-suite stalled individual queries
+    # 2-5x (e.g. pqdb_normalize_compaction 14-18 s vs 7-11 s, see
+    # OPTIMIZATION_r14.md); with a fixed pre-touched heap the fault cost
+    # is paid once, before any query is timed. The default heap size drops
+    # 8g -> 4g: the full headline suite peaks far below it (verified: the
+    # heaviest write/shuffle queries complete on 4g at both 16 and 32
+    # cores), and the smaller footprint keeps pre-touch at startup in the
+    # fast range while leaving headroom for Python workers and page cache.
+    # Production values remain per-deployment: SPARK_GRAFT_DRIVER_MEM here,
+    # spark-submit --driver-memory/--executor-memory on a cluster.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+    xjo = f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
+    user_xjo = (extra_conf or {}).get("spark.driver.extraJavaOptions")
+    if user_xjo:
+        xjo = f"{xjo} {user_xjo}"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", xjo)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -52,6 +75,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
+        if k == "spark.driver.extraJavaOptions":
+            continue  # already merged with the pre-touch flags above
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
