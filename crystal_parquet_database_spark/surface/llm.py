@@ -2672,7 +2672,15 @@ def sim_ivf_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook: a monotone renumbering of the oracle's seed-offset cells, so
     (d2, cell) tie-breaks agree engine-to-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = _trained_ivf_centroids(emb)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    # truth arm is training-independent — materialize it concurrently with
+    # the blocking training collect (§2.6, see _ckpt_during)
+    truth, cent = _ckpt_during(
+        S.cosine_topk(
+            queries_df, emb, "vec_id", "embedding", k=10, dim=_DIM
+        ).select("query_id", "match_id"),
+        lambda: _trained_ivf_centroids(emb),
+    )
     if not cent:
         # no valid seed rows: the oracle's tc1 is empty, so its assign —
         # and therefore BOTH the ivf and truth CTEs, which are built on the
@@ -2682,10 +2690,6 @@ def sim_ivf_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id bigint, n_true bigint, n_hit_ivf bigint, recall_ivf double"
         )
-    queries_df = emb.filter(F.col("vec_id") < 10)
-    truth = S.cosine_topk(
-        queries_df, emb, "vec_id", "embedding", k=10, dim=_DIM
-    ).select("query_id", "match_id")
     ivf = S.ivf_topk(
         queries_df, emb, "vec_id", "embedding",
         k=10, n_cells=_TIVF_K, n_probe=_IVF_PROBE, centroids=cent,
@@ -3590,6 +3594,24 @@ def _trained_ivfpq_literals(
         return f_cent.result(), f_cb.result()
 
 
+def _ckpt_during(df: DataFrame, work):
+    """Eagerly localCheckpoint ``df`` from a worker thread while ``work()``
+    (the blocking training collects) runs on this one — the §2.6
+    overlap-independent-jobs pattern `_trained_ivfpq_literals` applies
+    between the two trainings, extended to a query's training-INDEPENDENT
+    arm (the exact-truth companion of the trained recall/MRR queries, the
+    BM25 arm of the trained hybrid). The checkpointed frame is the same
+    deterministic rows its lazy form produced — only WHEN it materializes
+    changes, back-filling executor slots the training's stage tails leave
+    idle. Returns (checkpointed_df, work_result)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(lambda: df.localCheckpoint(eager=True))
+        res = work()
+        return fut.result(), res
+
+
 _TPQ_TRAIN_CTES = ",\n".join(
     _sql_km_c1(
         f"p{j}_", _PQ_SEED_LO, _PQ_KSUB,
@@ -3685,8 +3707,13 @@ def sim_pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainings run once on a sample at ingest; the per-row cost of the
     composition is unchanged from the pinned sibling."""
     emb = load_table(spark, sf_dir, "embeddings")
-    codebooks = _trained_pq_codebooks(emb)
     queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
+    # exact-truth arm is training-independent — materialize it concurrently
+    # with the blocking training collect (§2.6, see _ckpt_during)
+    truth, codebooks = _ckpt_during(
+        _l2_truth_top10(queries_df, emb),
+        lambda: _trained_pq_codebooks(emb),
+    )
     if not codebooks[0]:
         # no valid seed rows: nothing trained, so the oracle's codes/adc/pq
         # CTEs are empty — but its TRUTH CTE is training-INDEPENDENT
@@ -3695,14 +3722,14 @@ def sim_pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         # divergence, round 13). Uniform seed admission means cell sets
         # match across subspaces, so checking subspace 0 checks them all.
         no_hits = spark.createDataFrame([], "query_id bigint, __pq_match bigint")
-        return _recall_vs_l2_truth(queries_df, emb, no_hits, "__pq_match", "pq")
+        return _recall_hits(truth, no_hits, "__pq_match", "pq")
     codes = S.pq_encode(emb, "vec_id", "embedding", codebooks).localCheckpoint(
         eager=True
     )
     pq = S.pq_adc_topk(
         queries_df, codes, "vec_id", "embedding", codebooks, k=10
     ).select("query_id", F.col("match_id").alias("__pq_match"))
-    return _recall_vs_l2_truth(queries_df, emb, pq, "__pq_match", "pq")
+    return _recall_hits(truth, pq, "__pq_match", "pq")
 
 
 def _l2_truth_top10(
@@ -3854,8 +3881,13 @@ def sim_ivfpq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame
     probe-restricted code scan at query time — with every stage (iterative
     training included) recomputed bit-for-bit by the SQL oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent, codebooks = _trained_ivfpq_literals(emb)
     queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
+    # exact-truth arm is training-independent — materialize it concurrently
+    # with the two training collects (§2.6, see _ckpt_during)
+    truth, (cent, codebooks) = _ckpt_during(
+        _l2_truth_top10(queries_df, emb),
+        lambda: _trained_ivfpq_literals(emb),
+    )
     if not cent or not codebooks[0]:
         # either training emptied: the oracle's cand/adc/ivfpq chain is
         # empty but its TRUTH CTE is training-INDEPENDENT, so the right
@@ -3864,12 +3896,12 @@ def sim_ivfpq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame
         # the trained-IVF sibling differs: ITS oracle truth ranks only the
         # ASSIGNED corpus, so there the empty frame is correct).
         no_hits = spark.createDataFrame([], "query_id bigint, __ivfpq_match bigint")
-        return _recall_vs_l2_truth(queries_df, emb, no_hits, "__ivfpq_match", "ivfpq")
+        return _recall_hits(truth, no_hits, "__ivfpq_match", "ivfpq")
     approx = S.ivfpq_adc_topk(
         queries_df, emb, "vec_id", "embedding", cent, codebooks,
         k=10, n_probe=_IVF_PROBE,
     ).select("query_id", F.col("match_id").alias("__ivfpq_match"))
-    return _recall_vs_l2_truth(queries_df, emb, approx, "__ivfpq_match", "ivfpq")
+    return _recall_hits(truth, approx, "__ivfpq_match", "ivfpq")
 
 
 # ----------------------------------------------------------------------------
@@ -3959,12 +3991,14 @@ def sim_ivfpq_trained_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora agree by construction: both engines emit every truth row with
     found=false, rr=0.0 (nn is training-independent on both sides)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent, codebooks = _trained_ivfpq_literals(emb)
     queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
-    nn = (
+    # true-NN arm is training-independent — materialize it concurrently
+    # with the two training collects (§2.6, see _ckpt_during)
+    nn, (cent, codebooks) = _ckpt_during(
         _l2_truth_top10(queries_df, emb, with_rank=True)
         .filter(F.col("rank") == 1)
-        .select("query_id", F.col("match_id").alias("true_nn"))
+        .select("query_id", F.col("match_id").alias("true_nn")),
+        lambda: _trained_ivfpq_literals(emb),
     )
     if not cent or not codebooks[0]:
         appr = spark.createDataFrame(
@@ -4636,11 +4670,15 @@ def text_hybrid_rrf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained-trio degenerate class)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load_table(spark, sf_dir, "embeddings")
-    bm = T.bm25_topk(
-        docs, "text", "doc_id", _BM25_QUERIES,
-        top_k=_RRF_CAND_K, k1=_BM25_K1, b=_BM25_B,
-    ).select("query_id", "doc_id", F.col("rank").alias("rank_b"))
-    cent, codebooks = _trained_ivfpq_literals(emb)
+    # the BM25 lexical arm is training-independent — materialize it
+    # concurrently with the two training collects (§2.6, see _ckpt_during)
+    bm, (cent, codebooks) = _ckpt_during(
+        T.bm25_topk(
+            docs, "text", "doc_id", _BM25_QUERIES,
+            top_k=_RRF_CAND_K, k1=_BM25_K1, b=_BM25_B,
+        ).select("query_id", "doc_id", F.col("rank").alias("rank_b")),
+        lambda: _trained_ivfpq_literals(emb),
+    )
     if not cent or not codebooks[0]:
         vr = spark.createDataFrame(
             [], "query_id string, doc_id bigint, rank_v int"
@@ -4904,20 +4942,28 @@ def sim_ivfpq_residual_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFram
     n_probe·m·ksub table doubles per query instead of m·ksub — FAISS's own
     precomputed-tables trade, still KBs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = _trained_ivf_centroids(emb)
     queries_df = S.valid_vectors(emb.filter(F.col("vec_id") < 10), "embedding", _DIM)
-    codebooks = _trained_residual_pq_codebooks(emb, cent) if cent else []
+
+    def _train() -> tuple[list, list]:
+        cent = _trained_ivf_centroids(emb)
+        return cent, (_trained_residual_pq_codebooks(emb, cent) if cent else [])
+
+    # exact-truth arm is training-independent — materialize it concurrently
+    # with the coarse + residual-PQ training chain (§2.6, see _ckpt_during)
+    truth, (cent, codebooks) = _ckpt_during(
+        _l2_truth_top10(queries_df, emb), _train
+    )
     if not cent or not all(codebooks):
         # any empty training empties the oracle's rcodes/radc chain (inner
         # joins), but its truth CTE is training-independent: truth rows,
         # zero hits
         no_hits = spark.createDataFrame([], "query_id bigint, __r_match bigint")
-        return _recall_vs_l2_truth(queries_df, emb, no_hits, "__r_match", "rivfpq")
+        return _recall_hits(truth, no_hits, "__r_match", "rivfpq")
     approx = S.ivfpq_residual_adc_topk(
         queries_df, emb, "vec_id", "embedding", cent, codebooks,
         k=10, n_probe=_IVF_PROBE,
     ).select("query_id", F.col("match_id").alias("__r_match"))
-    return _recall_vs_l2_truth(queries_df, emb, approx, "__r_match", "rivfpq")
+    return _recall_hits(truth, approx, "__r_match", "rivfpq")
 
 
 # ----------------------------------------------------------------------------
