@@ -502,6 +502,13 @@ def connected_components(
     adversarially long chains, which dedup graphs don't produce.
     """
     e = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # NOTE (round-14 optimization): pre-partitioning this frame on "src"
+    # before the checkpoint (guide §2.4 share-one-exchange, hoping each
+    # round's propagation join would then exchange only the label side)
+    # was A/B-measured SLOWER (~5.2-6.1 vs 4.7-5.6 s steady) — the
+    # checkpointed LogicalRDD does not surface a partitioning the join
+    # planner exploits here, so the upfront repartition is a pure extra
+    # shuffle of 2|E| rows. Kept unpartitioned.
     e = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
