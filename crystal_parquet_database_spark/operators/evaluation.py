@@ -65,6 +65,15 @@ def binary_classifier_eval(
         F.col(score_col).alias("__s"),
         F.col(label_col).cast("bigint").alias("__y"),
     ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    # Materialize the scored base ONCE (guide §3.3): two consumers hang off
+    # it below (the per-score groupBy and the global top-k) and each would
+    # otherwise re-derive the upstream scoring pass — for the AUC query that
+    # is the full tokenize-and-score scan of the corpus, re-run per consumer
+    # (round-15 optimization: 3 scoring passes → 1; the n_scored count is
+    # derived from the per-score totals instead of a third corpus scan —
+    # exact under the documented 0/1 label contract, since every scored row
+    # contributes to exactly one of n_pos / n_neg).
+    scored = scored.localCheckpoint(eager=True)
 
     # per-distinct-score class counts — the only pass over the corpus
     g = scored.groupBy("__s").agg(
@@ -126,12 +135,18 @@ def binary_classifier_eval(
     def _safe_div(num: Column, den: Column) -> Column:
         return F.when(den > 0, num.cast("double") / den.cast("double"))
 
-    n_scored = scored.agg(F.count("*").alias("n_scored"))
     return (
-        n_scored.crossJoin(totals)  # three one-row frames — a literal join
-        .crossJoin(hits)
+        totals.crossJoin(hits)  # two one-row frames — a literal join
         .select(
-            F.col("n_scored").cast("bigint").alias("n_scored"),
+            # n_scored = n_pos + n_neg exactly (0/1 label contract: every
+            # scored row lands in one of the two classes), so the former
+            # third corpus pass is a sum of two already-computed aggregates;
+            # SUM over zero rows is NULL — coalesce keeps the empty-corpus
+            # row well-typed, same as before
+            (
+                F.coalesce(F.col("n_pos"), F.lit(0))
+                + F.coalesce(F.col("n_neg"), F.lit(0))
+            ).cast("bigint").alias("n_scored"),
             # empty input: SUM over zero rows is NULL in both engines —
             # report 0 so the empty-corpus sweep sees a well-typed row
             F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint").alias("n_pos"),

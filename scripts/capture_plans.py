@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for headline queries into plans/r14/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/
+(round from $PLANS_ROUND, default r15).
 
 Usage: python scripts/capture_plans.py <suffix> [name ...]
-Writes plans/r14/<query>_<suffix>.txt for each named query (default: every
+Writes plans/<round>/<query>_<suffix>.txt for each named query (default: every
 bench HEADLINE query). Plan generation is driver-side; queries whose
 construction runs eager jobs (trained codebooks) will execute those, so this
 is not a timing tool — it exists so the optimization round's plan claims are
@@ -27,7 +28,8 @@ def main() -> None:
     names = sys.argv[2:] or list(HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r14"
+        os.path.dirname(os.path.abspath(__file__)), "..", "plans",
+        os.environ.get("PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture-plans")
