@@ -85,7 +85,13 @@ def get_spark(
         # default cache (sim_ivfpq_residual 9.1 -> 76.7 s); with this cap
         # the same interleaved sequence stayed at 53.5 s. Memory cost is
         # bounded by the DISTINCT codegen units actually compiled (a few
-        # hundred here), not the cap.
+        # hundred here), not the cap. NOTE (round-14 ADVICE): this is a
+        # STATIC SQL conf — like the driver-memory setting above it only
+        # takes effect at JVM/session creation, so getOrCreate() against a
+        # session some embedding context already built silently ignores it
+        # and the recompilation fix quietly disappears there; verify with
+        # spark.conf.get("spark.sql.codegen.cache.maxEntries") when
+        # embedding.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     for k, v in (extra_conf or {}).items():

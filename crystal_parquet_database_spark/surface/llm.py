@@ -2673,13 +2673,31 @@ def sim_ivf_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d2, cell) tie-breaks agree engine-to-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
+
+    def _seed_rows_exist() -> bool:
+        # sufficient emptiness test for the degenerate branch below (round-14
+        # ADVICE): no rows in the seed id range ⇒ cent is certainly empty ⇒
+        # truth is never consumed — skip its full-corpus checkpoint. Rows
+        # present but invalid still checkpoint (conservative; rare).
+        return bool(
+            emb.filter(
+                (F.col("vec_id") >= _IVF_SEED_LO)
+                & (F.col("vec_id") < _IVF_SEED_LO + _TIVF_K)
+            )
+            .limit(1)
+            .take(1)
+        )
+
     # truth arm is training-independent — materialize it concurrently with
-    # the blocking training collect (§2.6, see _ckpt_during)
+    # the blocking training collect (§2.6, see _ckpt_during); unlike the
+    # PQ/IVFPQ siblings this query's degenerate branch discards the truth
+    # frame, so the probe gates the checkpoint
     truth, cent = _ckpt_during(
         S.cosine_topk(
             queries_df, emb, "vec_id", "embedding", k=10, dim=_DIM
         ).select("query_id", "match_id"),
         lambda: _trained_ivf_centroids(emb),
+        probe=_seed_rows_exist,
     )
     if not cent:
         # no valid seed rows: the oracle's tc1 is empty, so its assign —
@@ -3141,7 +3159,12 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     q = T.quality_features(docs.select("doc_id", "text"), "text", _STOPWORDS).select(
         "doc_id", "quality_score"
     )
-    j = comp.join(q, "doc_id")
+    # Materialize (doc_id, cluster_id, quality_score) ONCE (guide §3.3):
+    # two consumers below (the per-cluster argmax and the final join back)
+    # otherwise each re-run the quality text scan AND the component
+    # singleton anti-join — the round-15 before-plan shows the whole
+    # subtree duplicated (two parquet scans of documents).
+    j = comp.join(q, "doc_id").localCheckpoint(eager=True)
     best = j.groupBy("cluster_id").agg(
         F.max(
             F.struct(
@@ -3594,7 +3617,7 @@ def _trained_ivfpq_literals(
         return f_cent.result(), f_cb.result()
 
 
-def _ckpt_during(df: DataFrame, work):
+def _ckpt_during(df: DataFrame, work, probe=None):
     """Eagerly localCheckpoint ``df`` from a worker thread while ``work()``
     (the blocking training collects) runs on this one — the §2.6
     overlap-independent-jobs pattern `_trained_ivfpq_literals` applies
@@ -3603,11 +3626,25 @@ def _ckpt_during(df: DataFrame, work):
     BM25 arm of the trained hybrid). The checkpointed frame is the same
     deterministic rows its lazy form produced — only WHEN it materializes
     changes, back-filling executor slots the training's stage tails leave
-    idle. Returns (checkpointed_df, work_result)."""
+    idle. Returns (checkpointed_df, work_result).
+
+    ``probe`` (round-14 ADVICE): an optional cheap gate run ON THE WORKER
+    THREAD before the checkpoint — for callers whose degenerate branch
+    never consumes ``df`` (sim_ivf_trained_recall_at_k returns an empty
+    frame when no seed rows exist), a falsey probe skips the full-corpus
+    truth scan outright and yields (None, work_result). The probe runs
+    concurrently with ``work``, so the normal path pays no extra latency;
+    it must be a SUFFICIENT emptiness test (False only when the caller is
+    guaranteed to take the degenerate branch)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    def _materialize():
+        if probe is not None and not probe():
+            return None
+        return df.localCheckpoint(eager=True)
+
     with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(lambda: df.localCheckpoint(eager=True))
+        fut = pool.submit(_materialize)
         res = work()
         return fut.result(), res
 

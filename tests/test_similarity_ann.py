@@ -1062,12 +1062,74 @@ def test_lit_matrix_bitwise_equals_loop_form(spark):
         *[F.array(*[F.lit(float(v)) for v in row]) for row in mat]
     )
     loop_vec = F.array(*[F.lit(float(v)) for v in mat[0]])
+
+    # BIT-level equality, not Spark `==` (round-14 ADVICE: `==` treats -0.0
+    # equal to 0.0, so the signed-zero fixture element was not actually
+    # exercised as a bitwise check). Compare the raw IEEE-754 bit patterns
+    # via Double.doubleToLongBits — the literal definition of "bit-identical".
+    def bits_eq(x, y):
+        return F.reflect(
+            F.lit("java.lang.Double"), F.lit("doubleToLongBits"), x
+        ).eqNullSafe(
+            F.reflect(F.lit("java.lang.Double"), F.lit("doubleToLongBits"), y)
+        )
+
+    def vec_eq(a, b):
+        return F.forall(F.zip_with(a, b, bits_eq), lambda v: v)
+
     row = (
         spark.range(1)
         .select(
-            (lit_matrix(mat) == loop_mat).alias("m_eq"),
-            (lit_vector(mat[0]) == loop_vec).alias("v_eq"),
+            F.forall(
+                F.zip_with(lit_matrix(mat), loop_mat, vec_eq), lambda v: v
+            ).alias("m_eq"),
+            vec_eq(lit_vector(mat[0]), loop_vec).alias("v_eq"),
+            # the sign check itself must be live: flipping the zero sign
+            # on one side must FAIL the element-wise comparison
+            vec_eq(
+                lit_vector([0.0]), F.array(F.lit(-0.0))
+            ).alias("zero_sign_differs"),
         )
         .first()
     )
     assert row["m_eq"] and row["v_eq"]
+    assert row["zero_sign_differs"] is False
+
+
+def test_km_assign_fallback_matches_packed(spark):
+    """The packed-codebook argmin and its size-guard fallback (round-15:
+    packed_elems above KM_PACKED_MAX_ELEMS switches to the explode +
+    min(struct) aggregation form) must produce IDENTICAL assignment rows —
+    including ties (broken to the smallest cell) and carry_vec payloads."""
+    from crystal_parquet_database_spark.operators.similarity import (
+        KM_PACKED_MAX_ELEMS,
+        _km_assign,
+        _km_frames,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 1.0]),
+        (2, [0.5, 0.5]),   # exactly tied between both centroids
+        (3, [10.0, -3.0]),
+        (4, [0.2, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        "cell_id int, cvec array<double>",
+    )
+    base, cent = _km_frames(emb, "vec_id", "embedding", seeds, 2, None)
+    packed = {
+        r["__id"]: (r["cell_id"], r["dist2"], list(r["__vec"]))
+        for r in _km_assign(base, cent, carry_vec=True).collect()
+    }
+    fallback = {
+        r["__id"]: (r["cell_id"], r["dist2"], list(r["__vec"]))
+        for r in _km_assign(
+            base, cent, carry_vec=True,
+            packed_elems=KM_PACKED_MAX_ELEMS + 1,
+        ).collect()
+    }
+    assert packed == fallback
+    assert packed[2][0] == 0  # tie broke to the smallest cell in BOTH forms
