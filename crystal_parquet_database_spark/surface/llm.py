@@ -3547,8 +3547,6 @@ def _trained_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     of m sequential blocking jobs (review-caught wall-clock finding, round
     13: the sequential form made the trained-PQ/IVFPQ queries the most
     expensive in the bench suite)."""
-    from functools import reduce
-
     dom_ok = ~F.exists(
         F.col("embedding"),
         lambda x: x.isNull()
@@ -3567,26 +3565,25 @@ def _trained_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     def sub(j: int):
         return F.slice(F.col("embedding"), j * _PQ_DSUB + 1, _PQ_DSUB)
 
-    stacked = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            emb.select(
-                F.lit(j).alias("__sub"), "vec_id", sub(j).alias("subvec")
-            )
-            for j in range(_PQ_M)
-        ],
-    )
-    seeds = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            seed_base.select(
-                F.lit(j).alias("__sub"),
-                (F.col("vec_id") - _PQ_SEED_LO).cast("int").alias("cell_id"),
-                sub(j).alias("cvec"),
-            )
-            for j in range(_PQ_M)
-        ],
-    )
+    # ONE corpus scan, not m (round-15, guide §2.3 fewer passes): the former
+    # m-way unionByName planned m separate scans of embeddings (one per
+    # subspace select). posexplode over the array of the m slices emits the
+    # identical (__sub, vec_id, subvec) rows — exactly m rows per input row
+    # (F.array of m column expressions is never NULL), __sub = array position
+    # = the same int j — from a single pass; row order is irrelevant to the
+    # grouped trainer's aggregations.
+    stacked = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[sub(j) for j in range(_PQ_M)])
+        ).alias("__sub", "subvec"),
+    ).select("__sub", "vec_id", "subvec")
+    seeds = seed_base.select(
+        (F.col("vec_id") - _PQ_SEED_LO).cast("int").alias("cell_id"),
+        F.posexplode(
+            F.array(*[sub(j) for j in range(_PQ_M)])
+        ).alias("__sub", "cvec"),
+    ).select("__sub", "cell_id", "cvec")
     trained = S.kmeans_lloyd_centroids(
         stacked, "vec_id", "subvec", seeds,
         iters=_KM_ITERS, scale=_KM_SCALE, dim=_PQ_DSUB, group_col="__sub",
@@ -4773,8 +4770,6 @@ def _trained_residual_pq_codebooks(
     embedding does NOT imply a domain-clean residual (|x|,|c| < D only
     bounds |x-c| < 2D); the oracle applies the identical per-slice
     predicate, so admission stays bit-symmetric."""
-    from functools import reduce
-
     # MATERIALIZE the residual frame before the 2m subspace slices fan out
     # of it: left as a plan, every slice re-embeds the rvec expression with
     # its k·dim inlined centroid array, the grouped trainer's unions and
@@ -4790,28 +4785,25 @@ def _trained_residual_pq_codebooks(
     def sub(j: int):
         return F.slice(F.col("rvec"), j * _PQ_DSUB + 1, _PQ_DSUB)
 
-    stacked = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            res.select(F.lit(j).alias("__sub"), "vec_id", sub(j).alias("subvec"))
-            for j in range(_PQ_M)
-        ],
-    )
+    # ONE pass over the checkpointed residual, not m (round-15, guide §2.3):
+    # same posexplode move as the raw trainer — identical rows, m per input
+    # row, __sub = array position
+    stacked = res.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[sub(j) for j in range(_PQ_M)])
+        ).alias("__sub", "subvec"),
+    ).select("__sub", "vec_id", "subvec")
     seed_res = res.filter(
         (F.col("vec_id") >= _PQ_SEED_LO)
         & (F.col("vec_id") < _PQ_SEED_LO + _PQ_KSUB)
     )
-    seeds = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            seed_res.select(
-                F.lit(j).alias("__sub"),
-                (F.col("vec_id") - _PQ_SEED_LO).cast("int").alias("cell_id"),
-                sub(j).alias("cvec"),
-            )
-            for j in range(_PQ_M)
-        ],
-    )
+    seeds = seed_res.select(
+        (F.col("vec_id") - _PQ_SEED_LO).cast("int").alias("cell_id"),
+        F.posexplode(
+            F.array(*[sub(j) for j in range(_PQ_M)])
+        ).alias("__sub", "cvec"),
+    ).select("__sub", "cell_id", "cvec")
     trained = S.kmeans_lloyd_centroids(
         stacked, "vec_id", "subvec", seeds,
         iters=_KM_ITERS, scale=_KM_SCALE, dim=_PQ_DSUB, group_col="__sub",
